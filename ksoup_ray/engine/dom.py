@@ -1,0 +1,1258 @@
+"""DOM node tree + text extraction + HTML serialization.
+
+A from-scratch Python DOM with the semantics of the reference's
+``ksoup/src/com/fleeksoft/ksoup/nodes/*`` — Node/Element/TextNode/DataNode/
+Comment/CDataNode/DocumentType/XmlDeclaration/Document/Attributes.
+
+Key byte-identical behaviors (reference file:line cited inline):
+
+* ``Element.text()`` — DFS with TextAccumulator (Element.kt:1312-1351):
+  whitespace-normalized text, single space inserted at block/``br``
+  boundaries, final trim.
+* ``StringUtil.appendNormalisedWhitespace`` (StringUtil.kt:165-191):
+  collapse runs of {space, tab, LF, FF, CR, U+00A0}; drop U+200B/U+00AD.
+* ``Element.wholeText()`` — raw TextNode contents, ``br`` → ``\\n``.
+* serialization — pretty-print indenting per Element.kt:1645-1694 and
+  TextNode.kt:61-92; attribute collapse per Attribute.kt:167-233.
+
+DOM trees are transient worker-local state inside map_batches UDFs —
+they are never serialized between Ray stages (SURVEY.md §1).
+
+All traversals are iterative (no recursion) so pathologically deep
+documents (fuzz corpus: 10k-deep nesting) cannot overflow the Python
+stack inside a Ray worker.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Iterator
+
+from . import entities as E
+from .tags import (
+    NAMESPACE_HTML,
+    Tag,
+    value_of as tag_value_of,
+)
+
+_WS_RE = re.compile(r"\s+")
+
+# StringUtil.isActuallyWhitespace (StringUtil.kt:137-141): &nbsp; counts
+_ACTUAL_WS = frozenset(" \t\n\f\r\xa0")
+_INVISIBLE = frozenset("​­")
+
+
+def normalise_whitespace(string: str) -> str:
+    sb: list[str] = []
+    append_normalised_whitespace(sb, string, strip_leading=False)
+    return "".join(sb)
+
+
+def append_normalised_whitespace(accum: list[str], string: str,
+                                 strip_leading: bool) -> None:
+    """StringUtil.appendNormalisedWhitespace (StringUtil.kt:165-191).
+
+    ``accum`` is a list of str fragments (our StringBuilder).
+    """
+    last_was_white = False
+    reached_non_white = False
+    buf: list[str] = []
+    for ch in string:
+        if ch in _ACTUAL_WS:
+            if (strip_leading and not reached_non_white) or last_was_white:
+                continue
+            buf.append(" ")
+            last_was_white = True
+        elif ch not in _INVISIBLE:
+            buf.append(ch)
+            last_was_white = False
+            reached_non_white = True
+    accum.append("".join(buf))
+
+
+def _last_char_is_whitespace(accum: list[str]) -> bool:
+    for frag in reversed(accum):
+        if frag:
+            return frag[-1] == " "
+    return False
+
+
+def _accum_nonempty(accum: list[str]) -> bool:
+    return any(accum)
+
+
+# ---------------------------------------------------------------------------
+# Attributes
+
+_INTERNAL_PREFIX = "/ksoup."
+
+_BOOLEAN_ATTRIBUTES = frozenset((
+    "allowfullscreen", "async", "autofocus", "checked", "compact", "declare",
+    "default", "defer", "disabled", "formnovalidate", "hidden", "inert",
+    "ismap", "itemscope", "multiple", "muted", "nohref", "noresize",
+    "noshade", "novalidate", "nowrap", "open", "readonly", "required",
+    "reversed", "seamless", "selected", "sortable", "truespeed",
+    "typemustmatch",
+))
+
+_XML_KEY_VALID = re.compile(r"[a-zA-Z_:][-a-zA-Z0-9_:.]*$")
+_XML_KEY_REPLACE = re.compile(r"[^-a-zA-Z0-9_:.]+")
+_HTML_KEY_INVALID = re.compile(r"[\x00-\x1f\x7f-\x9f \"'/=]+")
+
+
+def _valid_attr_key(key: str, syntax: str) -> str | None:
+    """Attribute.getValidKey (Attribute.kt:256-...)."""
+    if syntax == "xml":
+        if _XML_KEY_VALID.match(key):
+            return key
+        new = _XML_KEY_REPLACE.sub("_", key)
+        return new if _XML_KEY_VALID.match(new) else None
+    # html
+    if not key:
+        return None
+    if _HTML_KEY_INVALID.search(key):
+        new = _HTML_KEY_INVALID.sub("_", key)
+        return new if new and not _HTML_KEY_INVALID.search(new) else None
+    return key
+
+
+def _should_collapse_attribute(key: str, val: str | None, syntax: str) -> bool:
+    """Attribute.shouldCollapseAttribute (Attribute.kt:167-233)."""
+    return syntax == "html" and (
+        val is None
+        or ((val == "" or val.lower() == key.lower())
+            and key.lower() in _BOOLEAN_ATTRIBUTES)
+    )
+
+
+class Attributes:
+    """Insertion-ordered attribute map (reference Attributes.kt).
+
+    Values may be None (attribute declared with no value). Internal keys
+    (prefixed ``/ksoup.``) are get-able but never serialized.
+    """
+
+    __slots__ = ("_d",)
+
+    def __init__(self) -> None:
+        self._d: dict[str, str | None] = {}
+
+    # -- core map ops
+    def get(self, key: str) -> str:
+        v = self._d.get(key)
+        return v if v is not None else ""
+
+    def get_ignore_case(self, key: str) -> str:
+        lk = key.lower()
+        for k, v in self._d.items():
+            if k.lower() == lk:
+                return v if v is not None else ""
+        return ""
+
+    def has_key(self, key: str) -> bool:
+        return key in self._d
+
+    def has_key_ignore_case(self, key: str) -> bool:
+        lk = key.lower()
+        return any(k.lower() == lk for k in self._d)
+
+    def has_declared_value(self, key: str) -> bool:
+        return self._d.get(key) is not None
+
+    def put(self, key: str, value: str | None) -> "Attributes":
+        self._d[key] = value
+        return self
+
+    def put_ignore_case(self, key: str, value: str | None) -> None:
+        lk = key.lower()
+        for k in self._d:
+            if k.lower() == lk:
+                self._d[k] = value
+                if k != key:
+                    # replace key in place, preserving order
+                    self._d = {key if kk == k else kk: vv
+                               for kk, vv in self._d.items()}
+                return
+        self._d[key] = value
+
+    def add(self, key: str, value: str | None) -> None:
+        """Append without dedup-check (tokenizer has already deduped)."""
+        self._d[key] = value
+
+    def remove(self, key: str) -> None:
+        self._d.pop(key, None)
+
+    def remove_ignore_case(self, key: str) -> None:
+        lk = key.lower()
+        for k in list(self._d):
+            if k.lower() == lk:
+                del self._d[k]
+
+    def rename(self, old: str, new: str) -> None:
+        if old == new:
+            return
+        if old in self._d:
+            self._d = {(new if k == old else k): v for k, v in self._d.items()}
+
+    def __len__(self) -> int:
+        return sum(1 for k in self._d if not k.startswith(_INTERNAL_PREFIX))
+
+    def __iter__(self) -> Iterator[tuple[str, str]]:
+        for k, v in self._d.items():
+            if not k.startswith(_INTERNAL_PREFIX):
+                yield k, (v if v is not None else "")
+
+    def items_raw(self) -> Iterator[tuple[str, str | None]]:
+        return iter(self._d.items())
+
+    def normalize(self) -> None:
+        """Lowercase all keys (ParseSettings html default)."""
+        if any(k != k.lower() for k in self._d):
+            nd: dict[str, str | None] = {}
+            for k, v in self._d.items():
+                lk = k.lower()
+                if lk not in nd:
+                    nd[lk] = v
+            self._d = nd
+
+    def clone(self) -> "Attributes":
+        a = Attributes()
+        a._d = dict(self._d)
+        return a
+
+    def dataset(self) -> dict[str, str]:
+        return {k[5:]: (v or "") for k, v in self._d.items()
+                if k.startswith("data-") and len(k) > 5}
+
+    # -- serialization (Attributes.kt:444-455)
+    def html_to(self, accum: list[str], out: "OutputSettings") -> None:
+        for k, v in self._d.items():
+            if k.startswith(_INTERNAL_PREFIX):
+                continue
+            valid = _valid_attr_key(k, out.syntax)
+            if valid is None:
+                continue
+            accum.append(" ")
+            accum.append(valid)
+            if not _should_collapse_attribute(valid, v, out.syntax):
+                accum.append('="')
+                accum.append(E.escape(v or "", out.escape_mode, out.syntax,
+                                      out.charset, E.FOR_ATTRIBUTE))
+                accum.append('"')
+
+    def html(self) -> str:
+        accum: list[str] = []
+        self.html_to(accum, OutputSettings())
+        return "".join(accum)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Attributes({self._d!r})"
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, Attributes):
+            return NotImplemented
+        return self._d == other._d
+
+    def __hash__(self) -> int:
+        return hash(tuple(self._d.items()))
+
+
+# ---------------------------------------------------------------------------
+# Output settings
+
+class OutputSettings:
+    """Document.OutputSettings (Document.kt:368-560). Defaults match."""
+
+    __slots__ = ("escape_mode", "charset", "syntax", "pretty_print",
+                 "outline", "indent_amount", "max_padding_width")
+
+    def __init__(self) -> None:
+        self.escape_mode = E.ESCAPE_BASE
+        self.charset = "UTF-8"
+        self.syntax = "html"
+        self.pretty_print = True
+        self.outline = False
+        self.indent_amount = 1
+        self.max_padding_width = 30
+
+    def clone(self) -> "OutputSettings":
+        o = OutputSettings()
+        for s in OutputSettings.__slots__:
+            setattr(o, s, getattr(self, s))
+        return o
+
+
+def _padding(width: int, max_width: int) -> str:
+    if max_width != -1:
+        width = min(width, max_width)
+    return " " * width
+
+
+# ---------------------------------------------------------------------------
+# Nodes
+
+class Node:
+    """Base DOM node (reference Node.kt:28)."""
+
+    __slots__ = ("parent_node", "sibling_index")
+
+    def __init__(self) -> None:
+        self.parent_node: Element | None = None
+        self.sibling_index: int = 0
+
+    # -- identity
+    def node_name(self) -> str:
+        raise NotImplementedError
+
+    def normal_name(self) -> str:
+        return self.node_name()
+
+    def name_is(self, name: str) -> bool:
+        return self.normal_name() == name
+
+    # -- attributes (base: none)
+    def attributes(self) -> Attributes | None:
+        return None
+
+    def attr(self, key: str) -> str:
+        a = self.attributes()
+        if a is None:
+            return ""
+        if key.startswith("abs:"):
+            return self.abs_url(key[4:])
+        if a.has_key(key):
+            return a.get(key)
+        return ""
+
+    def has_attr(self, key: str) -> bool:
+        a = self.attributes()
+        if a is None:
+            return False
+        if key.startswith("abs:"):
+            k = key[4:]
+            return a.has_key_ignore_case(k) and self.abs_url(k) != ""
+        return a.has_key_ignore_case(key)
+
+    def base_uri(self) -> str:
+        n: Node | None = self
+        while n is not None:
+            if isinstance(n, Element):
+                a = n.attributes()
+                if a is not None and a.has_key(_BASE_URI_KEY):
+                    return a.get(_BASE_URI_KEY)
+            n = n.parent_node
+        return ""
+
+    def abs_url(self, attribute_key: str) -> str:
+        from .urlutil import resolve  # lazy import to avoid cycle
+        if not self.has_attr(attribute_key):
+            return ""
+        rel = self.attributes().get_ignore_case(attribute_key)  # type: ignore[union-attr]
+        return resolve(self.base_uri(), rel)
+
+    # -- tree
+    def child_nodes(self) -> list["Node"]:
+        return []
+
+    def child_node_size(self) -> int:
+        return 0
+
+    def parent(self) -> "Element | None":
+        return self.parent_node
+
+    def root(self) -> "Node":
+        n: Node = self
+        while n.parent_node is not None:
+            n = n.parent_node
+        return n
+
+    def owner_document(self) -> "Document | None":
+        r = self.root()
+        return r if isinstance(r, Document) else None
+
+    def next_sibling(self) -> "Node | None":
+        if self.parent_node is None:
+            return None
+        sibs = self.parent_node.child_nodes()
+        i = self.sibling_index + 1
+        return sibs[i] if i < len(sibs) else None
+
+    def previous_sibling(self) -> "Node | None":
+        if self.parent_node is None or self.sibling_index == 0:
+            return None
+        return self.parent_node.child_nodes()[self.sibling_index - 1]
+
+    def remove(self) -> None:
+        if self.parent_node is not None:
+            self.parent_node.remove_child(self)
+
+    def replace_with(self, replacement: "Node") -> None:
+        assert self.parent_node is not None
+        self.parent_node.replace_child(self, replacement)
+
+    def before(self, node: "Node") -> None:
+        assert self.parent_node is not None
+        self.parent_node.add_children_at(self.sibling_index, [node])
+
+    def after(self, node: "Node") -> None:
+        assert self.parent_node is not None
+        self.parent_node.add_children_at(self.sibling_index + 1, [node])
+
+    def unwrap(self) -> "Node | None":
+        """Remove this node, promoting its children (Node.kt:422-...)."""
+        assert self.parent_node is not None
+        kids = list(self.child_nodes())
+        first = kids[0] if kids else None
+        self.parent_node.add_children_at(self.sibling_index, kids)
+        self.remove()
+        return first
+
+    # -- traversal
+    def node_stream(self) -> Iterator["Node"]:
+        """DFS pre-order over this node + descendants (iterative)."""
+        stack: list[Node] = [self]
+        while stack:
+            n = stack.pop()
+            yield n
+            kids = n.child_nodes()
+            if kids:
+                stack.extend(reversed(kids))
+
+    def traverse(self, head: Callable[["Node", int], None],
+                 tail: Callable[["Node", int], None] | None = None) -> None:
+        """NodeTraversor.traverse (NodeTraversor.kt:22-66), iterative.
+
+        head is called on entry, tail on exit. Structural mutation during
+        the walk is not supported here (the Cleaner uses its own walk).
+        """
+        # stack of (node, next_child_index)
+        stack: list[tuple[Node, int]] = [(self, 0)]
+        head(self, 0)
+        while stack:
+            node, idx = stack[-1]
+            kids = node.child_nodes()
+            if idx < len(kids):
+                stack[-1] = (node, idx + 1)
+                child = kids[idx]
+                head(child, len(stack))
+                stack.append((child, 0))
+            else:
+                stack.pop()
+                if tail is not None:
+                    tail(node, len(stack))
+
+    # -- output
+    def outer_html(self) -> str:
+        accum: list[str] = []
+        out = _output_settings_of(self)
+        self._outer_html_to(accum, out)
+        return "".join(accum)
+
+    def _outer_html_to(self, accum: list[str], out: OutputSettings) -> None:
+        """Iterative head/tail serialization walk (Node.kt:698-741)."""
+        stack: list[tuple[Node, int, int]] = [(self, 0, 0)]
+        self.outer_html_head(accum, 0, out)
+        while stack:
+            node, idx, depth = stack[-1]
+            kids = node.child_nodes()
+            if idx < len(kids):
+                stack[-1] = (node, idx + 1, depth)
+                child = kids[idx]
+                child.outer_html_head(accum, depth + 1, out)
+                stack.append((child, 0, depth + 1))
+            else:
+                stack.pop()
+                node.outer_html_tail(accum, depth, out)
+
+    def outer_html_head(self, accum: list[str], depth: int,
+                        out: OutputSettings) -> None:
+        raise NotImplementedError
+
+    def outer_html_tail(self, accum: list[str], depth: int,
+                        out: OutputSettings) -> None:
+        pass
+
+    def _indent(self, accum: list[str], depth: int, out: OutputSettings) -> None:
+        accum.append("\n")
+        accum.append(_padding(depth * out.indent_amount, out.max_padding_width))
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"{type(self).__name__}({self.node_name()!r})"
+
+
+_BASE_URI_KEY = _INTERNAL_PREFIX + "baseUri"
+
+
+def _output_settings_of(node: Node) -> OutputSettings:
+    doc = node.owner_document()
+    return doc.output_settings if doc is not None else OutputSettings()
+
+
+class LeafNode(Node):
+    """Value-holding node without children (reference LeafNode.kt)."""
+
+    __slots__ = ("value", "_attrs")
+
+    def __init__(self, value: str):
+        super().__init__()
+        self.value = value
+        self._attrs: Attributes | None = None
+
+    def attributes(self) -> Attributes | None:
+        return self._attrs
+
+    def _ensure_attrs(self) -> Attributes:
+        if self._attrs is None:
+            self._attrs = Attributes()
+        return self._attrs
+
+    def core_value(self) -> str:
+        return self.value
+
+    def attr(self, key: str) -> str:
+        if self._attrs is None:
+            return self.value if key == self.node_name() else ""
+        return super().attr(key)
+
+
+class TextNode(LeafNode):
+    """nodes/TextNode.kt:11"""
+
+    __slots__ = ()
+
+    def node_name(self) -> str:
+        return "#text"
+
+    def text(self) -> str:
+        return normalise_whitespace(self.get_whole_text())
+
+    def get_whole_text(self) -> str:
+        return self.value
+
+    def is_blank(self) -> bool:
+        # StringUtil.isBlank: spec whitespace only (nbsp is NOT blank)
+        return self.value.strip(" \t\n\f\r") == ""
+
+    def split_text(self, offset: int) -> "TextNode":
+        head, tail = self.value[:offset], self.value[offset:]
+        self.value = head
+        tail_node = TextNode(tail)
+        if self.parent_node is not None:
+            self.parent_node.add_children_at(self.sibling_index + 1, [tail_node])
+        return tail_node
+
+    def outer_html_head(self, accum: list[str], depth: int,
+                        out: OutputSettings) -> None:
+        # TextNode.kt:61-92
+        pretty = out.pretty_print
+        parent = self.parent_node
+        normalise_white = pretty and not Element.preserve_whitespace(parent)
+        options = E.FOR_TEXT
+        if normalise_white:
+            options |= E.NORMALISE
+            trim_like_block = parent is not None and (
+                parent.tag.is_block or parent.tag.format_as_block)
+            if (trim_like_block and self.sibling_index == 0) or \
+                    isinstance(parent, Document):
+                options |= E.TRIM_LEADING
+            if trim_like_block and self.next_sibling() is None:
+                options |= E.TRIM_TRAILING
+            nxt = self.next_sibling()
+            prev = self.previous_sibling()
+            is_blank = self.is_blank()
+            could_skip = (
+                (isinstance(nxt, Element) and nxt.should_indent(out))
+                or (isinstance(nxt, TextNode) and nxt.is_blank())
+                or (isinstance(prev, Element)
+                    and (prev.is_block() or prev.name_is("br")))
+            )
+            if could_skip and is_blank:
+                return
+            if ((prev is None and parent is not None
+                 and parent.tag.format_as_block and not is_blank)
+                    or (out.outline and self._has_siblings() and not is_blank)
+                    or (prev is not None and prev.name_is("br"))):
+                self._indent(accum, depth, out)
+        accum.append(E.escape(self.value, out.escape_mode, out.syntax,
+                              out.charset, options))
+
+    def _has_siblings(self) -> bool:
+        return self.parent_node is not None and \
+            len(self.parent_node.child_nodes()) > 1
+
+
+class CDataNode(TextNode):
+    """nodes/CDataNode.kt"""
+
+    __slots__ = ()
+
+    def node_name(self) -> str:
+        return "#cdata"
+
+    def text(self) -> str:
+        return self.get_whole_text()
+
+    def outer_html_head(self, accum: list[str], depth: int,
+                        out: OutputSettings) -> None:
+        accum.append("<![CDATA[")
+        accum.append(self.get_whole_text())
+
+    def outer_html_tail(self, accum: list[str], depth: int,
+                        out: OutputSettings) -> None:
+        accum.append("]]>")
+
+
+class DataNode(LeafNode):
+    """script/style body (nodes/DataNode.kt)."""
+
+    __slots__ = ()
+
+    def node_name(self) -> str:
+        return "#data"
+
+    def get_whole_data(self) -> str:
+        return self.value
+
+    def outer_html_head(self, accum: list[str], depth: int,
+                        out: OutputSettings) -> None:
+        # data is NOT escaped (DataNode.kt): emitted raw for script/style
+        if out.syntax == "xml":
+            parent = self.parent_node
+            pname = parent.normal_name() if parent is not None else ""
+            data = self.value
+            if pname in ("script", "style") and "<![CDATA[" not in data:
+                accum.append("//<![CDATA[\n" if pname == "script"
+                             else "/*<![CDATA[*/\n")
+                accum.append(data)
+                accum.append("\n//]]>" if pname == "script" else "\n/*]]>*/")
+                return
+        accum.append(self.value)
+
+
+class Comment(LeafNode):
+    """nodes/Comment.kt"""
+
+    __slots__ = ()
+
+    def node_name(self) -> str:
+        return "#comment"
+
+    def get_data(self) -> str:
+        return self.value
+
+    def outer_html_head(self, accum: list[str], depth: int,
+                        out: OutputSettings) -> None:
+        if (out.pretty_print
+                and ((self.sibling_index == 0
+                      and isinstance(self.parent_node, Element)
+                      and self.parent_node.tag.format_as_block)
+                     or out.outline)):
+            self._indent(accum, depth, out)
+        accum.append("<!--")
+        accum.append(self.value)
+        accum.append("-->")
+
+
+class DocumentType(LeafNode):
+    """nodes/DocumentType.kt"""
+
+    __slots__ = ("name", "public_id", "system_id")
+
+    def __init__(self, name: str, public_id: str, system_id: str):
+        super().__init__(name)
+        self.name = name
+        self.public_id = public_id
+        self.system_id = system_id
+
+    def node_name(self) -> str:
+        return "#doctype"
+
+    def outer_html_head(self, accum: list[str], depth: int,
+                        out: OutputSettings) -> None:
+        # DocumentType.kt outerHtmlHead
+        if out.syntax == "html" and not self.public_id and not self.system_id:
+            accum.append("<!doctype")
+        else:
+            accum.append("<!DOCTYPE")
+        if self.name:
+            accum.append(" ")
+            accum.append(self.name)
+        if self.public_id:
+            accum.append(' PUBLIC "')
+            accum.append(self.public_id)
+            accum.append('"')
+        if self.system_id:
+            if not self.public_id:
+                accum.append(" SYSTEM")
+            accum.append(' "')
+            accum.append(self.system_id)
+            accum.append('"')
+        accum.append(">")
+
+
+class XmlDeclaration(LeafNode):
+    """nodes/XmlDeclaration.kt"""
+
+    __slots__ = ("is_processing_instruction",)
+
+    def __init__(self, name: str, is_processing_instruction: bool):
+        super().__init__(name)
+        self.is_processing_instruction = is_processing_instruction
+
+    def node_name(self) -> str:
+        return "#declaration"
+
+    def name(self) -> str:
+        return self.value
+
+    def outer_html_head(self, accum: list[str], depth: int,
+                        out: OutputSettings) -> None:
+        accum.append("<")
+        accum.append("!" if self.is_processing_instruction else "?")
+        accum.append(self.value)
+        if self._attrs is not None:
+            self._attrs.html_to(accum, out)
+        accum.append("!" if self.is_processing_instruction else "?")
+        accum.append(">")
+
+
+class Element(Node):
+    """Tag + attributes + children (reference Element.kt:28)."""
+
+    __slots__ = ("tag", "_attrs", "_child_nodes")
+
+    def __init__(self, tag: Tag | str, base_uri: str | None = None,
+                 attrs: Attributes | None = None):
+        super().__init__()
+        if isinstance(tag, str):
+            tag = tag_value_of(tag)
+        self.tag: Tag = tag
+        self._attrs: Attributes | None = attrs
+        self._child_nodes: list[Node] = []
+        if base_uri:
+            self._ensure_attrs().put(_BASE_URI_KEY, base_uri)
+
+    # -- identity / attributes
+    def node_name(self) -> str:
+        return self.tag.name
+
+    def normal_name(self) -> str:
+        return self.tag.normal_name
+
+    def tag_name(self) -> str:
+        return self.tag.name
+
+    def attributes(self) -> Attributes | None:
+        return self._attrs
+
+    def _ensure_attrs(self) -> Attributes:
+        if self._attrs is None:
+            self._attrs = Attributes()
+        return self._attrs
+
+    def set_attr(self, key: str, value: str | None) -> "Element":
+        self._ensure_attrs().put(key, value)
+        return self
+
+    def id(self) -> str:
+        return self._attrs.get_ignore_case("id") if self._attrs else ""
+
+    def class_name(self) -> str:
+        return self._attrs.get_ignore_case("class").strip() if self._attrs else ""
+
+    def class_names(self) -> list[str]:
+        cn = self.class_name()
+        return [c for c in _WS_RE.split(cn) if c] if cn else []
+
+    def has_class(self, cls: str) -> bool:
+        # Element.hasClass: case-insensitive per reference
+        if self._attrs is None:
+            return False
+        v = self._attrs.get_ignore_case("class")
+        if not v:
+            return False
+        lc = cls.lower()
+        return any(c.lower() == lc for c in _WS_RE.split(v))
+
+    def is_block(self) -> bool:
+        return self.tag.is_block
+
+    # -- children
+    def child_nodes(self) -> list[Node]:
+        return self._child_nodes
+
+    def child_node_size(self) -> int:
+        return len(self._child_nodes)
+
+    def children(self) -> list["Element"]:
+        return [n for n in self._child_nodes if isinstance(n, Element)]
+
+    def child(self, i: int) -> "Element":
+        return self.children()[i]
+
+    def first_element_child(self) -> "Element | None":
+        for n in self._child_nodes:
+            if isinstance(n, Element):
+                return n
+        return None
+
+    def last_element_child(self) -> "Element | None":
+        for n in reversed(self._child_nodes):
+            if isinstance(n, Element):
+                return n
+        return None
+
+    def first_child(self) -> Node | None:
+        return self._child_nodes[0] if self._child_nodes else None
+
+    def last_child(self) -> Node | None:
+        return self._child_nodes[-1] if self._child_nodes else None
+
+    def _reindex(self, start: int = 0) -> None:
+        for i in range(start, len(self._child_nodes)):
+            self._child_nodes[i].sibling_index = i
+
+    def append_child(self, node: Node) -> "Element":
+        if node.parent_node is not None:
+            node.parent_node.remove_child(node)
+        node.parent_node = self
+        node.sibling_index = len(self._child_nodes)
+        self._child_nodes.append(node)
+        return self
+
+    def prepend_child(self, node: Node) -> "Element":
+        self.add_children_at(0, [node])
+        return self
+
+    def add_children_at(self, index: int, children: list[Node]) -> None:
+        for node in children:
+            if node.parent_node is not None:
+                node.parent_node.remove_child(node)
+        for off, node in enumerate(children):
+            node.parent_node = self
+            self._child_nodes.insert(index + off, node)
+        self._reindex(index)
+
+    def remove_child(self, node: Node) -> None:
+        idx = node.sibling_index
+        if idx < len(self._child_nodes) and self._child_nodes[idx] is node:
+            del self._child_nodes[idx]
+        else:  # defensive: find by identity
+            for i, n in enumerate(self._child_nodes):
+                if n is node:
+                    del self._child_nodes[i]
+                    idx = i
+                    break
+            else:
+                return
+        node.parent_node = None
+        self._reindex(idx)
+
+    def replace_child(self, out_node: Node, in_node: Node) -> None:
+        if in_node.parent_node is not None:
+            in_node.parent_node.remove_child(in_node)
+        idx = out_node.sibling_index
+        self._child_nodes[idx] = in_node
+        in_node.parent_node = self
+        in_node.sibling_index = idx
+        out_node.parent_node = None
+
+    def empty(self) -> "Element":
+        for n in self._child_nodes:
+            n.parent_node = None
+        self._child_nodes.clear()
+        return self
+
+    # -- sibling / ancestor helpers
+    def parents(self) -> list["Element"]:
+        out: list[Element] = []
+        p = self.parent()
+        while p is not None and not isinstance(p, Document):
+            out.append(p)
+            p = p.parent()
+        return out
+
+    def sibling_elements(self) -> list["Element"]:
+        if self.parent_node is None:
+            return []
+        return [e for e in self.parent_node.children() if e is not self]
+
+    def next_element_sibling(self) -> "Element | None":
+        n = self.next_sibling()
+        while n is not None:
+            if isinstance(n, Element):
+                return n
+            n = n.next_sibling()
+        return None
+
+    def previous_element_sibling(self) -> "Element | None":
+        n = self.previous_sibling()
+        while n is not None:
+            if isinstance(n, Element):
+                return n
+            n = n.previous_sibling()
+        return None
+
+    def element_sibling_index(self) -> int:
+        if self.parent_node is None:
+            return 0
+        i = 0
+        for e in self.parent_node.children():
+            if e is self:
+                return i
+            i += 1
+        return 0
+
+    def is_effectively_first(self) -> bool:
+        """No non-blank previous sibling (Element.kt isEffectivelyFirst)."""
+        if self.sibling_index == 0:
+            return True
+        assert self.parent_node is not None
+        for prev in self.parent_node.child_nodes()[:self.sibling_index]:
+            if isinstance(prev, TextNode):
+                if not prev.is_blank():
+                    return False
+            else:
+                return False
+        return True
+
+    # -- descendants
+    def descendants(self) -> Iterator["Element"]:
+        """All descendant elements in document order, self excluded."""
+        for n in self.node_stream():
+            if n is not self and isinstance(n, Element):
+                yield n
+
+    def stream(self) -> Iterator["Element"]:
+        """Self + descendant elements in document order."""
+        for n in self.node_stream():
+            if isinstance(n, Element):
+                yield n
+
+    def get_all_elements(self) -> list["Element"]:
+        return list(self.stream())
+
+    # -- text (the golden functions)
+    def text(self) -> str:
+        """Element.text() — Element.kt:1312-1351 TextAccumulator."""
+        accum: list[str] = []
+
+        def head(node: Node, depth: int) -> None:
+            if isinstance(node, TextNode):
+                _append_normalised_text(accum, node)
+            elif isinstance(node, Element):
+                if (_accum_nonempty(accum)
+                        and (node.is_block() or node.name_is("br"))
+                        and not _last_char_is_whitespace(accum)):
+                    accum.append(" ")
+
+        def tail(node: Node, depth: int) -> None:
+            if isinstance(node, Element):
+                nxt = node.next_sibling()
+                if (node.is_block()
+                        and (isinstance(nxt, TextNode)
+                             or (isinstance(nxt, Element)
+                                 and not nxt.tag.format_as_block))
+                        and not _last_char_is_whitespace(accum)):
+                    accum.append(" ")
+
+        self.traverse(head, tail)
+        return "".join(accum).strip()
+
+    def whole_text(self) -> str:
+        return _whole_text_of(self.node_stream())
+
+    def whole_own_text(self) -> str:
+        return _whole_text_of(iter(self._child_nodes))
+
+    def own_text(self) -> str:
+        accum: list[str] = []
+        for child in self._child_nodes:
+            if isinstance(child, TextNode):
+                _append_normalised_text(accum, child)
+            elif child.name_is("br") and not _last_char_is_whitespace(accum):
+                accum.append(" ")
+        return "".join(accum).strip()
+
+    def has_text(self) -> bool:
+        for n in self.node_stream():
+            if isinstance(n, TextNode) and not n.is_blank():
+                return True
+        return False
+
+    def data(self) -> str:
+        """script/style/comment/CDATA raw contents (Element.kt:1463-1483)."""
+        out: list[str] = []
+        for n in self.node_stream():
+            if isinstance(n, DataNode):
+                out.append(n.get_whole_data())
+            elif isinstance(n, Comment):
+                out.append(n.get_data())
+            elif isinstance(n, CDataNode):
+                out.append(n.get_whole_text())
+        return "".join(out)
+
+    def text_nodes(self) -> list[TextNode]:
+        return [n for n in self._child_nodes
+                if isinstance(n, TextNode) and not isinstance(n, CDataNode)]
+
+    def data_nodes(self) -> list[DataNode]:
+        return [n for n in self._child_nodes if isinstance(n, DataNode)]
+
+    # -- select (delegates to engine.select; imported lazily)
+    def select(self, query: str) -> list["Element"]:
+        from .select import select
+        return select(query, self)
+
+    def select_first(self, query: str) -> "Element | None":
+        from .select import select_first
+        return select_first(query, self)
+
+    def expect_first(self, query: str) -> "Element":
+        el = self.select_first(query)
+        if el is None:
+            raise ValueError(f"No elements matched the query '{query}'")
+        return el
+
+    def css_is(self, query: str) -> bool:
+        from .select import parse_query
+        ev = parse_query(query)
+        r = self.root()
+        root = r if isinstance(r, Element) else self
+        return ev.matches(root, self)
+
+    # -- serialization
+    @staticmethod
+    def preserve_whitespace(node: Node | None) -> bool:
+        """Element.kt:1886-1898 — checks self + ≤5 ancestors."""
+        if isinstance(node, Element):
+            el: Element | None = node
+            i = 0
+            while el is not None and i < 6:
+                if el.tag.preserve_whitespace:
+                    return True
+                el = el.parent()
+                i += 1
+        return False
+
+    def _is_format_as_block(self, out: OutputSettings) -> bool:
+        p = self.parent()
+        return self.tag.is_block or \
+            (p is not None and p.tag.format_as_block) or out.outline
+
+    def _is_inlineable(self, out: OutputSettings) -> bool:
+        if not self.tag.is_inline:
+            return False
+        p = self.parent()
+        return ((p is None or p.is_block())
+                and not self.is_effectively_first()
+                and not out.outline
+                and not self.name_is("br"))
+
+    def should_indent(self, out: OutputSettings) -> bool:
+        return (out.pretty_print and self._is_format_as_block(out)
+                and not self._is_inlineable(out)
+                and not Element.preserve_whitespace(self.parent_node))
+
+    def outer_html_head(self, accum: list[str], depth: int,
+                        out: OutputSettings) -> None:
+        if self.should_indent(out) and _accum_nonempty(accum):
+            self._indent(accum, depth, out)
+        accum.append("<")
+        accum.append(self.tag_name())
+        if self._attrs is not None:
+            self._attrs.html_to(accum, out)
+        if not self._child_nodes and self.tag.is_self_closing():
+            if out.syntax == "html" and self.tag.is_empty:
+                accum.append(">")
+            else:
+                accum.append(" />")
+        else:
+            accum.append(">")
+
+    def outer_html_tail(self, accum: list[str], depth: int,
+                        out: OutputSettings) -> None:
+        if not (not self._child_nodes and self.tag.is_self_closing()):
+            if (out.pretty_print and self._child_nodes
+                    and ((self.tag.format_as_block
+                          and not Element.preserve_whitespace(self.parent_node))
+                         or (out.outline
+                             and (len(self._child_nodes) > 1
+                                  or (len(self._child_nodes) == 1
+                                      and isinstance(self._child_nodes[0],
+                                                     Element)))))):
+                self._indent(accum, depth, out)
+            accum.append("</")
+            accum.append(self.tag_name())
+            accum.append(">")
+
+    def html(self) -> str:
+        """Inner HTML."""
+        accum: list[str] = []
+        out = _output_settings_of(self)
+        for child in self._child_nodes:
+            child._outer_html_to(accum, out)
+        html = "".join(accum)
+        return html.strip() if out.pretty_print else html
+
+    # -- misc API parity
+    def append_text(self, text: str) -> "Element":
+        self.append_child(TextNode(text))
+        return self
+
+    def append_element(self, tag_name: str) -> "Element":
+        child = Element(tag_value_of(tag_name))
+        self.append_child(child)
+        return child
+
+    def wrap_with(self, wrapper: "Element") -> "Element":
+        """Wrap this element in the given (childless) wrapper element."""
+        parent = self.parent_node
+        assert parent is not None
+        parent.replace_child(self, wrapper)
+        wrapper.append_child(self)
+        return self
+
+    def class_set(self, names: set[str]) -> "Element":
+        if names:
+            self._ensure_attrs().put("class", " ".join(sorted(names)))
+        elif self._attrs is not None:
+            self._attrs.remove("class")
+        return self
+
+    def add_class(self, cls: str) -> "Element":
+        names = self.class_names()
+        if cls not in names:
+            names.append(cls)
+        self._ensure_attrs().put("class", " ".join(names))
+        return self
+
+    def remove_class(self, cls: str) -> "Element":
+        names = [c for c in self.class_names() if c != cls]
+        if names:
+            self._ensure_attrs().put("class", " ".join(names))
+        elif self._attrs is not None:
+            self._attrs.remove("class")
+        return self
+
+    def toggle_class(self, cls: str) -> "Element":
+        if cls in self.class_names():
+            return self.remove_class(cls)
+        return self.add_class(cls)
+
+    def value(self) -> str:
+        if self.normal_name() == "textarea":
+            return self.text()
+        return self.attr("value")
+
+
+def _append_normalised_text(accum: list[str], text_node: TextNode) -> None:
+    """Element.appendNormalisedText (Element.kt:1870-1884)."""
+    text = text_node.get_whole_text()
+    if Element.preserve_whitespace(text_node.parent_node) or \
+            isinstance(text_node, CDataNode):
+        accum.append(text)
+    else:
+        append_normalised_whitespace(accum, text,
+                                     _last_char_is_whitespace(accum))
+
+
+def _whole_text_of(nodes: Iterator[Node]) -> str:
+    out: list[str] = []
+    for node in nodes:
+        if isinstance(node, TextNode):
+            out.append(node.get_whole_text())
+        elif node.name_is("br"):
+            out.append("\n")
+    return "".join(out)
+
+
+class FormElement(Element):
+    """nodes/FormElement.kt:18 — tracks associated form controls."""
+
+    __slots__ = ("form_elements",)
+
+    def __init__(self, tag: Tag, base_uri: str | None = None,
+                 attrs: Attributes | None = None):
+        super().__init__(tag, base_uri, attrs)
+        self.form_elements: list[Element] = []
+
+    def add_element(self, element: Element) -> None:
+        self.form_elements.append(element)
+
+
+class PseudoTextElement(Element):
+    """Elements inserted by :matchText (Element.kt PseudoTextElement)."""
+
+    __slots__ = ()
+
+    def outer_html_head(self, accum, depth, out):  # renders nothing
+        pass
+
+    def outer_html_tail(self, accum, depth, out):
+        pass
+
+
+class Document(Element):
+    """nodes/Document.kt:27"""
+
+    __slots__ = ("output_settings", "quirks_mode", "location", "parser")
+
+    def __init__(self, base_uri: str = ""):
+        super().__init__(tag_value_of("#root"), base_uri)
+        self.output_settings = OutputSettings()
+        self.quirks_mode = "noQuirks"  # noQuirks | quirks | limitedQuirks
+        self.location = base_uri
+        self.parser = None  # set by the Parser that built this doc
+
+    def node_name(self) -> str:
+        return "#document"
+
+    def head(self) -> Element | None:
+        html = self._html_el()
+        if html is None:
+            return None
+        for e in html.children():
+            if e.name_is("head"):
+                return e
+        return None
+
+    def body(self) -> Element | None:
+        html = self._html_el()
+        if html is None:
+            return None
+        for e in html.children():
+            if e.name_is("body") or e.name_is("frameset"):
+                return e
+        return None
+
+    def _html_el(self) -> Element | None:
+        for e in self.children():
+            if e.name_is("html"):
+                return e
+        return None
+
+    def title(self) -> str:
+        t = self.select_first("head > title")
+        if t is None:
+            # fall back to any title el (parser places it in head normally)
+            t = self.select_first("title")
+        return normalise_whitespace(t.text()).strip() if t is not None else ""
+
+    def charset(self) -> str:
+        return self.output_settings.charset
+
+    def outer_html(self) -> str:
+        return self.html()  # no outer #document tag
+
+    def text(self) -> str:
+        b = self.body()
+        return b.text() if b is not None else super().text()
+
+    @staticmethod
+    def create_shell(base_uri: str = "") -> "Document":
+        doc = Document(base_uri)
+        html = doc.append_element("html")
+        html.append_element("head")
+        html.append_element("body")
+        return doc

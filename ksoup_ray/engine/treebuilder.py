@@ -1,0 +1,2323 @@
+"""HTML5 tree construction — 24 insertion modes + foreign content.
+
+Semantics per reference ``parser/HtmlTreeBuilder.kt`` (1178 LoC) and
+``parser/HtmlTreeBuilderState.kt`` (2265 LoC), including the reference's
+documented deviations from the WHATWG text (SURVEY.md §7 "hard parts"):
+
+* adoption-agency stack scan capped at 64 (HtmlTreeBuilderState.kt:974);
+* ``anyOtherEndTag`` fast path via getFromStack (":913-:926");
+* scope search depth capped at 100, stack searches at 256
+  (HtmlTreeBuilder.kt MaxScopeSearchDepth / maxQueueDepth);
+* dd/dt scan capped at 24 (MaxStackScan);
+* reconstructFormattingElements limited to 12 used entries;
+* whitespace inserted in Initial/BeforeHtml/BeforeHead (out of spec);
+* AfterBody whitespace goes to the <html> node; AfterAfterBody to doc;
+* InHeadNoscript anythingElse inserts the token's text as characters.
+
+Insertion modes are plain functions (dispatch by reference), not enum
+objects — the Python-fast equivalent of the reference's enum dispatch.
+"""
+
+from __future__ import annotations
+
+from .dom import (
+    Attributes,
+    CDataNode,
+    Comment,
+    Document,
+    DocumentType,
+    Element,
+    FormElement,
+    Node,
+    TextNode,
+    DataNode,
+)
+from .tags import (
+    NAMESPACE_HTML,
+    NAMESPACE_MATHML,
+    NAMESPACE_SVG,
+    Tag,
+    TAGS,
+    is_known_tag,
+)
+from . import tokenizer as tk
+from .tokenizer import (
+    CHARACTER,
+    CDATA,
+    COMMENT,
+    DOCTYPE,
+    END_TAG,
+    EOF_TOKEN,
+    START_TAG,
+    TagTok,
+    Tokeniser,
+)
+
+# --- tag-name search groups (HtmlTreeBuilderState.kt Constants) ------------
+C_InHeadEmpty = frozenset(("base", "basefont", "bgsound", "command", "link"))
+C_InHeadRaw = frozenset(("noframes", "style"))
+C_InHeadEnd = frozenset(("body", "br", "html"))
+C_AfterHeadBody = frozenset(("body", "br", "html"))
+C_BeforeHtmlToHead = frozenset(("body", "br", "head", "html"))
+C_InHeadNoScriptHead = frozenset(
+    ("basefont", "bgsound", "link", "meta", "noframes", "style"))
+C_InBodyStartToHead = frozenset((
+    "base", "basefont", "bgsound", "command", "link", "meta", "noframes",
+    "script", "style", "template", "title"))
+C_InBodyStartPClosers = frozenset((
+    "address", "article", "aside", "blockquote", "center", "details", "dir",
+    "div", "dl", "fieldset", "figcaption", "figure", "footer", "header",
+    "hgroup", "menu", "nav", "ol", "p", "section", "summary", "ul"))
+C_Headings = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+C_InBodyStartLiBreakers = frozenset(("address", "div", "p"))
+C_DdDt = frozenset(("dd", "dt"))
+C_InBodyStartApplets = frozenset(("applet", "marquee", "object"))
+C_InBodyStartMedia = frozenset(("param", "source", "track"))
+C_InBodyStartInputAttribs = frozenset(("action", "name", "prompt"))
+C_InBodyStartDrop = frozenset((
+    "caption", "col", "colgroup", "frame", "head", "tbody", "td", "tfoot",
+    "th", "thead", "tr"))
+C_InBodyEndClosers = frozenset((
+    "address", "article", "aside", "blockquote", "button", "center",
+    "details", "dir", "div", "dl", "fieldset", "figcaption", "figure",
+    "footer", "header", "hgroup", "listing", "menu", "nav", "ol", "pre",
+    "section", "summary", "ul"))
+C_InBodyEndOtherErrors = frozenset((
+    "body", "dd", "dt", "html", "li", "optgroup", "option", "p", "rb", "rp",
+    "rt", "rtc", "tbody", "td", "tfoot", "th", "thead", "tr"))
+C_InBodyEndAdoptionFormatters = frozenset((
+    "a", "b", "big", "code", "em", "font", "i", "nobr", "s", "small",
+    "strike", "strong", "tt", "u"))
+C_InBodyEndTableFosters = frozenset(("table", "tbody", "tfoot", "thead", "tr"))
+C_InTableToBody = frozenset(("tbody", "tfoot", "thead"))
+C_InTableAddBody = frozenset(("td", "th", "tr"))
+C_InTableToHead = frozenset(("script", "style", "template"))
+C_InCellNames = frozenset(("td", "th"))
+C_InCellBody = frozenset(("body", "caption", "col", "colgroup", "html"))
+C_InCellTable = frozenset(("table", "tbody", "tfoot", "thead", "tr"))
+C_InCellCol = frozenset((
+    "caption", "col", "colgroup", "tbody", "td", "tfoot", "th", "thead", "tr"))
+C_InTableEndErr = frozenset((
+    "body", "caption", "col", "colgroup", "html", "tbody", "td", "tfoot",
+    "th", "thead", "tr"))
+C_InTableFoster = frozenset(("table", "tbody", "tfoot", "thead", "tr"))
+C_InTableBodyExit = frozenset(
+    ("caption", "col", "colgroup", "tbody", "tfoot", "thead"))
+C_InTableBodyEndIgnore = frozenset(
+    ("body", "caption", "col", "colgroup", "html", "td", "th", "tr"))
+C_InRowMissing = frozenset(
+    ("caption", "col", "colgroup", "tbody", "tfoot", "thead", "tr"))
+C_InRowIgnore = frozenset(
+    ("body", "caption", "col", "colgroup", "html", "td", "th"))
+C_InSelectEnd = frozenset(("input", "keygen", "textarea"))
+C_InSelectTableEnd = frozenset(
+    ("caption", "table", "tbody", "td", "tfoot", "th", "thead", "tr"))
+C_InTableEndIgnore = frozenset(("tbody", "tfoot", "thead"))
+C_InHeadNoscriptIgnore = frozenset(("head", "noscript"))
+C_InCaptionIgnore = frozenset(
+    ("body", "col", "colgroup", "html", "tbody", "td", "tfoot", "th",
+     "thead", "tr"))
+C_InTemplateToHead = frozenset((
+    "base", "basefont", "bgsound", "link", "meta", "noframes", "script",
+    "style", "template", "title"))
+C_InTemplateToTable = frozenset(
+    ("caption", "colgroup", "tbody", "tfoot", "thead"))
+C_InForeignToHtml = frozenset((
+    "b", "big", "blockquote", "body", "br", "center", "code", "dd", "div",
+    "dl", "dt", "em", "embed", "h1", "h2", "h3", "h4", "h5", "h6", "head",
+    "hr", "i", "img", "li", "listing", "menu", "meta", "nobr", "ol", "p",
+    "pre", "ruby", "s", "small", "span", "strike", "strong", "sub", "sup",
+    "table", "tt", "u", "ul", "var"))
+
+# HtmlTreeBuilder.kt companion tables
+TagsSearchInScope = frozenset(
+    ("applet", "caption", "html", "marquee", "object", "table", "td", "th"))
+TagSearchList = frozenset(("ol", "ul"))
+TagSearchButton = frozenset(("button",))
+TagSearchTableScope = frozenset(("html", "table"))
+TagSearchSelectScope = frozenset(("optgroup", "option"))
+TagSearchEndTags = frozenset(
+    ("dd", "dt", "li", "optgroup", "option", "p", "rb", "rp", "rt", "rtc"))
+TagThoroughSearchEndTags = frozenset((
+    "caption", "colgroup", "dd", "dt", "li", "optgroup", "option", "p", "rb",
+    "rp", "rt", "rtc", "tbody", "td", "tfoot", "th", "thead", "tr"))
+TagSearchSpecial = frozenset((
+    "address", "applet", "area", "article", "aside", "base", "basefont",
+    "bgsound", "blockquote", "body", "br", "button", "caption", "center",
+    "col", "colgroup", "command", "dd", "details", "dir", "div", "dl", "dt",
+    "embed", "fieldset", "figcaption", "figure", "footer", "form", "frame",
+    "frameset", "h1", "h2", "h3", "h4", "h5", "h6", "head", "header",
+    "hgroup", "hr", "html", "iframe", "img", "input", "isindex", "li",
+    "link", "listing", "marquee", "menu", "meta", "nav", "noembed",
+    "noframes", "noscript", "object", "ol", "p", "param", "plaintext",
+    "pre", "script", "section", "select", "style", "summary", "table",
+    "tbody", "td", "textarea", "tfoot", "th", "thead", "title", "tr", "ul",
+    "wbr", "xmp"))
+TagMathMlTextIntegration = frozenset(("mi", "mn", "mo", "ms", "mtext"))
+TagSvgHtmlIntegration = frozenset(("desc", "foreignObject", "title"))
+
+MAX_SCOPE_SEARCH_DEPTH = 100
+MAX_QUEUE_DEPTH = 256
+MAX_USED_FORMATTING = 12
+MAX_STACK_SCAN = 24  # dd/dt
+
+_SPEC_WS = frozenset(" \t\n\f\r")
+
+
+def _is_blank(data: str) -> bool:
+    return all(c in _SPEC_WS for c in data)
+
+
+def _is_whitespace_tok(t) -> bool:
+    return t.kind == CHARACTER and _is_blank(t.data)
+
+
+def _is_special(el: Element) -> bool:
+    return el.normal_name() in TagSearchSpecial
+
+
+def _is_mathml_text_integration(el: Element) -> bool:
+    return (el.tag.namespace == NAMESPACE_MATHML
+            and el.normal_name() in TagMathMlTextIntegration)
+
+
+def _is_html_integration(el: Element) -> bool:
+    if el.tag.namespace == NAMESPACE_MATHML and el.name_is("annotation-xml"):
+        enc = el.attr("encoding").strip().lower()
+        if enc in ("text/html", "application/xhtml+xml"):
+            return True
+    return (el.tag.namespace == NAMESPACE_SVG
+            and el.tag_name() in TagSvgHtmlIntegration)
+
+
+def _same_formatting_element(a: Element, b: Element) -> bool:
+    if a.normal_name() != b.normal_name():
+        return False
+    aa, ba = a.attributes(), b.attributes()
+    da = aa._d if aa is not None else {}
+    db = ba._d if ba is not None else {}
+    return da == db
+
+
+class ParseSettings:
+    """parser/ParseSettings.kt:14-50 — tag/attr case preservation."""
+
+    __slots__ = ("preserve_tag_case", "preserve_attr_case")
+
+    def __init__(self, preserve_tag_case: bool = False,
+                 preserve_attr_case: bool = False):
+        self.preserve_tag_case = preserve_tag_case
+        self.preserve_attr_case = preserve_attr_case
+
+    def normalize_tag(self, name: str) -> str:
+        name = name.strip()
+        return name if self.preserve_tag_case else name.lower()
+
+    def normalize_attr(self, name: str) -> str:
+        name = name.strip()
+        return name if self.preserve_attr_case else name.lower()
+
+
+HTML_DEFAULT = ParseSettings(False, False)
+PRESERVE_CASE = ParseSettings(True, True)
+
+
+class HtmlTreeBuilder:
+    """The parse driver. One instance per document parse (actors reuse by
+    constructing a fresh builder per doc — the scratch tables below are
+    module-level and shared)."""
+
+    def __init__(self, settings: ParseSettings = HTML_DEFAULT,
+                 track_errors: bool = False):
+        self.settings = settings
+        self.track_errors = track_errors
+        self.errors: list[str] = []
+        # parse state (per-document)
+        self.doc: Document | None = None
+        self.tokeniser: Tokeniser | None = None
+        self.stack: list[Element] = []
+        self.base_uri = ""
+        self.current_token = None
+        self.state = _initial
+        self.original_state = None
+        self.base_uri_set_from_doc = False
+        self.head_element: Element | None = None
+        self.form_element: FormElement | None = None
+        self.context_element: Element | None = None
+        self.formatting_elements: list[Element | None] = []
+        self.tmpl_insert_mode: list = []
+        self.pending_table_characters: list[str] = []
+        self.frameset_ok = True
+        self.foster_inserts = False
+        self.fragment_parsing = False
+        self.seen_tags: dict[str, Tag] = {}
+
+    # ------------------------------------------------------------------
+    # public entry points
+    def parse(self, html: str, base_uri: str = "") -> Document:
+        self._initialise(html, base_uri)
+        self._run_parser()
+        return self.doc
+
+    def parse_fragment(self, html: str, context: Element | None,
+                       base_uri: str = "") -> list[Node]:
+        self._initialise(html, base_uri)
+        self._initialise_fragment(context)
+        self._run_parser()
+        if self.context_element is not None:
+            # content may have been pushed outside the context root
+            ctx = self.context_element
+            assert ctx.parent_node is not None
+            sibs = [n for n in ctx.parent_node.child_nodes() if n is not ctx]
+            if sibs:
+                ctx.add_children_at(len(ctx.child_nodes()), sibs)
+            return list(ctx.child_nodes())
+        return list(self.doc.child_nodes())
+
+    # ------------------------------------------------------------------
+    def _initialise(self, html: str, base_uri: str) -> None:
+        self.doc = Document(base_uri)
+        self.doc.parser = self
+        self.base_uri = base_uri
+        self.tokeniser = Tokeniser(html, self.track_errors)
+        self.stack = []
+        self.state = _initial
+        self.original_state = None
+        self.base_uri_set_from_doc = False
+        self.head_element = None
+        self.form_element = None
+        self.context_element = None
+        self.formatting_elements = []
+        self.tmpl_insert_mode = []
+        self.pending_table_characters = []
+        self.frameset_ok = True
+        self.foster_inserts = False
+        self.fragment_parsing = False
+        self.seen_tags = {}
+        self.errors = []
+
+    def _initialise_fragment(self, context: Element | None) -> None:
+        self.state = _initial
+        self.fragment_parsing = True
+        if context is None:
+            return
+        name = context.normal_name()
+        self.context_element = Element(self.tag_for(name, self.settings),
+                                       self.base_uri)
+        if context.owner_document() is not None:
+            self.doc.quirks_mode = context.owner_document().quirks_mode
+        tkz = self.tokeniser
+        if name in ("title", "textarea"):
+            tkz.state = tk.RCDATA
+        elif name in ("iframe", "noembed", "noframes", "style", "xmp"):
+            tkz.state = tk.RAWTEXT
+        elif name == "script":
+            tkz.state = tk.SCRIPT_DATA
+        elif name == "plaintext":
+            tkz.state = tk.PLAINTEXT
+        elif name == "template":
+            tkz.state = tk.DATA
+            self.tmpl_insert_mode.append(_in_template)
+        else:
+            tkz.state = tk.DATA
+        self.doc.append_child(self.context_element)
+        self.stack.append(self.context_element)
+        self.reset_insertion_mode()
+        form_search = context
+        while form_search is not None:
+            if isinstance(form_search, FormElement):
+                self.form_element = form_search
+                break
+            form_search = form_search.parent()
+
+    def _run_parser(self) -> None:
+        read = self.tokeniser.read
+        process = self.process
+        while True:
+            token = read()
+            self.current_token = token
+            process(token)
+            if token.kind == EOF_TOKEN:
+                break
+            if token.kind in (START_TAG, END_TAG):
+                token.reset()
+
+    # ------------------------------------------------------------------
+    # dispatch
+    def process(self, token) -> bool:
+        if self._use_current_insert(token):
+            return self.state(token, self)
+        return _foreign_content(token, self)
+
+    def _use_current_insert(self, token) -> bool:
+        if not self.stack:
+            return True
+        el = self.stack[-1]
+        ns = el.tag.namespace
+        if ns == NAMESPACE_HTML:
+            return True
+        if _is_mathml_text_integration(el):
+            if token.kind == START_TAG and \
+                    token.normal_name not in ("mglyph", "malignmark"):
+                return True
+            if token.kind in (CHARACTER, CDATA):
+                return True
+        if ns == NAMESPACE_MATHML and el.name_is("annotation-xml") and \
+                token.kind == START_TAG and token.normal_name == "svg":
+            return True
+        if _is_html_integration(el) and \
+                token.kind in (START_TAG, CHARACTER, CDATA):
+            return True
+        return token.kind == EOF_TOKEN
+
+    def process_in(self, token, state) -> bool:
+        return state(token, self)
+
+    # virtual tokens
+    def process_start_tag(self, name: str, attrs=None) -> bool:
+        tok = TagTok(True)
+        tok.set_name(name)
+        if attrs:
+            tok.attrs = list(attrs)
+        return self.process(tok)
+
+    def process_end_tag(self, name: str) -> bool:
+        tok = TagTok(False)
+        tok.set_name(name)
+        return self.process(tok)
+
+    # ------------------------------------------------------------------
+    # errors
+    def error(self, state=None) -> None:
+        if len(self.errors) < 10000:
+            if self.track_errors:
+                self.errors.append(
+                    f"Unexpected token in state "
+                    f"{getattr(state, '__name__', state)}")
+            else:
+                self.errors.append("")
+
+    # ------------------------------------------------------------------
+    # stack ops
+    def current_element(self) -> Element:
+        return self.stack[-1] if self.stack else self.doc
+
+    def current_element_is(self, name: str, ns: str = NAMESPACE_HTML) -> bool:
+        if not self.stack:
+            return False
+        cur = self.stack[-1]
+        return cur.normal_name() == name and cur.tag.namespace == ns
+
+    def pop(self) -> Element:
+        return self.stack.pop()
+
+    def push(self, el: Element) -> None:
+        self.stack.append(el)
+
+    def on_stack(self, el: Element) -> bool:
+        stack = self.stack
+        bottom = len(stack) - 1
+        upper = bottom - MAX_QUEUE_DEPTH if bottom >= MAX_QUEUE_DEPTH else 0
+        for pos in range(bottom, upper - 1, -1):
+            if stack[pos] is el:
+                return True
+        return False
+
+    def on_stack_name(self, name: str) -> bool:
+        return self.get_from_stack(name) is not None
+
+    def get_from_stack(self, name: str) -> Element | None:
+        stack = self.stack
+        bottom = len(stack) - 1
+        upper = bottom - MAX_QUEUE_DEPTH if bottom >= MAX_QUEUE_DEPTH else 0
+        for pos in range(bottom, upper - 1, -1):
+            el = stack[pos]
+            if el.normal_name() == name and el.tag.namespace == NAMESPACE_HTML:
+                return el
+        return None
+
+    def remove_from_stack(self, el: Element) -> bool:
+        for pos in range(len(self.stack) - 1, -1, -1):
+            if self.stack[pos] is el:
+                del self.stack[pos]
+                return True
+        return False
+
+    def pop_stack_to_close(self, name: str) -> Element | None:
+        while self.stack:
+            el = self.pop()
+            if el.normal_name() == name and el.tag.namespace == NAMESPACE_HTML:
+                return el
+        return None
+
+    def pop_stack_to_close_any_ns(self, name: str) -> Element | None:
+        while self.stack:
+            el = self.pop()
+            if el.normal_name() == name:
+                return el
+        return None
+
+    def pop_stack_to_close_any(self, names) -> None:
+        while self.stack:
+            el = self.pop()
+            if el.normal_name() in names and \
+                    el.tag.namespace == NAMESPACE_HTML:
+                break
+
+    def _clear_stack_to_context(self, names) -> None:
+        while self.stack:
+            el = self.stack[-1]
+            nn = el.normal_name()
+            if el.tag.namespace == NAMESPACE_HTML and \
+                    (nn in names or nn == "html"):
+                break
+            self.pop()
+
+    def clear_stack_to_table_context(self) -> None:
+        self._clear_stack_to_context(("table", "template"))
+
+    def clear_stack_to_table_body_context(self) -> None:
+        self._clear_stack_to_context(("tbody", "tfoot", "thead", "template"))
+
+    def clear_stack_to_table_row_context(self) -> None:
+        self._clear_stack_to_context(("tr", "template"))
+
+    def above_on_stack(self, el: Element) -> Element | None:
+        for pos in range(len(self.stack) - 1, -1, -1):
+            if self.stack[pos] is el:
+                return self.stack[pos - 1] if pos > 0 else None
+        return None
+
+    def insert_on_stack_after(self, after: Element, in_el: Element) -> None:
+        for pos in range(len(self.stack) - 1, -1, -1):
+            if self.stack[pos] is after:
+                self.stack.insert(pos + 1, in_el)
+                return
+        raise AssertionError("element not on stack")
+
+    def replace_on_stack(self, out: Element, in_el: Element) -> None:
+        for pos in range(len(self.stack) - 1, -1, -1):
+            if self.stack[pos] is out:
+                self.stack[pos] = in_el
+                return
+        raise AssertionError("element not on stack")
+
+    # ------------------------------------------------------------------
+    # insertion mode reset (HtmlTreeBuilder.kt:524-614)
+    def reset_insertion_mode(self) -> bool:
+        last = False
+        stack = self.stack
+        bottom = len(stack) - 1
+        upper = bottom - MAX_QUEUE_DEPTH if bottom >= MAX_QUEUE_DEPTH else 0
+        orig = self.state
+        if not stack:
+            self.state = _in_body
+        for pos in range(bottom, upper - 1, -1):
+            node = stack[pos]
+            if pos == upper:
+                last = True
+                if self.fragment_parsing:
+                    node = self.context_element
+            name = node.normal_name() if node is not None else ""
+            if node is None or node.tag.namespace != NAMESPACE_HTML:
+                continue
+            if name == "select":
+                self.state = _in_select
+                break
+            elif name in ("td", "th"):
+                if not last:
+                    self.state = _in_cell
+                    break
+            elif name == "tr":
+                self.state = _in_row
+                break
+            elif name in ("tbody", "thead", "tfoot"):
+                self.state = _in_table_body
+                break
+            elif name == "caption":
+                self.state = _in_caption
+                break
+            elif name == "colgroup":
+                self.state = _in_column_group
+                break
+            elif name == "table":
+                self.state = _in_table
+                break
+            elif name == "template":
+                tmpl = self.current_template_mode()
+                assert tmpl is not None
+                self.state = tmpl
+                break
+            elif name == "head":
+                if not last:
+                    self.state = _in_head
+                    break
+            elif name == "body":
+                self.state = _in_body
+                break
+            elif name == "frameset":
+                self.state = _in_frameset
+                break
+            elif name == "html":
+                self.state = (_before_head if self.head_element is None
+                              else _after_head)
+                break
+            if last:
+                self.state = _in_body
+                break
+        return self.state is not orig
+
+    def reset_body(self) -> None:
+        if not self.on_stack_name("body"):
+            body = self.doc.body()
+            if body is not None:
+                self.stack.append(body)
+        self.state = _in_body
+
+    # ------------------------------------------------------------------
+    # scope checks (HtmlTreeBuilder.kt:629-704)
+    def _in_specific_scope(self, target_names, base_types, extra_types=None) -> bool:
+        stack = self.stack
+        bottom = len(stack) - 1
+        top = bottom - MAX_SCOPE_SEARCH_DEPTH \
+            if bottom > MAX_SCOPE_SEARCH_DEPTH else 0
+        for pos in range(bottom, top - 1, -1):
+            el = stack[pos]
+            if el.tag.namespace != NAMESPACE_HTML:
+                continue
+            name = el.normal_name()
+            if name in target_names:
+                return True
+            if name in base_types:
+                return False
+            if extra_types is not None and name in extra_types:
+                return False
+        return False
+
+    def in_scope(self, target, extras=None) -> bool:
+        names = (target,) if isinstance(target, str) else target
+        return self._in_specific_scope(names, TagsSearchInScope, extras)
+
+    def in_list_item_scope(self, target: str) -> bool:
+        return self.in_scope(target, TagSearchList)
+
+    def in_button_scope(self, target: str) -> bool:
+        return self.in_scope(target, TagSearchButton)
+
+    def in_table_scope(self, target: str) -> bool:
+        return self._in_specific_scope((target,), TagSearchTableScope)
+
+    def in_select_scope(self, target: str) -> bool:
+        for pos in range(len(self.stack) - 1, -1, -1):
+            name = self.stack[pos].normal_name()
+            if name == target:
+                return True
+            if name not in TagSearchSelectScope:
+                return False
+        return False
+
+    def on_stack_not(self, allowed) -> bool:
+        stack = self.stack
+        bottom = len(stack) - 1
+        top = bottom - MAX_SCOPE_SEARCH_DEPTH \
+            if bottom > MAX_SCOPE_SEARCH_DEPTH else 0
+        for pos in range(bottom, top - 1, -1):
+            if stack[pos].normal_name() not in allowed:
+                return True
+        return False
+
+    # ------------------------------------------------------------------
+    # implied end tags
+    def generate_implied_end_tags(self, exclude: str | None = None,
+                                  thorough: bool = False) -> None:
+        if exclude is not None:
+            while (self.stack
+                   and self.current_element().normal_name() in TagSearchEndTags):
+                if self.current_element_is(exclude):
+                    break
+                self.pop()
+            return
+        search = TagThoroughSearchEndTags if thorough else TagSearchEndTags
+        while (self.stack
+               and self.current_element().tag.namespace == NAMESPACE_HTML
+               and self.current_element().normal_name() in search):
+            self.pop()
+
+    def close_element(self, name: str) -> None:
+        self.generate_implied_end_tags(name)
+        if name != self.current_element().normal_name():
+            self.error(self.state)
+        self.pop_stack_to_close(name)
+
+    # ------------------------------------------------------------------
+    # element creation / insertion
+    def tag_for(self, tag_name: str, settings: ParseSettings,
+                namespace: str = NAMESPACE_HTML) -> Tag:
+        cached = self.seen_tags.get(tag_name)
+        if cached is not None and cached.namespace == namespace:
+            return cached
+        name = settings.normalize_tag(tag_name)
+        tag = TAGS.get(name)
+        if tag is None or tag.namespace != namespace:
+            tag = Tag(name, namespace)
+        self.seen_tags[tag_name] = tag
+        return tag
+
+    def create_element_for(self, start: TagTok, namespace: str,
+                           force_preserve_case: bool) -> Element:
+        settings = PRESERVE_CASE if force_preserve_case else self.settings
+        attrs: Attributes | None = None
+        if start.attrs:
+            attrs = Attributes()
+            dupes = 0
+            d = attrs._d
+            for k, v in start.attrs:
+                k = settings.normalize_attr(k)
+                if k in d:
+                    dupes += 1
+                else:
+                    d[k] = v
+            if dupes:
+                self.error(self.state)
+        tag = self.tag_for(start.name, settings, namespace)
+        if tag.normal_name == "form":
+            return FormElement(tag, None, attrs)
+        return Element(tag, None, attrs)
+
+    def insert_element_for(self, start: TagTok) -> Element:
+        el = self.create_element_for(start, NAMESPACE_HTML, False)
+        self._do_insert_element(el)
+        if start.self_closing:
+            tag = el.tag
+            if tag.is_known:
+                if not tag.is_empty:
+                    self.tokeniser.error(
+                        f"Tag [{tag.normal_name}] cannot be self closing")
+            else:
+                tag.self_closing = True
+            # pop via synthetic end tag (handles <script />, <title /> etc.)
+            self.tokeniser.state = tk.DATA
+            self.tokeniser.inject_end_tag(el.tag_name())
+        return el
+
+    def insert_foreign_element_for(self, start: TagTok,
+                                   namespace: str) -> Element:
+        el = self.create_element_for(start, namespace, True)
+        self._do_insert_element(el)
+        if start.self_closing:
+            el.tag.self_closing = True
+            self.pop()
+        return el
+
+    def insert_empty_element_for(self, start: TagTok) -> Element:
+        el = self.create_element_for(start, NAMESPACE_HTML, False)
+        self._do_insert_element(el)
+        self.pop()
+        return el
+
+    def insert_form_element(self, start: TagTok, on_stack: bool,
+                            check_template_stack: bool) -> FormElement:
+        el = self.create_element_for(start, NAMESPACE_HTML, False)
+        assert isinstance(el, FormElement)
+        if check_template_stack:
+            if not self.on_stack_name("template"):
+                self.form_element = el
+        else:
+            self.form_element = el
+        self._do_insert_element(el)
+        if not on_stack:
+            self.pop()
+        return el
+
+    def _do_insert_element(self, el: Element) -> None:
+        if el.tag.is_form_listed and self.form_element is not None:
+            self.form_element.add_element(el)
+        if self.foster_inserts and \
+                self.current_element().normal_name() in C_InTableFoster:
+            self.insert_in_foster_parent(el)
+        else:
+            self.current_element().append_child(el)
+        self.push(el)
+
+    def insert_comment_node(self, token) -> None:
+        self.current_element().append_child(Comment(token.get_data()))
+
+    def insert_character_node(self, token) -> None:
+        self.insert_character_to_element(token, self.current_element())
+
+    def insert_character_to_element(self, token, el: Element) -> None:
+        data = token.data
+        tag_name = el.normal_name()
+        if token.kind == CDATA:
+            node: Node = CDataNode(data)
+        elif tag_name in ("script", "style"):
+            node = DataNode(data)
+        else:
+            node = TextNode(data)
+        el.append_child(node)
+
+    def insert_in_foster_parent(self, in_node: Node) -> None:
+        last_table = self.get_from_stack("table")
+        if last_table is not None:
+            if last_table.parent() is not None:
+                last_table.before(in_node)
+                return
+            foster_parent = self.above_on_stack(last_table)
+        else:
+            foster_parent = self.stack[0]
+        assert foster_parent is not None
+        foster_parent.append_child(in_node)
+
+    def maybe_set_base_uri(self, base: Element) -> None:
+        if self.base_uri_set_from_doc:
+            return
+        href = base.abs_url("href")
+        if href:
+            self.base_uri = href
+            self.base_uri_set_from_doc = True
+            self.doc._ensure_attrs().put("/ksoup.baseUri", href)
+
+    # ------------------------------------------------------------------
+    # active formatting elements (HtmlTreeBuilder.kt:785-925)
+    def push_active_formatting(self, el: Element) -> None:
+        self._check_active_formatting(el)
+        self.formatting_elements.append(el)
+
+    def push_with_bookmark(self, el: Element, bookmark: int) -> None:
+        self._check_active_formatting(el)
+        if 0 <= bookmark <= len(self.formatting_elements):
+            self.formatting_elements.insert(bookmark, el)
+        else:
+            self.formatting_elements.append(el)
+
+    def _check_active_formatting(self, in_el: Element) -> None:
+        num_seen = 0
+        fe = self.formatting_elements
+        size = len(fe) - 1
+        ceil = size - MAX_USED_FORMATTING
+        if ceil < 0:
+            ceil = 0
+        for pos in range(size, ceil - 1, -1):
+            el = fe[pos]
+            if el is None:
+                break
+            if _same_formatting_element(in_el, el):
+                num_seen += 1
+            if num_seen == 3:
+                del fe[pos]
+                break
+
+    def last_formatting_element(self) -> Element | None:
+        return self.formatting_elements[-1] if self.formatting_elements else None
+
+    def remove_last_formatting_element(self) -> Element | None:
+        return self.formatting_elements.pop() if self.formatting_elements else None
+
+    def reconstruct_formatting_elements(self) -> None:
+        if len(self.stack) > MAX_QUEUE_DEPTH:
+            return
+        last = self.last_formatting_element()
+        if last is None or self.on_stack(last):
+            return
+        fe = self.formatting_elements
+        size = len(fe)
+        ceil = size - MAX_USED_FORMATTING
+        if ceil < 0:
+            ceil = 0
+        pos = size - 1
+        skip = False
+        entry = last
+        while True:
+            if pos == ceil:
+                skip = True
+                break
+            pos -= 1
+            entry = fe[pos]
+            if entry is None or self.on_stack(entry):
+                break
+        while True:
+            if not skip:
+                pos += 1
+                entry = fe[pos]
+            assert entry is not None
+            skip = False
+            attrs = entry.attributes()
+            new_el = Element(self.tag_for(entry.normal_name(), self.settings),
+                             None,
+                             attrs.clone() if attrs is not None else None)
+            self._do_insert_element(new_el)
+            fe[pos] = new_el
+            if pos == size - 1:
+                break
+
+    def clear_formatting_to_last_marker(self) -> None:
+        while self.formatting_elements:
+            if self.remove_last_formatting_element() is None:
+                break
+
+    def remove_from_active_formatting(self, el: Element) -> None:
+        for pos in range(len(self.formatting_elements) - 1, -1, -1):
+            if self.formatting_elements[pos] is el:
+                del self.formatting_elements[pos]
+                break
+
+    def is_in_active_formatting(self, el: Element) -> bool:
+        fe = self.formatting_elements
+        bottom = len(fe) - 1
+        upper = bottom - MAX_QUEUE_DEPTH if bottom >= MAX_QUEUE_DEPTH else 0
+        for pos in range(bottom, upper - 1, -1):
+            if fe[pos] is el:
+                return True
+        return False
+
+    def get_active_formatting_element(self, name: str) -> Element | None:
+        for pos in range(len(self.formatting_elements) - 1, -1, -1):
+            el = self.formatting_elements[pos]
+            if el is None:
+                break
+            if el.normal_name() == name:
+                return el
+        return None
+
+    def replace_active_formatting(self, out: Element, in_el: Element) -> None:
+        for pos in range(len(self.formatting_elements) - 1, -1, -1):
+            if self.formatting_elements[pos] is out:
+                self.formatting_elements[pos] = in_el
+                return
+        raise AssertionError("element not in formatting list")
+
+    def insert_marker_to_formatting(self) -> None:
+        self.formatting_elements.append(None)
+
+    def position_of_element(self, el: Element) -> int:
+        for i, e in enumerate(self.formatting_elements):
+            if el is e:
+                return i
+        return -1
+
+    # template modes
+    def push_template_mode(self, state) -> None:
+        self.tmpl_insert_mode.append(state)
+
+    def pop_template_mode(self):
+        return self.tmpl_insert_mode.pop() if self.tmpl_insert_mode else None
+
+    def template_mode_size(self) -> int:
+        return len(self.tmpl_insert_mode)
+
+    def current_template_mode(self):
+        return self.tmpl_insert_mode[-1] if self.tmpl_insert_mode else None
+
+
+# ---------------------------------------------------------------------------
+# Insertion modes. Each returns bool (token accepted).
+
+def _initial(t, tb: HtmlTreeBuilder) -> bool:
+    if _is_whitespace_tok(t):
+        return True
+    elif t.kind == COMMENT:
+        tb.insert_comment_node(t)
+    elif t.kind == DOCTYPE:
+        name = tb.settings.normalize_tag(t.get_name())
+        doctype = DocumentType(name, t.get_public_identifier(),
+                               t.get_system_identifier())
+        tb.doc.append_child(doctype)
+        if t.force_quirks or doctype.name != "html" or \
+                doctype.public_id.lower() == "html":
+            tb.doc.quirks_mode = "quirks"
+        tb.state = _before_html
+    else:
+        tb.doc.quirks_mode = "quirks"
+        tb.state = _before_html
+        return tb.process(t)
+    return True
+
+
+def _before_html(t, tb: HtmlTreeBuilder) -> bool:
+    def anything_else():
+        tb.process_start_tag("html")
+        tb.state = _before_head
+        return tb.process(t)
+
+    if t.kind == DOCTYPE:
+        tb.error(_before_html)
+        return False
+    elif t.kind == COMMENT:
+        tb.insert_comment_node(t)
+    elif _is_whitespace_tok(t):
+        tb.insert_character_node(t)  # out of spec
+    elif t.kind == START_TAG and t.normal_name == "html":
+        tb.insert_element_for(t)
+        tb.state = _before_head
+    elif t.kind == END_TAG and t.normal_name in C_BeforeHtmlToHead:
+        return anything_else()
+    elif t.kind == END_TAG:
+        tb.error(_before_html)
+        return False
+    else:
+        return anything_else()
+    return True
+
+
+def _before_head(t, tb: HtmlTreeBuilder) -> bool:
+    if _is_whitespace_tok(t):
+        tb.insert_character_node(t)  # out of spec
+    elif t.kind == COMMENT:
+        tb.insert_comment_node(t)
+    elif t.kind == DOCTYPE:
+        tb.error(_before_head)
+        return False
+    elif t.kind == START_TAG and t.normal_name == "html":
+        return _in_body(t, tb)
+    elif t.kind == START_TAG and t.normal_name == "head":
+        head = tb.insert_element_for(t)
+        tb.head_element = head
+        tb.state = _in_head
+    elif t.kind == END_TAG and t.normal_name in C_BeforeHtmlToHead:
+        tb.process_start_tag("head")
+        return tb.process(t)
+    elif t.kind == END_TAG:
+        tb.error(_before_head)
+        return False
+    else:
+        tb.process_start_tag("head")
+        return tb.process(t)
+    return True
+
+
+def _handle_rcdata(start, tb: HtmlTreeBuilder) -> None:
+    tb.tokeniser.state = tk.RCDATA
+    tb.original_state = tb.state
+    tb.state = _text
+    tb.insert_element_for(start)
+
+
+def _handle_rawtext(start, tb: HtmlTreeBuilder) -> None:
+    tb.tokeniser.state = tk.RAWTEXT
+    tb.original_state = tb.state
+    tb.state = _text
+    tb.insert_element_for(start)
+
+
+def _in_head(t, tb: HtmlTreeBuilder) -> bool:
+    def anything_else():
+        tb.process_end_tag("head")
+        return tb.process(t)
+
+    if _is_whitespace_tok(t):
+        tb.insert_character_node(t)
+        return True
+    kind = t.kind
+    if kind == COMMENT:
+        tb.insert_comment_node(t)
+    elif kind == DOCTYPE:
+        tb.error(_in_head)
+        return False
+    elif kind == START_TAG:
+        name = t.normal_name
+        if name == "html":
+            return _in_body(t, tb)
+        elif name in C_InHeadEmpty:
+            el = tb.insert_empty_element_for(t)
+            if name == "base" and el.has_attr("href"):
+                tb.maybe_set_base_uri(el)
+        elif name == "meta":
+            tb.insert_empty_element_for(t)
+        elif name == "title":
+            _handle_rcdata(t, tb)
+        elif name in C_InHeadRaw:
+            _handle_rawtext(t, tb)
+        elif name == "noscript":
+            tb.insert_element_for(t)
+            tb.state = _in_head_noscript
+        elif name == "script":
+            tb.tokeniser.state = tk.SCRIPT_DATA
+            tb.original_state = tb.state
+            tb.state = _text
+            tb.insert_element_for(t)
+        elif name == "head":
+            tb.error(_in_head)
+            return False
+        elif name == "template":
+            tb.insert_element_for(t)
+            tb.insert_marker_to_formatting()
+            tb.frameset_ok = False
+            tb.state = _in_template
+            tb.push_template_mode(_in_template)
+        else:
+            return anything_else()
+    elif kind == END_TAG:
+        name = t.normal_name
+        if name == "head":
+            tb.pop()
+            tb.state = _after_head
+        elif name in C_InHeadEnd:
+            return anything_else()
+        elif name == "template":
+            if not tb.on_stack_name(name):
+                tb.error(_in_head)
+            else:
+                tb.generate_implied_end_tags(thorough=True)
+                if not tb.current_element_is(name):
+                    tb.error(_in_head)
+                tb.pop_stack_to_close(name)
+                tb.clear_formatting_to_last_marker()
+                tb.pop_template_mode()
+                tb.reset_insertion_mode()
+        else:
+            tb.error(_in_head)
+            return False
+    else:
+        return anything_else()
+    return True
+
+
+def _in_head_noscript(t, tb: HtmlTreeBuilder) -> bool:
+    def anything_else():
+        # deviation: insert as character data (HtmlTreeBuilderState.kt:252-263)
+        tb.error(_in_head_noscript)
+        tb.insert_character_node(tk.CharacterTok(_token_to_str(t)))
+        return True
+
+    if t.kind == DOCTYPE:
+        tb.error(_in_head_noscript)
+    elif t.kind == START_TAG and t.normal_name == "html":
+        return tb.process_in(t, _in_body)
+    elif t.kind == END_TAG and t.normal_name == "noscript":
+        tb.pop()
+        tb.state = _in_head
+    elif _is_whitespace_tok(t) or t.kind == COMMENT or \
+            (t.kind == START_TAG and t.normal_name in C_InHeadNoScriptHead):
+        return tb.process_in(t, _in_head)
+    elif t.kind == END_TAG and t.normal_name == "br":
+        return anything_else()
+    elif (t.kind == START_TAG and t.normal_name in C_InHeadNoscriptIgnore) \
+            or t.kind == END_TAG:
+        tb.error(_in_head_noscript)
+        return False
+    else:
+        return anything_else()
+    return True
+
+
+def _token_to_str(t) -> str:
+    if t.kind in (CHARACTER, CDATA):
+        return t.data
+    if t.kind == START_TAG:
+        return f"<{t.name}>"
+    if t.kind == END_TAG:
+        return f"</{t.name}>"
+    if t.kind == COMMENT:
+        return f"<!--{t.get_data()}-->"
+    return ""
+
+
+def _after_head(t, tb: HtmlTreeBuilder) -> bool:
+    def anything_else():
+        tb.process_start_tag("body")
+        tb.frameset_ok = True
+        return tb.process(t)
+
+    if _is_whitespace_tok(t):
+        tb.insert_character_node(t)
+    elif t.kind == COMMENT:
+        tb.insert_comment_node(t)
+    elif t.kind == DOCTYPE:
+        tb.error(_after_head)
+    elif t.kind == START_TAG:
+        name = t.normal_name
+        if name == "html":
+            return tb.process_in(t, _in_body)
+        elif name == "body":
+            tb.insert_element_for(t)
+            tb.frameset_ok = False
+            tb.state = _in_body
+        elif name == "frameset":
+            tb.insert_element_for(t)
+            tb.state = _in_frameset
+        elif name in C_InBodyStartToHead:
+            tb.error(_after_head)
+            head = tb.head_element
+            tb.push(head)
+            tb.process_in(t, _in_head)
+            tb.remove_from_stack(head)
+        elif name == "head":
+            tb.error(_after_head)
+            return False
+        else:
+            anything_else()
+    elif t.kind == END_TAG:
+        name = t.normal_name
+        if name in C_AfterHeadBody:
+            anything_else()
+        elif name == "template":
+            tb.process_in(t, _in_head)
+        else:
+            tb.error(_after_head)
+            return False
+    else:
+        anything_else()
+    return True
+
+
+def _in_body(t, tb: HtmlTreeBuilder) -> bool:
+    kind = t.kind
+    if kind == CHARACTER or kind == CDATA:
+        if t.data == "\x00":
+            tb.error(_in_body)
+            return False
+        elif tb.frameset_ok and _is_blank(t.data):
+            tb.reconstruct_formatting_elements()
+            tb.insert_character_node(t)
+        else:
+            tb.reconstruct_formatting_elements()
+            tb.insert_character_node(t)
+            tb.frameset_ok = False
+    elif kind == COMMENT:
+        tb.insert_comment_node(t)
+    elif kind == DOCTYPE:
+        tb.error(_in_body)
+        return False
+    elif kind == START_TAG:
+        return _in_body_start_tag(t, tb)
+    elif kind == END_TAG:
+        return _in_body_end_tag(t, tb)
+    elif kind == EOF_TOKEN:
+        if tb.template_mode_size() > 0:
+            return tb.process_in(t, _in_template)
+        if tb.on_stack_not(C_InBodyEndOtherErrors):
+            tb.error(_in_body)
+    return True
+
+
+def _in_body_start_tag(t, tb: HtmlTreeBuilder) -> bool:
+    name = t.normal_name
+    if name == "a":
+        if tb.get_active_formatting_element("a") is not None:
+            tb.error(_in_body)
+            tb.process_end_tag("a")
+            remaining_a = tb.get_from_stack("a")
+            if remaining_a is not None:
+                tb.remove_from_active_formatting(remaining_a)
+                tb.remove_from_stack(remaining_a)
+        tb.reconstruct_formatting_elements()
+        el = tb.insert_element_for(t)
+        tb.push_active_formatting(el)
+    elif name == "span":
+        tb.reconstruct_formatting_elements()
+        tb.insert_element_for(t)
+    elif name == "li":
+        tb.frameset_ok = False
+        stack = tb.stack
+        for i in range(len(stack) - 1, 0, -1):
+            el = stack[i]
+            if el.name_is("li"):
+                tb.process_end_tag("li")
+                break
+            if _is_special(el) and \
+                    el.normal_name() not in C_InBodyStartLiBreakers:
+                break
+        if tb.in_button_scope("p"):
+            tb.process_end_tag("p")
+        tb.insert_element_for(t)
+    elif name == "html":
+        tb.error(_in_body)
+        if tb.on_stack_name("template"):
+            return False
+        if tb.stack:
+            html = tb.stack[0]
+            for k, v in t.attrs:
+                if not html.has_attr(k):
+                    html._ensure_attrs().put(k, v)
+    elif name == "body":
+        tb.error(_in_body)
+        stack = tb.stack
+        if len(stack) == 1 or (len(stack) > 2 and
+                               not stack[1].name_is("body")) or \
+                tb.on_stack_name("template"):
+            return False
+        tb.frameset_ok = False
+        if t.attrs:
+            body = tb.get_from_stack("body")
+            if body is not None:
+                for k, v in t.attrs:
+                    if not body.has_attr(k):
+                        body._ensure_attrs().put(k, v)
+    elif name == "frameset":
+        tb.error(_in_body)
+        stack = tb.stack
+        if len(stack) == 1 or (len(stack) > 2 and
+                               not stack[1].name_is("body")):
+            return False
+        if not tb.frameset_ok:
+            return False
+        second = stack[1]
+        if second.parent() is not None:
+            second.remove()
+        while len(stack) > 1:
+            stack.pop()
+        tb.insert_element_for(t)
+        tb.state = _in_frameset
+    elif name == "form":
+        if tb.form_element is not None and not tb.on_stack_name("template"):
+            tb.error(_in_body)
+            return False
+        if tb.in_button_scope("p"):
+            tb.close_element("p")
+        tb.insert_form_element(t, True, True)
+    elif name == "plaintext":
+        if tb.in_button_scope("p"):
+            tb.process_end_tag("p")
+        tb.insert_element_for(t)
+        tb.tokeniser.state = tk.PLAINTEXT
+    elif name == "button":
+        if tb.in_button_scope("button"):
+            tb.error(_in_body)
+            tb.process_end_tag("button")
+            tb.process(t)
+        else:
+            tb.reconstruct_formatting_elements()
+            tb.insert_element_for(t)
+            tb.frameset_ok = False
+    elif name == "nobr":
+        tb.reconstruct_formatting_elements()
+        if tb.in_scope("nobr"):
+            tb.error(_in_body)
+            tb.process_end_tag("nobr")
+            tb.reconstruct_formatting_elements()
+        el = tb.insert_element_for(t)
+        tb.push_active_formatting(el)
+    elif name == "table":
+        if tb.doc.quirks_mode != "quirks" and tb.in_button_scope("p"):
+            tb.process_end_tag("p")
+        tb.insert_element_for(t)
+        tb.frameset_ok = False
+        tb.state = _in_table
+    elif name == "input":
+        tb.reconstruct_formatting_elements()
+        el = tb.insert_empty_element_for(t)
+        if el.attr("type").lower() != "hidden":
+            tb.frameset_ok = False
+    elif name == "hr":
+        if tb.in_button_scope("p"):
+            tb.process_end_tag("p")
+        tb.insert_empty_element_for(t)
+        tb.frameset_ok = False
+    elif name == "image":
+        if tb.get_from_stack("svg") is None:
+            t.set_name("img")
+            return tb.process(t)
+        tb.insert_element_for(t)
+    elif name == "isindex":
+        tb.error(_in_body)
+        if tb.form_element is not None:
+            return False
+        tb.process_start_tag("form")
+        attrs_d = dict(t.attrs)
+        if "action" in attrs_d and tb.form_element is not None:
+            tb.form_element._ensure_attrs().put("action",
+                                                attrs_d["action"] or "")
+        tb.process_start_tag("hr")
+        tb.process_start_tag("label")
+        prompt = attrs_d.get("prompt")
+        if prompt is None:
+            prompt = "This is a searchable index. Enter search keywords: "
+        tb.process(tk.CharacterTok(prompt))
+        input_attrs = [(k, v) for k, v in t.attrs
+                       if k not in C_InBodyStartInputAttribs]
+        input_attrs.append(("name", "isindex"))
+        tb.process_start_tag("input", input_attrs)
+        tb.process_end_tag("label")
+        tb.process_start_tag("hr")
+        tb.process_end_tag("form")
+    elif name == "textarea":
+        tb.insert_element_for(t)
+        if not t.self_closing:
+            tb.tokeniser.state = tk.RCDATA
+            tb.original_state = tb.state
+            tb.frameset_ok = False
+            tb.state = _text
+    elif name == "xmp":
+        if tb.in_button_scope("p"):
+            tb.process_end_tag("p")
+        tb.reconstruct_formatting_elements()
+        tb.frameset_ok = False
+        _handle_rawtext(t, tb)
+    elif name == "iframe":
+        tb.frameset_ok = False
+        _handle_rawtext(t, tb)
+    elif name == "noembed":
+        _handle_rawtext(t, tb)
+    elif name == "select":
+        tb.reconstruct_formatting_elements()
+        tb.insert_element_for(t)
+        tb.frameset_ok = False
+        if not t.self_closing:
+            if tb.state in (_in_table, _in_caption, _in_table_body, _in_row,
+                            _in_cell):
+                tb.state = _in_select_in_table
+            else:
+                tb.state = _in_select
+    elif name == "math":
+        tb.reconstruct_formatting_elements()
+        tb.insert_foreign_element_for(t, NAMESPACE_MATHML)
+    elif name == "svg":
+        tb.reconstruct_formatting_elements()
+        tb.insert_foreign_element_for(t, NAMESPACE_SVG)
+    elif name in C_Headings:
+        if tb.in_button_scope("p"):
+            tb.process_end_tag("p")
+        if tb.current_element().normal_name() in C_Headings:
+            tb.error(_in_body)
+            tb.pop()
+        tb.insert_element_for(t)
+    elif name in ("pre", "listing"):
+        if tb.in_button_scope("p"):
+            tb.process_end_tag("p")
+        tb.insert_element_for(t)
+        tb.tokeniser._match_consume("\n")  # skip LF after <pre>
+        tb.frameset_ok = False
+    elif name in C_DdDt:
+        tb.frameset_ok = False
+        stack = tb.stack
+        bottom = len(stack) - 1
+        upper = bottom - MAX_STACK_SCAN if bottom >= MAX_STACK_SCAN else 0
+        for i in range(bottom, upper - 1, -1):
+            el = stack[i]
+            if el.normal_name() in C_DdDt:
+                tb.process_end_tag(el.normal_name())
+                break
+            if _is_special(el) and \
+                    el.normal_name() not in C_InBodyStartLiBreakers:
+                break
+        if tb.in_button_scope("p"):
+            tb.process_end_tag("p")
+        tb.insert_element_for(t)
+    elif name in ("optgroup", "option"):
+        if tb.current_element_is("option"):
+            tb.process_end_tag("option")
+        tb.reconstruct_formatting_elements()
+        tb.insert_element_for(t)
+    elif name in ("rb", "rtc"):
+        if tb.in_scope("ruby"):
+            tb.generate_implied_end_tags()
+            if not tb.current_element_is("ruby"):
+                tb.error(_in_body)
+        tb.insert_element_for(t)
+    elif name in ("rp", "rt"):
+        if tb.in_scope("ruby"):
+            tb.generate_implied_end_tags("rtc")
+            if not tb.current_element_is("rtc") and \
+                    not tb.current_element_is("ruby"):
+                tb.error(_in_body)
+        tb.insert_element_for(t)
+    elif name in ("area", "br", "embed", "img", "keygen", "wbr"):
+        tb.reconstruct_formatting_elements()
+        tb.insert_empty_element_for(t)
+        tb.frameset_ok = False
+    elif name in ("b", "big", "code", "em", "font", "i", "s", "small",
+                  "strike", "strong", "tt", "u"):
+        tb.reconstruct_formatting_elements()
+        el = tb.insert_element_for(t)
+        tb.push_active_formatting(el)
+    else:
+        if not is_known_tag(name):
+            tb.insert_element_for(t)
+        elif name in C_InBodyStartPClosers:
+            if tb.in_button_scope("p"):
+                tb.process_end_tag("p")
+            tb.insert_element_for(t)
+        elif name in C_InBodyStartToHead:
+            return tb.process_in(t, _in_head)
+        elif name in C_InBodyStartApplets:
+            tb.reconstruct_formatting_elements()
+            tb.insert_element_for(t)
+            tb.insert_marker_to_formatting()
+            tb.frameset_ok = False
+        elif name in C_InBodyStartMedia:
+            tb.insert_empty_element_for(t)
+        elif name in C_InBodyStartDrop:
+            tb.error(_in_body)
+            return False
+        else:
+            tb.reconstruct_formatting_elements()
+            tb.insert_element_for(t)
+    return True
+
+
+def _any_other_end_tag(t, tb: HtmlTreeBuilder) -> bool:
+    name = t.normal_name
+    el_from_stack = tb.get_from_stack(name)
+    if el_from_stack is None:
+        tb.error(_in_body)
+        return False
+    stack = tb.stack
+    for pos in range(len(stack) - 1, -1, -1):
+        node = stack[pos]
+        if node.name_is(name):
+            tb.generate_implied_end_tags(name)
+            if not tb.current_element_is(name):
+                tb.error(_in_body)
+            tb.pop_stack_to_close(name)
+            break
+        if _is_special(node):
+            tb.error(_in_body)
+            return False
+    return True
+
+
+def _in_body_end_tag(t, tb: HtmlTreeBuilder) -> bool:
+    name = t.normal_name
+    if name == "template":
+        tb.process_in(t, _in_head)
+    elif name in ("sarcasm", "span"):
+        return _any_other_end_tag(t, tb)
+    elif name == "li":
+        if not tb.in_list_item_scope(name):
+            tb.error(_in_body)
+            return False
+        tb.generate_implied_end_tags(name)
+        if not tb.current_element_is(name):
+            tb.error(_in_body)
+        tb.pop_stack_to_close(name)
+    elif name == "body":
+        if not tb.in_scope("body"):
+            tb.error(_in_body)
+            return False
+        if tb.on_stack_not(C_InBodyEndOtherErrors):
+            tb.error(_in_body)
+        tb.state = _after_body
+    elif name == "html":
+        if not tb.on_stack_name("body"):
+            tb.error(_in_body)
+            return False
+        if tb.on_stack_not(C_InBodyEndOtherErrors):
+            tb.error(_in_body)
+        tb.state = _after_body
+        return tb.process(t)
+    elif name == "form":
+        if not tb.on_stack_name("template"):
+            current_form = tb.form_element
+            tb.form_element = None
+            if current_form is None or not tb.in_scope(name):
+                tb.error(_in_body)
+                return False
+            tb.generate_implied_end_tags()
+            if not tb.current_element_is(name):
+                tb.error(_in_body)
+            tb.remove_from_stack(current_form)
+        else:
+            if not tb.in_scope(name):
+                tb.error(_in_body)
+                return False
+            tb.generate_implied_end_tags()
+            if not tb.current_element_is(name):
+                tb.error(_in_body)
+            tb.pop_stack_to_close(name)
+    elif name == "p":
+        if not tb.in_button_scope(name):
+            tb.error(_in_body)
+            tb.process_start_tag(name)
+            return tb.process(t)
+        tb.generate_implied_end_tags(name)
+        if not tb.current_element_is(name):
+            tb.error(_in_body)
+        tb.pop_stack_to_close(name)
+    elif name in C_DdDt:
+        if not tb.in_scope(name):
+            tb.error(_in_body)
+            return False
+        tb.generate_implied_end_tags(name)
+        if not tb.current_element_is(name):
+            tb.error(_in_body)
+        tb.pop_stack_to_close(name)
+    elif name in C_Headings:
+        if not tb.in_scope(tuple(C_Headings)):
+            tb.error(_in_body)
+            return False
+        tb.generate_implied_end_tags(name)
+        if not tb.current_element_is(name):
+            tb.error(_in_body)
+        tb.pop_stack_to_close_any(C_Headings)
+    elif name == "br":
+        tb.error(_in_body)
+        tb.process_start_tag("br")
+        return False
+    else:
+        if name in C_InBodyEndAdoptionFormatters:
+            return _in_body_end_tag_adoption(t, tb)
+        elif name in C_InBodyEndClosers:
+            if not tb.in_scope(name):
+                tb.error(_in_body)
+                return False
+            tb.generate_implied_end_tags()
+            if not tb.current_element_is(name):
+                tb.error(_in_body)
+            tb.pop_stack_to_close(name)
+        elif name in C_InBodyStartApplets:
+            if not tb.in_scope("name"):
+                if not tb.in_scope(name):
+                    tb.error(_in_body)
+                    return False
+                tb.generate_implied_end_tags()
+                if not tb.current_element_is(name):
+                    tb.error(_in_body)
+                tb.pop_stack_to_close(name)
+                tb.clear_formatting_to_last_marker()
+        else:
+            return _any_other_end_tag(t, tb)
+    return True
+
+
+def _in_body_end_tag_adoption(t, tb: HtmlTreeBuilder) -> bool:
+    """Adoption Agency (HtmlTreeBuilderState.kt:945-1041, with the
+    reference's 64-entry stack scan cap)."""
+    name = t.normal_name
+    stack = tb.stack
+    for _ in range(8):
+        format_el = tb.get_active_formatting_element(name)
+        if format_el is None:
+            return _any_other_end_tag(t, tb)
+        elif not tb.on_stack(format_el):
+            tb.error(_in_body)
+            tb.remove_from_active_formatting(format_el)
+            return True
+        elif not tb.in_scope(format_el.normal_name()):
+            tb.error(_in_body)
+            return False
+        elif tb.current_element() is not format_el:
+            tb.error(_in_body)
+        furthest_block: Element | None = None
+        common_ancestor: Element | None = None
+        seen_formatting_element = False
+        stack_size = len(stack)
+        bookmark = -1
+        si = 1
+        while si < stack_size and si < 64:
+            el = stack[si]
+            if el is format_el:
+                common_ancestor = stack[si - 1]
+                seen_formatting_element = True
+                bookmark = tb.position_of_element(el)
+            elif seen_formatting_element and _is_special(el):
+                furthest_block = el
+                break
+            si += 1
+        if furthest_block is None:
+            tb.pop_stack_to_close(format_el.normal_name())
+            tb.remove_from_active_formatting(format_el)
+            return True
+        node = furthest_block
+        last_node = furthest_block
+        for _j in range(3):
+            if tb.on_stack(node):
+                node = tb.above_on_stack(node)
+            if not tb.is_in_active_formatting(node):
+                tb.remove_from_stack(node)
+                continue
+            elif node is format_el:
+                break
+            replacement = Element(
+                tb.tag_for(node.node_name(), PRESERVE_CASE), tb.base_uri)
+            tb.replace_active_formatting(node, replacement)
+            tb.replace_on_stack(node, replacement)
+            node = replacement
+            if last_node is furthest_block:
+                bookmark = tb.position_of_element(node) + 1
+            if last_node.parent() is not None:
+                last_node.remove()
+            node.append_child(last_node)
+            last_node = node
+        if common_ancestor is not None:
+            if common_ancestor.normal_name() in C_InBodyEndTableFosters:
+                if last_node.parent() is not None:
+                    last_node.remove()
+                tb.insert_in_foster_parent(last_node)
+            else:
+                if last_node.parent() is not None:
+                    last_node.remove()
+                common_ancestor.append_child(last_node)
+        adopter = Element(format_el.tag, tb.base_uri)
+        fa = format_el.attributes()
+        if fa is not None:
+            adopter._ensure_attrs()._d.update(fa._d)
+        for child in list(furthest_block.child_nodes()):
+            adopter.append_child(child)
+        furthest_block.append_child(adopter)
+        tb.remove_from_active_formatting(format_el)
+        tb.push_with_bookmark(adopter, bookmark)
+        tb.remove_from_stack(format_el)
+        tb.insert_on_stack_after(furthest_block, adopter)
+    return True
+
+
+def _text(t, tb: HtmlTreeBuilder) -> bool:
+    if t.kind in (CHARACTER, CDATA):
+        tb.insert_character_node(t)
+    elif t.kind == EOF_TOKEN:
+        tb.error(_text)
+        tb.pop()
+        tb.state = tb.original_state
+        return tb.process(t)
+    elif t.kind == END_TAG:
+        tb.pop()
+        tb.state = tb.original_state
+    return True
+
+
+def _in_table(t, tb: HtmlTreeBuilder) -> bool:
+    def anything_else():
+        tb.error(_in_table)
+        tb.foster_inserts = True
+        tb.process_in(t, _in_body)
+        tb.foster_inserts = False
+        return True
+
+    if t.kind in (CHARACTER, CDATA) and \
+            tb.current_element().normal_name() in C_InTableFoster:
+        tb.pending_table_characters = []
+        tb.original_state = tb.state
+        tb.state = _in_table_text
+        return tb.process(t)
+    elif t.kind == COMMENT:
+        tb.insert_comment_node(t)
+        return True
+    elif t.kind == DOCTYPE:
+        tb.error(_in_table)
+        return False
+    elif t.kind == START_TAG:
+        name = t.normal_name
+        if name == "caption":
+            tb.clear_stack_to_table_context()
+            tb.insert_marker_to_formatting()
+            tb.insert_element_for(t)
+            tb.state = _in_caption
+        elif name == "colgroup":
+            tb.clear_stack_to_table_context()
+            tb.insert_element_for(t)
+            tb.state = _in_column_group
+        elif name == "col":
+            tb.clear_stack_to_table_context()
+            tb.process_start_tag("colgroup")
+            return tb.process(t)
+        elif name in C_InTableToBody:
+            tb.clear_stack_to_table_context()
+            tb.insert_element_for(t)
+            tb.state = _in_table_body
+        elif name in C_InTableAddBody:
+            tb.clear_stack_to_table_context()
+            tb.process_start_tag("tbody")
+            return tb.process(t)
+        elif name == "table":
+            tb.error(_in_table)
+            if not tb.in_table_scope(name):
+                return False
+            tb.pop_stack_to_close(name)
+            if not tb.reset_insertion_mode():
+                tb.insert_element_for(t)
+                return True
+            return tb.process(t)
+        elif name in C_InTableToHead:
+            return tb.process_in(t, _in_head)
+        elif name == "input":
+            attrs_d = {k.lower(): (v or "") for k, v in t.attrs}
+            if attrs_d.get("type", "").lower() != "hidden":
+                return anything_else()
+            tb.insert_empty_element_for(t)
+        elif name == "form":
+            tb.error(_in_table)
+            if tb.form_element is not None or tb.on_stack_name("template"):
+                return False
+            tb.insert_form_element(t, False, False)
+        else:
+            return anything_else()
+        return True
+    elif t.kind == END_TAG:
+        name = t.normal_name
+        if name == "table":
+            if not tb.in_table_scope(name):
+                tb.error(_in_table)
+                return False
+            tb.pop_stack_to_close("table")
+            tb.reset_insertion_mode()
+        elif name in C_InTableEndErr:
+            tb.error(_in_table)
+            return False
+        elif name == "template":
+            tb.process_in(t, _in_head)
+        else:
+            return anything_else()
+        return True
+    elif t.kind == EOF_TOKEN:
+        if tb.current_element_is("html"):
+            tb.error(_in_table)
+        return True
+    return anything_else()
+
+
+def _in_table_text(t, tb: HtmlTreeBuilder) -> bool:
+    if t.kind in (CHARACTER, CDATA):
+        if t.data == "\x00":
+            tb.error(_in_table_text)
+            return False
+        tb.pending_table_characters.append(t.data)
+        return True
+    if tb.pending_table_characters:
+        for data in tb.pending_table_characters:
+            c = tk.CharacterTok(data)
+            if not _is_blank(data):
+                tb.error(_in_table_text)
+                if tb.current_element().normal_name() in C_InTableFoster:
+                    tb.foster_inserts = True
+                    tb.process_in(c, _in_body)
+                    tb.foster_inserts = False
+                else:
+                    tb.process_in(c, _in_body)
+            else:
+                tb.insert_character_node(c)
+        tb.pending_table_characters = []
+    tb.state = tb.original_state
+    return tb.process(t)
+
+
+def _in_caption(t, tb: HtmlTreeBuilder) -> bool:
+    if t.kind == END_TAG and t.normal_name == "caption":
+        if not tb.in_table_scope("caption"):
+            tb.error(_in_caption)
+            return False
+        tb.generate_implied_end_tags()
+        if not tb.current_element_is("caption"):
+            tb.error(_in_caption)
+        tb.pop_stack_to_close("caption")
+        tb.clear_formatting_to_last_marker()
+        tb.state = _in_table
+    elif (t.kind == START_TAG and t.normal_name in C_InCellCol) or \
+            (t.kind == END_TAG and t.normal_name == "table"):
+        if not tb.in_table_scope("caption"):
+            tb.error(_in_caption)
+            return False
+        tb.generate_implied_end_tags(thorough=False)
+        if not tb.current_element_is("caption"):
+            tb.error(_in_caption)
+        tb.pop_stack_to_close("caption")
+        tb.clear_formatting_to_last_marker()
+        tb.state = _in_table
+        _in_table(t, tb)
+    elif t.kind == END_TAG and t.normal_name in C_InCaptionIgnore:
+        tb.error(_in_caption)
+        return False
+    else:
+        return tb.process_in(t, _in_body)
+    return True
+
+
+def _in_column_group(t, tb: HtmlTreeBuilder) -> bool:
+    def anything_else():
+        if not tb.current_element_is("colgroup"):
+            tb.error(_in_column_group)
+            return False
+        tb.pop()
+        tb.state = _in_table
+        tb.process(t)
+        return True
+
+    if _is_whitespace_tok(t):
+        tb.insert_character_node(t)
+        return True
+    kind = t.kind
+    if kind == COMMENT:
+        tb.insert_comment_node(t)
+    elif kind == DOCTYPE:
+        tb.error(_in_column_group)
+    elif kind == START_TAG:
+        name = t.normal_name
+        if name == "html":
+            return tb.process_in(t, _in_body)
+        elif name == "col":
+            tb.insert_empty_element_for(t)
+        elif name == "template":
+            tb.process_in(t, _in_head)
+        else:
+            return anything_else()
+    elif kind == END_TAG:
+        name = t.normal_name
+        if name == "colgroup":
+            if not tb.current_element_is(name):
+                tb.error(_in_column_group)
+                return False
+            tb.pop()
+            tb.state = _in_table
+        elif name == "template":
+            tb.process_in(t, _in_head)
+        else:
+            return anything_else()
+    elif kind == EOF_TOKEN:
+        if tb.current_element_is("html"):
+            return True
+        return anything_else()
+    else:
+        return anything_else()
+    return True
+
+
+def _in_table_body(t, tb: HtmlTreeBuilder) -> bool:
+    def exit_table_body():
+        if not (tb.in_table_scope("tbody") or tb.in_table_scope("thead")
+                or tb.in_scope("tfoot")):
+            tb.error(_in_table_body)
+            return False
+        tb.clear_stack_to_table_body_context()
+        tb.process_end_tag(tb.current_element().normal_name())
+        return tb.process(t)
+
+    kind = t.kind
+    if kind == START_TAG:
+        name = t.normal_name
+        if name == "tr":
+            tb.clear_stack_to_table_body_context()
+            tb.insert_element_for(t)
+            tb.state = _in_row
+        elif name in C_InCellNames:
+            tb.error(_in_table_body)
+            tb.process_start_tag("tr")
+            return tb.process(t)
+        elif name in C_InTableBodyExit:
+            return exit_table_body()
+        else:
+            return tb.process_in(t, _in_table)
+    elif kind == END_TAG:
+        name = t.normal_name
+        if name in C_InTableEndIgnore:
+            if not tb.in_table_scope(name):
+                tb.error(_in_table_body)
+                return False
+            tb.clear_stack_to_table_body_context()
+            tb.pop()
+            tb.state = _in_table
+        elif name == "table":
+            return exit_table_body()
+        elif name in C_InTableBodyEndIgnore:
+            tb.error(_in_table_body)
+            return False
+        else:
+            return tb.process_in(t, _in_table)
+    else:
+        return tb.process_in(t, _in_table)
+    return True
+
+
+def _in_row(t, tb: HtmlTreeBuilder) -> bool:
+    def anything_else():
+        return tb.process_in(t, _in_table)
+
+    if t.kind == START_TAG:
+        name = t.normal_name
+        if name in C_InCellNames:
+            tb.clear_stack_to_table_row_context()
+            tb.insert_element_for(t)
+            tb.state = _in_cell
+            tb.insert_marker_to_formatting()
+        elif name in C_InRowMissing:
+            if not tb.in_table_scope("tr"):
+                tb.error(_in_row)
+                return False
+            tb.clear_stack_to_table_row_context()
+            tb.pop()
+            tb.state = _in_table_body
+            return tb.process(t)
+        else:
+            return anything_else()
+    elif t.kind == END_TAG:
+        name = t.normal_name
+        if name == "tr":
+            if not tb.in_table_scope(name):
+                tb.error(_in_row)
+                return False
+            tb.clear_stack_to_table_row_context()
+            tb.pop()
+            tb.state = _in_table_body
+        elif name == "table":
+            if not tb.in_table_scope("tr"):
+                tb.error(_in_row)
+                return False
+            tb.clear_stack_to_table_row_context()
+            tb.pop()
+            tb.state = _in_table_body
+            return tb.process(t)
+        elif name in C_InTableToBody:
+            if not tb.in_table_scope(name):
+                tb.error(_in_row)
+                return False
+            if not tb.in_table_scope("tr"):
+                return False
+            tb.clear_stack_to_table_row_context()
+            tb.pop()
+            tb.state = _in_table_body
+            return tb.process(t)
+        elif name in C_InRowIgnore:
+            tb.error(_in_row)
+            return False
+        else:
+            return anything_else()
+    else:
+        return anything_else()
+    return True
+
+
+def _in_cell(t, tb: HtmlTreeBuilder) -> bool:
+    def close_cell():
+        if tb.in_table_scope("td"):
+            tb.process_end_tag("td")
+        else:
+            tb.process_end_tag("th")
+
+    if t.kind == END_TAG:
+        name = t.normal_name
+        if name in C_InCellNames:
+            if not tb.in_table_scope(name):
+                tb.error(_in_cell)
+                tb.state = _in_row
+                return False
+            tb.generate_implied_end_tags()
+            if not tb.current_element_is(name):
+                tb.error(_in_cell)
+            tb.pop_stack_to_close(name)
+            tb.clear_formatting_to_last_marker()
+            tb.state = _in_row
+        elif name in C_InCellBody:
+            tb.error(_in_cell)
+            return False
+        elif name in C_InCellTable:
+            if not tb.in_table_scope(name):
+                tb.error(_in_cell)
+                return False
+            close_cell()
+            return tb.process(t)
+        else:
+            return tb.process_in(t, _in_body)
+    elif t.kind == START_TAG and t.normal_name in C_InCellCol:
+        if not (tb.in_table_scope("td") or tb.in_table_scope("th")):
+            tb.error(_in_cell)
+            return False
+        close_cell()
+        return tb.process(t)
+    else:
+        return tb.process_in(t, _in_body)
+    return True
+
+
+def _in_select(t, tb: HtmlTreeBuilder) -> bool:
+    def anything_else():
+        tb.error(_in_select)
+        return False
+
+    kind = t.kind
+    if kind in (CHARACTER, CDATA):
+        if t.data == "\x00":
+            tb.error(_in_select)
+            return False
+        tb.insert_character_node(t)
+    elif kind == COMMENT:
+        tb.insert_comment_node(t)
+    elif kind == DOCTYPE:
+        tb.error(_in_select)
+        return False
+    elif kind == START_TAG:
+        name = t.normal_name
+        if name == "html":
+            return tb.process_in(t, _in_body)
+        elif name == "option":
+            if tb.current_element_is("option"):
+                tb.process_end_tag("option")
+            tb.insert_element_for(t)
+        elif name == "optgroup":
+            if tb.current_element_is("option"):
+                tb.process_end_tag("option")
+            if tb.current_element_is("optgroup"):
+                tb.process_end_tag("optgroup")
+            tb.insert_element_for(t)
+        elif name == "select":
+            tb.error(_in_select)
+            return tb.process_end_tag("select")
+        elif name in C_InSelectEnd:
+            tb.error(_in_select)
+            if not tb.in_select_scope("select"):
+                return False
+            tb.process_end_tag("select")
+            return tb.process(t)
+        elif name in ("script", "template"):
+            return tb.process_in(t, _in_head)
+        else:
+            return anything_else()
+    elif kind == END_TAG:
+        name = t.normal_name
+        if name == "optgroup":
+            if tb.current_element_is("option"):
+                above = tb.above_on_stack(tb.current_element())
+                if above is not None and above.name_is("optgroup"):
+                    tb.process_end_tag("option")
+            if tb.current_element_is("optgroup"):
+                tb.pop()
+            else:
+                tb.error(_in_select)
+        elif name == "option":
+            if tb.current_element_is("option"):
+                tb.pop()
+            else:
+                tb.error(_in_select)
+        elif name == "select":
+            if not tb.in_select_scope(name):
+                tb.error(_in_select)
+                return False
+            tb.pop_stack_to_close(name)
+            tb.reset_insertion_mode()
+        elif name == "template":
+            return tb.process_in(t, _in_head)
+        else:
+            return anything_else()
+    elif kind == EOF_TOKEN:
+        if not tb.current_element_is("html"):
+            tb.error(_in_select)
+    return True
+
+
+def _in_select_in_table(t, tb: HtmlTreeBuilder) -> bool:
+    if t.kind == START_TAG and t.normal_name in C_InSelectTableEnd:
+        tb.error(_in_select_in_table)
+        tb.pop_stack_to_close("select")
+        tb.reset_insertion_mode()
+        return tb.process(t)
+    elif t.kind == END_TAG and t.normal_name in C_InSelectTableEnd:
+        tb.error(_in_select_in_table)
+        if tb.in_table_scope(t.normal_name):
+            tb.pop_stack_to_close("select")
+            tb.reset_insertion_mode()
+            return tb.process(t)
+        return False
+    return tb.process_in(t, _in_select)
+
+
+def _in_template(t, tb: HtmlTreeBuilder) -> bool:
+    kind = t.kind
+    if kind in (CHARACTER, CDATA, COMMENT, DOCTYPE):
+        tb.process_in(t, _in_body)
+    elif kind == START_TAG:
+        name = t.normal_name
+        if name in C_InTemplateToHead:
+            tb.process_in(t, _in_head)
+        elif name in C_InTemplateToTable:
+            tb.pop_template_mode()
+            tb.push_template_mode(_in_table)
+            tb.state = _in_table
+            return tb.process(t)
+        elif name == "col":
+            tb.pop_template_mode()
+            tb.push_template_mode(_in_column_group)
+            tb.state = _in_column_group
+            return tb.process(t)
+        elif name == "tr":
+            tb.pop_template_mode()
+            tb.push_template_mode(_in_table_body)
+            tb.state = _in_table_body
+            return tb.process(t)
+        elif name in ("td", "th"):
+            tb.pop_template_mode()
+            tb.push_template_mode(_in_row)
+            tb.state = _in_row
+            return tb.process(t)
+        else:
+            tb.pop_template_mode()
+            tb.push_template_mode(_in_body)
+            tb.state = _in_body
+            return tb.process(t)
+    elif kind == END_TAG:
+        if t.normal_name == "template":
+            tb.process_in(t, _in_head)
+        else:
+            tb.error(_in_template)
+            return False
+    elif kind == EOF_TOKEN:
+        if not tb.on_stack_name("template"):
+            return True
+        tb.error(_in_template)
+        tb.pop_stack_to_close("template")
+        tb.clear_formatting_to_last_marker()
+        tb.pop_template_mode()
+        tb.reset_insertion_mode()
+        if tb.state is not _in_template and tb.template_mode_size() < 12:
+            return tb.process(t)
+        return True
+    return True
+
+
+def _after_body(t, tb: HtmlTreeBuilder) -> bool:
+    html = tb.get_from_stack("html")
+    if _is_whitespace_tok(t):
+        # deviation: whitespace goes to the html node
+        if html is not None:
+            tb.insert_character_to_element(t, html)
+        else:
+            tb.process_in(t, _in_body)
+    elif t.kind == COMMENT:
+        tb.insert_comment_node(t)
+    elif t.kind == DOCTYPE:
+        tb.error(_after_body)
+        return False
+    elif t.kind == START_TAG and t.normal_name == "html":
+        return tb.process_in(t, _in_body)
+    elif t.kind == END_TAG and t.normal_name == "html":
+        if tb.fragment_parsing:
+            tb.error(_after_body)
+            return False
+        tb.state = _after_after_body
+    elif t.kind == EOF_TOKEN:
+        pass
+    else:
+        tb.error(_after_body)
+        tb.reset_body()
+        return tb.process(t)
+    return True
+
+
+def _in_frameset(t, tb: HtmlTreeBuilder) -> bool:
+    if _is_whitespace_tok(t):
+        tb.insert_character_node(t)
+    elif t.kind == COMMENT:
+        tb.insert_comment_node(t)
+    elif t.kind == DOCTYPE:
+        tb.error(_in_frameset)
+        return False
+    elif t.kind == START_TAG:
+        name = t.normal_name
+        if name == "html":
+            return tb.process_in(t, _in_body)
+        elif name == "frameset":
+            tb.insert_element_for(t)
+        elif name == "frame":
+            tb.insert_empty_element_for(t)
+        elif name == "noframes":
+            return tb.process_in(t, _in_head)
+        else:
+            tb.error(_in_frameset)
+            return False
+    elif t.kind == END_TAG and t.normal_name == "frameset":
+        if tb.current_element_is("html"):
+            tb.error(_in_frameset)
+            return False
+        tb.pop()
+        if not tb.fragment_parsing and not tb.current_element_is("frameset"):
+            tb.state = _after_frameset
+    elif t.kind == EOF_TOKEN:
+        if not tb.current_element_is("html"):
+            tb.error(_in_frameset)
+        return True
+    else:
+        tb.error(_in_frameset)
+        return False
+    return True
+
+
+def _after_frameset(t, tb: HtmlTreeBuilder) -> bool:
+    if _is_whitespace_tok(t):
+        tb.insert_character_node(t)
+    elif t.kind == COMMENT:
+        tb.insert_comment_node(t)
+    elif t.kind == DOCTYPE:
+        tb.error(_after_frameset)
+        return False
+    elif t.kind == START_TAG and t.normal_name == "html":
+        return tb.process_in(t, _in_body)
+    elif t.kind == END_TAG and t.normal_name == "html":
+        tb.state = _after_after_frameset
+    elif t.kind == START_TAG and t.normal_name == "noframes":
+        return tb.process_in(t, _in_head)
+    elif t.kind == EOF_TOKEN:
+        pass
+    else:
+        tb.error(_after_frameset)
+        return False
+    return True
+
+
+def _after_after_body(t, tb: HtmlTreeBuilder) -> bool:
+    if t.kind == COMMENT:
+        tb.insert_comment_node(t)
+    elif t.kind == DOCTYPE or \
+            (t.kind == START_TAG and t.normal_name == "html"):
+        return tb.process_in(t, _in_body)
+    elif _is_whitespace_tok(t):
+        tb.insert_character_to_element(t, tb.doc)
+    elif t.kind == EOF_TOKEN:
+        pass
+    else:
+        tb.error(_after_after_body)
+        tb.reset_body()
+        return tb.process(t)
+    return True
+
+
+def _after_after_frameset(t, tb: HtmlTreeBuilder) -> bool:
+    if t.kind == COMMENT:
+        tb.insert_comment_node(t)
+    elif t.kind == DOCTYPE or _is_whitespace_tok(t) or \
+            (t.kind == START_TAG and t.normal_name == "html"):
+        return tb.process_in(t, _in_body)
+    elif t.kind == EOF_TOKEN:
+        pass
+    elif t.kind == START_TAG and t.normal_name == "noframes":
+        return tb.process_in(t, _in_head)
+    else:
+        tb.error(_after_after_frameset)
+        return False
+    return True
+
+
+def _foreign_content(t, tb: HtmlTreeBuilder) -> bool:
+    def process_as_html():
+        return tb.state(t, tb)
+
+    kind = t.kind
+    if kind in (CHARACTER, CDATA):
+        if t.data == "\x00":
+            tb.error(_foreign_content)
+        elif _is_blank(t.data):
+            tb.insert_character_node(t)
+        else:
+            tb.insert_character_node(t)
+            tb.frameset_ok = False
+    elif kind == COMMENT:
+        tb.insert_comment_node(t)
+    elif kind == DOCTYPE:
+        tb.error(_foreign_content)
+    elif kind == START_TAG:
+        if t.normal_name in C_InForeignToHtml:
+            return process_as_html()
+        if t.normal_name == "font":
+            keys = {k.lower() for k, _v in t.attrs}
+            if keys & {"color", "face", "size"}:
+                return process_as_html()
+        tb.insert_foreign_element_for(t, tb.current_element().tag.namespace)
+    elif kind == END_TAG:
+        name = t.normal_name
+        if name in ("br", "p"):
+            return process_as_html()
+        if name == "script" and \
+                tb.current_element_is("script", NAMESPACE_SVG):
+            tb.pop()
+            return True
+        stack = tb.stack
+        if not stack:
+            return True
+        i = len(stack) - 1
+        el = stack[i]
+        if not el.name_is(name):
+            tb.error(_foreign_content)
+        while i != 0:
+            if el.name_is(name):
+                tb.pop_stack_to_close_any_ns(el.normal_name())
+                return True
+            i -= 1
+            el = stack[i]
+            if el.tag.namespace == NAMESPACE_HTML:
+                return process_as_html()
+    return True

@@ -1196,7 +1196,8 @@ class PseudoTextElement(Element):
 class Document(Element):
     """nodes/Document.kt:27"""
 
-    __slots__ = ("output_settings", "quirks_mode", "location", "parser")
+    __slots__ = ("output_settings", "quirks_mode", "location", "parser",
+                 "parse_errors", "error_list")
 
     def __init__(self, base_uri: str = ""):
         super().__init__(tag_value_of("#root"), base_uri)
@@ -1204,6 +1205,8 @@ class Document(Element):
         self.quirks_mode = "noQuirks"  # noQuirks | quirks | limitedQuirks
         self.location = base_uri
         self.parser = None  # set by the Parser that built this doc
+        self.parse_errors = 0
+        self.error_list: list[str] = []
 
     def node_name(self) -> str:
         return "#document"

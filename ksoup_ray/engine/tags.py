@@ -38,8 +38,11 @@ class Tag:
         self.name = name
         self.normal_name = name.lower()
         self.namespace = namespace
-        self.is_block = False
-        self.format_as_block = False
+        # defaults per reference Tag.kt:17-19 — a registered-but-unlisted
+        # tag (e.g. button, dfn) is block; UNKNOWN tags get is_block=False
+        # in value_of (Tag.kt valueOf "not defined: create default")
+        self.is_block = True
+        self.format_as_block = True
         self.is_empty = False
         self.self_closing = False
         self.preserve_whitespace = False
@@ -161,26 +164,35 @@ def is_known_tag(name: str) -> bool:
     return name in TAGS
 
 
+def _clone_tag(t: Tag) -> Tag:
+    c = Tag(t.name, t.namespace)
+    for s in ("is_block", "format_as_block", "is_empty", "self_closing",
+              "preserve_whitespace", "is_form_listed", "is_form_submittable",
+              "is_known"):
+        setattr(c, s, getattr(t, s))
+    return c
+
+
 def value_of(tag_name: str, namespace: str = NAMESPACE_HTML,
              preserve_case: bool = False) -> Tag:
-    """Intern-or-create a tag (reference Tag.kt:125-175 valueOf).
+    """Intern-or-create a tag (reference Tag.kt valueOf).
 
-    With default HTML settings tag names are lower-cased; unknown tags get
-    a fresh non-registered descriptor (syntactic tags, not self-closing).
+    Known tags come from the registry (cloned with original case when
+    preserving); UNKNOWN tags get a fresh descriptor with is_block=False
+    ("go anywhere, do anything").
     """
-    if not preserve_case:
-        tag_name = tag_name.lower()
-        t = TAGS.get(tag_name)
-        if t is not None and t.namespace == namespace:
-            return t
-    else:
-        t = TAGS.get(tag_name)
-        if t is not None and t.name == tag_name and t.namespace == namespace:
-            return t
-        # case-preserved lookup: a known tag in different case is a new tag
-    tag = Tag(tag_name, namespace)
-    known = TAGS.get(tag_name.lower())
-    if known is not None and preserve_case and tag_name != tag_name.lower():
-        # case-sensitive settings: unknown cased variant, keep defaults
-        tag.is_block = False
+    t = TAGS.get(tag_name)
+    if t is not None and t.namespace == namespace:
+        return t
+    normalized = tag_name if preserve_case else tag_name.lower().strip()
+    normal = normalized.lower()
+    t = TAGS.get(normal)
+    if t is not None and t.namespace == namespace:
+        if preserve_case and normalized != normal:
+            c = _clone_tag(t)
+            c.name = normalized
+            return c
+        return t
+    tag = Tag(normalized, namespace)
+    tag.is_block = False
     return tag

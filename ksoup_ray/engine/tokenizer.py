@@ -202,7 +202,12 @@ _ATTR_VAL_SQ_SCAN = re.compile(r"['&\x00]")
 _ESCAPED_SCAN = re.compile(r"[-<\x00]")
 _COMMENT_SCAN = re.compile(r"[-\x00]")
 _LETTERS = re.compile(r"[^\W\d_]+")  # unicode letters (Char.isLetter)
-_WS = "\t\n\r\f "
+_WS = frozenset("\t\n\r\f ")
+_QUOTE_EQ = frozenset("\"'=")
+_QUOTE_LT = frozenset("\"'<")
+_LT_EQ_BT = frozenset("<=`")
+_UNQ_ERR = frozenset("\"'<=`")
+_SLASH_GT = frozenset("/>")
 
 
 class Tokeniser:
@@ -810,7 +815,7 @@ def _handle_data_double_escape(t: Tokeniser, primary: int, fallback: int) -> Non
         t._emit_chars(name)
         return
     c = t._consume()
-    if c in _WS or c in "/>":
+    if c in _WS or c in _SLASH_GT:
         if "".join(t._data_buffer) == "script":
             t.state = primary
         else:
@@ -924,7 +929,7 @@ def _s_before_attr_name(t: Tokeniser) -> None:
     elif c == EOF:
         t.error("eof before attr name")
         t.state = DATA
-    elif c in "\"'=":
+    elif c in _QUOTE_EQ:
         t.error("quote before attr name")
         t._tag.new_attribute()
         t._tag.append_attr_name(c)
@@ -952,7 +957,7 @@ def _s_attr_name(t: Tokeniser) -> None:
     elif c == EOF:
         t.error("eof in attr name")
         t.state = DATA
-    elif c in "\"'<":
+    elif c in _QUOTE_LT:
         t.error("quote in attr name")
         t._tag.append_attr_name(c)
     else:
@@ -977,7 +982,7 @@ def _s_after_attr_name(t: Tokeniser) -> None:
     elif c == EOF:
         t.error("eof after attr name")
         t.state = DATA
-    elif c in "\"'<":
+    elif c in _QUOTE_LT:
         t.error("quote after attr name")
         t._tag.new_attribute()
         t._tag.append_attr_name(c)
@@ -1011,7 +1016,7 @@ def _s_before_attr_value(t: Tokeniser) -> None:
         t.error("> before attr value")
         t.emit_tag_pending()
         t.state = DATA
-    elif c in "<=`":
+    elif c in _LT_EQ_BT:
         t.error("unexpected before attr value")
         t._tag.append_attr_value(c)
         t.state = ATTR_VALUE_UNQUOTED
@@ -1069,7 +1074,7 @@ def _s_attr_value_unquoted(t: Tokeniser) -> None:
     elif c == EOF:
         t.error("eof in attr value")
         t.state = DATA
-    elif c in "\"'<=`":
+    elif c in _UNQ_ERR:
         t.error("quote in unquoted attr value")
         t._tag.append_attr_value(c)
     else:

@@ -656,10 +656,8 @@ class HtmlTreeBuilder:
         cached = self.seen_tags.get(tag_name)
         if cached is not None and cached.namespace == namespace:
             return cached
-        name = settings.normalize_tag(tag_name)
-        tag = TAGS.get(name)
-        if tag is None or tag.namespace != namespace:
-            tag = Tag(name, namespace)
+        from .tags import value_of
+        tag = value_of(tag_name, namespace, settings.preserve_tag_case)
         self.seen_tags[tag_name] = tag
         return tag
 

@@ -1,0 +1,198 @@
+"""The flagship extraction pipeline: read → parse/extract → partitioned
+write, with per-partition lineage and checkpoint resume.
+
+North-rule obligations implemented here (SURVEY.md §4):
+
+* deterministic ``partition_id = crc32(url) % P`` assigned at ingest —
+  the checkpoint/resume granularity;
+* resume: partitions that already have a lineage record are filtered
+  out at the start of the run (vectorized mask, no parse work);
+* skew: ``doc_bytes`` computed vectorized (`pc.binary_length`); rows
+  above ``big_doc_bytes`` route to a dedicated actor pool with a small
+  batch size so megabyte pages don't stall 256-row batches;
+* output: ``out_dir/data/partition_id=N/...parquet`` (one dir per
+  partition — resumable, never one giant file) + ``out_dir/_lineage/
+  N.json`` (rows, bytes, errors, wall ms, engine version);
+* lineage is derived from the written Parquet footers (no second
+  execution of the pipeline, no extra shuffle).
+
+The whole flow is streaming: one pass over the input, blocks flow
+through the object store with backpressure; nothing is materialized.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..stages.extract import DEFAULT_STRIP, ParseExtract
+from .. import __version__
+
+LINEAGE_DIR = "_lineage"
+DATA_DIR = "data"
+
+
+def _list_done_partitions(out_dir: str) -> set[int]:
+    lin = os.path.join(out_dir, LINEAGE_DIR)
+    if not os.path.isdir(lin):
+        return set()
+    done = set()
+    for name in os.listdir(lin):
+        if name.endswith(".json"):
+            try:
+                done.add(int(name[:-5]))
+            except ValueError:
+                pass
+    return done
+
+
+def _add_ingest_columns(num_partitions: int):
+    """Vectorized pre-stage: doc_bytes + partition_id (stateless tasks)."""
+    import zlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if "doc_bytes" not in batch.column_names:
+            batch = batch.append_column(
+                "doc_bytes",
+                pc.cast(pc.binary_length(batch.column("html")), pa.int64()))
+        urls = batch.column("url").to_pylist()
+        pids = pa.array(
+            [zlib.crc32(u.encode()) % num_partitions for u in urls],
+            pa.int32())
+        if "partition_id" in batch.column_names:
+            batch = batch.drop_columns(["partition_id"])
+        return batch.append_column("partition_id", pids)
+
+    return fn
+
+
+def run_extraction(
+    ds,
+    out_dir: str,
+    *,
+    num_partitions: int = 64,
+    concurrency=(2, 8),
+    batch_size: int = 64,
+    big_doc_bytes: int = 512 * 1024,
+    big_batch_size: int = 4,
+    split_by_size: bool = True,
+    resume: bool = True,
+    strip: str = DEFAULT_STRIP,
+    write: bool = True,
+):
+    """Run extraction over a CC-page Dataset.
+
+    Returns the output Dataset when ``write=False`` (caller consumes),
+    else writes partitioned Parquet + lineage and returns stats dict.
+    """
+    t_start = time.time()
+    done = _list_done_partitions(out_dir) if (resume and write) else set()
+
+    ds = ds.map_batches(_add_ingest_columns(num_partitions),
+                        batch_format="pyarrow")
+
+    if done:
+        done_arr = list(done)
+
+        def not_done(batch: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(batch.column("partition_id"),
+                                      value_set=pa.array(done_arr,
+                                                         pa.int32())))
+            return batch.filter(mask)
+
+        ds = ds.map_batches(not_done, batch_format="pyarrow")
+
+    make_actor_kwargs = dict(strip=strip, num_partitions=num_partitions,
+                             big_doc_bytes=big_doc_bytes)
+
+    if split_by_size:
+        # one logical pass; the filter stages are vectorized and cheap,
+        # the expensive parse executes exactly once per row in one of
+        # the two pools (small: big batches; big: tiny batches).
+        small = ds.map_batches(
+            lambda b: b.filter(pc.less_equal(b.column("doc_bytes"),
+                                             big_doc_bytes)),
+            batch_format="pyarrow")
+        big = ds.map_batches(
+            lambda b: b.filter(pc.greater(b.column("doc_bytes"),
+                                          big_doc_bytes)),
+            batch_format="pyarrow")
+        small_out = small.map_batches(
+            ParseExtract, fn_constructor_kwargs=make_actor_kwargs,
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, num_cpus=1)
+        big_out = big.map_batches(
+            ParseExtract, fn_constructor_kwargs=make_actor_kwargs,
+            batch_format="pyarrow", batch_size=big_batch_size,
+            concurrency=(1, max(2, concurrency[1] // 4))
+            if isinstance(concurrency, tuple) else concurrency,
+            num_cpus=1)
+        out = small_out.union(big_out)
+    else:
+        out = ds.map_batches(
+            ParseExtract, fn_constructor_kwargs=make_actor_kwargs,
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, num_cpus=1)
+
+    if not write:
+        return out
+
+    data_dir = os.path.join(out_dir, DATA_DIR)
+    out.write_parquet(data_dir, partition_cols=["partition_id"])
+    wall_ms = int((time.time() - t_start) * 1000)
+    stats = write_lineage(out_dir, wall_ms)
+    return stats
+
+
+def write_lineage(out_dir: str, wall_ms: int) -> dict:
+    """Derive per-partition lineage from written Parquet footers."""
+    data_dir = os.path.join(out_dir, DATA_DIR)
+    lin_dir = os.path.join(out_dir, LINEAGE_DIR)
+    os.makedirs(lin_dir, exist_ok=True)
+    total_rows = 0
+    total_bytes = 0
+    total_errors = 0
+    n_parts = 0
+    for name in sorted(os.listdir(data_dir)):
+        if not name.startswith("partition_id="):
+            continue
+        pid = int(name.split("=", 1)[1])
+        pdir = os.path.join(data_dir, name)
+        rows = 0
+        doc_bytes = 0
+        errors = 0
+        files = []
+        for f in sorted(os.listdir(pdir)):
+            if not f.endswith(".parquet"):
+                continue
+            path = os.path.join(pdir, f)
+            t = pq.read_table(path, columns=["doc_bytes", "parse_errors"])
+            rows += t.num_rows
+            doc_bytes += pc.sum(t.column("doc_bytes")).as_py() or 0
+            errors += pc.sum(t.column("parse_errors")).as_py() or 0
+            files.append(f)
+        lineage = {
+            "partition_id": pid,
+            "rows": rows,
+            "doc_bytes": doc_bytes,
+            "parse_errors": errors,
+            "files": files,
+            "wall_ms": wall_ms,
+            "engine_version": __version__,
+        }
+        tmp = os.path.join(lin_dir, f".{pid}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(lineage, fh)
+        os.replace(tmp, os.path.join(lin_dir, f"{pid}.json"))
+        total_rows += rows
+        total_bytes += doc_bytes
+        total_errors += errors
+        n_parts += 1
+    return {"partitions": n_parts, "rows": total_rows,
+            "doc_bytes": total_bytes, "parse_errors": total_errors,
+            "wall_ms": wall_ms}

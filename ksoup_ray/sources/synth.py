@@ -1,0 +1,211 @@
+"""Deterministic Common-Crawl-style page synthesis.
+
+Builds the pipeline input table of `BASELINE.json.input_hint`:
+``(url, warc_ts, html:binary, text, lang)`` from the driver-provided
+``documents`` table — every page is a pure function of
+``(doc_id, text, lang)``, so the whole corpus is reproducible and the
+expected extraction output is computable in SQL (the DuckDB oracle).
+
+Invertibility contract (what the oracle relies on):
+* ``extracted_text`` == the ``text`` column byte-for-byte (body
+  paragraphs re-join with single spaces under Element.text() semantics;
+  boilerplate — script/style/nav — carries junk that must be stripped);
+* ``title`` == ``'Doc ' || lpad(doc_id, 8, '0')``;
+* ``n_links`` == ``doc_id % 4`` (links live in <nav>, stripped from text);
+* ``lang`` passes through; charset varies by doc_id (deterministic)
+  without changing the decoded text.
+
+The generator is vectorized per batch (plain str ops in a tight loop —
+string building, no parsing); the expensive stage is parsing, not
+synthesis.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+
+BASE_URL = "https://synth.invalid"
+EPOCH = datetime.datetime(2024, 10, 24, 0, 0, 0)
+
+# charset family rotation: deterministic by doc_id. All synth text is
+# ASCII so every charset encodes it; the decode path exercises BOM +
+# meta-sniff + default.
+_CHARSET_FAMILY = (
+    ("utf-8", "utf-8", False),        # plain default
+    ("utf-8", "utf-8", False),
+    ("utf-8", "utf-8", False),
+    ("utf-8", "utf-8", False),
+    ("iso-8859-1", "iso-8859-1", False),  # meta-declared latin-1
+    ("utf-8", "utf-8", True),         # BOM-prefixed utf-8
+    ("gb2312", "gb2312", False),      # meta-declared gb2312
+    ("utf-16-le", "utf-16", True),    # BOM utf-16
+)
+
+_BOMS = {
+    "utf-8": b"\xef\xbb\xbf",
+    "utf-16-le": b"\xff\xfe",
+}
+
+_WORDS_PER_PARA = 13
+
+# deterministic filler for the bench size mix (seeded LCG, no RNG state)
+_FILLER_WORDS = (
+    "lorem", "ipsum", "dolor", "sit", "amet", "consectetur", "adipiscing",
+    "elit", "sed", "do", "eiusmod", "tempor", "incididunt", "labore",
+    "dolore", "magna", "aliqua", "enim", "minim", "veniam", "quis",
+    "nostrud", "exercitation", "ullamco", "laboris", "nisi", "aliquip",
+    "commodo", "consequat", "duis", "aute", "irure",
+)
+
+
+def _lcg(seed: int):
+    state = (seed * 6364136223846793005 + 1442695040888963407) & (2**64 - 1)
+    while True:
+        state = (state * 6364136223846793005 + 1442695040888963407) \
+            & (2**64 - 1)
+        yield state >> 33
+
+
+def url_for(doc_id: int, lang: str) -> str:
+    return f"{BASE_URL}/{lang}/{doc_id:08d}"
+
+
+def title_for(doc_id: int) -> str:
+    return f"Doc {doc_id:08d}"
+
+
+def _paragraphs(words: list[str]) -> list[str]:
+    return [" ".join(words[i:i + _WORDS_PER_PARA])
+            for i in range(0, len(words), _WORDS_PER_PARA)] or [""]
+
+
+def render_page(doc_id: int, text: str, lang: str,
+                pad_bytes: int = 0) -> tuple[str, bytes, str]:
+    """Render one page → (url, html_bytes, expected_extracted_text).
+
+    ``pad_bytes`` > 0 appends deterministic filler paragraphs (bench size
+    mix); the expected text grows accordingly (still exact).
+    """
+    words = text.split(" ") if text else []
+    paras = _paragraphs(words)
+    tier = doc_id % len(_CHARSET_FAMILY)
+    charset, declared, use_bom = _CHARSET_FAMILY[tier]
+
+    n_links = doc_id % 4
+    nav_links = "".join(
+        f'<a href="/{lang}/{(doc_id + k + 1) % 100000000:08d}">'
+        f"more {k}</a> " for k in range(n_links))
+
+    parts: list[str] = []
+    parts.append("<!DOCTYPE html>\n<html><head>")
+    if use_bom or tier < 4:
+        pass  # BOM or default utf-8: no meta needed (but emit for realism)
+    parts.append(f'<meta http-equiv="Content-Type" '
+                 f'content="text/html; charset={declared}">')
+    title = title_for(doc_id)
+    parts.append(f"<title>{title}</title>")
+    parts.append(f'<meta property="og:title" content="{title}">')
+    parts.append(f'<meta name="description" content="synthetic page '
+                 f'{doc_id}">')
+    parts.append(f'<link rel="canonical" href="{url_for(doc_id, lang)}">')
+    parts.append("<style>p{margin:0} .x{color:#000}</style>")
+    parts.append("<script>var config = {\"id\": %d, \"x\": \"<b>\"};"
+                 "// <!-- tricky --> </script>" % doc_id)
+    parts.append("</head><body>")
+    parts.append(f"<nav>{nav_links}</nav>")
+    parts.append(f'<div id="content" class="doc lang-{lang}">')
+    expected: list[str] = []
+    for i, para in enumerate(paras):
+        # entity-encode a word deterministically on some docs: decodes
+        # back to the same text (tokenizer charref coverage, golden same)
+        if doc_id % 7 == 3 and i == 0 and para:
+            first, _, rest = para.partition(" ")
+            enc = "".join(f"&#{ord(c)};" for c in first)
+            para_html = enc + (" " + rest if rest else "")
+        else:
+            para_html = para
+        cls = ' class="an-info"' if i % 5 == 0 else ""
+        parts.append(f"<p{cls}>{para_html}</p>")
+        expected.append(para)
+    parts.append("</div>")
+    if pad_bytes > 0:
+        rng = _lcg(doc_id)
+        pad_words: list[str] = []
+        approx = 0
+        while approx < pad_bytes:
+            w = _FILLER_WORDS[next(rng) % len(_FILLER_WORDS)]
+            pad_words.append(w)
+            approx += len(w) + 1
+        for i in range(0, len(pad_words), _WORDS_PER_PARA):
+            chunk = " ".join(pad_words[i:i + _WORDS_PER_PARA])
+            parts.append(f"<p>{chunk}</p>")
+            expected.append(chunk)
+    parts.append("<script>trailing();</script>")
+    parts.append("</body></html>")
+    html = "".join(parts)
+    raw = html.encode(charset)
+    if use_bom:
+        raw = _BOMS[charset] + raw
+    # expected text: paragraphs joined by single space (block-boundary
+    # space + trim semantics of Element.text())
+    expected_text = " ".join(e for e in expected if e != "") \
+        if any(expected) else ""
+    return url_for(doc_id, lang), raw, expected_text
+
+
+def render_batch(batch: pa.Table, pad_mix: bool = False) -> pa.Table:
+    """documents-table batch → CC-page batch (Arrow in / Arrow out).
+
+    ``pad_mix=True`` applies the FIXTURES.md bench size mix:
+    60% 2–20 KB, 30% 20–200 KB, 9% 200 KB–1 MB, 1% 1–2 MB.
+    """
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    urls: list[str] = []
+    tss: list[datetime.datetime] = []
+    htmls: list[bytes] = []
+    out_texts: list[str] = []
+    for doc_id, text, lang in zip(doc_ids, texts, langs):
+        pad = 0
+        if pad_mix:
+            bucket = (doc_id * 2654435761) % 100
+            if bucket < 60:
+                pad = 2_000 + (doc_id * 97) % 18_000
+            elif bucket < 90:
+                pad = 20_000 + (doc_id * 997) % 180_000
+            elif bucket < 99:
+                pad = 200_000 + (doc_id * 9973) % 800_000
+            else:
+                pad = 1_000_000 + (doc_id * 99991) % 1_000_000
+        url, raw, expected = render_page(doc_id, text or "", lang or "en",
+                                         pad_bytes=pad)
+        urls.append(url)
+        tss.append(EPOCH + datetime.timedelta(seconds=int(doc_id)))
+        htmls.append(raw)
+        out_texts.append(expected)
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array(out_texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "doc_id": batch.column("doc_id"),
+    })
+
+
+def cc_pages(sf_dir: str, pad_mix: bool = False, columns=None):
+    """Ray Dataset of synthesized CC pages from ``{sf_dir}/documents.parquet``.
+
+    Streaming: read → map_batches(render) — no materialization. At 100 TB
+    the real input would already BE such a table; this source stands in
+    for `read_parquet` on crawl shards.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    return ds.map_batches(lambda b: render_batch(b, pad_mix=pad_mix),
+                          batch_format="pyarrow", batch_size=256)

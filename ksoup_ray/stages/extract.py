@@ -1,0 +1,199 @@
+"""ParseExtract — the flagship actor-pool stage.
+
+``map_batches(ParseExtract, batch_format="pyarrow", concurrency=(a,b),
+batch_size=B)`` over the CC-page table: per row, decode bytes (charset
+precedence BOM → meta → UTF-8), HTML5-parse, strip boilerplate
+(script/style/nav…), and emit the whitespace-normalized body text
+(byte-identical to reference ``Element.text()``), plus title, meta
+struct, resolved links, parse-error count and doc size.
+
+Actor-pool rationale (SURVEY.md §2.6): tag/entity trait tables and
+compiled selectors are module-level (built once per worker process);
+the actor instance holds the compiled removal selector and per-actor
+counters — amortized across every batch the actor processes, mirroring
+the reference's SoftPool / ThreadLocal reuse discipline.
+
+Scale notes:
+* zero-copy in: Arrow binary column → Python bytes per row (unavoidable
+  for parsing); out: plain Arrow arrays.
+* the per-batch loop is per-ROW because an HTML5 parse is inherently
+  per-document; all *cross-row* work stays vectorized/Arrow.
+* oversized rows: rows above ``big_doc_bytes`` are parsed with the same
+  code but counted separately; pair with byte-budget batching at the
+  pipeline level so one 2 MB page doesn't stall a 4096-row batch.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..engine import parser as P
+from ..engine.charset import decode_html
+from ..engine.select import parse_query
+
+# north_star boilerplate-strip recipe: script/style/nav removal + chrome
+DEFAULT_STRIP = "script, style, nav, noscript, template, iframe, svg, form"
+
+META_STRUCT = pa.struct([
+    ("og_title", pa.string()),
+    ("description", pa.string()),
+    ("canonical", pa.string()),
+])
+LINKS_TYPE = pa.list_(pa.struct([("href", pa.string()),
+                                 ("text", pa.string())]))
+
+OUT_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("extracted_text", pa.string()),
+    ("title", pa.string()),
+    ("meta", META_STRUCT),
+    ("links", LINKS_TYPE),
+    ("lang", pa.string()),
+    ("parse_errors", pa.int32()),
+    ("doc_bytes", pa.int64()),
+    ("partition_id", pa.int32()),
+])
+
+
+def extract_document(raw: bytes, base_uri: str = "",
+                     strip_query=None, want_links: bool = True,
+                     want_meta: bool = True):
+    """Pure per-document kernel: bytes → extraction dict. Reusable from
+    tests and from non-Ray callers."""
+    text, _charset = decode_html(raw)
+    doc = P.parse(text, base_uri)
+    n_errors = doc.parse_errors
+
+    title = doc.title()
+
+    meta = None
+    if want_meta:
+        head = doc.head()
+        scope = head if head is not None else doc
+        og = scope.select_first("meta[property=og:title]")
+        desc = scope.select_first("meta[name=description]")
+        canon = scope.select_first("link[rel=canonical]")
+        meta = {
+            "og_title": og.attr("content") if og is not None else None,
+            "description": desc.attr("content") if desc is not None else None,
+            "canonical": canon.attr("href") if canon is not None else None,
+        }
+
+    body = doc.body()
+    links = []
+    if body is not None:
+        if want_links:
+            for a in body.select("a[href]"):
+                links.append({"href": a.abs_url("href") or a.attr("href"),
+                              "text": a.text()})
+        if strip_query is not None:
+            for el in body.select(strip_query):
+                el.remove()
+        extracted = body.text()
+    else:
+        extracted = ""
+    return {
+        "extracted_text": extracted,
+        "title": title,
+        "meta": meta,
+        "links": links,
+        "parse_errors": n_errors,
+    }
+
+
+class ParseExtract:
+    """Callable class for ``map_batches`` (actor pool)."""
+
+    def __init__(self, strip: str = DEFAULT_STRIP, num_partitions: int = 64,
+                 want_links: bool = True, want_meta: bool = True,
+                 big_doc_bytes: int = 1 << 20):
+        # compiled once per actor (reference: ThreadLocal selector memo)
+        self.strip_eval = parse_query(strip) if strip else None
+        self.num_partitions = num_partitions
+        self.want_links = want_links
+        self.want_meta = want_meta
+        self.big_doc_bytes = big_doc_bytes
+        # per-actor counters (read via ds.stats() / lineage aggregation)
+        self.docs = 0
+        self.bytes = 0
+        self.big_docs = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        langs = (batch.column("lang").to_pylist()
+                 if "lang" in batch.column_names else [None] * len(urls))
+        n = len(urls)
+        out_text: list[str] = []
+        out_title: list[str] = []
+        out_meta: list[dict | None] = []
+        out_links: list[list] = []
+        out_errors: list[int] = []
+        out_bytes: list[int] = []
+        out_part: list[int] = []
+        for url, raw in zip(urls, htmls):
+            raw = raw or b""
+            size = len(raw)
+            if size > self.big_doc_bytes:
+                self.big_docs += 1
+            rec = extract_document(raw, url, self.strip_eval,
+                                   self.want_links, self.want_meta)
+            out_text.append(rec["extracted_text"])
+            out_title.append(rec["title"])
+            out_meta.append(rec["meta"])
+            out_links.append(rec["links"])
+            out_errors.append(rec["parse_errors"])
+            out_bytes.append(size)
+            out_part.append(_partition_of(url, self.num_partitions))
+            self.docs += 1
+            self.bytes += size
+        return pa.table({
+            "url": batch.column("url"),
+            "extracted_text": pa.array(out_text, pa.string()),
+            "title": pa.array(out_title, pa.string()),
+            "meta": pa.array(out_meta, META_STRUCT),
+            "links": pa.array(out_links, LINKS_TYPE),
+            "lang": pa.array(langs, pa.string()),
+            "parse_errors": pa.array(out_errors, pa.int32()),
+            "doc_bytes": pa.array(out_bytes, pa.int64()),
+            "partition_id": pa.array(out_part, pa.int32()),
+        })
+
+
+def _partition_of(url: str, num_partitions: int) -> int:
+    """Deterministic partition id (checkpoint/lineage granularity).
+    Stable across runs and processes — NOT Python hash() (salted)."""
+    import zlib
+    return zlib.crc32(url.encode()) % num_partitions
+
+
+class SelectStage:
+    """Generic CSS-select stage: per row, run a compiled query over the
+    parsed doc and emit match count + first-match text/attr. Demonstrates
+    the query/predicate engine as a distributed operator."""
+
+    def __init__(self, query: str, attr: str | None = None):
+        self.eval = parse_query(query)
+        self.query = query
+        self.attr = attr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        htmls = batch.column("html").to_pylist()
+        counts: list[int] = []
+        firsts: list[str | None] = []
+        for raw in htmls:
+            text, _ = decode_html(raw or b"")
+            doc = P.parse(text)
+            matches = doc.select(self.eval)
+            counts.append(len(matches))
+            if matches:
+                el = matches[0]
+                firsts.append(el.attr(self.attr) if self.attr else el.text())
+            else:
+                firsts.append(None)
+        out = {
+            "url": batch.column("url"),
+            "n_matches": pa.array(counts, pa.int64()),
+            "first_match": pa.array(firsts, pa.string()),
+        }
+        return pa.table(out)

@@ -1,0 +1,196 @@
+"""Benchmark driver — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "mb_per_sec": ...}
+
+``--scaling`` runs the headline pipeline in two fresh processes
+(RAY_GRAFT_CPUS=8 and =32) on the same input and reports both
+throughputs + efficiency = (T8/T32)/4 — the sandbox stand-in for the
+north rule's N vs 4N cluster-size criterion (BASELINE.md).
+
+The bench corpus (FIXTURES.md size mix: 60% 2-20KB, 30% 20-200KB,
+9% 200KB-1MB, 1% 1-2MB) is synthesized once per (sf, docs) and cached
+as Parquet under /tmp/ksoup_bench — corpus generation is NOT timed;
+one untimed read warms the page cache before measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "20000"))
+CACHE_ROOT = os.environ.get("GRAFT_BENCH_CACHE", "/tmp/ksoup_bench")
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def ensure_corpus(sf_dir: str, n_docs: int) -> str:
+    """Synthesize (once) the padded bench corpus → cached parquet dir."""
+    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{n_docs}"
+    out = os.path.join(CACHE_ROOT, key)
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    import ray.data as rd
+    from ksoup_ray.sources.synth import render_batch
+
+    log(f"bench: generating corpus {key} (not timed)")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    if n_docs > 0:
+        ds = ds.limit(n_docs)
+    pages = ds.map_batches(lambda b: render_batch(b, pad_mix=True),
+                           batch_format="pyarrow", batch_size=128)
+    pages.write_parquet(out)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+def run_headline(corpus_dir: str, num_cpus: int) -> dict:
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ksoup_ray.pipelines.extract import run_extraction
+
+    out_dir = "/tmp/ksoup_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # untimed warm read (page cache), also gives docs/bytes totals
+    warm = rd.read_parquet(corpus_dir, columns=["url", "html"])
+    total = warm.map_batches(
+        lambda b: {"n": [b.num_rows],
+                   "bytes": [pc.sum(pc.binary_length(b.column("html"))).as_py()]},
+        batch_format="pyarrow").to_pandas()
+    n_docs = int(total["n"].sum())
+    n_bytes = int(total["bytes"].sum())
+
+    conc = (2, max(4, num_cpus))
+    t0 = time.time()
+    ds = rd.read_parquet(corpus_dir)
+    stats = run_extraction(
+        ds, out_dir, num_partitions=64, concurrency=conc,
+        batch_size=32, resume=False, split_by_size=True)
+    wall = time.time() - t0
+    return {
+        "sec": wall,
+        "docs": n_docs,
+        "bytes": n_bytes,
+        "docs_per_sec": n_docs / wall,
+        "mb_per_sec": n_bytes / 1e6 / wall,
+        "rows_out": stats["rows"],
+    }
+
+
+def run_secondary(sf_dir: str) -> dict:
+    """Secondary operator timings (dedup / textstats / ann)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import minhash_lsh_dedup
+    from ksoup_ray.functions.similarity import brute_force_topk
+    from ksoup_ray.functions.textstats import token_count_batch
+
+    out = {}
+
+    t0 = time.time()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    n = ds.map_batches(token_count_batch, batch_format="pyarrow").count()
+    out["token_count"] = time.time() - t0
+
+    t0 = time.time()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    minhash_lsh_dedup(ds, num_hashes=64, num_bands=8,
+                      concurrency=(1, 8)).count()
+    out["minhash_dedup"] = time.time() - t0
+
+    t0 = time.time()
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    queries = np.array(qt.to_pandas().sort_values("vec_id").head(4)
+                       ["embedding"].tolist(), dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    brute_force_topk(ds, queries, k=10, concurrency=(1, 8)).count()
+    out["ann_topk"] = time.time() - t0
+    return out
+
+
+def bench_once() -> dict:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    corpus = ensure_corpus(SF_DIR, BENCH_DOCS)
+    headline = run_headline(corpus, NUM_CPUS)
+    secondary = run_secondary(SF_DIR)
+    ray.shutdown()
+
+    queries = {"extract": round(headline["sec"], 3)}
+    queries.update({k: round(v, 3) for k, v in secondary.items()})
+    return {
+        "metric": ("documents/sec (and HTML MB/sec) extracted "
+                   "byte-identical on CC-style parquet shards"),
+        "value": round(headline["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+        "docs": headline["docs"],
+        "input_mb": round(headline["bytes"] / 1e6, 1),
+        "docs_per_sec": round(headline["docs_per_sec"], 1),
+        "mb_per_sec": round(headline["mb_per_sec"], 2),
+    }
+
+
+def bench_scaling() -> dict:
+    """Same job at num_cpus=8 and =32 in fresh processes."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        log(f"bench --scaling: running at num_cpus={ncpu}")
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True,
+                              check=True, cwd=os.path.dirname(
+                                  os.path.abspath(__file__)))
+        results[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t8 = results[8]["value"]
+    t32 = results[32]["value"]
+    eff = (t8 / t32) / 4.0
+    return {
+        "metric": "scaling efficiency (num_cpus 8 -> 32, sandbox proxy "
+                  "for N -> 4N nodes)",
+        "sec_8": t8,
+        "sec_32": t32,
+        "mb_per_sec_8": results[8]["mb_per_sec"],
+        "mb_per_sec_32": results[32]["mb_per_sec"],
+        "docs_per_sec_8": results[8]["docs_per_sec"],
+        "docs_per_sec_32": results[32]["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": results[32]["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(bench_scaling()))
+    else:
+        print(json.dumps(bench_once()))

@@ -1,0 +1,149 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* ``brute_force_topk`` — baseline: broadcast the query matrix once with
+  ``ray.put`` and do a numpy matmul per batch (each batch sees the
+  queries without reshipping them); exact.
+* ``ivf_topk`` — scale path: k-means-lite coarse quantizer (centroids
+  fit on a driver-side sample), each vector assigned to its nearest
+  centroid; queries probe only ``nprobe`` inverted lists → the matmul
+  touches a fraction of the data. Same output schema as brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceScorer:
+    """Actor: the broadcast query matrix is fetched ONCE per actor in
+    __init__ (ray.put on the driver → zero-copy reads here)."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        import ray
+        queries = ray.get(queries_ref) if not isinstance(queries_ref,
+                                                         np.ndarray) \
+            else queries_ref
+        self.queries = _normalize(np.asarray(queries, dtype=np.float32))
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column(self.vec_col).to_pylist(),
+                        dtype=np.float32)
+        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        unit = _normalize(vecs)
+        sims = unit @ self.queries.T  # (batch, Q)
+        q_ids: list[int] = []
+        v_ids: list = []
+        scores: list[float] = []
+        for q in range(self.queries.shape[0]):
+            col = sims[:, q]
+            top = min(self.k, len(col))
+            idx = np.argpartition(-col, top - 1)[:top]
+            for i in idx:
+                q_ids.append(q)
+                v_ids.append(ids[i])
+                scores.append(float(col[i]))
+        return pa.table({
+            "query_id": pa.array(q_ids, pa.int32()),
+            self.id_col: pa.array(v_ids),
+            "cosine": pa.array(scores, pa.float64()),
+        })
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     concurrency=(1, 4)):
+    """Exact cosine top-k of each query against the whole dataset.
+
+    Per-batch partial top-k (map_batches, broadcast queries) → tiny
+    global reduce per query — the combiner pattern: only k*Q*batches
+    candidate rows shuffle, never the embeddings.
+    """
+    import ray
+
+    q_ref = ray.put(np.asarray(queries, dtype=np.float32))
+    partial = ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs=dict(queries_ref=q_ref, k=k, vec_col=vec_col,
+                                   id_col=id_col),
+        batch_format="pyarrow", concurrency=concurrency)
+
+    def global_topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.nlargest(k, "cosine")
+
+    return partial.groupby("query_id").map_groups(global_topk,
+                                                  batch_format="pandas")
+
+
+def fit_centroids(sample: np.ndarray, num_centroids: int, iters: int = 10,
+                  seed: int = 11) -> np.ndarray:
+    """Small exact k-means on a driver-side sample (IVF coarse quantizer).
+
+    The sample is small by construction (ds.random_sample upstream);
+    the full dataset never materializes on the driver."""
+    rng = np.random.RandomState(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float32))
+    idx = rng.choice(len(sample), size=min(num_centroids, len(sample)),
+                     replace=False)
+    cents = sample[idx].copy()
+    for _ in range(iters):
+        sims = sample @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, num_centroids: int = 16,
+             nprobe: int = 4, vec_col: str = "embedding",
+             id_col: str = "vec_id", sample_fraction: float = 0.1,
+             seed: int = 11, concurrency=(1, 4)):
+    """IVF-style ANN: assign vectors to coarse cells, probe top cells.
+
+    Approximate (recall < 1 when a neighbor lands in an unprobed cell)
+    — that's the documented tradeoff vs ``brute_force_topk``.
+    """
+    import ray
+
+    sample = ds.random_sample(sample_fraction, seed=seed) \
+        .select_columns([vec_col]).to_pandas()
+    cents = fit_centroids(np.array(sample[vec_col].tolist()),
+                          num_centroids, seed=seed)
+    cents_ref = ray.put(cents)
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probe_cells = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    probed = set(probe_cells.ravel().tolist())
+    probed_ref = ray.put(np.array(sorted(probed), dtype=np.int64))
+
+    class CellFilter:
+        def __init__(self):
+            self.cents = ray.get(cents_ref)
+            self.probed = set(ray.get(probed_ref).tolist())
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(np.array(batch.column(vec_col).to_pylist(),
+                                       dtype=np.float32))
+            assign = (vecs @ self.cents.T).argmax(axis=1)
+            mask = np.isin(assign, list(self.probed))
+            return batch.filter(pa.array(mask))
+
+    filtered = ds.map_batches(CellFilter, batch_format="pyarrow",
+                              concurrency=concurrency)
+    return brute_force_topk(filtered, queries, k=k, vec_col=vec_col,
+                            id_col=id_col, concurrency=concurrency)

@@ -1,0 +1,143 @@
+"""Text analysis operators: token counting, quality scoring, language
+ID, document fingerprinting. All vectorized (pandas str / numpy) inside
+``map_batches`` — no per-row Python in the hot path except where a
+C-backed kernel doesn't exist.
+
+Each operator is exposed two ways:
+* a batch function for ``ds.map_batches`` (the scale path);
+* the SQL used by the DuckDB oracle documents the exact semantics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish word splitter: runs of letters, digits, or single non-space
+# punctuation — a deterministic stand-in for a real tokenizer's pre-split.
+BPE_SPLIT_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+# tiny per-language stopword marker sets (public, standard lists)
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "que"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "que", "de"},
+    "zh": set(),  # no-space langs fall through to the CJK-ratio check
+}
+
+_CJK_RE = re.compile(r"[一-鿿぀-ヿ가-힯]")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count — pure Arrow kernels (zero Python loop).
+
+    Oracle SQL: length(string_split(text, ' ')) adjusted for empties.
+    """
+    text = batch.column(text_col)
+    # count spaces + 1 on non-empty; 0 on empty/null
+    spaces = pc.count_substring(text, " ")
+    nonempty = pc.not_equal(pc.binary_length(text), 0)
+    counts = pc.if_else(nonempty, pc.add(spaces, 1), pa.scalar(0, pa.int32()))
+    return batch.append_column("token_count", pc.cast(counts, pa.int64()))
+
+
+def bpe_token_count_batch(batch: pa.Table,
+                          text_col: str = "text") -> pa.Table:
+    """Regex BPE-ish pre-tokenizer count (vectorized via pandas str)."""
+    s = batch.column(text_col).to_pandas()
+    counts = s.fillna("").str.count(BPE_SPLIT_RE)
+    return batch.append_column("bpe_token_count",
+                               pa.array(counts.astype("int64")))
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic quality signals: char length, word count, mean word
+    length, punct ratio, stopword ratio — the usual pre-training filters.
+    """
+    s = batch.column(text_col).to_pandas().fillna("")
+    n_chars = s.str.len().astype("int64")
+    n_words = s.str.count(" ").astype("int64") + (n_chars > 0).astype("int64")
+    n_punct = s.str.count(_PUNCT_RE).astype("int64")
+    mean_word_len = np.where(n_words > 0, (n_chars - (n_words - 1).clip(lower=0)) / n_words.clip(lower=1), 0.0)
+    punct_ratio = np.where(n_chars > 0, n_punct / n_chars.clip(lower=1), 0.0)
+    stop = _LANG_MARKERS["en"]
+    stop_counts = s.str.lower().str.split(" ").map(
+        lambda ws: sum(1 for w in ws if w in stop) if isinstance(ws, list) else 0)
+    stop_ratio = np.where(n_words > 0, stop_counts / n_words.clip(lower=1), 0.0)
+    out = batch
+    out = out.append_column("n_chars_q", pa.array(n_chars))
+    out = out.append_column("n_words", pa.array(n_words))
+    out = out.append_column("mean_word_len", pa.array(mean_word_len, pa.float64()))
+    out = out.append_column("punct_ratio", pa.array(punct_ratio, pa.float64()))
+    out = out.append_column("stopword_ratio", pa.array(stop_ratio, pa.float64()))
+    return out
+
+
+class LangId:
+    """n-gram/marker-word language heuristic (actor-pool stage: marker
+    tables built once per actor)."""
+
+    def __init__(self, langs=("en", "de", "fr", "es")):
+        self.markers = {lg: _LANG_MARKERS[lg] for lg in langs}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        out: list[str] = []
+        for t in texts:
+            t = (t or "").lower()
+            if _CJK_RE.search(t):
+                out.append("zh")
+                continue
+            words = t.split()
+            best, best_score = "und", 0
+            for lg, markers in self.markers.items():
+                score = sum(1 for w in words if w in markers)
+                if score > best_score:
+                    best, best_score = lg, score
+            out.append(best)
+        return batch.append_column("pred_lang", pa.array(out, pa.string()))
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Content fingerprint: md5 of the text (exact-dup key; md5 chosen so
+    the DuckDB oracle can recompute it)."""
+    texts = batch.column(text_col).to_pylist()
+    fps = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+    return batch.append_column("fingerprint", pa.array(fps, pa.string()))
+
+
+def rolling_hash_batch(batch: pa.Table, text_col: str = "text",
+                       window: int = 16, base: int = 257,
+                       mod: int = (1 << 61) - 1) -> pa.Table:
+    """Polynomial rolling-hash fingerprint (Rabin-Karp style) over bytes —
+    the winnowing building block. Deterministic; no SQL oracle (rows-only
+    check)."""
+    texts = batch.column(text_col).to_pylist()
+    mins: list[int] = []
+    for t in texts:
+        data = (t or "").encode()
+        if len(data) < window:
+            h = 0
+            for b in data:
+                h = (h * base + b) % mod
+            mins.append(h)
+            continue
+        h = 0
+        pw = pow(base, window - 1, mod)
+        lo = None
+        for i, b in enumerate(data):
+            if i >= window:
+                h = (h - data[i - window] * pw) % mod
+            h = (h * base + b) % mod
+            if i >= window - 1:
+                lo = h if lo is None or h < lo else lo
+        mins.append(lo or 0)
+    return batch.append_column("rolling_min_hash",
+                               pa.array(mins, pa.uint64()))

@@ -42,10 +42,18 @@ _ACTUAL_WS = frozenset(" \t\n\f\r\xa0")
 _INVISIBLE = frozenset("​­")
 
 
+# vectorized equivalents of the reference's per-char loop
+# (StringUtil.kt:165-191): invisible chars are dropped FIRST (they don't
+# break a whitespace run), then runs of actual-whitespace collapse to a
+# single space; strip_leading removes a resulting leading space.
+_INVISIBLE_DEL = {0x200B: None, 0xAD: None}
+_WS_RUN_RE = re.compile(r"[ \t\n\f\r\xa0]+")
+
+
 def normalise_whitespace(string: str) -> str:
-    sb: list[str] = []
-    append_normalised_whitespace(sb, string, strip_leading=False)
-    return "".join(sb)
+    if "​" in string or "\xad" in string:
+        string = string.translate(_INVISIBLE_DEL)
+    return _WS_RUN_RE.sub(" ", string)
 
 
 def append_normalised_whitespace(accum: list[str], string: str,
@@ -54,20 +62,10 @@ def append_normalised_whitespace(accum: list[str], string: str,
 
     ``accum`` is a list of str fragments (our StringBuilder).
     """
-    last_was_white = False
-    reached_non_white = False
-    buf: list[str] = []
-    for ch in string:
-        if ch in _ACTUAL_WS:
-            if (strip_leading and not reached_non_white) or last_was_white:
-                continue
-            buf.append(" ")
-            last_was_white = True
-        elif ch not in _INVISIBLE:
-            buf.append(ch)
-            last_was_white = False
-            reached_non_white = True
-    accum.append("".join(buf))
+    out = normalise_whitespace(string)
+    if strip_leading and out.startswith(" "):
+        out = out[1:]
+    accum.append(out)
 
 
 def _last_char_is_whitespace(accum: list[str]) -> bool:
@@ -934,29 +932,57 @@ class Element(Node):
 
     # -- text (the golden functions)
     def text(self) -> str:
-        """Element.text() — Element.kt:1312-1351 TextAccumulator."""
+        """Element.text() — Element.kt:1312-1351 TextAccumulator.
+
+        Specialized iterative walk (hot path of the extraction stage):
+        same head/tail semantics as NodeTraversor + TextAccumulator but
+        with incremental last-char tracking and no per-node closures.
+        """
         accum: list[str] = []
-
-        def head(node: Node, depth: int) -> None:
-            if isinstance(node, TextNode):
-                _append_normalised_text(accum, node)
-            elif isinstance(node, Element):
-                if (_accum_nonempty(accum)
-                        and (node.is_block() or node.name_is("br"))
-                        and not _last_char_is_whitespace(accum)):
-                    accum.append(" ")
-
-        def tail(node: Node, depth: int) -> None:
-            if isinstance(node, Element):
-                nxt = node.next_sibling()
-                if (node.is_block()
-                        and (isinstance(nxt, TextNode)
-                             or (isinstance(nxt, Element)
-                                 and not nxt.tag.format_as_block))
-                        and not _last_char_is_whitespace(accum)):
-                    accum.append(" ")
-
-        self.traverse(head, tail)
+        nonempty = False
+        last_space = False
+        # (node, next-child-index); tail runs at pop. head(self) is a
+        # no-op (accum empty).
+        stack: list = [(self, 0)]
+        while stack:
+            top = stack[-1]
+            node = top[0]
+            kids = node._child_nodes
+            idx = top[1]
+            if idx < len(kids):
+                stack[-1] = (node, idx + 1)
+                child = kids[idx]
+                if isinstance(child, TextNode):
+                    # head(TextNode) = appendNormalisedText
+                    if isinstance(child, CDataNode) or \
+                            Element.preserve_whitespace(node):
+                        s = child.value
+                    else:
+                        s = normalise_whitespace(child.value)
+                        if last_space and s.startswith(" "):
+                            s = s[1:]
+                    if s:
+                        accum.append(s)
+                        nonempty = True
+                        last_space = s[-1] == " "
+                elif isinstance(child, Element):
+                    tag = child.tag
+                    if nonempty and not last_space and \
+                            (tag.is_block or tag.normal_name == "br"):
+                        accum.append(" ")
+                        last_space = True
+                    stack.append((child, 0))
+                # other leaf nodes (Comment, DataNode...): no text
+            else:
+                stack.pop()
+                # tail(Element)
+                if node.tag.is_block and not last_space:
+                    nxt = node.next_sibling()
+                    if isinstance(nxt, TextNode) or (
+                            isinstance(nxt, Element)
+                            and not nxt.tag.format_as_block):
+                        accum.append(" ")
+                        last_space = True
         return "".join(accum).strip()
 
     def whole_text(self) -> str:

@@ -251,6 +251,8 @@ def _q_top_customers(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_custkey", "o_totalprice"])
 
+    from ray.data.aggregate import Sum
+
     class JoinName:
         def __init__(self):
             self.lookup = ray.get(lookup_ref)
@@ -266,18 +268,24 @@ def _q_top_customers(sf_dir: str):
 
     partials = ds.map_batches(JoinName, batch_format="pyarrow",
                               batch_size=65536, concurrency=(1, 2))
+    # merge partials with the NATIVE vectorized aggregate (per-group
+    # pandas map_groups is ~3ms/group — too slow for many tiny groups)
+    merged = partials.groupby("o_custkey").aggregate(
+        Sum("total_spent_cents", alias_name="total_spent_cents"))
+    top = merged.sort(["total_spent_cents", "o_custkey"],
+                      descending=[True, False]).limit(10)
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "o_custkey": [group["o_custkey"].iloc[0]],
-            "c_name": [group["c_name"].iloc[0]],
-            "total_spent_cents": [int(group["total_spent_cents"].sum())],
-        })
+    class AddName:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
 
-    merged = partials.groupby("o_custkey").map_groups(
-        merge, batch_format="pandas")
-    return merged.sort(["total_spent_cents", "o_custkey"],
-                       descending=[True, False]).limit(10)
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("o_custkey").to_pylist()
+            names = [self.lookup.get(k) for k in keys]
+            return batch.append_column("c_name", pa.array(names, pa.string()))
+
+    return top.map_batches(AddName, batch_format="pyarrow",
+                           concurrency=1)
 
 
 def _q_event_windows(sf_dir: str):
@@ -288,26 +296,24 @@ def _q_event_windows(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"])
 
+    from ray.data.aggregate import Sum
+
     def windowed(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df["window_start"] = df["ts"].dt.floor("60s").astype("datetime64[us]")
+        # exact integer micros: immune to float summation order
+        df["value_micros"] = (df["value"] * 1e6).round().astype("int64")
         g = df.groupby(["user_id", "window_start"], as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum"))
+            n_events=("value_micros", "size"),
+            sum_value_micros=("value_micros", "sum"))
+        g["n_events"] = g["n_events"].astype("int64")
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(windowed, batch_format="pyarrow",
                               batch_size=65536)
-
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "user_id": [group["user_id"].iloc[0]],
-            "window_start": [pd.Timestamp(group["window_start"].iloc[0]).as_unit("us")],
-            "n_events": [int(group["n_events"].sum())],
-            "sum_value": [round(group["sum_value"].sum(), 2)],
-        })
-
-    return partials.groupby(["user_id", "window_start"]).map_groups(
-        merge, batch_format="pandas")
+    return partials.groupby(["user_id", "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value_micros", alias_name="sum_value_micros"))
 
 
 def _q_sanitize(sf_dir: str):
@@ -468,7 +474,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    time_bucket(INTERVAL '60 seconds', ts) AS window_start,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
-                   ROUND(SUM(value), 2) AS sum_value
+                   CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                       AS BIGINT) AS sum_value_micros
             FROM events
             GROUP BY user_id, time_bucket(INTERVAL '60 seconds', ts)
         """,

@@ -78,12 +78,14 @@ def run_extraction(
     num_partitions: int = 64,
     concurrency=(2, 8),
     batch_size: int = 64,
-    big_doc_bytes: int = 512 * 1024,
-    big_batch_size: int = 4,
+    big_doc_bytes: int = 2 * 1024 * 1024,
+    big_batch_size: int = 8,
     split_by_size: bool = True,
     resume: bool = True,
     strip: str = DEFAULT_STRIP,
     write: bool = True,
+    coalesce_output: int | None = None,
+    big_concurrency=None,
 ):
     """Run extraction over a CC-page Dataset.
 
@@ -126,12 +128,21 @@ def run_extraction(
             ParseExtract, fn_constructor_kwargs=make_actor_kwargs,
             batch_format="pyarrow", batch_size=batch_size,
             concurrency=concurrency, num_cpus=1)
+        # the big pool autoscales up to the small pool's size by
+        # default: big docs can carry an arbitrary byte share, and a
+        # byte-starved big pool becomes the whole pipeline's bottleneck
+        # (measured — see BASELINE.md). Callers with a hard worker
+        # budget pass big_concurrency explicitly.
+        if big_concurrency is not None:
+            big_conc = big_concurrency
+        else:
+            big_max = concurrency[1] if isinstance(concurrency, tuple) \
+                else int(concurrency)
+            big_conc = (1, max(1, big_max))
         big_out = big.map_batches(
             ParseExtract, fn_constructor_kwargs=make_actor_kwargs,
             batch_format="pyarrow", batch_size=big_batch_size,
-            concurrency=(1, max(2, concurrency[1] // 4))
-            if isinstance(concurrency, tuple) else concurrency,
-            num_cpus=1)
+            concurrency=big_conc, num_cpus=1)
         out = small_out.union(big_out)
     else:
         out = ds.map_batches(
@@ -143,6 +154,13 @@ def run_extraction(
         return out
 
     data_dir = os.path.join(out_dir, DATA_DIR)
+    if coalesce_output:
+        # hive-partitioned writes emit one file per (block x partition
+        # value): with B small blocks that is B*P tiny files and the
+        # write stops scaling. Coalesce to ~num_cpus blocks first.
+        # (At 100 TB: write per input shard with key-range ownership
+        # instead; block counts are naturally large there.)
+        out = out.repartition(coalesce_output)
     out.write_parquet(data_dir, partition_cols=["partition_id"])
     wall_ms = int((time.time() - t_start) * 1000)
     stats = write_lineage(out_dir, wall_ms)

@@ -155,7 +155,8 @@ def render_page(doc_id: int, text: str, lang: str,
     return url_for(doc_id, lang), raw, expected_text
 
 
-def render_batch(batch: pa.Table, pad_mix: bool = False) -> pa.Table:
+def render_batch(batch: pa.Table, pad_mix: bool = False,
+                 pad_scale: int = 1) -> pa.Table:
     """documents-table batch → CC-page batch (Arrow in / Arrow out).
 
     ``pad_mix=True`` applies the FIXTURES.md bench size mix:
@@ -180,6 +181,7 @@ def render_batch(batch: pa.Table, pad_mix: bool = False) -> pa.Table:
                 pad = 200_000 + (doc_id * 9973) % 800_000
             else:
                 pad = 1_000_000 + (doc_id * 99991) % 1_000_000
+            pad *= pad_scale
         url, raw, expected = render_page(doc_id, text or "", lang or "en",
                                          pad_bytes=pad)
         urls.append(url)

@@ -1,0 +1,191 @@
+"""Ray-layer tests: pipeline byte-identity + lineage/resume, dedup,
+textstats, similarity, multimodal plumbing. All share one Ray session
+(conftest ``ray_session``) and run on the tiny sf0.001 tables."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def documents_path(sf_dir):
+    return f"{sf_dir}/documents.parquet"
+
+
+def test_pipeline_byte_identity_and_lineage(ray_session, sf_dir, tmp_path):
+    from ksoup_ray.pipelines.extract import run_extraction
+    from ksoup_ray.sources.synth import cc_pages, render_batch
+
+    out = str(tmp_path / "extract")
+    ds = cc_pages(sf_dir)
+    stats = run_extraction(ds, out, num_partitions=4, concurrency=2,
+                           batch_size=64, split_by_size=False)
+    assert stats["rows"] == 500
+    assert stats["parse_errors"] == 0
+    assert stats["partitions"] == 4
+    # byte-identical vs golden
+    import pyarrow.dataset as pads
+    got = pads.dataset(out + "/data", partitioning="hive") \
+        .to_table(columns=["url", "extracted_text"]).to_pandas() \
+        .set_index("url")
+    golden = render_batch(
+        pq.read_table(f"{sf_dir}/documents.parquet")).to_pandas() \
+        [["url", "text"]].set_index("url")
+    j = golden.join(got)
+    assert j["extracted_text"].isna().sum() == 0
+    assert (j["text"] != j["extracted_text"]).sum() == 0
+    # lineage files exist and sum to the corpus
+    lineage_rows = 0
+    for name in os.listdir(out + "/_lineage"):
+        with open(os.path.join(out, "_lineage", name)) as fh:
+            lineage_rows += json.load(fh)["rows"]
+    assert lineage_rows == 500
+
+
+def test_pipeline_resume_skips_done(ray_session, sf_dir, tmp_path):
+    from ksoup_ray.pipelines.extract import run_extraction
+    from ksoup_ray.sources.synth import cc_pages
+
+    out = str(tmp_path / "resume")
+    run_extraction(cc_pages(sf_dir), out, num_partitions=4, concurrency=2,
+                   split_by_size=False)
+    # drop one partition; rerun must restore exactly it
+    os.remove(out + "/_lineage/2.json")
+    shutil.rmtree(out + "/data/partition_id=2")
+    stats = run_extraction(cc_pages(sf_dir), out, num_partitions=4,
+                           concurrency=2, split_by_size=False)
+    assert stats["rows"] == 500
+    assert os.path.exists(out + "/_lineage/2.json")
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import exact_dedup
+
+    rows = [{"doc_id": i, "text": t} for i, t in
+            enumerate(["a b c", "d e f", "a b c", "g h", "a b c"])]
+    ds = rd.from_items(rows)
+    kept = exact_dedup(ds).to_pandas().sort_values("doc_id")
+    assert sorted(kept["doc_id"].tolist()) == [0, 1, 3]
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import minhash_lsh_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "rain in spain falls mainly on the plain again and again")
+    near = base + " extra"
+    other = ("completely different words nothing shared here at all "
+             "zebra xylophone quantum banana river mountain cloud")
+    ds = rd.from_items([
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": near},
+        {"doc_id": 3, "text": other},
+    ])
+    dropped = minhash_lsh_dedup(ds, num_hashes=64, num_bands=16,
+                                concurrency=1).to_pandas()
+    assert 2 in set(dropped["doc_id"])
+    assert 3 not in set(dropped["doc_id"])
+
+
+def test_simhash_hamming(ray_session):
+    from ksoup_ray.functions.dedup import SimHasher, hamming_distance
+    a = SimHasher.simhash("one two three four five six seven")
+    b = SimHasher.simhash("one two three four five six eight")
+    c = SimHasher.simhash("alpha beta gamma delta epsilon zeta")
+    assert hamming_distance(a, b) < hamming_distance(a, c)
+
+
+def test_textstats_batch_functions(ray_session, documents_path):
+    import ray.data as rd
+    from ksoup_ray.functions.textstats import (
+        bpe_token_count_batch, quality_score_batch, token_count_batch)
+
+    ds = rd.read_parquet(documents_path, columns=["doc_id", "text"]) \
+        .limit(50)
+    out = ds.map_batches(token_count_batch, batch_format="pyarrow") \
+        .map_batches(bpe_token_count_batch, batch_format="pyarrow") \
+        .map_batches(quality_score_batch, batch_format="pyarrow") \
+        .to_pandas()
+    assert (out["token_count"] > 0).all()
+    assert (out["bpe_token_count"] >= out["token_count"]).all()
+    assert (out["n_words"] == out["token_count"]).all()
+
+
+def test_brute_force_topk_self_is_top1(ray_session, sf_dir):
+    import ray.data as rd
+    from ksoup_ray.functions.similarity import brute_force_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    queries = np.array(emb.sort_values("vec_id").head(2)
+                       ["embedding"].tolist())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    top = brute_force_topk(ds, queries, k=3, concurrency=1).to_pandas()
+    for q in (0, 1):
+        grp = top[top["query_id"] == q].sort_values("cosine",
+                                                    ascending=False)
+        assert grp.iloc[0]["vec_id"] == q  # self is most similar
+        assert abs(grp.iloc[0]["cosine"] - 1.0) < 1e-5
+
+
+def test_ivf_topk_mostly_agrees_with_brute(ray_session, sf_dir):
+    import ray.data as rd
+    from ksoup_ray.functions.similarity import brute_force_topk, ivf_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    queries = np.array(emb.sort_values("vec_id").head(2)
+                       ["embedding"].tolist())
+
+    def load():
+        return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    exact = brute_force_topk(load(), queries, k=5,
+                             concurrency=1).to_pandas()
+    approx = ivf_topk(load(), queries, k=5, num_centroids=4, nprobe=4,
+                      concurrency=1).to_pandas()
+    # nprobe == num_centroids → all cells probed → exact agreement
+    for q in (0, 1):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        assert e == a
+
+
+def test_multimodal_stub_plumbing(ray_session, documents_path):
+    import ray.data as rd
+    from ksoup_ray.functions.multimodal import (
+        FrameSampler, ImageFeatures, synth_media_batch)
+
+    ds = rd.read_parquet(documents_path, columns=["doc_id", "text"]) \
+        .limit(30)
+    media = ds.map_batches(synth_media_batch, batch_format="pyarrow")
+    feats = media.map_batches(ImageFeatures, batch_format="pyarrow",
+                              batch_size=16, concurrency=1).to_pandas()
+    assert len(feats) == 30
+    assert all(len(f) == 16 for f in feats["features"])
+    frames = media.map_batches(FrameSampler, batch_format="pyarrow",
+                               batch_size=16, concurrency=1).to_pandas()
+    assert len(frames) == 90  # 3 frames per row
+    # real decode is explicitly stubbed
+    img = ImageFeatures(decode_stub=False)
+    with pytest.raises(NotImplementedError):
+        img(pa.table({"media": pa.array([b"x"], pa.binary())}))
+
+
+def test_select_stage(ray_session, sf_dir):
+    from ksoup_ray.sources.synth import cc_pages
+    from ksoup_ray.stages.extract import SelectStage
+
+    ds = cc_pages(sf_dir).limit(50)
+    out = ds.map_batches(SelectStage,
+                         fn_constructor_kwargs=dict(query="title"),
+                         batch_format="pyarrow", concurrency=1).to_pandas()
+    assert (out["n_matches"] == 1).all()
+    assert out["first_match"].str.startswith("Doc ").all()

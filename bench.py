@@ -204,9 +204,12 @@ def bench_scaling() -> dict:
     results = {}
     AUX = 4
     REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
-    for workers in (3, 12):
-        best = None
-        for rep in range(REPEATS):
+    # INTERLEAVED best-of-N: the sandbox host's deliverable per-core
+    # throughput varies ~2x over tens of minutes (noisy neighbors,
+    # measured — BASELINE.md §3). Interleaving lo/hi reps samples the
+    # same weather for both levels; best-of estimates capability.
+    for rep in range(REPEATS):
+        for workers in (3, 12):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(workers + AUX),
                        GRAFT_SCALE_WORKERS=str(workers),
                        GRAFT_SKIP_SECONDARY="1")
@@ -217,12 +220,8 @@ def bench_scaling() -> dict:
                 capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             r = json.loads(proc.stdout.strip().splitlines()[-1])
-            # best-of-N: the sandbox has noisy neighbors and the noise
-            # disproportionately hits high-parallelism runs; best-of
-            # is the standard estimator for the machine's capability
-            if best is None or r["value"] < best["value"]:
-                best = r
-        results[workers] = best
+            if workers not in results or r["value"] < results[workers]["value"]:
+                results[workers] = r
     lo, hi = 3, 12
     t_lo = results[lo]["value"]
     t_hi = results[hi]["value"]

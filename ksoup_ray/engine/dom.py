@@ -489,12 +489,16 @@ def _output_settings_of(node: Node) -> OutputSettings:
 class LeafNode(Node):
     """Value-holding node without children (reference LeafNode.kt)."""
 
-    __slots__ = ("value", "_attrs")
+    __slots__ = ("value", "_attrs", "span")
 
     def __init__(self, value: str):
         super().__init__()
         self.value = value
         self._attrs: Attributes | None = None
+        # (start, end) offsets into the decoded source document, stamped
+        # by the tree builder (reference Range tracking, Range.kt) —
+        # None for synthetic nodes
+        self.span: tuple | None = None
 
     def attributes(self) -> Attributes | None:
         return self._attrs

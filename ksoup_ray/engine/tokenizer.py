@@ -46,11 +46,13 @@ CDATA = 6
 
 
 class CharacterTok:
-    __slots__ = ("data",)
+    __slots__ = ("data", "start_pos", "end_pos")
     kind = CHARACTER
 
-    def __init__(self, data: str):
+    def __init__(self, data: str, start_pos: int = -1, end_pos: int = -1):
         self.data = data
+        self.start_pos = start_pos
+        self.end_pos = end_pos
 
 
 class CDataTok(CharacterTok):
@@ -216,11 +218,17 @@ class Tokeniser:
     __slots__ = ("s", "n", "pos", "state", "errors", "track_errors",
                  "_chars", "_pending", "_tag", "_comment", "_doctype",
                  "_data_buffer", "_last_start_tag", "_last_start_close_seq",
-                 "_start_tag_tok", "_end_tag_tok", "_lower_cache")
+                 "_start_tag_tok", "_end_tag_tok", "_lower_cache",
+                 "_char_start", "_char_end", "markup_start")
 
     def __init__(self, s: str, track_errors: bool = False):
         self.s = s
         self._lower_cache: str | None = None
+        # source-position tracking (Tokeniser.kt markupStartPos /
+        # charStartPos): spans are offsets into the DECODED document
+        self._char_start = 0
+        self._char_end = 0
+        self.markup_start = 0
         self.n = len(s)
         self.pos = 0
         self.state = DATA
@@ -249,6 +257,8 @@ class Tokeniser:
     def _emit_token(self, tok) -> None:
         assert self._pending is None
         self._pending = tok
+        if not self._chars:
+            self._char_start = self.pos
         if tok.kind == START_TAG:
             self._last_start_tag = tok.name
             self._last_start_close_seq = None
@@ -256,7 +266,11 @@ class Tokeniser:
             self.error("Attributes incorrectly present on end tag")
 
     def _emit_chars(self, s: str) -> None:
+        # char-run start is managed at token boundaries (reference
+        # Tokeniser.kt charStartPos: set when the previous token emits);
+        # each chunk only advances the end position
         self._chars.append(s)
+        self._char_end = self.pos
 
     def read(self):
         """Return next token (chars coalesced between non-char tokens)."""
@@ -265,7 +279,9 @@ class Tokeniser:
         if self._chars:
             data = "".join(self._chars)
             self._chars.clear()
-            return CharacterTok(data)
+            tok = CharacterTok(data, self._char_start, self._char_end)
+            self._char_start = self.pos
+            return tok
         tok = self._pending
         self._pending = None
         return tok

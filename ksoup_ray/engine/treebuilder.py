@@ -752,6 +752,9 @@ class HtmlTreeBuilder:
             node = DataNode(data)
         else:
             node = TextNode(data)
+        sp = getattr(token, "start_pos", -1)
+        if sp >= 0:
+            node.span = (sp, token.end_pos)
         el.append_child(node)
 
     def insert_in_foster_parent(self, in_node: Node) -> None:

@@ -41,6 +41,8 @@ META_STRUCT = pa.struct([
 ])
 LINKS_TYPE = pa.list_(pa.struct([("href", pa.string()),
                                  ("text", pa.string())]))
+SPANS_TYPE = pa.list_(pa.struct([("start", pa.int64()),
+                                 ("end", pa.int64())]))
 
 OUT_SCHEMA = pa.schema([
     ("url", pa.string()),
@@ -48,6 +50,7 @@ OUT_SCHEMA = pa.schema([
     ("title", pa.string()),
     ("meta", META_STRUCT),
     ("links", LINKS_TYPE),
+    ("spans", SPANS_TYPE),
     ("lang", pa.string()),
     ("parse_errors", pa.int32()),
     ("doc_bytes", pa.int64()),
@@ -57,7 +60,7 @@ OUT_SCHEMA = pa.schema([
 
 def extract_document(raw: bytes, base_uri: str = "",
                      strip_query=None, want_links: bool = True,
-                     want_meta: bool = True):
+                     want_meta: bool = True, want_spans: bool = False):
     """Pure per-document kernel: bytes → extraction dict. Reusable from
     tests and from non-Ray callers."""
     text, _charset = decode_html(raw)
@@ -81,6 +84,7 @@ def extract_document(raw: bytes, base_uri: str = "",
 
     body = doc.body()
     links = []
+    spans = []
     if body is not None:
         if want_links:
             for a in body.select("a[href]"):
@@ -90,6 +94,15 @@ def extract_document(raw: bytes, base_uri: str = "",
             for el in body.select(strip_query):
                 el.remove()
         extracted = body.text()
+        if want_spans:
+            # provenance: source offsets (decoded-document chars) of the
+            # text nodes contributing to extracted_text (Range tracking,
+            # reference nodes/Range.kt / TreeBuilder.kt:295-333)
+            from ..engine.dom import TextNode
+            for n in body.node_stream():
+                if isinstance(n, TextNode) and n.span is not None \
+                        and not n.is_blank():
+                    spans.append({"start": n.span[0], "end": n.span[1]})
     else:
         extracted = ""
     return {
@@ -97,6 +110,7 @@ def extract_document(raw: bytes, base_uri: str = "",
         "title": title,
         "meta": meta,
         "links": links,
+        "spans": spans,
         "parse_errors": n_errors,
     }
 
@@ -106,12 +120,13 @@ class ParseExtract:
 
     def __init__(self, strip: str = DEFAULT_STRIP, num_partitions: int = 64,
                  want_links: bool = True, want_meta: bool = True,
-                 big_doc_bytes: int = 1 << 20):
+                 want_spans: bool = True, big_doc_bytes: int = 1 << 20):
         # compiled once per actor (reference: ThreadLocal selector memo)
         self.strip_eval = parse_query(strip) if strip else None
         self.num_partitions = num_partitions
         self.want_links = want_links
         self.want_meta = want_meta
+        self.want_spans = want_spans
         self.big_doc_bytes = big_doc_bytes
         # per-actor counters (read via ds.stats() / lineage aggregation)
         self.docs = 0
@@ -128,6 +143,7 @@ class ParseExtract:
         out_title: list[str] = []
         out_meta: list[dict | None] = []
         out_links: list[list] = []
+        out_spans: list[list] = []
         out_errors: list[int] = []
         out_bytes: list[int] = []
         out_part: list[int] = []
@@ -137,11 +153,13 @@ class ParseExtract:
             if size > self.big_doc_bytes:
                 self.big_docs += 1
             rec = extract_document(raw, url, self.strip_eval,
-                                   self.want_links, self.want_meta)
+                                   self.want_links, self.want_meta,
+                                   self.want_spans)
             out_text.append(rec["extracted_text"])
             out_title.append(rec["title"])
             out_meta.append(rec["meta"])
             out_links.append(rec["links"])
+            out_spans.append(rec["spans"])
             out_errors.append(rec["parse_errors"])
             out_bytes.append(size)
             out_part.append(_partition_of(url, self.num_partitions))
@@ -153,6 +171,7 @@ class ParseExtract:
             "title": pa.array(out_title, pa.string()),
             "meta": pa.array(out_meta, META_STRUCT),
             "links": pa.array(out_links, LINKS_TYPE),
+            "spans": pa.array(out_spans, SPANS_TYPE),
             "lang": pa.array(langs, pa.string()),
             "parse_errors": pa.array(out_errors, pa.int32()),
             "doc_bytes": pa.array(out_bytes, pa.int64()),

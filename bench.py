@@ -115,7 +115,7 @@ def run_headline(corpus_dir: str, num_cpus: int) -> dict:
         # number (plain `bench.py`) includes the write. (BASELINE.md)
         out = run_extraction(
             ds, out_dir, num_partitions=64, concurrency=pool,
-            batch_size=64, resume=False, split_by_size=True,
+            batch_size=32, resume=False, split_by_size=True,
             big_concurrency=big_pool, write=False)
         n_out = out.count()
         stats = {"rows": n_out}

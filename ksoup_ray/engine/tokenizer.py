@@ -85,6 +85,9 @@ class TagTok:
         self._has_empty_value = False
 
     def append_tag_name(self, s: str) -> None:
+        # Token.kt appendTagName: null chars become U+FFFD
+        if "\x00" in s:
+            s = s.replace("\x00", "\ufffd")
         self.name = s if self.name is None else self.name + s
         self.normal_name = self.name.lower()
 
@@ -93,6 +96,9 @@ class TagTok:
         self.normal_name = s.lower()
 
     def append_attr_name(self, s: str) -> None:
+        # Token.kt appendAttributeName: null chars become U+FFFD
+        if "\x00" in s:
+            s = s.replace("\x00", "\ufffd")
         self._attr_name.append(s)
         self._has_name = True
 

@@ -79,7 +79,7 @@ def run_extraction(
     concurrency=(2, 8),
     batch_size: int = 64,
     big_doc_bytes: int = 2 * 1024 * 1024,
-    big_batch_size: int = 8,
+    big_batch_size: int = 2,
     split_by_size: bool = True,
     resume: bool = True,
     strip: str = DEFAULT_STRIP,

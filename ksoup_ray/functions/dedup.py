@@ -277,3 +277,77 @@ def embedding_near_dup(ds, threshold: float = 0.95,
     with_bucket = ds.map_batches(add_bucket, batch_format="pyarrow")
     return with_bucket.groupby("sim_bucket").map_groups(
         pairs_in_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# connected components over candidate pairs (min-label propagation)
+
+def connected_components(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
+                         max_rounds: int = 5):
+    """Cluster candidate duplicate pairs into components: returns a
+    Dataset of ``(node_id, component_id)`` where component_id is the
+    minimum node id reachable through the pair graph.
+
+    Distributed min-label propagation (ray_guide "Near-dup" note): each
+    round, every node adopts the smallest label among itself and its
+    neighbors — a groupby per round, converging in O(graph diameter)
+    rounds. Duplicate-cluster graphs are shallow (dupes of the same
+    doc), so ``max_rounds=5`` covers real corpora; raise it for deep
+    chains. Rounds run over (node, label) edge projections only —
+    document payloads never enter the shuffle.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    # undirected edge list -> (node, neighbor_label) in both directions
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column(id_a)
+        b = batch.column(id_b)
+        return pa.table({
+            "node": pa.concat_arrays([a.combine_chunks(),
+                                      b.combine_chunks()]),
+            "label": pa.concat_arrays([b.combine_chunks(),
+                                       a.combine_chunks()]),
+        })
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow")
+    # self-edges so isolated-but-listed nodes keep their own label
+    self_edges = pairs_ds.map_batches(
+        lambda t: pa.table({"node": t.column(id_a),
+                            "label": t.column(id_a)}),
+        batch_format="pyarrow")
+    labels = edges.union(self_edges).groupby("node").aggregate(
+        Min("label", alias_name="label"))
+
+    for _ in range(max_rounds - 1):
+        # propagate: join each edge's endpoint with its current label.
+        # label tables are small relative to payloads; broadcast-join
+        # them through a driver-side dict when they fit, else this
+        # becomes a hash-join round (documented tradeoff).
+        ldf = labels.to_pandas()  # single execution: row order is only
+        # consistent within one materialization
+        label_map = dict(zip(ldf["node"], ldf["label"]))
+
+        def relabel(batch: pa.Table) -> pa.Table:
+            nodes = batch.column("node").to_pylist()
+            labs = batch.column("label").to_pylist()
+            new = [label_map.get(l, l) for l in labs]
+            return pa.table({"node": nodes, "label": new})
+
+        relabeled = edges.union(self_edges).map_batches(
+            relabel, batch_format="pyarrow")
+        new_labels = relabeled.groupby("node").aggregate(
+            Min("label", alias_name="label"))
+        ndf = new_labels.to_pandas()
+        new_map = dict(zip(ndf["node"], ndf["label"]))
+        if new_map == label_map:
+            labels = new_labels
+            break
+        labels = new_labels
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"node_id": batch.column("node"),
+                         "component_id": batch.column("label")})
+
+    return labels.map_batches(rename, batch_format="pyarrow")

@@ -189,3 +189,17 @@ def test_select_stage(ray_session, sf_dir):
                          batch_format="pyarrow", concurrency=1).to_pandas()
     assert (out["n_matches"] == 1).all()
     assert out["first_match"].str.startswith("Doc ").all()
+
+
+def test_connected_components(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import connected_components
+
+    pairs = rd.from_items([
+        {"id_a": 2, "id_b": 3}, {"id_a": 1, "id_b": 2},
+        {"id_a": 10, "id_b": 11}, {"id_a": 20, "id_b": 21},
+    ])
+    out = connected_components(pairs).to_pandas() \
+        .sort_values("node_id").reset_index(drop=True)
+    got = dict(zip(out["node_id"], out["component_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}

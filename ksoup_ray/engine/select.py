@@ -1113,16 +1113,61 @@ def parse_query(query: str) -> Evaluator:
 # ---------------------------------------------------------------------------
 # Collector (select/Collector.kt:17-41)
 
+def _tag_union(ev: Evaluator) -> set[str] | None:
+    """If the evaluator is a pure tag-name union (``script, style, nav``
+    — the boilerplate-strip shape), return the name set for a fast
+    set-lookup walk; else None."""
+    if isinstance(ev, TagIs):
+        return {ev.name}
+    if isinstance(ev, Or) and ev.evaluators and \
+            all(isinstance(e, TagIs) for e in ev.evaluators):
+        return {e.name for e in ev.evaluators}
+    return None
+
+
 def collect(evaluator: Evaluator, root: Element) -> list[Element]:
     evaluator.reset()
-    return [el for el in root.stream() if evaluator.matches(root, el)]
+    out: list[Element] = []
+    # inline iterative pre-order walk (hot path: one evaluator call per
+    # element, no generator machinery)
+    names = _tag_union(evaluator)
+    stack: list = [root]
+    pop = stack.pop
+    if names is not None:
+        while stack:
+            node = pop()
+            if isinstance(node, Element):
+                if node.tag.normal_name in names:
+                    out.append(node)
+                kids = node._child_nodes
+                if kids:
+                    stack.extend(reversed(kids))
+        return out
+    matches = evaluator.matches
+    while stack:
+        node = pop()
+        if isinstance(node, Element):
+            if matches(root, node):
+                out.append(node)
+            kids = node._child_nodes
+            if kids:
+                stack.extend(reversed(kids))
+    return out
 
 
 def find_first(evaluator: Evaluator, root: Element) -> Element | None:
     evaluator.reset()
-    for el in root.stream():
-        if evaluator.matches(root, el):
-            return el
+    matches = evaluator.matches
+    stack: list = [root]
+    pop = stack.pop
+    while stack:
+        node = pop()
+        if isinstance(node, Element):
+            if matches(root, node):
+                return node
+            kids = node._child_nodes
+            if kids:
+                stack.extend(reversed(kids))
     return None
 
 

@@ -432,12 +432,29 @@ class Tokeniser:
 # ---------------------------------------------------------------------------
 # State functions. Each mirrors a TokeniserState case.
 
+# whole-tag fast path for the dominant shape: attribute-less start/end
+# tags (`<p>`, `</div>`, `<br/>`). Semantically identical to
+# TagOpen -> TagName -> emit for exactly these inputs; anything with
+# whitespace, attributes, or unusual chars falls through to the full
+# state machine.
+_SIMPLE_TAG = re.compile(r"<(/)?([a-zA-Z][a-zA-Z0-9]*)(/)?>")
+
+
 def _s_data(t: Tokeniser) -> None:
     c = t._current()
     if c == "&":
         t.pos += 1
         t.state = CHAR_REF_IN_DATA
     elif c == "<":
+        m = _SIMPLE_TAG.match(t.s, t.pos)
+        if m is not None and not (m.group(1) and m.group(3)):
+            t.pos = m.end()
+            tok = t.create_tag_pending(m.group(1) is None)
+            tok.set_name(m.group(2))
+            if m.group(3):
+                tok.self_closing = True
+            t.emit_tag_pending()
+            return
         t.pos += 1
         t.state = TAG_OPEN
     elif c == "\x00":

@@ -1193,6 +1193,16 @@ def _in_body(t, tb: HtmlTreeBuilder) -> bool:
 
 def _in_body_start_tag(t, tb: HtmlTreeBuilder) -> bool:
     name = t.normal_name
+    # hot-path hoist: generic p-closing block tags (p, div, section, ...)
+    # are the most frequent start tags on real pages; their handler is
+    # disjoint from every named branch below, so checking first is
+    # semantics-preserving (the duplicate check in the fall-through
+    # chain becomes dead code kept for structural parity w/ reference)
+    if name in C_InBodyStartPClosers and is_known_tag(name):
+        if tb.in_button_scope("p"):
+            tb.process_end_tag("p")
+        tb.insert_element_for(t)
+        return True
     if name == "a":
         if tb.get_active_formatting_element("a") is not None:
             tb.error(_in_body)
@@ -1469,6 +1479,27 @@ def _any_other_end_tag(t, tb: HtmlTreeBuilder) -> bool:
 
 def _in_body_end_tag(t, tb: HtmlTreeBuilder) -> bool:
     name = t.normal_name
+    # hot-path hoist: </p> and the generic block closers dominate real
+    # pages; disjoint from the named branches below
+    if name == "p":
+        if not tb.in_button_scope(name):
+            tb.error(_in_body)
+            tb.process_start_tag(name)
+            return tb.process(t)
+        tb.generate_implied_end_tags(name)
+        if not tb.current_element_is(name):
+            tb.error(_in_body)
+        tb.pop_stack_to_close(name)
+        return True
+    if name in C_InBodyEndClosers:
+        if not tb.in_scope(name):
+            tb.error(_in_body)
+            return False
+        tb.generate_implied_end_tags()
+        if not tb.current_element_is(name):
+            tb.error(_in_body)
+        tb.pop_stack_to_close(name)
+        return True
     if name == "template":
         tb.process_in(t, _in_head)
     elif name in ("sarcasm", "span"):

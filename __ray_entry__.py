@@ -149,6 +149,30 @@ def _q_langid(sf_dir: str):
     return out.select_columns(["doc_id", "pred_lang"])
 
 
+def _q_dedup_components(sf_dir: str):
+    """Composed near-dup pipeline: LSH candidates -> exact n-gram
+    Jaccard verify -> connected components (rows-only check)."""
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import (
+        connected_components, minhash_candidate_pairs,
+        verify_pairs_jaccard)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    pairs = minhash_candidate_pairs(ds, num_hashes=64, num_bands=8)
+    verified = verify_pairs_jaccard(
+        pairs, ds, threshold=0.5).select_columns(["id_a", "id_b"])
+    return connected_components(verified)
+
+
+def _q_bpe_token_count(sf_dir: str):
+    import ray.data as rd
+    from ksoup_ray.functions.textstats import bpe_token_count_batch
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(bpe_token_count_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "bpe_token_count"])
+
+
 def _q_fingerprint(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.textstats import fingerprint_batch
@@ -369,6 +393,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q_quality,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
+        "dedup_components": _q_dedup_components,
+        "bpe_token_count": _q_bpe_token_count,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "q1_pricing": _q_q1_pricing,
@@ -429,6 +455,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "bpe_token_count": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS BIGINT)
+                       AS bpe_token_count
+            FROM documents
         """,
         "ann_topk": f"""
             WITH q AS (

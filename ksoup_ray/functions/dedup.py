@@ -311,12 +311,17 @@ def connected_components(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
                                        a.combine_chunks()]),
         })
 
-    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow")
+    # materialize once: the edge projection is tiny (ids only), and the
+    # propagation rounds below would otherwise re-execute the whole
+    # upstream candidate pipeline once per round
+    pairs_mat = pairs_ds.materialize()
+    edges = pairs_mat.map_batches(to_edges, batch_format="pyarrow") \
+        .materialize()
     # self-edges so isolated-but-listed nodes keep their own label
-    self_edges = pairs_ds.map_batches(
+    self_edges = pairs_mat.map_batches(
         lambda t: pa.table({"node": t.column(id_a),
                             "label": t.column(id_a)}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
     labels = edges.union(self_edges).groupby("node").aggregate(
         Min("label", alias_name="label"))
 
@@ -351,3 +356,78 @@ def connected_components(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
                          "component_id": batch.column("label")})
 
     return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def minhash_candidate_pairs(ds, *, num_hashes: int = 128,
+                            num_bands: int = 16, shingle_size: int = 5,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            concurrency=(1, 4)):
+    """LSH candidate PAIRS (id_a < id_b) from shared band buckets —
+    the input to Jaccard verification / connected components."""
+    import pyarrow as pa
+
+    sigged = ds.map_batches(
+        MinHasher, fn_constructor_kwargs=dict(
+            num_hashes=num_hashes, shingle_size=shingle_size,
+            text_col=text_col),
+        batch_format="pyarrow", concurrency=concurrency)
+    bands = sigged.map_batches(
+        lambda b: explode_bands(b, num_bands, id_col),
+        batch_format="pyarrow")
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group[id_col].tolist()))
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        # pair everything with the bucket minimum (star expansion):
+        # transitive closure is the components pass's job; the star
+        # keeps pair counts linear in bucket size, not quadratic
+        a = ids[0]
+        return pd.DataFrame({"id_a": [a] * (len(ids) - 1),
+                             "id_b": ids[1:]})
+
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        pairs_in_bucket, batch_format="pandas")
+
+    def dedup_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return pairs.map_batches(dedup_pairs, batch_format="pyarrow")
+
+
+def verify_pairs_jaccard(pairs_ds, docs_ds, *, threshold: float = 0.5,
+                         ngram: int = 3, text_col: str = "text",
+                         id_col: str = "doc_id"):
+    """Verify candidate pairs with exact n-gram Jaccard.
+
+    The text lookup is broadcast via ray.put (candidate sets are small
+    relative to the corpus; at 100 TB scale shard the verification by
+    hash-joining pair ids against the docs table instead — documented
+    tradeoff)."""
+    import pyarrow as pa
+    import ray
+
+    texts = docs_ds.select_columns([id_col, text_col]).to_pandas()
+    lookup_ref = ray.put(dict(zip(texts[id_col], texts[text_col])))
+
+    class Verify:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a_ids = batch.column("id_a").to_pylist()
+            b_ids = batch.column("id_b").to_pylist()
+            keep_a, keep_b, jac = [], [], []
+            for a, b in zip(a_ids, b_ids):
+                j = ngram_jaccard(self.lookup.get(a, ""),
+                                  self.lookup.get(b, ""), ngram)
+                if j >= threshold:
+                    keep_a.append(a)
+                    keep_b.append(b)
+                    jac.append(j)
+            return pa.table({"id_a": keep_a, "id_b": keep_b,
+                             "jaccard": pa.array(jac, pa.float64())})
+
+    return pairs_ds.map_batches(Verify, batch_format="pyarrow",
+                                concurrency=(1, 2))

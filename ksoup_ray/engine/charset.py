@@ -84,13 +84,29 @@ def sniff_meta_charset(head_bytes: bytes) -> str | None:
             # distinguish <meta charset=X> from http-equiv content attr —
             # both are accepted by the reference's selector, and a
             # content="...charset=x" also matches via the same regex
-            name = _validate_charset(cm.group(1).decode("ascii", "ignore"))
+            name = _remap_unreadable(
+                _validate_charset(cm.group(1).decode("ascii", "ignore")))
             if name:
                 return name
     xm = _XML_DECL.search(head_bytes)
     if xm is not None:
-        return _validate_charset(xm.group(1).decode("ascii", "ignore"))
+        return _remap_unreadable(
+            _validate_charset(xm.group(1).decode("ascii", "ignore")))
     return None
+
+
+def _remap_unreadable(name: str | None) -> str | None:
+    """WHATWG encoding-sniff rule: a meta-declared UTF-16/UTF-32 label
+    is self-contradictory (we just READ the meta as ASCII-compatible
+    bytes) — browsers decode as UTF-8 instead. Real pages do this (the
+    reference's own 448 KB bench page declares charset=UTF-32 over
+    UTF-8 bytes)."""
+    if name is None:
+        return None
+    up = name.upper().replace("_", "-")
+    if up.startswith("UTF-16") or up.startswith("UTF-32"):
+        return "UTF-8"
+    return name
 
 
 def detect_charset(data: bytes, header_charset: str | None = None) -> tuple[str, int]:

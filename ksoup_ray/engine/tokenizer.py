@@ -391,15 +391,16 @@ class Tokeniser:
         self._comment.bogus = bogus
 
     def emit_comment_pending(self) -> None:
+        # pending objects persist after emit (reference reuses them;
+        # some doctype/comment states emit then append more — e.g.
+        # AfterDoctypeSystemKeyword's else branch has no transition)
         self._emit_token(self._comment)
-        self._comment = None
 
     def create_doctype_pending(self) -> None:
         self._doctype = DoctypeTok()
 
     def emit_doctype_pending(self) -> None:
         self._emit_token(self._doctype)
-        self._doctype = None
 
     def create_temp_buffer(self) -> None:
         self._data_buffer = []

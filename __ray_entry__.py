@@ -173,6 +173,32 @@ def _q_bpe_token_count(sf_dir: str):
     return out.select_columns(["doc_id", "bpe_token_count"])
 
 
+def _q_xml_roundtrip(sf_dir: str):
+    """XML mode as a distributed stage: synthesize an XML doc per row,
+    parse with the XmlTreeBuilder, extract text + attribute back."""
+    import ray.data as rd
+    from ksoup_ray.engine import parser as KP
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_ids, out_texts = [], []
+        for i, t in zip(ids, texts):
+            xml = (f'<?xml version="1.0"?><doc id="{i}">'
+                   f"<body>{t or ''}</body></doc>")
+            doc = KP.parse_xml(xml)
+            el = doc.select_first("doc")
+            out_ids.append(int(el.attr("id")))
+            out_texts.append(el.select_first("body").text())
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "xml_text": pa.array(out_texts, pa.string())})
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
 def _q_fingerprint(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.textstats import fingerprint_batch
@@ -393,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q_quality,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
+        "xml_roundtrip": _q_xml_roundtrip,
         "dedup_components": _q_dedup_components,
         "bpe_token_count": _q_bpe_token_count,
         "ann_topk": _q_ann_topk,
@@ -455,6 +482,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "xml_roundtrip": """
+            SELECT doc_id, text AS xml_text FROM documents
         """,
         "bpe_token_count": """
             SELECT doc_id,

@@ -203,3 +203,30 @@ def test_connected_components(ray_session):
         .sort_values("node_id").reset_index(drop=True)
     got = dict(zip(out["node_id"], out["component_id"]))
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_extraction_deterministic(ray_session, sf_dir):
+    """Same input → byte-identical output across runs (north rule:
+    pure UDFs, no RNG, no wall clock)."""
+    from ksoup_ray.pipelines.extract import run_extraction
+    from ksoup_ray.sources.synth import cc_pages
+
+    def run():
+        out = run_extraction(cc_pages(sf_dir).limit(100), "", write=False,
+                             split_by_size=False, concurrency=2)
+        return out.to_pandas().sort_values("url").reset_index(drop=True)
+
+    a, b = run(), run()
+    assert a[["url", "extracted_text", "title", "parse_errors",
+              "partition_id"]].equals(
+        b[["url", "extracted_text", "title", "parse_errors",
+           "partition_id"]])
+
+
+def test_api_facade():
+    from ksoup_ray import api as Ksoup
+    doc = Ksoup.parse("<p>One <b>two</b></p>")
+    assert doc.select_first("p").text() == "One two"
+    assert Ksoup.clean("<script>x</script><b>ok</b>",
+                       Ksoup.Safelist.basic()) == "<b>ok</b>"
+    assert Ksoup.unescape_entities("&lt;x&gt;") == "<x>"

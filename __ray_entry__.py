@@ -26,6 +26,30 @@ SYNTH_URL_SQL = ("'https://synth.invalid/' || lang || '/' || "
                  "lpad(CAST(doc_id AS VARCHAR), 8, '0')")
 TITLE_SQL = "'Doc ' || lpad(CAST(doc_id AS VARCHAR), 8, '0')"
 
+# exact 5-word-shingle Jaccard pairs at threshold 0.5 — the ground truth
+# the LSH+verify pipeline must reproduce (corpus pairs sit at J≥0.8 or
+# J<0.1, so 0.5 lies in a wide gap; see _q_minhash_dedup recall note)
+_JACCARD_PAIRS_SQL = """
+    WITH sh AS (
+      SELECT doc_id, list_distinct(CASE WHEN len(words) < 5
+               THEN [array_to_string(words, ' ')]
+               ELSE list_transform(range(1, len(words) - 3),
+                                   i -> array_to_string(words[i:i+4], ' '))
+               END) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    ), ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+    SELECT ia, ib
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = ia
+    JOIN sizes sb ON sb.doc_id = ib
+    WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
+"""
+
 
 def _pages(sf_dir: str):
     from ksoup_ray.sources.synth import cc_pages
@@ -106,20 +130,30 @@ def _q_exact_dedup(sf_dir: str):
 
 
 def _q_minhash_dedup(sf_dir: str):
+    """MinHash-LSH + exact-Jaccard verification: docs to DROP.
+
+    128 hashes / 32 bands×4 rows → candidate recall ≈ 1 − 5e-8 at
+    J ≥ 0.8; the corpus' near-dup pairs all sit at J ≥ 0.8 with the
+    next-highest pair < 0.1, so the verified drop set equals the exact
+    Jaccard oracle's (threshold 0.5 in the gap)."""
     import ray.data as rd
     from ksoup_ray.functions.dedup import minhash_lsh_dedup
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    return minhash_lsh_dedup(ds, num_hashes=64, num_bands=8)
+    return minhash_lsh_dedup(ds, num_hashes=128, num_bands=32,
+                             shingle_size=5, threshold=0.5)
 
 
 def _q_simhash(sf_dir: str):
+    """64-bit SimHash; word hash = md5 top-8-bytes so the DuckDB oracle
+    recomputes the identical signature in SQL. Hex-string output keeps
+    the comparison dtype-exact (bit 63 would overflow int64)."""
     import ray.data as rd
     from ksoup_ray.functions.dedup import SimHasher
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     out = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
-    return out.select_columns(["doc_id", "simhash"])
+    return out.select_columns(["doc_id", "simhash_hex"])
 
 
 def _q_token_count(sf_dir: str):
@@ -150,17 +184,20 @@ def _q_langid(sf_dir: str):
 
 
 def _q_dedup_components(sf_dir: str):
-    """Composed near-dup pipeline: LSH candidates -> exact n-gram
-    Jaccard verify -> connected components (rows-only check)."""
+    """Composed near-dup pipeline: LSH candidates -> exact 5-gram
+    Jaccard verify (hash-join, no broadcast) -> distributed connected
+    components. Value-checked against a DuckDB recursive-CTE closure
+    over the exact-Jaccard pair graph."""
     import ray.data as rd
     from ksoup_ray.functions.dedup import (
         connected_components, minhash_candidate_pairs,
         verify_pairs_jaccard)
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    pairs = minhash_candidate_pairs(ds, num_hashes=64, num_bands=8)
+    pairs = minhash_candidate_pairs(ds, num_hashes=128, num_bands=32,
+                                    shingle_size=5)
     verified = verify_pairs_jaccard(
-        pairs, ds, threshold=0.5).select_columns(["id_a", "id_b"])
+        pairs, ds, threshold=0.5, ngram=5).select_columns(["id_a", "id_b"])
     return connected_components(verified)
 
 
@@ -187,8 +224,10 @@ def _q_xml_roundtrip(sf_dir: str):
         texts = batch.column("text").to_pylist()
         out_ids, out_texts = [], []
         for i, t in zip(ids, texts):
+            esc = ((t or "").replace("&", "&amp;").replace("<", "&lt;")
+                   .replace(">", "&gt;"))
             xml = (f'<?xml version="1.0"?><doc id="{i}">'
-                   f"<body>{t or ''}</body></doc>")
+                   f"<body>{esc}</body></doc>")
             doc = KP.parse_xml(xml)
             el = doc.select_first("doc")
             out_ids.append(int(el.attr("id")))
@@ -210,16 +249,26 @@ def _q_fingerprint(sf_dir: str):
 
 _ANN_K = 10
 _ANN_NQ = 4
+_IVF_CELLS = 8
+_IVF_NPROBE = 2
+
+
+def _head_embeddings(sf_dir: str, n: int) -> np.ndarray:
+    """First n embeddings by vec_id — BOUNDED driver-side prep: a
+    streaming DuckDB ORDER BY ... LIMIT n keeps only n rows in memory
+    (top-k heap), never the table (the pq.read_table-the-whole-file
+    prep this replaces was unbounded at corpus scale)."""
+    import duckdb
+    rows = duckdb.connect().execute(
+        "SELECT embedding FROM read_parquet(?) ORDER BY vec_id LIMIT ?",
+        [f"{sf_dir}/embeddings.parquet", n]).fetchall()
+    return np.array([r[0] for r in rows], dtype=np.float64)
 
 
 def _q_ann_topk(sf_dir: str):
-    import pyarrow.parquet as pq
     import ray.data as rd
     from ksoup_ray.functions.similarity import brute_force_topk
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["vec_id", "embedding"])
-    qdf = qt.to_pandas().sort_values("vec_id").head(_ANN_NQ)
-    queries = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+    queries = _head_embeddings(sf_dir, _ANN_NQ)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     top = brute_force_topk(ds, queries, k=_ANN_K, concurrency=(1, 4))
@@ -227,16 +276,19 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_ann_ivf(sf_dir: str):
-    import pyarrow.parquet as pq
+    """Deterministic seeded-Voronoi IVF with nprobe=2 of 8 cells — the
+    approximation path is genuinely exercised (unprobed cells are
+    invisible) and the DuckDB oracle recomputes the identical cell
+    structure in SQL. The k-means variant (``ivf_topk``) is covered by
+    a pytest recall bound instead (non-SQL-expressible centroids)."""
     import ray.data as rd
-    from ksoup_ray.functions.similarity import ivf_topk
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["vec_id", "embedding"])
-    qdf = qt.to_pandas().sort_values("vec_id").head(_ANN_NQ)
-    queries = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+    from ksoup_ray.functions.similarity import ivf_topk_seeded
+    queries = _head_embeddings(sf_dir, _ANN_NQ)
+    centroids = _head_embeddings(sf_dir, _IVF_CELLS)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    top = ivf_topk(ds, queries, k=_ANN_K, num_centroids=8, nprobe=8)
+    top = ivf_topk_seeded(ds, queries, centroids, k=_ANN_K,
+                          nprobe=_IVF_NPROBE)
     return top.select_columns(["query_id", "vec_id"])
 
 
@@ -367,7 +419,13 @@ def _q_event_windows(sf_dir: str):
 
 
 def _q_sanitize(sf_dir: str):
-    """Cleaner/Safelist as a distributed stage (rows-only check)."""
+    """Cleaner/Safelist as a distributed stage, value-checked: decode →
+    full HTML5 parse → select div#content → Ksoup.clean(basic) of its
+    inner HTML. On synth pages the cleaned output is closed-form
+    ('<p>'+13-word chunk+'</p>' joined by newline: class attrs dropped
+    by the safelist, entities decoded by the parser), so the DuckDB
+    oracle reconstructs it from the documents table
+    (reference safety/CleanerTest.kt exact-string style)."""
     from ksoup_ray.engine.charset import decode_html
     from ksoup_ray.engine import parser as KP
     from ksoup_ray.engine.safety import Safelist
@@ -384,16 +442,22 @@ def _q_sanitize(sf_dir: str):
             outs = []
             for raw in htmls:
                 text, _ = decode_html(raw or b"")
-                body = text.split("<body>", 1)[-1]
-                outs.append(KP.clean(body, self.safelist))
+                doc = KP.parse(text)
+                content = doc.select_first("div#content")
+                inner = content.html() if content is not None else ""
+                outs.append(KP.clean(inner, self.safelist))
             return pa.table({"url": pa.array(urls, pa.string()),
                              "clean_html": pa.array(outs, pa.string())})
 
-    return ds.map_batches(CleanStage, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(CleanStage, batch_format="pyarrow",
+                          concurrency=(1, 4))
 
 
 def _q_media_features(sf_dir: str):
-    """Multimodal plumbing (stubbed decode — rows-only check)."""
+    """Multimodal plumbing, value-checked on everything except the
+    stubbed decode kernel itself: payload size, typed metadata
+    (media_type/format by doc_id), and the stub decoder's fixed 4×4
+    shape all have closed forms the DuckDB oracle states."""
     import ray.data as rd
     from ksoup_ray.functions.multimodal import ImageFeatures, synth_media_batch
 
@@ -402,7 +466,20 @@ def _q_media_features(sf_dir: str):
     media = ds.map_batches(synth_media_batch, batch_format="pyarrow")
     out = media.map_batches(ImageFeatures, batch_format="pyarrow",
                             batch_size=32, concurrency=(1, 2))
-    return out.select_columns(["media_id", "width", "height"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        meta = batch.column("meta")
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "width": batch.column("width"),
+            "height": batch.column("height"),
+            "n_bytes": pc.cast(pc.binary_length(batch.column("media")),
+                               pa.int64()),
+            "media_type": pc.struct_field(meta, "media_type"),
+            "format": pc.struct_field(meta, "format"),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -542,8 +619,148 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY user_id, time_bucket(INTERVAL '60 seconds', ts)
         """,
-        # minhash_dedup / simhash / langid / ann_ivf / sanitize /
-        # media_features: non-SQL-expressible (LSH banding, bit
-        # signatures, heuristic argmax, approximate recall, HTML
-        # serialization, stubbed decode) → rows-only checks.
+        "minhash_dedup": f"""
+            WITH pairs AS ({_JACCARD_PAIRS_SQL})
+            SELECT DISTINCT ib AS doc_id FROM pairs
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+            edges AS (
+              SELECT ia AS n, ib AS m FROM pairs
+              UNION SELECT ib, ia FROM pairs
+              UNION SELECT ia, ia FROM pairs
+              UNION SELECT ib, ib FROM pairs
+            ),
+            reach(n, m) AS (
+              SELECT n, m FROM edges
+              UNION
+              SELECT r.n, e.m FROM reach r JOIN edges e ON r.m = e.n
+            )
+            SELECT n AS node_id, MIN(m) AS component_id FROM reach GROUP BY n
+        """,
+        "simhash": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents
+            ), hashed AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT) AS h
+              FROM words WHERE w <> ''
+            ), bits AS (
+              SELECT doc_id, b.bit,
+                     SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END)
+                         AS acc
+              FROM hashed, (SELECT unnest(range(64)) AS bit) b
+              GROUP BY doc_id, b.bit
+            ), sig AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN acc > 0
+                          THEN (CAST(1 AS UBIGINT) << bit)
+                          ELSE CAST(0 AS UBIGINT) END) AS sh
+              FROM bits GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   lower(lpad(to_hex(COALESCE(s.sh, 0)), 16, '0'))
+                       AS simhash_hex
+            FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
+        """,
+        "langid": """
+            WITH m(lang, w, pri) AS (VALUES
+              ('en','the',1),('en','and',1),('en','of',1),('en','to',1),
+              ('en','a',1),('en','in',1),('en','is',1),('en','it',1),
+              ('en','that',1),
+              ('de','der',2),('de','die',2),('de','das',2),('de','und',2),
+              ('de','ist',2),('de','nicht',2),('de','ein',2),('de','zu',2),
+              ('fr','le',3),('fr','la',3),('fr','les',3),('fr','et',3),
+              ('fr','est',3),('fr','un',3),('fr','une',3),('fr','que',3),
+              ('es','el',4),('es','la',4),('es','los',4),('es','y',4),
+              ('es','es',4),('es','un',4),('es','una',4),('es','que',4),
+              ('es','de',4)
+            ), words AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents
+            ), sc AS (
+              SELECT words.doc_id, m.lang, min(m.pri) AS pri,
+                     count(*) AS score
+              FROM words JOIN m ON words.w = m.w
+              GROUP BY words.doc_id, m.lang
+            ), best AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, pri ASC) AS rn
+              FROM sc
+            )
+            SELECT d.doc_id,
+                   CASE WHEN regexp_matches(d.text,
+                        '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]')
+                        THEN 'zh'
+                        WHEN b.lang IS NOT NULL THEN b.lang
+                        ELSE 'und' END AS pred_lang
+            FROM documents d
+            LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+        """,
+        "ann_ivf": f"""
+            WITH cents AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                       embedding AS ce
+                FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS}
+            ), q AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_idx,
+                       embedding AS qe
+                FROM embeddings ORDER BY vec_id LIMIT {_ANN_NQ}
+            ), assign AS (
+                SELECT vec_id, embedding, cid FROM (
+                    SELECT e.vec_id, e.embedding, c.cid,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(
+                                   CAST(e.embedding AS DOUBLE[]),
+                                   CAST(c.ce AS DOUBLE[])) DESC,
+                               c.cid) AS rn
+                    FROM embeddings e CROSS JOIN cents c)
+                WHERE rn = 1
+            ), probes AS (
+                SELECT query_idx, cid FROM (
+                    SELECT q.query_idx, c.cid,
+                           row_number() OVER (PARTITION BY q.query_idx
+                               ORDER BY list_cosine_similarity(
+                                   CAST(q.qe AS DOUBLE[]),
+                                   CAST(c.ce AS DOUBLE[])) DESC,
+                               c.cid) AS rn
+                    FROM q CROSS JOIN cents c)
+                WHERE rn <= {_IVF_NPROBE}
+            ), ranked AS (
+                SELECT CAST(q.query_idx AS INTEGER) AS query_id, a.vec_id,
+                       row_number() OVER (PARTITION BY q.query_idx
+                           ORDER BY list_cosine_similarity(
+                               CAST(q.qe AS DOUBLE[]),
+                               CAST(a.embedding AS DOUBLE[])) DESC,
+                           a.vec_id) AS rn
+                FROM q
+                JOIN probes p ON p.query_idx = q.query_idx
+                JOIN assign a ON a.cid = p.cid
+            )
+            SELECT query_id, vec_id FROM ranked WHERE rn <= {_ANN_K}
+        """,
+        "sanitize": f"""
+            SELECT {SYNTH_URL_SQL} AS url,
+                   CASE WHEN text = '' THEN '<p></p>'
+                        ELSE array_to_string(list_transform(
+                            range(1, len(string_split(text, ' ')) + 1, 13),
+                            i -> '<p>' || array_to_string(
+                                string_split(text, ' ')[i:i+12], ' ')
+                                 || '</p>'), chr(10))
+                   END AS clean_html
+            FROM documents
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   CAST(4 AS INTEGER) AS width,
+                   CAST(4 AS INTEGER) AS height,
+                   CAST(256 AS BIGINT) AS n_bytes,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+                   CASE doc_id % 3 WHEN 0 THEN 'png'
+                        WHEN 1 THEN 'wav' ELSE 'mp4' END AS format
+            FROM documents
+        """,
     }

@@ -86,6 +86,95 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                                                   batch_format="pandas")
 
 
+class SeededIVFScorer:
+    """Actor for ``ivf_topk_seeded``: holds the (broadcast) centroid and
+    query matrices; per batch assigns vectors to their nearest-centroid
+    Voronoi cell and scores each query ONLY against vectors in that
+    query's probed cells (true IVF semantics — a vector outside q's
+    probe list is invisible to q even if another query probes it)."""
+
+    def __init__(self, cents_ref, queries_ref, probe_cells_ref, k: int,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+        import ray
+        self.cents = _normalize(np.asarray(ray.get(cents_ref),
+                                           dtype=np.float64))
+        self.queries = _normalize(np.asarray(ray.get(queries_ref),
+                                             dtype=np.float64))
+        self.probe_cells = ray.get(probe_cells_ref)  # (Q, nprobe) int
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column(self.vec_col).to_pylist(),
+                        dtype=np.float64)
+        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        unit = _normalize(vecs)
+        # Voronoi assignment; ties break to the LOWEST cell id (argmax
+        # returns the first max) — mirrored in the SQL oracle
+        assign = (unit @ self.cents.T).argmax(axis=1)
+        sims = unit @ self.queries.T                       # (batch, Q)
+        q_ids: list[int] = []
+        v_ids: list = []
+        scores: list[float] = []
+        for q in range(self.queries.shape[0]):
+            mask = np.isin(assign, self.probe_cells[q])
+            if not mask.any():
+                continue
+            col = sims[mask, q]
+            mids = ids[mask]
+            top = min(self.k, len(col))
+            idx = np.argpartition(-col, top - 1)[:top]
+            q_ids.extend([q] * top)
+            v_ids.extend(mids[idx].tolist())
+            scores.extend(col[idx].tolist())
+        return pa.table({
+            "query_id": pa.array(q_ids, pa.int32()),
+            self.id_col: pa.array(v_ids),
+            "cosine": pa.array(scores, pa.float64()),
+        })
+
+
+def ivf_topk_seeded(ds, queries: np.ndarray, centroids: np.ndarray,
+                    k: int = 10, nprobe: int = 2,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    concurrency=(1, 4)):
+    """Deterministic IVF ANN: coarse quantizer = Voronoi cells of the
+    given seed ``centroids`` (e.g. the C lowest-id vectors), queries
+    probe only their ``nprobe`` nearest cells, exact cosine top-k within
+    the probed cells.
+
+    Genuinely approximate when ``nprobe < len(centroids)`` (a true
+    neighbor in an unprobed cell is missed), yet fully deterministic and
+    SQL-expressible — the driver value-checks it against a DuckDB oracle
+    computing the identical cell structure. K-means-quality centroids
+    (``ivf_topk``) trade that checkability for better cell balance.
+    """
+    import ray
+
+    cents = _normalize(np.asarray(centroids, dtype=np.float64))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    # per-query probe list: nprobe most-similar cells, ties to lowest id
+    order = np.argsort(-(q @ cents.T), axis=1, kind="stable")
+    probe_cells = order[:, :nprobe]
+    cents_ref = ray.put(cents)
+    q_ref = ray.put(q)
+    probe_ref = ray.put(probe_cells)
+
+    partial = ds.map_batches(
+        SeededIVFScorer,
+        fn_constructor_kwargs=dict(cents_ref=cents_ref, queries_ref=q_ref,
+                                   probe_cells_ref=probe_ref, k=k,
+                                   vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=concurrency)
+
+    def global_topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.nlargest(k, "cosine")
+
+    return partial.groupby("query_id").map_groups(global_topk,
+                                                  batch_format="pandas")
+
+
 def fit_centroids(sample: np.ndarray, num_centroids: int, iters: int = 10,
                   seed: int = 11) -> np.ndarray:
     """Small exact k-means on a driver-side sample (IVF coarse quantizer).

@@ -81,28 +81,37 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 class LangId:
-    """n-gram/marker-word language heuristic (actor-pool stage: marker
-    tables built once per actor)."""
+    """Marker-word language heuristic (actor-pool stage: marker tables
+    built once per actor). Semantics (mirrored exactly by the DuckDB
+    oracle): CJK characters → ``zh``; else the FIRST language in probe
+    order whose marker-word count is strictly maximal and ≥ 1; ties go
+    to the earlier language; no markers → ``und``.
+
+    Vectorized: one explode + per-language ``isin`` membership over the
+    whole batch — no per-row Python loop."""
 
     def __init__(self, langs=("en", "de", "fr", "es")):
+        self.langs = tuple(langs)
         self.markers = {lg: _LANG_MARKERS[lg] for lg in langs}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        out: list[str] = []
-        for t in texts:
-            t = (t or "").lower()
-            if _CJK_RE.search(t):
-                out.append("zh")
-                continue
-            words = t.split()
-            best, best_score = "und", 0
-            for lg, markers in self.markers.items():
-                score = sum(1 for w in words if w in markers)
-                if score > best_score:
-                    best, best_score = lg, score
-            out.append(best)
-        return batch.append_column("pred_lang", pa.array(out, pa.string()))
+        s = batch.column("text").to_pandas().fillna("").str.lower()
+        n = len(s)
+        exploded = s.str.split().explode()
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        if len(exploded):
+            for j, lg in enumerate(self.langs):
+                hits = exploded.isin(self.markers[lg]) \
+                    .groupby(level=0).sum()
+                scores[hits.index.to_numpy(), j] = hits.to_numpy()
+        best_j = scores.argmax(axis=1)          # first max wins (tie rule)
+        best_score = scores[np.arange(n), best_j]
+        langs_arr = np.array(self.langs, dtype=object)
+        out = np.where(best_score >= 1, langs_arr[best_j], "und")
+        is_cjk = s.str.contains(_CJK_RE).to_numpy()
+        out = np.where(is_cjk, "zh", out)
+        return batch.append_column("pred_lang",
+                                   pa.array(out.tolist(), pa.string()))
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

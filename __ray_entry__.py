@@ -59,8 +59,7 @@ def _pages(sf_dir: str):
 def _extracted(sf_dir: str):
     from ksoup_ray.pipelines.extract import run_extraction
     return run_extraction(_pages(sf_dir), out_dir="", write=False,
-                          split_by_size=False, concurrency=(2, 8),
-                          batch_size=64)
+                          concurrency=(2, 8), batch_size=64)
 
 
 def entry() -> Any:

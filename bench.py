@@ -97,11 +97,11 @@ def run_headline(corpus_dir: str, num_cpus: int) -> dict:
     else:
         workers = min(num_cpus,
                       int(os.environ.get("GRAFT_MAX_WORKERS", "16")))
-    # exact 2:1 small:big split at every scale — both scaling runs must
-    # have IDENTICAL pool proportions or the differing per-byte cost of
-    # the two size classes skews the ratio (BASELINE.md §5)
-    pool = max(1, (workers * 2) // 3)
-    big_pool = (1, max(1, workers - pool))
+    # round 2: ONE parse pool gets the whole worker budget (the round-1
+    # dual small/big pool split re-executed the read lineage twice and
+    # needed per-size-class tuning; byte skew is now bounded by the
+    # small row batch inside run_extraction)
+    pool = max(1, workers)
     scaling_mode = bool(os.environ.get("GRAFT_SCALE_WORKERS"))
     t0 = time.time()
     ds = rd.read_parquet(corpus_dir)
@@ -115,15 +115,14 @@ def run_headline(corpus_dir: str, num_cpus: int) -> dict:
         # number (plain `bench.py`) includes the write. (BASELINE.md)
         out = run_extraction(
             ds, out_dir, num_partitions=64, concurrency=pool,
-            batch_size=32, resume=False, split_by_size=True,
-            big_concurrency=big_pool, write=False)
+            batch_size=16, resume=False, write=False)
         n_out = out.count()
         stats = {"rows": n_out}
     else:
         stats = run_extraction(
             ds, out_dir, num_partitions=64, concurrency=pool,
-            batch_size=64, resume=False, split_by_size=True,
-            coalesce_output=max(8, workers), big_concurrency=big_pool)
+            batch_size=16, resume=False,
+            coalesce_output=max(8, workers))
     wall = time.time() - t0
     return {
         "sec": wall,

@@ -1227,7 +1227,7 @@ class Document(Element):
     """nodes/Document.kt:27"""
 
     __slots__ = ("output_settings", "quirks_mode", "location", "parser",
-                 "parse_errors", "error_list")
+                 "parse_errors", "error_list", "truncated")
 
     def __init__(self, base_uri: str = ""):
         super().__init__(tag_value_of("#root"), base_uri)
@@ -1237,6 +1237,7 @@ class Document(Element):
         self.parser = None  # set by the Parser that built this doc
         self.parse_errors = 0
         self.error_list: list[str] = []
+        self.truncated = False  # set by the DOM size guard (DomSizeLimit)
 
     def node_name(self) -> str:
         return "#document"

@@ -27,8 +27,10 @@ from . import entities as E
 
 def parse(html: str, base_uri: str = "",
           settings: ParseSettings = HTML_DEFAULT,
-          track_errors: bool = False) -> Document:
-    tb = HtmlTreeBuilder(settings, track_errors)
+          track_errors: bool = False, node_listener=None,
+          max_nodes: int = 0) -> Document:
+    tb = HtmlTreeBuilder(settings, track_errors, node_listener=node_listener,
+                         max_nodes=max_nodes)
     doc = tb.parse(html, base_uri)
     doc.parse_errors = len(tb.errors) + len(tb.tokeniser.errors)
     doc.error_list = (tb.errors + tb.tokeniser.errors) if track_errors else []

@@ -222,15 +222,31 @@ HTML_DEFAULT = ParseSettings(False, False)
 PRESERVE_CASE = ParseSettings(True, True)
 
 
+class DomSizeLimit(Exception):
+    """Raised internally when the size-capped DOM guard trips; callers
+    receive a truncated Document (doc.truncated) — never an error row."""
+
+
 class HtmlTreeBuilder:
     """The parse driver. One instance per document parse (actors reuse by
     constructing a fresh builder per doc — the scratch tables below are
     module-level and shared)."""
 
     def __init__(self, settings: ParseSettings = HTML_DEFAULT,
-                 track_errors: bool = False):
+                 track_errors: bool = False, node_listener=None,
+                 max_nodes: int = 0):
         self.settings = settings
         self.track_errors = track_errors
+        # extension surface (reference parser/TreeBuilder.kt:279-293):
+        # object with head(node, depth) / tail(node, depth), called on
+        # every node insert / explicit close — powers streaming-style
+        # inspection and pruning during parse
+        self.node_listener = node_listener
+        # size-capped DOM guard (the StreamParser substitute promised in
+        # SURVEY §2.1): > max_nodes inserted nodes aborts the parse and
+        # returns the truncated document with doc.truncated = True
+        self.max_nodes = max_nodes
+        self.node_count = 0
         self.errors: list[str] = []
         # parse state (per-document)
         self.doc: Document | None = None
@@ -256,7 +272,12 @@ class HtmlTreeBuilder:
     # public entry points
     def parse(self, html: str, base_uri: str = "") -> Document:
         self._initialise(html, base_uri)
-        self._run_parser()
+        try:
+            self._run_parser()
+        except DomSizeLimit:
+            self.doc.truncated = True
+            self.errors.append(
+                f"DOM node limit {self.max_nodes} exceeded; parse truncated")
         return self.doc
 
     def parse_fragment(self, html: str, context: Element | None,
@@ -294,6 +315,7 @@ class HtmlTreeBuilder:
         self.foster_inserts = False
         self.fragment_parsing = False
         self.seen_tags = {}
+        self.node_count = 0
         self.errors = []
 
     def _initialise_fragment(self, context: Element | None) -> None:
@@ -409,10 +431,20 @@ class HtmlTreeBuilder:
         return cur.normal_name() == name and cur.tag.namespace == ns
 
     def pop(self) -> Element:
-        return self.stack.pop()
+        el = self.stack.pop()
+        if self.node_listener is not None:
+            self.node_listener.tail(el, len(self.stack))
+        return el
 
     def push(self, el: Element) -> None:
         self.stack.append(el)
+
+    def _on_node_inserted(self, node) -> None:
+        self.node_count += 1
+        if self.max_nodes and self.node_count > self.max_nodes:
+            raise DomSizeLimit(self.node_count)
+        if self.node_listener is not None:
+            self.node_listener.head(node, len(self.stack))
 
     def on_stack(self, el: Element) -> bool:
         stack = self.stack
@@ -736,9 +768,12 @@ class HtmlTreeBuilder:
         else:
             self.current_element().append_child(el)
         self.push(el)
+        self._on_node_inserted(el)
 
     def insert_comment_node(self, token) -> None:
-        self.current_element().append_child(Comment(token.get_data()))
+        node = Comment(token.get_data())
+        self.current_element().append_child(node)
+        self._on_node_inserted(node)
 
     def insert_character_node(self, token) -> None:
         self.insert_character_to_element(token, self.current_element())
@@ -756,6 +791,7 @@ class HtmlTreeBuilder:
         if sp >= 0:
             node.span = (sp, token.end_pos)
         el.append_child(node)
+        self._on_node_inserted(node)
 
     def insert_in_foster_parent(self, in_node: Node) -> None:
         last_table = self.get_from_stack("table")

@@ -7,9 +7,13 @@ North-rule obligations implemented here (SURVEY.md §4):
   the checkpoint/resume granularity;
 * resume: partitions that already have a lineage record are filtered
   out at the start of the run (vectorized mask, no parse work);
-* skew: ``doc_bytes`` computed vectorized (`pc.binary_length`); rows
-  above ``big_doc_bytes`` route to a dedicated actor pool with a small
-  batch size so megabyte pages don't stall 256-row batches;
+* skew: ``doc_bytes`` computed vectorized (`pc.binary_length`); the
+  parse stage runs ONE actor pool with a SMALL row batch (default 16)
+  so a megabyte page bounds at most a 16-row batch's latency — the
+  dynamic scheduler keeps every actor fed from the shared batch queue.
+  (A dedicated big-doc pool was measured in round 1 to starve whichever
+  side was under-provisioned, and its dual filter branches executed the
+  ReadParquet lineage TWICE — one pool + small batches wins on both);
 * output: ``out_dir/data/partition_id=N/...parquet`` (one dir per
   partition — resumable, never one giant file) + ``out_dir/_lineage/
   N.json`` (rows, bytes, errors, wall ms, engine version);
@@ -77,15 +81,12 @@ def run_extraction(
     *,
     num_partitions: int = 64,
     concurrency=(2, 8),
-    batch_size: int = 64,
+    batch_size: int = 16,
     big_doc_bytes: int = 2 * 1024 * 1024,
-    big_batch_size: int = 2,
-    split_by_size: bool = True,
     resume: bool = True,
     strip: str = DEFAULT_STRIP,
     write: bool = True,
     coalesce_output: int | None = None,
-    big_concurrency=None,
 ):
     """Run extraction over a CC-page Dataset.
 
@@ -112,43 +113,15 @@ def run_extraction(
     make_actor_kwargs = dict(strip=strip, num_partitions=num_partitions,
                              big_doc_bytes=big_doc_bytes)
 
-    if split_by_size:
-        # one logical pass; the filter stages are vectorized and cheap,
-        # the expensive parse executes exactly once per row in one of
-        # the two pools (small: big batches; big: tiny batches).
-        small = ds.map_batches(
-            lambda b: b.filter(pc.less_equal(b.column("doc_bytes"),
-                                             big_doc_bytes)),
-            batch_format="pyarrow")
-        big = ds.map_batches(
-            lambda b: b.filter(pc.greater(b.column("doc_bytes"),
-                                          big_doc_bytes)),
-            batch_format="pyarrow")
-        small_out = small.map_batches(
-            ParseExtract, fn_constructor_kwargs=make_actor_kwargs,
-            batch_format="pyarrow", batch_size=batch_size,
-            concurrency=concurrency, num_cpus=1)
-        # the big pool autoscales up to the small pool's size by
-        # default: big docs can carry an arbitrary byte share, and a
-        # byte-starved big pool becomes the whole pipeline's bottleneck
-        # (measured — see BASELINE.md). Callers with a hard worker
-        # budget pass big_concurrency explicitly.
-        if big_concurrency is not None:
-            big_conc = big_concurrency
-        else:
-            big_max = concurrency[1] if isinstance(concurrency, tuple) \
-                else int(concurrency)
-            big_conc = (1, max(1, big_max))
-        big_out = big.map_batches(
-            ParseExtract, fn_constructor_kwargs=make_actor_kwargs,
-            batch_format="pyarrow", batch_size=big_batch_size,
-            concurrency=big_conc, num_cpus=1)
-        out = small_out.union(big_out)
-    else:
-        out = ds.map_batches(
-            ParseExtract, fn_constructor_kwargs=make_actor_kwargs,
-            batch_format="pyarrow", batch_size=batch_size,
-            concurrency=concurrency, num_cpus=1)
+    # SINGLE scan, SINGLE pool: the ingest stage fuses with the parse
+    # actors, so the execution plan has exactly one ReadParquet over the
+    # input. Byte skew is bounded by the small row batch: one oversized
+    # page delays at most (batch_size-1) siblings, and the streaming
+    # scheduler keeps the other actors fed — no pool to mis-size.
+    out = ds.map_batches(
+        ParseExtract, fn_constructor_kwargs=make_actor_kwargs,
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
 
     if not write:
         return out

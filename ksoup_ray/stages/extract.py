@@ -60,12 +60,16 @@ OUT_SCHEMA = pa.schema([
 
 def extract_document(raw: bytes, base_uri: str = "",
                      strip_query=None, want_links: bool = True,
-                     want_meta: bool = True, want_spans: bool = False):
+                     want_meta: bool = True, want_spans: bool = False,
+                     max_nodes: int = 0):
     """Pure per-document kernel: bytes → extraction dict. Reusable from
-    tests and from non-Ray callers."""
+    tests and from non-Ray callers. ``max_nodes`` > 0 arms the DOM size
+    guard: a pathological document parses to at most that many nodes and
+    comes back truncated (counted in parse_errors) instead of OOMing the
+    worker — the StreamParser-substitute promised in SURVEY §2.1."""
     text, _charset = decode_html(raw)
-    doc = P.parse(text, base_uri)
-    n_errors = doc.parse_errors
+    doc = P.parse(text, base_uri, max_nodes=max_nodes)
+    n_errors = doc.parse_errors + (1 if doc.truncated else 0)
 
     title = doc.title()
 
@@ -120,7 +124,8 @@ class ParseExtract:
 
     def __init__(self, strip: str = DEFAULT_STRIP, num_partitions: int = 64,
                  want_links: bool = True, want_meta: bool = True,
-                 want_spans: bool = True, big_doc_bytes: int = 1 << 20):
+                 want_spans: bool = True, big_doc_bytes: int = 1 << 20,
+                 max_nodes: int = 2_000_000):
         # compiled once per actor (reference: ThreadLocal selector memo)
         self.strip_eval = parse_query(strip) if strip else None
         self.num_partitions = num_partitions
@@ -128,6 +133,9 @@ class ParseExtract:
         self.want_meta = want_meta
         self.want_spans = want_spans
         self.big_doc_bytes = big_doc_bytes
+        # ~100s parse / few-GB DOM worst case per doc; beyond this a doc
+        # is truncated, flagged, and the pipeline keeps streaming
+        self.max_nodes = max_nodes
         # per-actor counters (read via ds.stats() / lineage aggregation)
         self.docs = 0
         self.bytes = 0
@@ -154,7 +162,7 @@ class ParseExtract:
                 self.big_docs += 1
             rec = extract_document(raw, url, self.strip_eval,
                                    self.want_links, self.want_meta,
-                                   self.want_spans)
+                                   self.want_spans, self.max_nodes)
             out_text.append(rec["extracted_text"])
             out_title.append(rec["title"])
             out_meta.append(rec["meta"])

@@ -24,7 +24,7 @@ def test_pipeline_byte_identity_and_lineage(ray_session, sf_dir, tmp_path):
     out = str(tmp_path / "extract")
     ds = cc_pages(sf_dir)
     stats = run_extraction(ds, out, num_partitions=4, concurrency=2,
-                           batch_size=64, split_by_size=False)
+                           batch_size=64)
     assert stats["rows"] == 500
     assert stats["parse_errors"] == 0
     assert stats["partitions"] == 4
@@ -52,13 +52,12 @@ def test_pipeline_resume_skips_done(ray_session, sf_dir, tmp_path):
     from ksoup_ray.sources.synth import cc_pages
 
     out = str(tmp_path / "resume")
-    run_extraction(cc_pages(sf_dir), out, num_partitions=4, concurrency=2,
-                   split_by_size=False)
+    run_extraction(cc_pages(sf_dir), out, num_partitions=4, concurrency=2)
     # drop one partition; rerun must restore exactly it
     os.remove(out + "/_lineage/2.json")
     shutil.rmtree(out + "/data/partition_id=2")
     stats = run_extraction(cc_pages(sf_dir), out, num_partitions=4,
-                           concurrency=2, split_by_size=False)
+                           concurrency=2)
     assert stats["rows"] == 500
     assert os.path.exists(out + "/_lineage/2.json")
 
@@ -159,6 +158,41 @@ def test_ivf_topk_mostly_agrees_with_brute(ray_session, sf_dir):
         assert e == a
 
 
+def test_ivf_seeded_partial_probe_recall(ray_session, sf_dir):
+    """nprobe=2 of 8 cells: the approximation path is actually exercised
+    (only ~1/4 of the corpus is visible per query) yet recall vs exact
+    top-k stays useful — and the result is deterministic."""
+    import ray.data as rd
+    from ksoup_ray.functions.similarity import (brute_force_topk,
+                                                ivf_topk_seeded)
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas() \
+        .sort_values("vec_id")
+    queries = np.array(emb.head(3)["embedding"].tolist())
+    centroids = np.array(emb.head(8)["embedding"].tolist())
+
+    def load():
+        return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    exact = brute_force_topk(load(), queries, k=10,
+                             concurrency=1).to_pandas()
+    approx = ivf_topk_seeded(load(), queries, centroids, k=10, nprobe=2,
+                             concurrency=1).to_pandas()
+    approx2 = ivf_topk_seeded(load(), queries, centroids, k=10, nprobe=2,
+                              concurrency=1).to_pandas()
+    recalls = []
+    for q in range(3):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        a2 = set(approx2[approx2["query_id"] == q]["vec_id"])
+        assert a == a2  # deterministic
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.4  # probing 2/8 cells
+    # query 0 IS centroid 0 → its own cell is probed first → self found
+    assert 0 in set(approx[approx["query_id"] == 0]["vec_id"])
+
+
 def test_multimodal_stub_plumbing(ray_session, documents_path):
     import ray.data as rd
     from ksoup_ray.functions.multimodal import (
@@ -214,7 +248,7 @@ def test_extraction_deterministic(ray_session, sf_dir):
 
     def run():
         out = run_extraction(cc_pages(sf_dir).limit(100), "", write=False,
-                             split_by_size=False, concurrency=2)
+                             concurrency=2)
         return out.to_pandas().sort_values("url").reset_index(drop=True)
 
     a, b = run(), run()

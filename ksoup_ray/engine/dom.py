@@ -1051,6 +1051,136 @@ class Element(Node):
         root = r if isinstance(r, Element) else self
         return ev.matches(root, self)
 
+    # -- cssSelector (reference nodes/Element.kt:836-879)
+    def css_selector(self) -> str:
+        """A CSS selector that uniquely selects this element: #id if
+        unique in the owning document, else the ancestor chain of
+        tag.class.class:nth-child(n) components joined by ' > '."""
+        from .select import TokenQueue
+        if self.id():
+            id_sel = "#" + TokenQueue.escape_css_identifier(self.id())
+            doc = self.owner_document()
+            if doc is None:
+                return id_sel
+            els = doc.select(id_sel)
+            if len(els) == 1 and els[0] is self:
+                return id_sel
+        parts: list[str] = []
+        el: Element | None = self
+        while el is not None and not isinstance(el, Document):
+            parts.insert(0, el._css_selector_component())
+            el = el.parent()
+        return "".join(parts)
+
+    def _css_selector_component(self) -> str:
+        from .select import TokenQueue
+        esc = TokenQueue.escape_css_identifier
+        tag = esc(self.tag_name()).replace("\\:", "|")
+        sel = tag
+        classes = ".".join(esc(c) for c in self.class_names())
+        if classes:
+            sel += "." + classes
+        parent = self.parent()
+        if parent is None or isinstance(parent, Document):
+            return sel
+        prefix = " > "
+        if len(parent.select(prefix + sel)) > 1:
+            sel += f":nth-child({self.element_sibling_index() + 1})"
+        return prefix + sel
+
+    # -- named getElementsBy* family (reference nodes/Element.kt:1031-1291)
+    def get_elements_by_tag(self, tag_name: str) -> list["Element"]:
+        from . import select as S
+        return S.collect(S.TagIs(tag_name.strip().lower()), self)
+
+    def get_element_by_id(self, id_: str) -> "Element | None":
+        from . import select as S
+        return S.find_first(S.IdIs(id_), self)
+
+    def get_elements_by_class(self, class_name: str) -> list["Element"]:
+        from . import select as S
+        return S.collect(S.ClassIs(class_name), self)
+
+    def get_elements_by_attribute(self, key: str) -> list["Element"]:
+        from . import select as S
+        return S.collect(S.HasAttr(key.strip().lower()), self)
+
+    def get_elements_by_attribute_starting(
+            self, key_prefix: str) -> list["Element"]:
+        from . import select as S
+        return S.collect(S.AttrStarting(key_prefix.strip()), self)
+
+    def get_elements_by_attribute_value(
+            self, key: str, value: str) -> list["Element"]:
+        from . import select as S
+        return S.collect(S.AttrValue(key, value), self)
+
+    def get_elements_by_attribute_value_not(
+            self, key: str, value: str) -> list["Element"]:
+        from . import select as S
+        return S.collect(S.AttrValueNot(key, value), self)
+
+    def get_elements_by_attribute_value_starting(
+            self, key: str, prefix: str) -> list["Element"]:
+        from . import select as S
+        return S.collect(S.AttrValueStarting(key, prefix), self)
+
+    def get_elements_by_attribute_value_ending(
+            self, key: str, suffix: str) -> list["Element"]:
+        from . import select as S
+        return S.collect(S.AttrValueEnding(key, suffix), self)
+
+    def get_elements_by_attribute_value_containing(
+            self, key: str, match: str) -> list["Element"]:
+        from . import select as S
+        return S.collect(S.AttrValueContaining(key, match), self)
+
+    def get_elements_by_attribute_value_matching(
+            self, key: str, regex: "str | re.Pattern") -> list["Element"]:
+        import re as _re
+        from . import select as S
+        pattern = _re.compile(regex) if isinstance(regex, str) else regex
+        return S.collect(S.AttrValueMatching(key, pattern), self)
+
+    def get_elements_by_index_less_than(self, index: int) -> list["Element"]:
+        from . import select as S
+        return S.collect(S.IndexLessThan(index), self)
+
+    def get_elements_by_index_greater_than(
+            self, index: int) -> list["Element"]:
+        from . import select as S
+        return S.collect(S.IndexGreaterThan(index), self)
+
+    def get_elements_by_index_equals(self, index: int) -> list["Element"]:
+        from . import select as S
+        return S.collect(S.IndexEquals(index), self)
+
+    def get_elements_containing_text(self, text: str) -> list["Element"]:
+        from . import select as S
+        return S.collect(S.ContainsText(text), self)
+
+    def get_elements_containing_own_text(self, text: str) -> list["Element"]:
+        from . import select as S
+        return S.collect(S.ContainsOwnText(text), self)
+
+    def get_elements_matching_text(
+            self, regex: "str | re.Pattern") -> list["Element"]:
+        import re as _re
+        from . import select as S
+        pattern = _re.compile(regex) if isinstance(regex, str) else regex
+        return S.collect(S.MatchesRe(pattern), self)
+
+    def get_elements_matching_own_text(
+            self, regex: "str | re.Pattern") -> list["Element"]:
+        import re as _re
+        from . import select as S
+        pattern = _re.compile(regex) if isinstance(regex, str) else regex
+        return S.collect(S.MatchesOwnRe(pattern), self)
+
+    def get_all_elements(self) -> list["Element"]:
+        from . import select as S
+        return S.collect(S.AllElements(), self)
+
     # -- serialization
     @staticmethod
     def preserve_whitespace(node: Node | None) -> bool:

@@ -50,10 +50,17 @@ _INVISIBLE_DEL = {0x200B: None, 0xAD: None}
 _WS_RUN_RE = re.compile(r"[ \t\n\f\r\xa0]+")
 
 
+# matches only whitespace runs that normalization would CHANGE (any run
+# containing a non-space ws char, or 2+ spaces) — a zero-match sub
+# returns the original string without a rebuild, and typical prose text
+# (single spaces between words) has zero matches
+_WS_CHANGE_RE = re.compile(r" *[\t\n\f\r\xa0][ \t\n\f\r\xa0]*| {2,}")
+
+
 def normalise_whitespace(string: str) -> str:
     if "​" in string or "\xad" in string:
         string = string.translate(_INVISIBLE_DEL)
-    return _WS_RUN_RE.sub(" ", string)
+    return _WS_CHANGE_RE.sub(" ", string)
 
 
 def append_normalised_whitespace(accum: list[str], string: str,
@@ -942,44 +949,121 @@ class Element(Node):
         same head/tail semantics as NodeTraversor + TextAccumulator but
         with incremental last-char tracking and no per-node closures.
         """
+        # Fast path valid when no preserve-whitespace element and no
+        # CData is in play: append RAW text-node values plus separator
+        # spaces per the block rules, then collapse whitespace ONCE over
+        # the joined string.  normalise(A)+" "+normalise(B) with the
+        # per-node leading-space dedup equals one global collapse of
+        # A+" "+B, so the result is identical — at one C-level regex
+        # scan instead of one per text node.
+        anc: Node | None = self
+        while anc is not None:
+            if isinstance(anc, Element) and anc.tag.preserve_whitespace:
+                return self._text_exact()
+            anc = anc.parent()
         accum: list[str] = []
         nonempty = False
-        last_space = False
-        # (node, next-child-index); tail runs at pop. head(self) is a
-        # no-op (accum empty).
-        stack: list = [(self, 0)]
+        last_ws = False  # raw tail already whitespace → separator folds
+        stack: list = [(self, iter(self._child_nodes))]
+        push = stack.append
+        pop = stack.pop
+        ws = _ACTUAL_WS
         while stack:
-            top = stack[-1]
-            node = top[0]
-            kids = node._child_nodes
-            idx = top[1]
-            if idx < len(kids):
-                stack[-1] = (node, idx + 1)
-                child = kids[idx]
-                if isinstance(child, TextNode):
-                    # head(TextNode) = appendNormalisedText
-                    if isinstance(child, CDataNode) or \
-                            Element.preserve_whitespace(node):
-                        s = child.value
-                    else:
-                        s = normalise_whitespace(child.value)
-                        if last_space and s.startswith(" "):
-                            s = s[1:]
+            frame = stack[-1]
+            child = next(frame[1], None)
+            if child is None:
+                pop()
+                # tail(Element)
+                if nonempty and not last_ws and frame[0].tag.is_block:
+                    nxt = frame[0].next_sibling()
+                    if isinstance(nxt, TextNode) or (
+                            isinstance(nxt, Element)
+                            and not nxt.tag.format_as_block):
+                        accum.append(" ")
+                        last_ws = True
+                continue
+            ccls = child.__class__
+            if ccls is TextNode:
+                s = child.value
+                if s:
+                    accum.append(s)
+                    nonempty = True
+                    last_ws = s[-1] in ws
+            elif isinstance(child, Element):
+                tag = child.tag
+                if tag.preserve_whitespace:
+                    return self._text_exact()
+                if nonempty and not last_ws and \
+                        (tag.is_block or tag.normal_name == "br"):
+                    accum.append(" ")
+                    last_ws = True
+                kids = child._child_nodes
+                # single-text-child elements (a paragraph) fold inline:
+                # head + text + tail without a stack frame
+                if len(kids) == 1 and kids[0].__class__ is TextNode:
+                    s = kids[0].value
                     if s:
                         accum.append(s)
                         nonempty = True
-                        last_space = s[-1] == " "
-                elif isinstance(child, Element):
-                    tag = child.tag
-                    if nonempty and not last_space and \
-                            (tag.is_block or tag.normal_name == "br"):
-                        accum.append(" ")
-                        last_space = True
-                    stack.append((child, 0))
-                # other leaf nodes (Comment, DataNode...): no text
-            else:
-                stack.pop()
+                        last_ws = s[-1] in ws
+                    if nonempty and not last_ws and tag.is_block:
+                        nxt = child.next_sibling()
+                        if isinstance(nxt, TextNode) or (
+                                isinstance(nxt, Element)
+                                and not nxt.tag.format_as_block):
+                            accum.append(" ")
+                            last_ws = True
+                elif kids:
+                    push((child, iter(kids)))
+                else:
+                    # childless element: tail only
+                    if nonempty and not last_ws and tag.is_block:
+                        nxt = child.next_sibling()
+                        if isinstance(nxt, TextNode) or (
+                                isinstance(nxt, Element)
+                                and not nxt.tag.format_as_block):
+                            accum.append(" ")
+                            last_ws = True
+            elif ccls is CDataNode:
+                return self._text_exact()
+            # other leaf nodes (Comment, DataNode...): no text
+        s = "".join(accum)
+        if "​" in s or "\xad" in s:
+            s = s.translate(_INVISIBLE_DEL)
+        return _WS_CHANGE_RE.sub(" ", s).strip()
+
+    def _text_exact(self) -> str:
+        """Per-node TextAccumulator walk — the reference algorithm
+        verbatim; used when preserve-whitespace or CData regions make
+        the single-pass collapse in text() inapplicable."""
+        accum: list[str] = []
+        nonempty = False
+        last_space = False
+        # per-frame third slot: does ANY in-scope ancestor (unbounded)
+        # preserve whitespace? False → the reference's ≤6-ancestor check
+        # is certainly False too, so the per-text-node walk is skipped on
+        # the (overwhelmingly common) non-<pre> path; True → run the
+        # exact capped check for fidelity.
+        any_pres = False
+        anc: Node | None = self
+        while anc is not None:
+            if isinstance(anc, Element) and anc.tag.preserve_whitespace:
+                any_pres = True
+                break
+            anc = anc.parent()
+        # (node, child-iterator, any_pres); tail runs at pop. head(self)
+        # is a no-op (accum empty).
+        stack: list = [(self, iter(self._child_nodes), any_pres)]
+        push = stack.append
+        pop = stack.pop
+        ws_sub = _WS_CHANGE_RE.sub
+        while stack:
+            frame = stack[-1]
+            child = next(frame[1], None)
+            if child is None:
+                pop()
                 # tail(Element)
+                node = frame[0]
                 if node.tag.is_block and not last_space:
                     nxt = node.next_sibling()
                     if isinstance(nxt, TextNode) or (
@@ -987,6 +1071,38 @@ class Element(Node):
                             and not nxt.tag.format_as_block):
                         accum.append(" ")
                         last_space = True
+                continue
+            ccls = child.__class__
+            if ccls is TextNode:
+                # head(TextNode) = appendNormalisedText
+                if frame[2] and Element.preserve_whitespace(frame[0]):
+                    s = child.value
+                else:
+                    s = child.value
+                    if "​" in s or "\xad" in s:
+                        s = s.translate(_INVISIBLE_DEL)
+                    s = ws_sub(" ", s)
+                    if last_space and s.startswith(" "):
+                        s = s[1:]
+                if s:
+                    accum.append(s)
+                    nonempty = True
+                    last_space = s[-1] == " "
+            elif isinstance(child, Element):
+                tag = child.tag
+                if nonempty and not last_space and \
+                        (tag.is_block or tag.normal_name == "br"):
+                    accum.append(" ")
+                    last_space = True
+                push((child, iter(child._child_nodes),
+                      frame[2] or tag.preserve_whitespace))
+            elif ccls is CDataNode:
+                s = child.value
+                if s:
+                    accum.append(s)
+                    nonempty = True
+                    last_space = s[-1] == " "
+            # other leaf nodes (Comment, DataNode...): no text
         return "".join(accum).strip()
 
     def whole_text(self) -> str:

@@ -20,6 +20,8 @@ objects — the Python-fast equivalent of the reference's enum dispatch.
 
 from __future__ import annotations
 
+import re
+
 from .dom import (
     Attributes,
     CDataNode,
@@ -1227,6 +1229,104 @@ def _in_body(t, tb: HtmlTreeBuilder) -> bool:
     return True
 
 
+_FAST_P_TEXT = re.compile(r"([^<&\x00\r]+)</p[ \t\n\f\r]*>")
+_FAST_P_OPEN = re.compile(
+    r'<p(?:[ \t\n\f\r]+class="([^"<>&\x00\r]*)")?[ \t\n\f\r]*>')
+# one regex per paragraph: text, closing </p>, and (optionally) the
+# next opening <p>/<p class="..."> in a single match
+_FAST_P_CHAIN = re.compile(
+    r'([^<&\x00\r]+)</p[ \t\n\f\r]*>'
+    r'(<p(?:[ \t\n\f\r]+class="([^"<>&\x00\r]*)")?[ \t\n\f\r]*>)?')
+
+
+def _fast_p_run(tb: "HtmlTreeBuilder") -> None:
+    """Bulk consume ``text</p><p ...>text</p>...`` runs directly off the
+    input — paragraph runs dominate article-style pages, and each one
+    costs 3 token objects + full dispatch in the generic loop. Entered
+    only right after a ``<p>`` insert in InBody with no pending tokenizer
+    state, no active formatting elements and no foster parenting, so the
+    generic path's behavior for these tokens reduces exactly to: append
+    TextNode (frameset_ok=False if non-blank), pop the p, insert the
+    next p. Any non-matching input (entities, nested tags, exotic attrs,
+    CRs) falls back to the state machine mid-run."""
+    tok = tb.tokeniser
+    if (tok._pending is not None or tok._chars or tok.state != tk.DATA
+            or tb.formatting_elements or tb.foster_inserts
+            or tb.state is not _in_body or tb.node_listener is not None):
+        return
+    s = tok.s
+    stack = tb.stack
+    pos = tok.pos
+    ncount = tb.node_count
+    limit = tb.max_nodes
+    frameset_ok = tb.frameset_ok
+    p_tag = tb.tag_for("p", tb.settings)
+    scope_checked = False
+    chain_match = _FAST_P_CHAIN.match
+    # nodes are built by direct slot assignment (the __init__/
+    # append_child work for a fresh node under a parse reduces to
+    # exactly these stores); tokenizer/builder counters sync in the
+    # finally even when the DOM size guard trips
+    try:
+        while True:
+            m = chain_match(s, pos)
+            if m is None:
+                break
+            text = m.group(1)
+            p_el = stack[-1]
+            kids = p_el._child_nodes
+            tn = TextNode.__new__(TextNode)
+            tn.parent_node = p_el
+            tn.sibling_index = len(kids)
+            tn.value = text
+            tn._attrs = None
+            tn.span = m.span(1)
+            kids.append(tn)
+            ncount += 1
+            if limit and ncount > limit:
+                raise DomSizeLimit(ncount)
+            if frameset_ok and not _is_blank(text):
+                frameset_ok = False
+            stack.pop()  # </p> with current element p: pops exactly the p
+            has_open = m.group(2) is not None
+            # position after the </p> alone (the open tag, if matched,
+            # must not be consumed when bailing out)
+            if not scope_checked:
+                # a p still in button scope would make the next <p>
+                # close it first (generic branch) — bail out
+                if tb.in_button_scope("p"):
+                    pos = m.start(2) if has_open else m.end()
+                    break
+                scope_checked = True
+            if not has_open:
+                pos = m.end()
+                break
+            cls = m.group(3)
+            attrs = None
+            if cls is not None:
+                attrs = Attributes()
+                attrs._d["class"] = cls
+            parent = stack[-1]
+            pkids = parent._child_nodes
+            el = Element.__new__(Element)
+            el.parent_node = parent
+            el.sibling_index = len(pkids)
+            el.tag = p_tag
+            el._attrs = attrs
+            el._child_nodes = []
+            pkids.append(el)
+            stack.append(el)
+            ncount += 1
+            if limit and ncount > limit:
+                raise DomSizeLimit(ncount)
+            pos = m.end()
+    finally:
+        tok.pos = pos
+        tok._char_start = pos
+        tb.node_count = ncount
+        tb.frameset_ok = frameset_ok
+
+
 def _in_body_start_tag(t, tb: HtmlTreeBuilder) -> bool:
     name = t.normal_name
     # hot-path hoist: generic p-closing block tags (p, div, section, ...)
@@ -1238,6 +1338,11 @@ def _in_body_start_tag(t, tb: HtmlTreeBuilder) -> bool:
         if tb.in_button_scope("p"):
             tb.process_end_tag("p")
         tb.insert_element_for(t)
+        # fast run only for tokens off the real stream (t is
+        # current_token): a virtual <p> from error recovery still has a
+        # pending token to reprocess, so input may not be consumed yet
+        if name == "p" and not t.self_closing and t is tb.current_token:
+            _fast_p_run(tb)
         return True
     if name == "a":
         if tb.get_active_formatting_element("a") is not None:

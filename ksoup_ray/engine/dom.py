@@ -728,7 +728,7 @@ class XmlDeclaration(LeafNode):
 class Element(Node):
     """Tag + attributes + children (reference Element.kt:28)."""
 
-    __slots__ = ("tag", "_attrs", "_child_nodes")
+    __slots__ = ("tag", "_attrs", "_child_nodes", "span", "end_span")
 
     def __init__(self, tag: Tag | str, base_uri: str | None = None,
                  attrs: Attributes | None = None):
@@ -738,6 +738,10 @@ class Element(Node):
         self.tag: Tag = tag
         self._attrs: Attributes | None = attrs
         self._child_nodes: list[Node] = []
+        # source offsets of the start/end tags (reference Range
+        # tracking, nodes/Range.kt); None = implicit/synthetic
+        self.span: tuple | None = None
+        self.end_span: tuple | None = None
         if base_uri:
             self._ensure_attrs().put(_BASE_URI_KEY, base_uri)
 
@@ -901,6 +905,24 @@ class Element(Node):
                 return n
             n = n.previous_sibling()
         return None
+
+    def first_element_sibling(self) -> "Element":
+        """First element child of the parent, or self when orphaned
+        (reference nodes/Element.kt firstElementSibling)."""
+        p = self.parent_node
+        if isinstance(p, Element):
+            first = p.first_element_child()
+            if first is not None:
+                return first
+        return self
+
+    def last_element_sibling(self) -> "Element":
+        p = self.parent_node
+        if isinstance(p, Element):
+            for n in reversed(p._child_nodes):
+                if isinstance(n, Element):
+                    return n
+        return self
 
     def element_sibling_index(self) -> int:
         if self.parent_node is None:

@@ -63,11 +63,14 @@ class CDataTok(CharacterTok):
 class TagTok:
     __slots__ = ("kind", "name", "normal_name", "self_closing", "attrs",
                  "start", "_attr_name", "_attr_value", "_has_name",
-                 "_has_value", "_has_empty_value")
+                 "_has_value", "_has_empty_value", "start_pos", "end_pos")
 
     def __init__(self, start: bool):
         self.start = start
         self.kind = START_TAG if start else END_TAG
+        # source offsets of `<`..`>` (Range tracking); -1 = virtual token
+        self.start_pos = -1
+        self.end_pos = -1
         self.reset()
 
     def reset(self) -> None:
@@ -133,12 +136,14 @@ _TRIM_CHARS = "".join(chr(c) for c in range(0x21))
 
 
 class CommentTok:
-    __slots__ = ("data", "bogus")
+    __slots__ = ("data", "bogus", "start_pos", "end_pos")
     kind = COMMENT
 
     def __init__(self) -> None:
         self.data: list[str] = []
         self.bogus = False
+        self.start_pos = -1
+        self.end_pos = -1
 
     def get_data(self) -> str:
         return "".join(self.data)
@@ -146,7 +151,7 @@ class CommentTok:
 
 class DoctypeTok:
     __slots__ = ("name", "pub_sys_key", "public_identifier",
-                 "system_identifier", "force_quirks")
+                 "system_identifier", "force_quirks", "start_pos", "end_pos")
     kind = DOCTYPE
 
     def __init__(self) -> None:
@@ -155,6 +160,8 @@ class DoctypeTok:
         self.public_identifier: list[str] = []
         self.system_identifier: list[str] = []
         self.force_quirks = False
+        self.start_pos = -1
+        self.end_pos = -1
 
     def get_name(self) -> str:
         return "".join(self.name)
@@ -265,6 +272,12 @@ class Tokeniser:
         self._pending = tok
         if not self._chars:
             self._char_start = self.pos
+        kind = tok.kind
+        if kind != EOF_TOKEN and kind != CHARACTER:
+            # source range `<`..`>` (markup_start set at the opening <;
+            # -1 marks tokens synthesized mid-stream)
+            tok.start_pos = self.markup_start
+            tok.end_pos = self.pos if self.markup_start >= 0 else -1
         if tok.kind == START_TAG:
             self._last_start_tag = tok.name
             self._last_start_close_seq = None
@@ -428,6 +441,8 @@ class Tokeniser:
         tok = TagTok(False)
         tok.set_name(name)
         self._emit_token(tok)
+        tok.start_pos = -1  # synthetic: no source range
+        tok.end_pos = -1
 
 
 # ---------------------------------------------------------------------------
@@ -447,6 +462,7 @@ def _s_data(t: Tokeniser) -> None:
         t.pos += 1
         t.state = CHAR_REF_IN_DATA
     elif c == "<":
+        t.markup_start = t.pos
         m = _SIMPLE_TAG.match(t.s, t.pos)
         if m is not None and not (m.group(1) and m.group(3)):
             t.pos = m.end()
@@ -480,6 +496,7 @@ def _s_rcdata(t: Tokeniser) -> None:
         t.pos += 1
         t.state = CHAR_REF_IN_RCDATA
     elif c == "<":
+        t.markup_start = t.pos
         t.pos += 1
         t.state = RCDATA_LT
     elif c == "\x00":
@@ -501,6 +518,7 @@ def _s_char_ref_in_rcdata(t: Tokeniser) -> None:
 def _read_raw_data(t: Tokeniser, current_state: int, advance_state: int) -> None:
     c = t._current()
     if c == "<":
+        t.markup_start = t.pos
         t.pos += 1
         t.state = advance_state
     elif c == "\x00":
@@ -614,7 +632,10 @@ def _s_rcdata_lt(t: Tokeniser) -> None:
         # tag ahead — emit a synthetic end tag and re-enter TagOpen
         tag = t.create_tag_pending(False)
         tag.set_name(t.appropriate_end_tag_name() or "")
+        save_markup = t.markup_start
+        t.markup_start = -1  # synthetic token: no source range
         t.emit_tag_pending()
+        t.markup_start = save_markup
         t.state = TAG_OPEN
     else:
         t._emit_chars("<")
@@ -762,6 +783,7 @@ def _s_script_data_escaped(t: Tokeniser) -> None:
         t.pos += 1
         t.state = SCRIPT_DATA_ESCAPED_DASH
     elif c == "<":
+        t.markup_start = t.pos
         t.pos += 1
         t.state = SCRIPT_DATA_ESCAPED_LT
     elif c == "\x00":
@@ -782,6 +804,7 @@ def _s_script_data_escaped_dash(t: Tokeniser) -> None:
         t._emit_chars(c)
         t.state = SCRIPT_DATA_ESCAPED_DASH_DASH
     elif c == "<":
+        t.markup_start = t.pos - 1
         t.state = SCRIPT_DATA_ESCAPED_LT
     elif c == "\x00":
         t.error("null")
@@ -801,6 +824,7 @@ def _s_script_data_escaped_dash_dash(t: Tokeniser) -> None:
     if c == "-":
         t._emit_chars(c)
     elif c == "<":
+        t.markup_start = t.pos - 1
         t.state = SCRIPT_DATA_ESCAPED_LT
     elif c == ">":
         t._emit_chars(c)

@@ -434,6 +434,11 @@ class HtmlTreeBuilder:
 
     def pop(self) -> Element:
         el = self.stack.pop()
+        tok = self.current_token
+        if tok is not None and tok.kind == END_TAG and \
+                tok.start_pos >= 0 and tok.normal_name == el.tag.normal_name:
+            # explicit close: stamp the end tag's source range
+            el.end_span = (tok.start_pos, tok.end_pos)
         if self.node_listener is not None:
             self.node_listener.tail(el, len(self.stack))
         return el
@@ -713,8 +718,12 @@ class HtmlTreeBuilder:
                 self.error(self.state)
         tag = self.tag_for(start.name, settings, namespace)
         if tag.normal_name == "form":
-            return FormElement(tag, None, attrs)
-        return Element(tag, None, attrs)
+            el: Element = FormElement(tag, None, attrs)
+        else:
+            el = Element(tag, None, attrs)
+        if start.start_pos >= 0:
+            el.span = (start.start_pos, start.end_pos)
+        return el
 
     def insert_element_for(self, start: TagTok) -> Element:
         el = self.create_element_for(start, NAMESPACE_HTML, False)
@@ -730,6 +739,9 @@ class HtmlTreeBuilder:
             # pop via synthetic end tag (handles <script />, <title /> etc.)
             self.tokeniser.state = tk.DATA
             self.tokeniser.inject_end_tag(el.tag_name())
+            # self-closing: end range == start range (PositionTest
+            # tracksAfterPSelfClose p:3-7~3-7)
+            el.end_span = el.span
         return el
 
     def insert_foreign_element_for(self, start: TagTok,
@@ -739,12 +751,16 @@ class HtmlTreeBuilder:
         if start.self_closing:
             el.tag.self_closing = True
             self.pop()
+            el.end_span = el.span
         return el
 
     def insert_empty_element_for(self, start: TagTok) -> Element:
         el = self.create_element_for(start, NAMESPACE_HTML, False)
         self._do_insert_element(el)
         self.pop()
+        # void element: end range == start range (reference Range.kt,
+        # PositionTest tracksExpectedPoppedElements meta:12-18~12-18)
+        el.end_span = el.span
         return el
 
     def insert_form_element(self, start: TagTok, on_stack: bool,
@@ -774,6 +790,8 @@ class HtmlTreeBuilder:
 
     def insert_comment_node(self, token) -> None:
         node = Comment(token.get_data())
+        if token.start_pos >= 0:
+            node.span = (token.start_pos, token.end_pos)
         self.current_element().append_child(node)
         self._on_node_inserted(node)
 
@@ -960,6 +978,8 @@ def _initial(t, tb: HtmlTreeBuilder) -> bool:
         name = tb.settings.normalize_tag(t.get_name())
         doctype = DocumentType(name, t.get_public_identifier(),
                                t.get_system_identifier())
+        if t.start_pos >= 0:
+            doctype.span = (t.start_pos, t.end_pos)
         tb.doc.append_child(doctype)
         if t.force_quirks or doctype.name != "html" or \
                 doctype.public_id.lower() == "html":
@@ -1287,8 +1307,10 @@ def _fast_p_run(tb: "HtmlTreeBuilder") -> None:
                 raise DomSizeLimit(ncount)
             if frameset_ok and not _is_blank(text):
                 frameset_ok = False
-            stack.pop()  # </p> with current element p: pops exactly the p
             has_open = m.group(2) is not None
+            # explicit </p>: stamp its source range on the closing p
+            p_el.end_span = (m.end(1), m.start(2) if has_open else m.end())
+            stack.pop()  # </p> with current element p: pops exactly the p
             # position after the </p> alone (the open tag, if matched,
             # must not be consumed when bailing out)
             if not scope_checked:
@@ -1314,6 +1336,8 @@ def _fast_p_run(tb: "HtmlTreeBuilder") -> None:
             el.tag = p_tag
             el._attrs = attrs
             el._child_nodes = []
+            el.span = (m.start(2), m.end())
+            el.end_span = None
             pkids.append(el)
             stack.append(el)
             ncount += 1
@@ -1659,6 +1683,10 @@ def _in_body_end_tag(t, tb: HtmlTreeBuilder) -> bool:
             return False
         if tb.on_stack_not(C_InBodyEndOtherErrors):
             tb.error(_in_body)
+        if t.start_pos >= 0:
+            body = tb.get_from_stack("body")
+            if body is not None:
+                body.end_span = (t.start_pos, t.end_pos)
         tb.state = _after_body
     elif name == "html":
         if not tb.on_stack_name("body"):
@@ -1933,11 +1961,11 @@ def _in_table_text(t, tb: HtmlTreeBuilder) -> bool:
         if t.data == "\x00":
             tb.error(_in_table_text)
             return False
-        tb.pending_table_characters.append(t.data)
+        tb.pending_table_characters.append((t.data, t.start_pos, t.end_pos))
         return True
     if tb.pending_table_characters:
-        for data in tb.pending_table_characters:
-            c = tk.CharacterTok(data)
+        for data, sp, ep in tb.pending_table_characters:
+            c = tk.CharacterTok(data, sp, ep)
             if not _is_blank(data):
                 tb.error(_in_table_text)
                 if tb.current_element().normal_name() in C_InTableFoster:
@@ -2342,6 +2370,8 @@ def _after_body(t, tb: HtmlTreeBuilder) -> bool:
         if tb.fragment_parsing:
             tb.error(_after_body)
             return False
+        if html is not None and t.start_pos >= 0:
+            html.end_span = (t.start_pos, t.end_pos)
         tb.state = _after_after_body
     elif t.kind == EOF_TOKEN:
         pass

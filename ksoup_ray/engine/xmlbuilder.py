@@ -84,12 +84,16 @@ class XmlTreeBuilder:
             self._insert_comment(token)
         elif kind in (tk.CHARACTER, tk.CDATA):
             data = token.data
-            self._current().append_child(
-                CDataNode(data) if kind == tk.CDATA else TextNode(data))
+            node = CDataNode(data) if kind == tk.CDATA else TextNode(data)
+            if token.start_pos >= 0:
+                node.span = (token.start_pos, token.end_pos)
+            self._current().append_child(node)
         elif kind == tk.DOCTYPE:
             node = DocumentType(self.settings.normalize_tag(token.get_name()),
                                 token.get_public_identifier(),
                                 token.get_system_identifier())
+            if token.start_pos >= 0:
+                node.span = (token.start_pos, token.end_pos)
             self._current().append_child(node)
 
     def _attrs_from(self, token: TagTok) -> Attributes | None:
@@ -106,6 +110,8 @@ class XmlTreeBuilder:
     def _insert_element(self, start: TagTok) -> None:
         tag = self._tag_for(start.name)
         el = Element(tag, None, self._attrs_from(start))
+        if start.start_pos >= 0:
+            el.span = (start.start_pos, start.end_pos)
         self._current().append_child(el)
         self.stack.append(el)
         if start.self_closing:
@@ -119,6 +125,8 @@ class XmlTreeBuilder:
             decl = _as_xml_declaration(data)
             if decl is not None:
                 node = decl
+        if token.start_pos >= 0:
+            node.span = (token.start_pos, token.end_pos)
         self._current().append_child(node)
 
     def _pop_to_close(self, end: TagTok) -> None:
@@ -132,6 +140,8 @@ class XmlTreeBuilder:
                 break
         if first_found is None:
             return
+        if end.start_pos >= 0:
+            first_found.end_span = (end.start_pos, end.end_pos)
         while self.stack:
             if self.stack.pop() is first_found:
                 break

@@ -1842,8 +1842,16 @@ def _in_body_end_tag_adoption(t, tb: HtmlTreeBuilder) -> bool:
         fa = format_el.attributes()
         if fa is not None:
             adopter._ensure_attrs()._d.update(fa._d)
-        for child in list(furthest_block.child_nodes()):
-            adopter.append_child(child)
+        # bulk-move ALL of furthest_block's children into the (fresh)
+        # adopter — a per-child append would remove-at-front + reindex
+        # the shrinking sibling list each time, O(n^2) on fuzz inputs
+        # with tens of thousands of siblings (fuzztests/1638.html.gz)
+        kids = furthest_block._child_nodes
+        if kids:
+            for child in kids:
+                child.parent_node = adopter
+            adopter._child_nodes = kids
+            furthest_block._child_nodes = []
         furthest_block.append_child(adopter)
         tb.remove_from_active_formatting(format_el)
         tb.push_with_bookmark(adopter, bookmark)

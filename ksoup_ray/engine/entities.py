@@ -58,31 +58,51 @@ ESCAPE_EXTENDED = "extended"
 
 
 def _build_reverse(names: dict[str, str] | set[str]) -> dict[int, str]:
-    """codepoint -> preferred entity name (single-codepoint entities only).
-
-    Reference Entities.kt:428-438: prefer the lowercase name for a
-    codepoint when both cases exist.
-    """
-    rev: dict[int, str] = {}
+    """codepoint -> canonical entity name, replicating the reference's
+    packed-table lookup exactly (Entities.kt nameForCodepoint:427-438):
+    the table is sorted by (codepoint, multipoint-entries-first by
+    second-codepoint, then longest-name-first, then name), looked up by
+    midpoint binary search, preferring index+1 when the next entry has
+    the same codepoint. Verified equal to the reference table for every
+    duplicated codepoint (e.g. 8811→Gt not gg, 197→angst in extended)."""
     items = (
         names.items() if isinstance(names, dict)
         else ((n, NAMED_FULL[n]) for n in names)
     )
+    entries = []
     for name, val in items:
-        if len(val) != 1:
-            continue
-        cp = ord(val)
-        cur = rev.get(cp)
-        if cur is None:
-            rev[cp] = name
+        cp1 = ord(val[0])
+        cp2 = ord(val[1]) if len(val) > 1 else None
+        if cp2 is not None:
+            k = (cp1, 0, cp2, name)
         else:
-            # prefer lowercase; among same case prefer the shorter then
-            # lexicographically-later (matches "lower comes after upper,
-            # prefer lower" of the sorted table; rarely exercised)
-            def rank(n: str) -> tuple:
-                return (not n.islower(), len(n), n)
-            if rank(name) < rank(cur):
-                rev[cp] = name
+            k = (cp1, 1, -len(name), name)
+        entries.append((k, name, cp1))
+    entries.sort(key=lambda e: e[0])
+    code_keys = [e[2] for e in entries]
+    name_vals = [e[1] for e in entries]
+    size = len(entries)
+    rev: dict[int, str] = {}
+    for cp in set(code_keys):
+        lo, hi = 0, size - 1
+        idx = -1
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if code_keys[mid] < cp:
+                lo = mid + 1
+            elif code_keys[mid] > cp:
+                hi = mid - 1
+            else:
+                idx = mid
+                break
+        if idx < size - 1 and code_keys[idx + 1] == cp:
+            idx += 1
+        # deviation: for 7 rare codepoints (fj, 8808-8810, 10877,
+        # 10955-6) the reference's canonical name is a MULTIPOINT
+        # entity, so its escape would not round-trip; we fall back to a
+        # numeric escape for those instead
+        if len(NAMED_FULL[name_vals[idx]]) == 1:
+            rev[cp] = name_vals[idx]
     return rev
 
 
@@ -127,6 +147,31 @@ def _consume_letter_then_digit(s: str, i: int) -> int:
     return j
 
 
+def _parse_numeric_ref(s: str, i: int) -> tuple[int, int] | None:
+    """Parse ``#[xX]?digits[;]?`` at ``s[i]`` (``s[i] == '#'``). Returns
+    (codepoint or -1 on overflow, index-after) or None if no digits."""
+    n = len(s)
+    j = i + 1
+    hex_mode = j < n and s[j] in "xX"
+    if hex_mode:
+        j += 1
+    k = j
+    if hex_mode:
+        while k < n and (s[k].isdigit() or s[k] in "abcdefABCDEF"):
+            k += 1
+    else:
+        while k < n and s[k].isascii() and s[k].isdigit():
+            k += 1
+    if k == j:
+        return None
+    end = k + 1 if k < n and s[k] == ";" else k
+    try:
+        cp = int(s[j:k], 16 if hex_mode else 10)
+    except ValueError:
+        cp = -1
+    return cp, end
+
+
 def match_char_ref(s: str, i: int, in_attribute: bool,
                    additional_allowed: str | None = None) -> tuple[str, int] | None:
     """Try to match a character reference at ``s[i]`` where ``s[i-1] == '&'``.
@@ -143,30 +188,26 @@ def match_char_ref(s: str, i: int, in_attribute: bool,
     if c in _NOT_CHARREF:
         return None
     if c == "#":
-        j = i + 1
-        hex_mode = j < n and s[j] in "xX"
-        if hex_mode:
-            j += 1
-        k = j
-        if hex_mode:
-            while k < n and (s[k].isdigit() or s[k] in "abcdefABCDEF"):
-                k += 1
-        else:
-            while k < n and s[k].isascii() and s[k].isdigit():
-                k += 1
-        if k == j:
+        parsed = _parse_numeric_ref(s, i)
+        if parsed is None:
             return None  # numeric ref with no numerals → rewind
-        num = s[j:k]
-        end = k + 1 if k < n and s[k] == ";" else k
-        try:
-            cp = int(num, 16 if hex_mode else 10)
-        except ValueError:
-            cp = -1
-        if cp == -1 or cp > 0x10FFFF:
+        cp, end = parsed
+        if cp < 0 or cp > 0x10FFFF:
             return REPLACEMENT_CHAR, end
         if 0x80 <= cp < 0x80 + len(WIN1252_EXTENSIONS):
             cp = WIN1252_EXTENSIONS[cp - 0x80]
-        if 0xD800 <= cp <= 0xDFFF:  # lone surrogate → replacement
+        if 0xD800 <= cp <= 0xDBFF:
+            # high surrogate: the reference operates in UTF-16, so a
+            # following low-surrogate numeric ref pairs naturally into
+            # one character (&#55357;&#56495; → U+1F4AF). Combine here.
+            if end + 1 < n and s[end] == "&" and s[end + 1] == "#":
+                nxt = _parse_numeric_ref(s, end + 1)
+                if nxt is not None and 0xDC00 <= nxt[0] <= 0xDFFF:
+                    combined = (0x10000 + ((cp - 0xD800) << 10)
+                                + (nxt[0] - 0xDC00))
+                    return chr(combined), nxt[1]
+            return REPLACEMENT_CHAR, end  # unpaired → replacement
+        if 0xDC00 <= cp <= 0xDFFF:  # lone low surrogate → replacement
             return REPLACEMENT_CHAR, end
         return chr(cp), end
     # named

@@ -412,6 +412,104 @@ class Node:
         self.remove()
         return first
 
+    # -- clone (reference Node.kt clone/shallowClone/doClone:817-872)
+    def _copy_node(self) -> "Node":
+        """Raw per-node copy: slots duplicated, attrs cloned, no parent,
+        no children."""
+        cls = self.__class__
+        new = cls.__new__(cls)
+        for klass in cls.__mro__:
+            for slot in getattr(klass, "__slots__", ()):
+                if hasattr(self, slot):
+                    setattr(new, slot, getattr(self, slot))
+        new.parent_node = None
+        new.sibling_index = 0
+        attrs = getattr(self, "_attrs", None)
+        if attrs is not None:
+            new._attrs = attrs.clone()
+        if isinstance(new, Element):
+            new._child_nodes = []
+        if isinstance(new, Document):
+            new.output_settings = self.output_settings.clone()
+        return new
+
+    def shallow_clone(self) -> "Node":
+        """Copy of this node only, no children. Like the reference, a
+        non-Document clone is placed in a shallow-cloned owner-Document
+        shell so base URI and output settings survive (doClone:860-868)."""
+        new = self._copy_node()
+        if not isinstance(self, Document):
+            doc = self.owner_document()
+            if doc is not None:
+                shell = doc._copy_node()
+                shell.append_child(new)
+        return new
+
+    def clone(self) -> "Node":
+        """Deep copy of this node and its descendants (iterative — deep
+        DOMs don't recurse), in an owner-Document shell when applicable."""
+        root = self.shallow_clone()
+        if not isinstance(self, Element):
+            return root
+        stack: list = [(self, root)]
+        while stack:
+            src, dst = stack.pop()
+            for child in src._child_nodes:
+                c = child._copy_node()
+                c.parent_node = dst
+                c.sibling_index = len(dst._child_nodes)
+                dst._child_nodes.append(c)
+                if isinstance(child, Element):
+                    stack.append((child, c))
+        return root
+
+    # -- html-string insertion variants (reference Node.kt / Element.kt)
+    def _parse_frag(self, html: str) -> list["Node"]:
+        from . import parser
+        context = self.parent_node if isinstance(self.parent_node, Element) \
+            else (self if isinstance(self, Element) else None)
+        return list(parser.parse_fragment(html, context, self.base_uri()))
+
+    def before_html(self, html: str) -> "Node":
+        assert self.parent_node is not None
+        self.parent_node.add_children_at(self.sibling_index,
+                                         self._parse_frag(html))
+        return self
+
+    def after_html(self, html: str) -> "Node":
+        assert self.parent_node is not None
+        self.parent_node.add_children_at(self.sibling_index + 1,
+                                         self._parse_frag(html))
+        return self
+
+    def wrap(self, html: str) -> "Node":
+        """Wrap this node in the given HTML (Node.kt wrap): the fragment's
+        first element becomes the wrapper; this node moves into its
+        deepest first-element descendant; trailing fragment nodes are
+        inserted after the wrapper."""
+        nodes = self._parse_frag(html)
+        wrapper = nodes[0] if nodes else None
+        if not isinstance(wrapper, Element):
+            return self
+        deepest = wrapper
+        while True:
+            nxt = deepest.first_element_child()
+            if nxt is None:
+                break
+            deepest = nxt
+        parent = self.parent_node
+        if parent is not None:
+            parent.replace_child(self, wrapper)
+        deepest.append_child(self)
+        # remainder nodes ride along after the wrapper
+        for rem in nodes[1:]:
+            if rem is wrapper:
+                continue
+            if rem.parent_node is not None:
+                rem.parent_node.remove_child(rem)
+            wrapper.after(rem)
+        return self
+
     # -- traversal
     def node_stream(self) -> Iterator["Node"]:
         """DFS pre-order over this node + descendants (iterative)."""
@@ -764,7 +862,16 @@ class Element(Node):
         return self._attrs
 
     def set_attr(self, key: str, value: str | None) -> "Element":
-        self._ensure_attrs().put(key, value)
+        """Node.attr(key, value) — the key is normalized per the owning
+        parser's settings (HTML default lowercases; XML/preserve-case
+        keeps it), then putIgnoreCase (Node.kt:137-144)."""
+        doc = self.owner_document()
+        settings = getattr(getattr(doc, "parser", None), "settings", None)
+        if settings is not None:
+            key = settings.normalize_attr(key)
+        else:
+            key = key.strip().lower()
+        self._ensure_attrs().put_ignore_case(key, value)
         return self
 
     def id(self) -> str:
@@ -1396,6 +1503,52 @@ class Element(Node):
     # -- misc API parity
     def append_text(self, text: str) -> "Element":
         self.append_child(TextNode(text))
+        return self
+
+    def prepend_text(self, text: str) -> "Element":
+        self.add_children_at(0, [TextNode(text)])
+        return self
+
+    def set_tag_name(self, name: str) -> "Element":
+        """Element.tagName(String) — re-tag in place."""
+        self.tag = tag_value_of(name)
+        return self
+
+    def has_parent(self) -> bool:
+        return self.parent_node is not None
+
+    def append_html(self, html: str) -> "Element":
+        """Element.append(html) — parse fragment in this context and
+        append (Element.kt append)."""
+        from . import parser
+        for n in list(parser.parse_fragment(html, self, self.base_uri())):
+            if n.parent_node is not None:
+                n.parent_node.remove_child(n)
+            self.append_child(n)
+        return self
+
+    def prepend_html(self, html: str) -> "Element":
+        from . import parser
+        nodes = list(parser.parse_fragment(html, self, self.base_uri()))
+        for n in nodes:
+            if n.parent_node is not None:
+                n.parent_node.remove_child(n)
+        self.add_children_at(0, nodes)
+        return self
+
+    def set_html(self, html: str) -> "Element":
+        """Element.html(html) — empty then append the parsed fragment."""
+        self.empty()
+        return self.append_html(html)
+
+    def set_text(self, text: str) -> "Element":
+        """Element.text(text) — replace content with one text node
+        (data node for script/style, Element.kt text(String))."""
+        self.empty()
+        if self.normal_name() in ("script", "style"):
+            self.append_child(DataNode(text))
+        else:
+            self.append_child(TextNode(text))
         return self
 
     def append_element(self, tag_name: str) -> "Element":

@@ -210,8 +210,11 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, num_centroids: int = 16,
     """
     import ray
 
+    # bounded driver-side training sample: random_sample alone scales
+    # with the corpus; the limit() caps what reaches the driver
+    max_train = max(256, 2048 * num_centroids)
     sample = ds.random_sample(sample_fraction, seed=seed) \
-        .select_columns([vec_col]).to_pandas()
+        .select_columns([vec_col]).limit(max_train).to_pandas()
     cents = fit_centroids(np.array(sample[vec_col].tolist()),
                           num_centroids, seed=seed)
     cents_ref = ray.put(cents)

@@ -66,7 +66,10 @@ def parse_body_fragment(body_html: str, base_uri: str = "") -> Document:
     doc = Document.create_shell(base_uri)
     body = doc.body()
     node_list = parse_fragment(body_html, body, base_uri)
-    for node in list(node_list):
+    # detach in REVERSE document order: each remove() is then a pop from
+    # the end of the old parent's child list, so the sibling reindex is
+    # a no-op — front-first draining is O(n^2) on wide bodies
+    for node in reversed(list(node_list)):
         node.remove()
     for node in node_list:
         body.append_child(node)
@@ -85,9 +88,20 @@ def clean(body_html: str, safelist: Safelist | None = None,
 
 
 def is_valid(body_html: str, safelist: Safelist) -> bool:
+    """Ksoup.isValid → Cleaner.isValidBodyHtml (Cleaner.kt:97-105):
+    valid iff no nodes are discarded by the safelist AND the fragment
+    parses without errors (e.g. a self-closing non-void tag fails)."""
+    dirty = Document.create_shell("")
+    clean_doc = Document.create_shell("")
+    tb = HtmlTreeBuilder(HTML_DEFAULT, True)
+    nodes = tb.parse_fragment(body_html, dirty.body(), "")
+    for node in reversed(list(nodes)):
+        node.remove()
+    dirty.body().add_children_at(0, list(nodes))
     cleaner = Cleaner(safelist)
-    dirty = parse_body_fragment(body_html, "")
-    return cleaner.is_valid(dirty)
+    discarded = cleaner._copy_safe_nodes(dirty.body(), clean_doc.body())
+    n_errors = len(tb.errors) + len(tb.tokeniser.errors)
+    return discarded == 0 and n_errors == 0
 
 
 def unescape_entities(string: str, in_attribute: bool = False) -> str:

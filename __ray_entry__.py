@@ -89,6 +89,36 @@ def _q_extract_links(sf_dir: str):
     return ds.map_batches(count_links, batch_format="pyarrow")
 
 
+def _q_extract_spans(sf_dir: str):
+    """Source-range provenance (north rule "text/spans"): per url, the
+    count of text-node spans contributing to extracted_text and the
+    total SOURCE chars they cover. Closed-form on synth pages: 13-word
+    paragraph chunks; docs with doc_id%7==3 entity-encode the first
+    word, which widens its source span ('&#'+digits+';' per char) — the
+    SQL oracle reproduces both."""
+    import numpy as np
+    ds = _extracted(sf_dir)
+
+    def span_stats(batch: pa.Table) -> pa.Table:
+        col = batch.column("spans").combine_chunks()
+        n = pc.cast(pc.list_value_length(col), pa.int64())
+        flat = col.flatten()
+        diff = pc.subtract(pc.struct_field(flat, "end"),
+                           pc.struct_field(flat, "start")) \
+            .to_numpy(zero_copy_only=False)
+        offsets = np.asarray(col.offsets)
+        rel = offsets - offsets[0]
+        cs = np.concatenate([[0], np.cumsum(diff)])
+        sums = (cs[rel[1:]] - cs[rel[:-1]]).astype("int64")
+        return pa.table({
+            "url": batch.column("url"),
+            "n_spans": n,
+            "span_len_sum": pa.array(sums, pa.int64()),
+        })
+
+    return ds.map_batches(span_stats, batch_format="pyarrow")
+
+
 def _q_extract_meta(sf_dir: str):
     ds = _extracted(sf_dir)
 
@@ -485,6 +515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
         "extract_links": _q_extract_links,
+        "extract_spans": _q_extract_spans,
         "extract_meta": _q_extract_meta,
         "select_css": _q_select_css,
         "charset_decode": _q_charset_decode,
@@ -520,6 +551,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT {SYNTH_URL_SQL} AS url,
                    CAST(doc_id % 4 AS BIGINT) AS n_links
             FROM documents
+        """,
+        "extract_spans": f"""
+            WITH base AS (
+                SELECT doc_id, lang, text,
+                       CASE WHEN text = '' THEN 0
+                            ELSE length(text)
+                                 - length(replace(text, ' ', '')) + 1
+                       END AS n_words,
+                       split_part(text, ' ', 1) AS w1
+                FROM documents
+            ), calc AS (
+                SELECT *,
+                       CASE WHEN text = '' THEN 0
+                            ELSE CAST(ceil(n_words / 13.0) AS BIGINT)
+                       END AS n_paras
+                FROM base
+            )
+            SELECT {SYNTH_URL_SQL} AS url,
+                   n_paras AS n_spans,
+                   CASE WHEN text = '' THEN 0
+                        ELSE length(text) - (n_paras - 1)
+                             + CASE WHEN doc_id % 7 = 3 THEN
+                                 5 * length(w1)
+                                 - (length(w1) - length(regexp_replace(
+                                       w1, '[abc]', '', 'g')))
+                               ELSE 0 END
+                   END AS span_len_sum
+            FROM calc
         """,
         "extract_meta": f"""
             SELECT {SYNTH_URL_SQL} AS url,

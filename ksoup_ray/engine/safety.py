@@ -10,6 +10,8 @@ relative links to absolute unless ``preserve_relative_links``.
 
 from __future__ import annotations
 
+import re
+
 from .dom import (
     Attributes,
     DataNode,
@@ -19,6 +21,7 @@ from .dom import (
     TextNode,
 )
 
+_WS_IN_ANCHOR = re.compile(r"\s")
 _ALL = ":all"
 
 
@@ -105,9 +108,11 @@ class Safelist:
             if protos is None:
                 return True
             return self._test_valid_protocol(el, key, value or "", protos)
-        # enforced attributes are implicitly safe
-        if self.enforced.get(tag_name, {}).get(key) is not None:
-            return True
+        # an enforced attribute is safe ONLY with exactly the enforced
+        # value (Safelist.kt:410-418: rel='nofollowme' on <a> is unsafe)
+        enforced_val = self.enforced.get(tag_name, {}).get(key)
+        if enforced_val is not None:
+            return enforced_val == (value or "")
         # :all catch, unless looking at :all itself
         return tag_name != _ALL and \
             self.is_safe_attribute(_ALL, el, key, value)
@@ -122,7 +127,10 @@ class Safelist:
         lower = abs_val.lower()
         for prot in protocols:
             if prot == "#":
-                if value.startswith("#") and "," not in value:
+                # isValidAnchor (Safelist.kt:453-455): starts with # and
+                # contains no whitespace, tested on the resolved value
+                if abs_val.startswith("#") and \
+                        not _WS_IN_ANCHOR.search(abs_val):
                     return True
                 continue
             if lower.startswith(prot + ":"):

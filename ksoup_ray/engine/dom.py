@@ -202,6 +202,10 @@ class Attributes:
     def __len__(self) -> int:
         return sum(1 for k in self._d if not k.startswith(_INTERNAL_PREFIX))
 
+    def size(self) -> int:
+        """Attributes.size() — reference-named alias of len()."""
+        return len(self)
+
     def __iter__(self) -> Iterator[tuple[str, str]]:
         for k, v in self._d.items():
             if not k.startswith(_INTERNAL_PREFIX):
@@ -641,6 +645,11 @@ class TextNode(LeafNode):
         return self.value.strip(" \t\n\f\r") == ""
 
     def split_text(self, offset: int) -> "TextNode":
+        if offset < 0:
+            raise ValueError("Split offset must be not be negative")
+        if offset > len(self.value):
+            raise ValueError(
+                "Split offset must not be greater than current text length")
         head, tail = self.value[:offset], self.value[offset:]
         self.value = head
         tail_node = TextNode(tail)
@@ -1268,8 +1277,9 @@ class Element(Node):
         return "".join(out)
 
     def text_nodes(self) -> list[TextNode]:
-        return [n for n in self._child_nodes
-                if isinstance(n, TextNode) and not isinstance(n, CDataNode)]
+        # includes CDataNode (a TextNode subclass), like the reference's
+        # filterNodes(TextNode::class)
+        return [n for n in self._child_nodes if isinstance(n, TextNode)]
 
     def data_nodes(self) -> list[DataNode]:
         return [n for n in self._child_nodes if isinstance(n, DataNode)]

@@ -327,10 +327,12 @@ class Node:
         a = self.attributes()
         if a is None:
             return ""
-        if key.startswith("abs:"):
-            return self.abs_url(key[4:])
+        # a LITERAL "abs:xxx" attribute wins over resolution
+        # (Node.kt:102-113 getIgnoreCase first)
         if a.has_key(key):
             return a.get(key)
+        if key.startswith("abs:"):
+            return self.abs_url(key[4:])
         return ""
 
     def has_attr(self, key: str) -> bool:
@@ -339,7 +341,9 @@ class Node:
             return False
         if key.startswith("abs:"):
             k = key[4:]
-            return a.has_key_ignore_case(k) and self.abs_url(k) != ""
+            if a.has_key_ignore_case(k) and self.abs_url(k) != "":
+                return True
+            # fall through: a literal "abs:xxx" attribute also counts
         return a.has_key_ignore_case(key)
 
     def base_uri(self) -> str:
@@ -401,11 +405,24 @@ class Node:
 
     def before(self, node: "Node") -> None:
         assert self.parent_node is not None
+        # unlink FIRST so self.sibling_index reflects the post-removal
+        # list when moving a node within the same parent (NodeTest
+        # beforeShuffle: moving an already-preceding sibling is a no-op)
+        if node.parent_node is not None:
+            node.parent_node.remove_child(node)
         self.parent_node.add_children_at(self.sibling_index, [node])
 
     def after(self, node: "Node") -> None:
         assert self.parent_node is not None
+        if node.parent_node is not None:
+            node.parent_node.remove_child(node)
         self.parent_node.add_children_at(self.sibling_index + 1, [node])
+
+    def sibling_nodes(self) -> list["Node"]:
+        """Node.siblingNodes — all of the parent's children except self."""
+        if self.parent_node is None:
+            return []
+        return [n for n in self.parent_node.child_nodes() if n is not self]
 
     def unwrap(self) -> "Node | None":
         """Remove this node, promoting its children (Node.kt:422-...)."""

@@ -16,6 +16,10 @@ from urllib.parse import urljoin, urlsplit
 _CONTROL = re.compile(r"[\x00-\x1f\x7f]")
 _SCHEME = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
 
+# schemes urllib resolves natively; anything else gets the http stand-in
+from urllib.parse import uses_relative as _uses_relative  # noqa: E402
+_RELATIVE_SCHEMES = frozenset(s for s in _uses_relative if s)
+
 
 def _clean(url: str) -> str:
     return _CONTROL.sub("", url).strip()
@@ -35,10 +39,19 @@ def resolve(base_uri: str, rel_url: str) -> str:
         return rel_url
     if not is_absolute(base_uri):
         return ""
+    # urljoin refuses to resolve against unknown schemes (uses_relative
+    # gating); the reference resolves any scheme ("wtf://x/" + "/foo").
+    # Resolve under a stand-in http scheme, then restore the original.
+    m = _SCHEME.match(base_uri)
+    scheme = m.group(0)[:-1].lower() if m else ""
+    swap = scheme and scheme not in _RELATIVE_SCHEMES
+    work_base = "http:" + base_uri[len(scheme) + 1:] if swap else base_uri
     try:
-        out = urljoin(base_uri, rel_url)
+        out = urljoin(work_base, rel_url)
     except ValueError:
         return ""
+    if swap and out.startswith("http:") and not rel_url.startswith("http:"):
+        out = scheme + out[4:]
     # reference keeps only results with a scheme
     try:
         if not urlsplit(out).scheme:

@@ -1675,11 +1675,13 @@ class Document(Element):
     """nodes/Document.kt:27"""
 
     __slots__ = ("output_settings", "quirks_mode", "location", "parser",
-                 "parse_errors", "error_list", "truncated")
+                 "parse_errors", "error_list", "truncated",
+                 "update_meta_charset")
 
     def __init__(self, base_uri: str = ""):
         super().__init__(tag_value_of("#root"), base_uri)
         self.output_settings = OutputSettings()
+        self.update_meta_charset = False
         self.quirks_mode = "noQuirks"  # noQuirks | quirks | limitedQuirks
         self.location = base_uri
         self.parser = None  # set by the Parser that built this doc
@@ -1724,12 +1726,90 @@ class Document(Element):
     def charset(self) -> str:
         return self.output_settings.charset
 
+    def set_title(self, title: str) -> None:
+        """Document.title(String) — update or create head > title."""
+        head = self.head()
+        if head is None:
+            return
+        title_el = head.select_first("title")
+        if title_el is None:
+            title_el = head.append_element("title")
+        title_el.set_text(title)
+
+    def set_charset(self, charset: str) -> None:
+        """Document.charset(Charset) — sets the output charset and (per
+        the reference, Document.kt:248-252) enables + applies the meta
+        charset element update."""
+        self.update_meta_charset = True
+        self.output_settings.charset = charset
+        self._ensure_meta_charset_element()
+
+    def update_meta_charset_element(self, update: bool) -> None:
+        self.update_meta_charset = update
+
+    def _ensure_meta_charset_element(self) -> None:
+        """Document.kt ensureMetaCharsetElement:331-363."""
+        if not self.update_meta_charset:
+            return
+        if self.output_settings.syntax == "html":
+            meta = self.select_first("meta[charset]")
+            if meta is not None:
+                meta.set_attr("charset", self.charset())
+            else:
+                head = self.head()
+                if head is not None:
+                    head.append_element("meta") \
+                        .set_attr("charset", self.charset())
+            for obsolete in self.select("meta[name=charset]"):
+                obsolete.remove()
+        else:  # xml
+            kids = self._child_nodes
+            first = kids[0] if kids else None
+            if isinstance(first, XmlDeclaration) and first.value == "xml":
+                first._ensure_attrs().put("encoding", self.charset())
+                if first.has_attr("version"):
+                    first._ensure_attrs().put("version", "1.0")
+            else:
+                decl = XmlDeclaration("xml", False)
+                decl._ensure_attrs().put("version", "1.0")
+                decl._ensure_attrs().put("encoding", self.charset())
+                self.prepend_child(decl)
+
+    def document_type(self) -> "DocumentType | None":
+        """Document.documentType — the doc's DOCTYPE node if present."""
+        for n in self._child_nodes:
+            if isinstance(n, DocumentType):
+                return n
+            if isinstance(n, Element):
+                break  # doctype must precede the root element
+        return None
+
+    def forms(self) -> list["FormElement"]:
+        """Document.forms — all FormElements in the document."""
+        return [e for e in self.stream() if isinstance(e, FormElement)]
+
+    def expect_form(self, query: str) -> "FormElement":
+        el = self.select_first(query)
+        if not isinstance(el, FormElement):
+            raise ValueError(f"No form elements matched the query "
+                             f"'{query}' in the document.")
+        return el
+
     def outer_html(self) -> str:
         return self.html()  # no outer #document tag
 
     def text(self) -> str:
         b = self.body()
         return b.text() if b is not None else super().text()
+
+    def set_text(self, text: str) -> "Element":
+        """Document.text(String) applies to the body, preserving the
+        document structure (DocumentTest setTextPreservesDocumentStructure)."""
+        b = self.body()
+        if b is not None:
+            b.set_text(text)
+            return self
+        return super().set_text(text)
 
     @staticmethod
     def create_shell(base_uri: str = "") -> "Document":

@@ -25,6 +25,14 @@ REMOVE = 3
 STOP = 4
 
 
+def traverse(visitor, nodes) -> None:
+    """NodeTraversor.traverse(visitor, nodes) — visitor has
+    ``head(node, depth)`` and optional ``tail(node, depth)``."""
+    tail = getattr(visitor, "tail", None)
+    for node in nodes:
+        node.traverse(visitor.head, tail)
+
+
 def filter_traverse(filter_fn: Callable[[Node, int], int],
                     root: Node) -> int:
     """NodeTraversor.filter (NodeTraversor.kt:68-143): DFS with a head
@@ -206,6 +214,18 @@ class Elements(list):
     def unwrap(self) -> "Elements":
         for el in list(self):
             el.unwrap()
+        return self
+
+    def set_html(self, html: str) -> "Elements":
+        """Elements.html(String) — replace every element's inner HTML."""
+        for el in self:
+            el.set_html(html)
+        return self
+
+    def traverse(self, visitor) -> "Elements":
+        """NodeTraversor.traverse over each element (Elements.kt
+        traverse)."""
+        traverse(visitor, self)
         return self
 
     def empty(self) -> "Elements":

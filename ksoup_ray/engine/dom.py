@@ -544,26 +544,45 @@ class Node:
 
     def traverse(self, head: Callable[["Node", int], None],
                  tail: Callable[["Node", int], None] | None = None) -> None:
-        """NodeTraversor.traverse (NodeTraversor.kt:22-66), iterative.
-
-        head is called on entry, tail on exit. Structural mutation during
-        the walk is not supported here (the Cleaner uses its own walk).
+        """NodeTraversor.traverse (NodeTraversor.kt:22-66), iterative
+        pointer walk — structural changes (remove / replaceWith / append
+        of children) during ``head`` are supported, exactly as in the
+        reference: a node removed in head is not tailed; a replaced node
+        resumes at its replacement; children appended in head ARE
+        visited, children appended in tail are not.
         """
-        # stack of (node, next_child_index)
-        stack: list[tuple[Node, int]] = [(self, 0)]
-        head(self, 0)
-        while stack:
-            node, idx = stack[-1]
-            kids = node.child_nodes()
-            if idx < len(kids):
-                stack[-1] = (node, idx + 1)
-                child = kids[idx]
-                head(child, len(stack))
-                stack.append((child, 0))
+        root = self
+        node: Node | None = root
+        depth = 0
+        while node is not None:
+            parent = node.parent_node
+            orig_size = len(parent.child_nodes()) if parent is not None else 0
+            nxt = node.next_sibling()
+            head(node, depth)
+            if parent is not None and node.parent_node is None:
+                # removed or replaced during head
+                if orig_size == len(parent.child_nodes()):  # replaced
+                    node = parent.child_nodes()[node.sibling_index]
+                else:  # removed
+                    node = nxt
+                    if node is None:  # last one, go up
+                        node = parent
+                        depth -= 1
+                    continue  # don't tail removed
+            if node.child_nodes():  # descend
+                node = node.child_nodes()[0]
+                depth += 1
             else:
-                stack.pop()
+                while node.next_sibling() is None and depth > 0:
+                    if tail is not None:
+                        tail(node, depth)
+                    node = node.parent_node
+                    depth -= 1
                 if tail is not None:
-                    tail(node, len(stack))
+                    tail(node, depth)
+                if node is root:
+                    break
+                node = node.next_sibling()
 
     # -- output
     def outer_html(self) -> str:
@@ -1818,3 +1837,88 @@ class Document(Element):
         html.append_element("head")
         html.append_element("body")
         return doc
+
+
+class NodeIterator:
+    """Document-order node iterator that supports structural changes
+    (remove / replaceWith / wrap) mid-iteration (nodes/NodeIterator.kt).
+
+    ``node_type`` filters emitted nodes (e.g. Element, TextNode); the
+    walk still descends through non-matching nodes. Python iterator
+    protocol plus the reference's has_next/next/restart/remove surface.
+    """
+
+    __slots__ = ("_type", "_root", "_next", "_current", "_previous",
+                 "_current_parent")
+
+    def __init__(self, start: Node, node_type: type = Node):
+        self._type = node_type
+        self.restart(start)
+
+    @staticmethod
+    def from_node(start: Node) -> "NodeIterator":
+        return NodeIterator(start, Node)
+
+    def restart(self, start: Node) -> None:
+        self._next: Node | None = (
+            start if isinstance(start, self._type) else None)
+        self._current: Node | None = start
+        self._previous: Node | None = start
+        self._root: Node | None = start
+        self._current_parent = start.parent_node
+
+    def has_next(self) -> bool:
+        self._maybe_find_next()
+        return self._next is not None
+
+    def next(self) -> Node:
+        self._maybe_find_next()
+        if self._next is None:
+            raise StopIteration
+        result = self._next
+        self._previous = self._current
+        self._current = result
+        self._current_parent = result.parent_node
+        self._next = None
+        return result
+
+    __next__ = next
+
+    def __iter__(self) -> "NodeIterator":
+        return self
+
+    def remove(self) -> None:
+        if self._current is not None:
+            self._current.remove()
+
+    def _maybe_find_next(self) -> None:
+        if self._next is not None:
+            return
+        # change detected (removed or replaced): redo from previous
+        if (self._current_parent is not None
+                and (self._current is None
+                     or self._current.parent_node is None)):
+            self._current = self._previous
+        self._next = self._find_next_node()
+
+    def _find_next_node(self) -> Node | None:
+        node = self._current
+        while True:
+            if node.child_nodes():
+                node = node.child_nodes()[0]  # descend children
+            elif self._root is node:
+                node = None  # all children of root fully visited
+            elif node.next_sibling() is not None:
+                node = node.next_sibling()  # no more children; traverse
+            else:
+                while True:
+                    node = node.parent_node  # pop out of descendants
+                    if node is None or self._root is node:
+                        return None  # back at root; complete
+                    if node.next_sibling() is not None:
+                        node = node.next_sibling()
+                        break
+            if node is None:
+                return None
+            if isinstance(node, self._type):
+                return node

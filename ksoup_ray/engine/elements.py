@@ -33,51 +33,66 @@ def traverse(visitor, nodes) -> None:
         node.traverse(visitor.head, tail)
 
 
-def filter_traverse(filter_fn: Callable[[Node, int], int],
-                    root: Node) -> int:
-    """NodeTraversor.filter (NodeTraversor.kt:68-143): DFS with a head
-    filter supporting node removal mid-walk. Returns the final result
-    (STOP or CONTINUE). ``filter_fn(node, depth) -> FilterResult``."""
+def filter_traverse(node_filter, root: Node) -> int:
+    """NodeTraversor.filter (NodeTraversor.kt:87-129): DFS with head and
+    optional tail filters, supporting node removal mid-walk (REMOVE from
+    either visit). ``node_filter`` is either a plain callable
+    ``head(node, depth) -> FilterResult`` or an object with ``head`` and
+    optionally ``tail`` methods. Returns the root's final FilterResult
+    (STOP or CONTINUE)."""
+    head = getattr(node_filter, "head", node_filter)
+    tail = getattr(node_filter, "tail", None)
+
     node: Node | None = root
     depth = 0
     while node is not None:
-        result = filter_fn(node, depth)
+        result = head(node, depth)
         if result == STOP:
             return STOP
-        # descend
+        # Descend into child nodes:
         if result == CONTINUE and node.child_nodes():
             node = node.child_nodes()[0]
             depth += 1
             continue
-        # ascend / advance, honoring REMOVE
-        while node is not None:
-            if result == REMOVE:
-                nxt = node.next_sibling()
-                parent = node.parent_node
-                node.remove()
-                if nxt is not None:
-                    node = nxt
+        # No siblings, move upwards:
+        while node.next_sibling() is None and depth > 0:
+            # 'tail' current node:
+            if result in (CONTINUE, SKIP_CHILDREN):
+                if tail is not None:
+                    result = tail(node, depth)
+                    if result == STOP:
+                        return STOP
+                else:
                     result = CONTINUE
-                    break
-                node = parent
-                depth -= 1
-                if node is root or node is None:
-                    return CONTINUE
-                result = CONTINUE
-                continue
-            nxt = node.next_sibling()
-            if nxt is not None:
-                node = nxt
-                break
-            if node is root:
-                return CONTINUE
+            prev = node  # in case we need to remove it below
             node = node.parent_node
             depth -= 1
-            if node is root or node is None:
-                return CONTINUE
-        else:
-            return CONTINUE
+            if result == REMOVE:
+                prev.remove()  # remove AFTER finding parent
+            result = CONTINUE  # parent was not pruned
+        # 'tail' current node, then proceed with siblings:
+        if result in (CONTINUE, SKIP_CHILDREN):
+            if tail is not None:
+                result = tail(node, depth)
+                if result == STOP:
+                    return STOP
+            else:
+                result = CONTINUE
+        if node is root:
+            return result
+        prev = node
+        node = node.next_sibling()
+        if result == REMOVE:
+            prev.remove()  # remove AFTER finding sibling
     return CONTINUE
+
+
+def filter_all(node_filter, nodes) -> None:
+    """NodeTraversor.filter over a collection (NodeTraversor.kt:136-143):
+    stops at the first root whose filter result is STOP."""
+    for el in nodes:
+        if filter_traverse(node_filter, el) == STOP:
+            return
 
 
 class Elements(list):

@@ -86,6 +86,39 @@ class TokenQueue:
         self.pos = len(self.s)
         return out
 
+    def consume_to(self, seq: str) -> str:
+        """Consume up to (not including) the first occurrence of ``seq``
+        (TokenQueue.consumeTo); rest of queue if absent."""
+        idx = self.s.find(seq, self.pos)
+        if idx == -1:
+            return self.remainder()
+        out = self.s[self.pos:idx]
+        self.pos = idx
+        return out
+
+    def chomp_to_ignore_case(self, seq: str) -> str:
+        """Consume up to the first case-insensitive occurrence of ``seq``
+        and chomp the marker itself (TokenQueue.chompToIgnoreCase)."""
+        idx = self.s.lower().find(seq.lower(), self.pos)
+        if idx == -1:
+            return self.remainder()
+        out = self.s[self.pos:idx]
+        self.pos = idx + len(seq)
+        return out
+
+    def add_first(self, seq: str) -> None:
+        """Push a string onto the front of the queue
+        (TokenQueue.addFirst)."""
+        self.s = seq + self.s[self.pos:]
+        self.pos = 0
+
+    def consume_word(self) -> str:
+        """Consume a run of letters/digits (TokenQueue.consumeWord)."""
+        start = self.pos
+        while not self.is_empty() and self.s[self.pos].isalnum():
+            self.pos += 1
+        return self.s[start:self.pos]
+
     def consume_to_any(self, seqs) -> str:
         start = self.pos
         n = len(self.s)
@@ -251,6 +284,9 @@ class TagStartsWith(Evaluator):
     def matches(self, root, element):
         return element.normal_name().startswith(self.prefix)
 
+    def __repr__(self):
+        return self.prefix
+
 
 class TagEndsWith(Evaluator):
     def __init__(self, suffix: str):
@@ -258,6 +294,9 @@ class TagEndsWith(Evaluator):
 
     def matches(self, root, element):
         return element.normal_name().endswith(self.suffix)
+
+    def __repr__(self):
+        return self.suffix
 
 
 class IdIs(Evaluator):
@@ -295,6 +334,9 @@ class HasAttr(Evaluator):
     def matches(self, root, element):
         return element.has_attr(self.key)
 
+    def __repr__(self):
+        return f"[{self.key}]"
+
 
 class AttrStarting(Evaluator):
     cost = 6
@@ -307,6 +349,9 @@ class AttrStarting(Evaluator):
         if attrs is None:
             return False
         return any(k.lower().startswith(self.prefix) for k, _ in attrs)
+
+    def __repr__(self):
+        return f"[^{self.prefix}]"
 
 
 def _norm_attr_value(value: str, trim: bool = True) -> str:
@@ -328,10 +373,16 @@ class AttrValue(Evaluator):
         return element.has_attr(self.key) and \
             self.value == element.attr(self.key).strip().lower()
 
+    def __repr__(self):
+        return f"[{self.key}={self.value}]"
+
 
 class AttrValueNot(AttrValue):
     def matches(self, root, element):
         return self.value != element.attr(self.key).lower()
+
+    def __repr__(self):
+        return f"[{self.key}!={self.value}]"
 
 
 class AttrValueStarting(AttrValue):
@@ -344,6 +395,9 @@ class AttrValueStarting(AttrValue):
         return element.has_attr(self.key) and \
             element.attr(self.key).lower().startswith(self.value)
 
+    def __repr__(self):
+        return f"[{self.key}^={self.value}]"
+
 
 class AttrValueEnding(AttrValue):
     cost = 4
@@ -355,6 +409,9 @@ class AttrValueEnding(AttrValue):
         return element.has_attr(self.key) and \
             element.attr(self.key).lower().endswith(self.value)
 
+    def __repr__(self):
+        return f"[{self.key}$={self.value}]"
+
 
 class AttrValueContaining(AttrValue):
     cost = 6
@@ -362,6 +419,9 @@ class AttrValueContaining(AttrValue):
     def matches(self, root, element):
         return element.has_attr(self.key) and \
             self.value in element.attr(self.key).lower()
+
+    def __repr__(self):
+        return f"[{self.key}*={self.value}]"
 
 
 class AttrValueMatching(Evaluator):
@@ -375,6 +435,9 @@ class AttrValueMatching(Evaluator):
         return element.has_attr(self.key) and \
             self.pattern.search(element.attr(self.key)) is not None
 
+    def __repr__(self):
+        return f"[{self.key}~={self.pattern.pattern}]"
+
 
 class IndexLessThan(Evaluator):
     def __init__(self, index: int):
@@ -384,6 +447,9 @@ class IndexLessThan(Evaluator):
         return root is not element and \
             element.element_sibling_index() < self.index
 
+    def __repr__(self):
+        return f":lt({self.index})"
+
 
 class IndexGreaterThan(Evaluator):
     def __init__(self, index: int):
@@ -391,6 +457,9 @@ class IndexGreaterThan(Evaluator):
 
     def matches(self, root, element):
         return element.element_sibling_index() > self.index
+
+    def __repr__(self):
+        return f":gt({self.index})"
 
 
 class IndexEquals(Evaluator):
@@ -400,12 +469,18 @@ class IndexEquals(Evaluator):
     def matches(self, root, element):
         return element.element_sibling_index() == self.index
 
+    def __repr__(self):
+        return f":eq({self.index})"
+
 
 class IsFirstChild(Evaluator):
     def matches(self, root, element):
         p = element.parent()
         return p is not None and not isinstance(p, Document) and \
             element is p.first_element_child()
+
+    def __repr__(self):
+        return ":first-child"
 
 
 class IsLastChild(Evaluator):
@@ -414,12 +489,18 @@ class IsLastChild(Evaluator):
         return p is not None and not isinstance(p, Document) and \
             element is p.last_element_child()
 
+    def __repr__(self):
+        return ":last-child"
+
 
 class IsOnlyChild(Evaluator):
     def matches(self, root, element):
         p = element.parent()
         return p is not None and not isinstance(p, Document) and \
             not element.sibling_elements()
+
+    def __repr__(self):
+        return ":only-child"
 
 
 class IsOnlyOfType(Evaluator):
@@ -435,6 +516,9 @@ class IsOnlyOfType(Evaluator):
                 break
         return pos == 1
 
+    def __repr__(self):
+        return ":only-of-type"
+
 
 class IsRoot(Evaluator):
     cost = 1
@@ -442,6 +526,9 @@ class IsRoot(Evaluator):
     def matches(self, root, element):
         r = root.first_element_child() if isinstance(root, Document) else root
         return element is r
+
+    def __repr__(self):
+        return ":root"
 
 
 class IsEmpty(Evaluator):
@@ -454,11 +541,24 @@ class IsEmpty(Evaluator):
                 return False
         return True
 
+    def __repr__(self):
+        return ":empty"
+
 
 class CssNth(Evaluator):
+    pseudo_class: str = ""
+
     def __init__(self, a: int, b: int):
         self.a = a
         self.b = b
+
+    def __repr__(self):
+        if self.a == 0:
+            return f":{self.pseudo_class}({self.b})"
+        if self.b == 0:
+            return f":{self.pseudo_class}({self.a}n)"
+        sign = "+" if self.b >= 0 else ""
+        return f":{self.pseudo_class}({self.a}n{sign}{self.b})"
 
     def calc(self, root, element) -> int:
         raise NotImplementedError
@@ -474,11 +574,15 @@ class CssNth(Evaluator):
 
 
 class IsNthChild(CssNth):
+    pseudo_class = "nth-child"
+
     def calc(self, root, element):
         return element.element_sibling_index() + 1
 
 
 class IsNthLastChild(CssNth):
+    pseudo_class = "nth-last-child"
+
     def calc(self, root, element):
         p = element.parent()
         if p is None:
@@ -487,6 +591,8 @@ class IsNthLastChild(CssNth):
 
 
 class IsNthOfType(CssNth):
+    pseudo_class = "nth-of-type"
+
     def calc(self, root, element):
         p = element.parent()
         if p is None:
@@ -502,6 +608,8 @@ class IsNthOfType(CssNth):
 
 
 class IsNthLastOfType(CssNth):
+    pseudo_class = "nth-last-of-type"
+
     def calc(self, root, element):
         if element.parent() is None:
             return 0
@@ -519,10 +627,16 @@ class IsFirstOfType(IsNthOfType):
     def __init__(self):
         super().__init__(0, 1)
 
+    def __repr__(self):
+        return ":first-of-type"
+
 
 class IsLastOfType(IsNthLastOfType):
     def __init__(self):
         super().__init__(0, 1)
+
+    def __repr__(self):
+        return ":last-of-type"
 
 
 class ContainsText(Evaluator):
@@ -534,6 +648,9 @@ class ContainsText(Evaluator):
     def matches(self, root, element):
         return self.text in element.text().lower()
 
+    def __repr__(self):
+        return f":contains({self.text})"
+
 
 class ContainsOwnText(Evaluator):
     def __init__(self, text: str):
@@ -541,6 +658,9 @@ class ContainsOwnText(Evaluator):
 
     def matches(self, root, element):
         return self.text in element.own_text().lower()
+
+    def __repr__(self):
+        return f":containsOwn({self.text})"
 
 
 class ContainsWholeText(Evaluator):
@@ -552,6 +672,9 @@ class ContainsWholeText(Evaluator):
     def matches(self, root, element):
         return self.text in element.whole_text()
 
+    def __repr__(self):
+        return f":containsWholeText({self.text})"
+
 
 class ContainsWholeOwnText(Evaluator):
     def __init__(self, text: str):
@@ -560,6 +683,9 @@ class ContainsWholeOwnText(Evaluator):
     def matches(self, root, element):
         return self.text in element.whole_own_text()
 
+    def __repr__(self):
+        return f":containsWholeOwnText({self.text})"
+
 
 class ContainsData(Evaluator):
     def __init__(self, text: str):
@@ -567,6 +693,9 @@ class ContainsData(Evaluator):
 
     def matches(self, root, element):
         return self.text in element.data().lower()
+
+    def __repr__(self):
+        return f":containsData({self.text})"
 
 
 class MatchesRe(Evaluator):
@@ -578,6 +707,9 @@ class MatchesRe(Evaluator):
     def matches(self, root, element):
         return self.pattern.search(element.text()) is not None
 
+    def __repr__(self):
+        return f":matches({self.pattern.pattern})"
+
 
 class MatchesOwnRe(MatchesRe):
     cost = 7
@@ -585,10 +717,16 @@ class MatchesOwnRe(MatchesRe):
     def matches(self, root, element):
         return self.pattern.search(element.own_text()) is not None
 
+    def __repr__(self):
+        return f":matchesOwn({self.pattern.pattern})"
+
 
 class MatchesWholeTextRe(MatchesRe):
     def matches(self, root, element):
         return self.pattern.search(element.whole_text()) is not None
+
+    def __repr__(self):
+        return f":matchesWholeText({self.pattern.pattern})"
 
 
 class MatchesWholeOwnTextRe(MatchesRe):
@@ -596,6 +734,9 @@ class MatchesWholeOwnTextRe(MatchesRe):
 
     def matches(self, root, element):
         return self.pattern.search(element.whole_own_text()) is not None
+
+    def __repr__(self):
+        return f":matchesWholeOwnText({self.pattern.pattern})"
 
 
 class MatchText(Evaluator):
@@ -614,6 +755,9 @@ class MatchText(Evaluator):
             text_node.replace_with(pel)
             pel.append_child(text_node)
         return False
+
+    def __repr__(self):
+        return ":matchText"
 
 
 # -- combining / structural
@@ -668,6 +812,9 @@ class Or(Evaluator):
         for e in self.evaluators:
             e.reset()
 
+    def __repr__(self):
+        return ", ".join(repr(e) for e in self.evaluators)
+
 
 class Structural(Evaluator):
     def __init__(self, evaluator: Evaluator):
@@ -696,6 +843,9 @@ class Root(Evaluator):
 
     def matches(self, root, element):
         return root is element
+
+    def __repr__(self):
+        return ""
 
 
 class Has(Structural):
@@ -727,6 +877,9 @@ class Has(Structural):
                 return True
         return False
 
+    def __repr__(self):
+        return f":has({self.evaluator!r})"
+
 
 class Is(Structural):
     def __init__(self, evaluator: Evaluator):
@@ -736,6 +889,9 @@ class Is(Structural):
     def matches(self, root, element):
         return self.evaluator.matches(root, element)
 
+    def __repr__(self):
+        return f":is({self.evaluator!r})"
+
 
 class Not(Structural):
     def __init__(self, evaluator: Evaluator):
@@ -744,6 +900,9 @@ class Not(Structural):
 
     def matches(self, root, element):
         return not self.memo_matches(root, element)
+
+    def __repr__(self):
+        return f":not({self.evaluator!r})"
 
 
 class Parent(Structural):
@@ -762,6 +921,9 @@ class Parent(Structural):
                 break
             parent = parent.parent()
         return False
+
+    def __repr__(self):
+        return f"{self.evaluator!r} "
 
 
 class ImmediateParentRun(Evaluator):
@@ -789,6 +951,9 @@ class ImmediateParentRun(Evaluator):
         for e in self.evaluators:
             e.reset()
 
+    def __repr__(self):
+        return " > ".join(repr(e) for e in self.evaluators)
+
 
 class PreviousSibling(Structural):
     def __init__(self, evaluator: Evaluator):
@@ -807,6 +972,9 @@ class PreviousSibling(Structural):
             sibling = sibling.next_element_sibling()
         return False
 
+    def __repr__(self):
+        return f"{self.evaluator!r} ~ "
+
 
 class ImmediatePreviousSibling(Structural):
     def __init__(self, evaluator: Evaluator):
@@ -818,6 +986,9 @@ class ImmediatePreviousSibling(Structural):
             return False
         prev = element.previous_element_sibling()
         return prev is not None and self.memo_matches(root, prev)
+
+    def __repr__(self):
+        return f"{self.evaluator!r} + "
 
 
 def _first_element_sibling(element: Element) -> Element | None:
@@ -1108,6 +1279,61 @@ def parse_query(query: str) -> Evaluator:
     if len(_QUERY_CACHE) < _QUERY_CACHE_MAX:
         _QUERY_CACHE[query.strip()] = ev
     return ev
+
+
+# ---------------------------------------------------------------------------
+# EvaluatorDebug.sexpr (ksoup-test select/EvaluatorDebug.kt:49-87): render
+# the parsed evaluator tree as an s-expression with the REFERENCE's class
+# names, so parse-tree goldens can be compared verbatim.
+
+_SEXPR_NAMES = {
+    "TagIs": "Tag",
+    "IdIs": "Id",
+    "ClassIs": "Class",
+    "HasAttr": "Attribute",
+    "AttrStarting": "AttributeStarting",
+    "AttrValue": "AttributeWithValue",
+    "AttrValueNot": "AttributeWithValueNot",
+    "AttrValueStarting": "AttributeWithValueStarting",
+    "AttrValueEnding": "AttributeWithValueEnding",
+    "AttrValueContaining": "AttributeWithValueContaining",
+    "AttrValueMatching": "AttributeWithValueMatching",
+    "MatchesRe": "Matches",
+    "MatchesOwnRe": "MatchesOwn",
+    "MatchesWholeTextRe": "MatchesWholeText",
+    "MatchesWholeOwnTextRe": "MatchesWholeOwnText",
+}
+
+
+def sexpr(query: str | Evaluator) -> str:
+    """Debug s-expression of a parsed query, e.g.
+    ``(And (Tag 'b')(Parent (Tag 'a')))`` — combining evaluators render
+    children in cost-sorted order (as the reference's asElement walks
+    ``sortedEvaluators``)."""
+    ev = parse_query(query) if isinstance(query, str) else query
+    out: list[str] = []
+    _sexpr_walk(ev, out)
+    return "".join(out)
+
+
+def _sexpr_walk(ev: Evaluator, out: list[str]) -> None:
+    name = type(ev).__name__
+    out.append("(" + _SEXPR_NAMES.get(name, name))
+    if isinstance(ev, (And, Or)):
+        children = ev.sorted_evals
+    elif isinstance(ev, ImmediateParentRun):
+        children = ev.evaluators
+    elif isinstance(ev, Structural):
+        children = [ev.evaluator]
+    else:
+        children = []
+    if children:
+        out.append(" ")
+        for child in children:
+            _sexpr_walk(child, out)
+    else:
+        out.append(f" '{ev!r}'")
+    out.append(")")
 
 
 # ---------------------------------------------------------------------------

@@ -105,6 +105,11 @@ _XML_KEY_REPLACE = re.compile(r"[^-a-zA-Z0-9_:.]+")
 _HTML_KEY_INVALID = re.compile(r"[\x00-\x1f\x7f-\x9f \"'/=]+")
 
 
+def is_boolean_attribute(key: str) -> bool:
+    """Attribute.isBooleanAttribute (Attribute.kt) — case-insensitive."""
+    return key.lower() in _BOOLEAN_ATTRIBUTES
+
+
 def _valid_attr_key(key: str, syntax: str) -> str | None:
     """Attribute.getValidKey (Attribute.kt:256-...)."""
     if syntax == "xml":
@@ -322,6 +327,29 @@ class Node:
     # -- attributes (base: none)
     def attributes(self) -> Attributes | None:
         return None
+
+    def is_effectively_first(self) -> bool:
+        """Node.isEffectivelyFirst (Node.kt:747-754): first child, or
+        second behind a blank text node."""
+        if self.sibling_index == 0:
+            return True
+        if self.sibling_index == 1:
+            prev = self.previous_sibling()
+            return isinstance(prev, TextNode) and prev.is_blank()
+        return False
+
+    def has_attributes(self) -> bool:
+        """Node.hasAttributes — without materializing a lazy map."""
+        a = self.attributes()
+        return a is not None and a.size() > 0
+
+    def clear_attributes(self) -> "Node":
+        """Node.clearAttributes — remove every (external) attribute."""
+        a = self.attributes()
+        if a is not None:
+            for k, _ in list(a):
+                a.remove(k)
+        return self
 
     def attr(self, key: str) -> str:
         a = self.attributes()
@@ -765,20 +793,100 @@ class DataNode(LeafNode):
     def get_whole_data(self) -> str:
         return self.value
 
+    @property
+    def is_packed(self) -> bool:
+        """True for p,a,c,k,e,d-obfuscated script bodies (DataNode.kt
+        isPacked)."""
+        return (self.parent_node is not None
+                and self.parent_node.normal_name() == "script"
+                and _PACKED_RE.search(self.value) is not None)
+
+    def get_unpacked_data(self) -> str:
+        """De-obfuscate a packed script body (DataNode.kt
+        getUnpackedData + internal/Unbaser.kt)."""
+        data = self.value
+        if not self.is_packed:
+            return data
+
+        def unpack(m: "re.Match[str]") -> str:
+            out = []
+            for em in _PACKED_EXTRACT_RE.finditer(m.group(0)):
+                payload, radix_s, count_s, symtab_s = em.groups()
+                symtab = symtab_s.split("|")
+                radix = int(radix_s) if radix_s.isdigit() else 10
+                if not count_s.isdigit() or len(symtab) != int(count_s):
+                    continue
+                unbase = _unbaser(radix)
+                out.append(re.sub(
+                    r"\b\w+\b",
+                    lambda wm: symtab[unbase(wm.group(0))] or wm.group(0),
+                    payload))
+            return "".join(out)
+
+        return _PACKED_RE.sub(unpack, data)
+
     def outer_html_head(self, accum: list[str], depth: int,
                         out: OutputSettings) -> None:
-        # data is NOT escaped (DataNode.kt): emitted raw for script/style
-        if out.syntax == "xml":
+        # For XML output, escape the DataNode in a CDATA section unless it
+        # already holds pseudo-CData (DataNode.kt outerHtmlHead); in HTML,
+        # data is NOT escaped (raw script/style bodies).
+        data = self.value
+        if out.syntax == "xml" and "<![CDATA[" not in data:
             parent = self.parent_node
             pname = parent.normal_name() if parent is not None else ""
-            data = self.value
-            if pname in ("script", "style") and "<![CDATA[" not in data:
-                accum.append("//<![CDATA[\n" if pname == "script"
-                             else "/*<![CDATA[*/\n")
+            if pname == "script":
+                accum.append("//<![CDATA[\n")
                 accum.append(data)
-                accum.append("\n//]]>" if pname == "script" else "\n/*]]>*/")
-                return
-        accum.append(self.value)
+                accum.append("\n//]]>")
+            elif pname == "style":
+                accum.append("/*<![CDATA[*/\n")
+                accum.append(data)
+                accum.append("\n/*]]>*/")
+            else:
+                accum.append("<![CDATA[")
+                accum.append(data)
+                accum.append("]]>")
+            return
+        accum.append(data)
+
+
+# packed-JS detection/unpacking (DataNode.kt companion + internal/Unbaser.kt)
+_PACKED_RE = re.compile(
+    r"eval[(]function[(]p,a,c,k,e,[rd][)][{].*?[}][)]{2}",
+    re.IGNORECASE | re.DOTALL)
+_PACKED_EXTRACT_RE = re.compile(
+    r"[}][(]'(.*)', *(\d+), *(\d+), *'(.*?)'[.]split[(]'[|]'[)]",
+    re.IGNORECASE | re.DOTALL)
+
+_UNBASE_ALPHABET = {
+    52: "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOP",
+    54: "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQR",
+    62: "0123456789abcdefghijklmnopqrstuvwxyz"
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+    95: " !\"#$%&\\'()*+,-./0123456789:;<=>?@"
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ[\\]^_`abcdefghijklmnopqrstuvwxyz{|}~",
+}
+
+
+def _unbaser(base: int):
+    """internal/Unbaser.kt — base-N string → int decoder."""
+    if 2 <= base <= 36:
+        def unbase(value: str) -> int:
+            try:
+                return int(value, base)
+            except ValueError:
+                return 0
+        return unbase
+    selector = 95 if base > 62 else 62 if base > 54 else \
+        54 if base > 52 else 52
+    dict_ = {c: i for i, c in enumerate(_UNBASE_ALPHABET[selector])}
+
+    def unbase(value: str) -> int:
+        total = 0
+        for i, cipher in enumerate(reversed(value)):
+            total += int(float(base) ** i * dict_.get(cipher, 0))
+        return total
+    return unbase
 
 
 class Comment(LeafNode):
@@ -792,10 +900,40 @@ class Comment(LeafNode):
     def get_data(self) -> str:
         return self.value
 
+    def set_data(self, data: str) -> "Comment":
+        self.value = data
+        return self
+
+    def is_xml_declaration(self) -> bool:
+        return _is_xml_declaration_data(self.value)
+
+    def as_xml_declaration(self) -> "XmlDeclaration | None":
+        """Cast a bogus comment to an XML declaration if it parses as one
+        (Comment.kt asXmlDeclaration)."""
+        data = self.value
+        decl_content = data[1:-1]
+        # bogus comment immediately followed by another: stay a comment
+        if _is_xml_declaration_data(decl_content):
+            return None
+        from . import parser as _parser
+        from .treebuilder import PRESERVE_CASE
+        doc = _parser.parse(f"<{decl_content}>", self.base_uri(),
+                            settings=PRESERVE_CASE)
+        body = doc.body()
+        if body is not None and body.children():
+            el = body.children()[0]
+            decl = XmlDeclaration(el.normal_name(), data.startswith("!"))
+            attrs = el.attributes()
+            if attrs is not None:
+                for k, v in attrs.items_raw():
+                    decl._ensure_attrs().put(k, v)
+            return decl
+        return None
+
     def outer_html_head(self, accum: list[str], depth: int,
                         out: OutputSettings) -> None:
         if (out.pretty_print
-                and ((self.sibling_index == 0
+                and ((self.is_effectively_first()
                       and isinstance(self.parent_node, Element)
                       and self.parent_node.tag.format_as_block)
                      or out.outline)):
@@ -803,6 +941,10 @@ class Comment(LeafNode):
         accum.append("<!--")
         accum.append(self.value)
         accum.append("-->")
+
+
+def _is_xml_declaration_data(data: str) -> bool:
+    return len(data) > 1 and (data.startswith("!") or data.startswith("?"))
 
 
 class DocumentType(LeafNode):
@@ -1086,18 +1228,6 @@ class Element(Node):
             i += 1
         return 0
 
-    def is_effectively_first(self) -> bool:
-        """No non-blank previous sibling (Element.kt isEffectivelyFirst)."""
-        if self.sibling_index == 0:
-            return True
-        assert self.parent_node is not None
-        for prev in self.parent_node.child_nodes()[:self.sibling_index]:
-            if isinstance(prev, TextNode):
-                if not prev.is_blank():
-                    return False
-            else:
-                return False
-        return True
 
     # -- descendants
     def descendants(self) -> Iterator["Element"]:

@@ -26,15 +26,30 @@ _ALL = ":all"
 
 
 class Safelist:
-    def __init__(self) -> None:
+    def __init__(self, copy: "Safelist | None" = None) -> None:
         self.tag_names: set[str] = set()
         self.attributes: dict[str, set[str]] = {}
         self.enforced: dict[str, dict[str, str]] = {}
         self.protocols: dict[str, dict[str, set[str]]] = {}
         self.preserve_relative_links = False
+        if copy is not None:
+            # deep copy-constructor (Safelist.kt:116-130) — no aliasing
+            self.tag_names = set(copy.tag_names)
+            self.attributes = {k: set(v) for k, v in copy.attributes.items()}
+            self.enforced = {k: dict(v) for k, v in copy.enforced.items()}
+            self.protocols = {t: {a: set(p) for a, p in attrs.items()}
+                              for t, attrs in copy.protocols.items()}
+            self.preserve_relative_links = copy.preserve_relative_links
 
     # -- builders (Safelist.kt add/remove API)
     def add_tags(self, *tags: str) -> "Safelist":
+        for tag in tags:
+            # Safelist.kt addTags: noscript is unsupported (XSS risk when
+            # cleaned output is viewed with scripting off)
+            if tag.lower() == "noscript":
+                raise ValueError("noscript is unsupported in Safelists, "
+                                 "due to incompatibilities between parsers "
+                                 "with and without script-mode enabled")
         self.tag_names.update(tags)
         return self
 

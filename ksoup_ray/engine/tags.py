@@ -184,7 +184,11 @@ def value_of(tag_name: str, namespace: str = NAMESPACE_HTML,
     t = TAGS.get(tag_name)
     if t is not None and t.namespace == namespace:
         return t
-    normalized = tag_name if preserve_case else tag_name.lower().strip()
+    # Tag.valueOf trims, then validates non-empty (Tag.kt valueOf)
+    normalized = tag_name.strip() if preserve_case \
+        else tag_name.lower().strip()
+    if not normalized:
+        raise ValueError("tag name must not be empty")
     normal = normalized.lower()
     t = TAGS.get(normal)
     if t is not None and t.namespace == namespace:

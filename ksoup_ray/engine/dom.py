@@ -275,19 +275,31 @@ class Attributes:
 # Output settings
 
 class OutputSettings:
-    """Document.OutputSettings (Document.kt:368-560). Defaults match."""
+    """Document.OutputSettings (Document.kt:368-560). Defaults match.
+    Setting ``syntax = "xml"`` switches escape mode to xhtml, as the
+    reference's syntax() setter does."""
 
-    __slots__ = ("escape_mode", "charset", "syntax", "pretty_print",
+    __slots__ = ("escape_mode", "charset", "_syntax", "pretty_print",
                  "outline", "indent_amount", "max_padding_width")
 
     def __init__(self) -> None:
         self.escape_mode = E.ESCAPE_BASE
         self.charset = "UTF-8"
-        self.syntax = "html"
+        self._syntax = "html"
         self.pretty_print = True
         self.outline = False
         self.indent_amount = 1
         self.max_padding_width = 30
+
+    @property
+    def syntax(self) -> str:
+        return self._syntax
+
+    @syntax.setter
+    def syntax(self, value: str) -> None:
+        self._syntax = value
+        if value == "xml":
+            self.escape_mode = E.ESCAPE_XHTML
 
     def clone(self) -> "OutputSettings":
         o = OutputSettings()
@@ -327,6 +339,21 @@ class Node:
     # -- attributes (base: none)
     def attributes(self) -> Attributes | None:
         return None
+
+    def has_same_value(self, other: "Node") -> bool:
+        """Node.hasSameValue — content equality (outerHtml), while
+        ==/hash stay identity (Node.kt hasSameValue)."""
+        if self is other:
+            return True
+        return self.outer_html() == other.outer_html()
+
+    def attributes_size(self) -> int:
+        """Node.attributesSize — 0 without vivifying the map."""
+        a = self.attributes()
+        return a.size() if a is not None else 0
+
+    def has_child_nodes(self) -> bool:
+        return self.child_node_size() > 0
 
     def is_effectively_first(self) -> bool:
         """Node.isEffectivelyFirst (Node.kt:747-754): first child, or
@@ -964,6 +991,9 @@ class DocumentType(LeafNode):
     def outer_html_head(self, accum: list[str], depth: int,
                         out: OutputSettings) -> None:
         # DocumentType.kt outerHtmlHead
+        # newline when the doctype has a preceding node (a comment)
+        if self.sibling_index > 0 and out.pretty_print:
+            accum.append("\n")
         if out.syntax == "html" and not self.public_id and not self.system_id:
             accum.append("<!doctype")
         else:
@@ -1097,6 +1127,10 @@ class Element(Node):
     def child(self, i: int) -> "Element":
         return self.children()[i]
 
+    def children_size(self) -> int:
+        """Element.childrenSize — element children only."""
+        return sum(1 for n in self._child_nodes if isinstance(n, Element))
+
     def first_element_child(self) -> "Element | None":
         for n in self._child_nodes:
             if isinstance(n, Element):
@@ -1131,6 +1165,38 @@ class Element(Node):
         self.add_children_at(0, [node])
         return self
 
+    def insert_children(self, index: int, children) -> "Element":
+        """Element.insertChildren: negative index rolls around from the
+        end (-1 == append); out-of-bounds raises (Element.kt)."""
+        size = len(self._child_nodes)
+        if index < 0:
+            index += size + 1
+        if not 0 <= index <= size:
+            raise ValueError("Insert position out of bounds.")
+        self.add_children_at(index, list(children))
+        return self
+
+    def add_children(self, *children: Node) -> "Element":
+        """Element.addChildren(*nodes) — append, reparenting."""
+        for node in children:
+            self.append_child(node)
+        return self
+
+    def append_children(self, children) -> "Element":
+        """Element.appendChildren(list)."""
+        return self.insert_children(-1, children)
+
+    def prepend_children(self, children) -> "Element":
+        """Element.prependChildren(list)."""
+        return self.insert_children(0, children)
+
+    def prepend_element(self, tag_name: str) -> "Element":
+        """Element.prependElement — new child element at position 0."""
+        child = Element(tag_value_of(tag_name,
+                                     namespace=self.tag.namespace))
+        self.prepend_child(child)
+        return child
+
     def add_children_at(self, index: int, children: list[Node]) -> None:
         for node in children:
             if node.parent_node is not None:
@@ -1156,6 +1222,8 @@ class Element(Node):
         self._reindex(idx)
 
     def replace_child(self, out_node: Node, in_node: Node) -> None:
+        if out_node is in_node:
+            return  # no-op self replacement (Node.kt:483)
         if in_node.parent_node is not None:
             in_node.parent_node.remove_child(in_node)
         idx = out_node.sibling_index
@@ -1465,12 +1533,57 @@ class Element(Node):
             raise ValueError(f"No elements matched the query '{query}'")
         return el
 
-    def css_is(self, query: str) -> bool:
+    def css_is(self, query) -> bool:
+        """Element.is(query) — query is a CSS string or an Evaluator."""
         from .select import parse_query
-        ev = parse_query(query)
+        ev = parse_query(query) if isinstance(query, str) else query
         r = self.root()
         root = r if isinstance(r, Element) else self
         return ev.matches(root, self)
+
+    def closest(self, query) -> "Element | None":
+        """Element.closest — walk up from this element (inclusive) to the
+        first that matches (Element.kt closest)."""
+        from .select import parse_query
+        ev = parse_query(query) if isinstance(query, str) else query
+        el: Element | None = self
+        r = self.root()
+        root = r if isinstance(r, Element) else self
+        while el is not None:
+            if ev.matches(root, el):
+                return el
+            p = el.parent()
+            el = p if isinstance(p, Element) else None
+        return None
+
+    def next_element_siblings(self) -> list["Element"]:
+        """Element.nextElementSiblings (closest-first order)."""
+        out: list[Element] = []
+        el = self.next_element_sibling()
+        while el is not None:
+            out.append(el)
+            el = el.next_element_sibling()
+        return out
+
+    def previous_element_siblings(self) -> list["Element"]:
+        """Element.previousElementSiblings (closest-first order)."""
+        out: list[Element] = []
+        el = self.previous_element_sibling()
+        while el is not None:
+            out.append(el)
+            el = el.previous_element_sibling()
+        return out
+
+    def append_to(self, parent: "Element") -> "Element":
+        """Element.appendTo — append self to parent, return self."""
+        parent.append_child(self)
+        return self
+
+    def remove_attr(self, key: str) -> "Element":
+        """Element.removeAttr — chainable."""
+        if self._attrs is not None:
+            self._attrs.remove_ignore_case(key)
+        return self
 
     # -- cssSelector (reference nodes/Element.kt:836-879)
     def css_selector(self) -> str:
@@ -1598,10 +1711,6 @@ class Element(Node):
         pattern = _re.compile(regex) if isinstance(regex, str) else regex
         return S.collect(S.MatchesOwnRe(pattern), self)
 
-    def get_all_elements(self) -> list["Element"]:
-        from . import select as S
-        return S.collect(S.AllElements(), self)
-
     # -- serialization
     @staticmethod
     def preserve_whitespace(node: Node | None) -> bool:
@@ -1718,14 +1827,23 @@ class Element(Node):
         return self.append_html(html)
 
     def set_text(self, text: str) -> "Element":
-        """Element.text(text) — replace content with one text node
-        (data node for script/style, Element.kt text(String))."""
+        """Element.text(text) — replace content with one text node; a
+        data node for script/style only under an HTML parser
+        (Parser.isContentForTagData via NodeUtils, Element.kt
+        text(String))."""
         self.empty()
-        if self.normal_name() in ("script", "style"):
+        if self.normal_name() in ("script", "style") \
+                and not self._xml_parsed():
             self.append_child(DataNode(text))
         else:
             self.append_child(TextNode(text))
         return self
+
+    def _xml_parsed(self) -> bool:
+        """True when the owning document was built by the XML parser."""
+        doc = self.owner_document()
+        parser = getattr(doc, "parser", None) if doc is not None else None
+        return type(parser).__name__ == "XmlTreeBuilder"
 
     def append_element(self, tag_name: str) -> "Element":
         child = Element(tag_value_of(tag_name))

@@ -57,6 +57,16 @@ def parse_xml(xml: str, base_uri: str = "",
 
 def parse_fragment(fragment_html: str, context: Element | None,
                    base_uri: str = "") -> list[Node]:
+    """Fragment parse in context, dispatching on the parser that built
+    the context's owning document (NodeUtils.parser): an XML-parsed
+    document re-parses fragments with the XML builder."""
+    if context is not None:
+        doc = context.owner_document()
+        if doc is not None and isinstance(getattr(doc, "parser", None),
+                                          XmlTreeBuilder):
+            tb = XmlTreeBuilder(settings=doc.parser.settings,
+                                track_errors=False)
+            return tb.parse_fragment(fragment_html, base_uri)
     tb = HtmlTreeBuilder()
     return tb.parse_fragment(fragment_html, context, base_uri)
 

@@ -51,7 +51,9 @@ def charset_from_content_type(content_type: str | None) -> str | None:
         return None
     m = _CHARSET_PATTERN.search(content_type)
     if m:
-        return _validate_charset(m.group(1))
+        # "charset=charset=iso-8859-1" self-heal (DataUtil.kt:201)
+        name = m.group(1).strip().replace("charset=", "")
+        return _validate_charset(name)
     return None
 
 

@@ -1029,13 +1029,35 @@ class XmlDeclaration(LeafNode):
     def name(self) -> str:
         return self.value
 
+    def get_whole_declaration(self, out: OutputSettings | None = None) -> str:
+        """Attribute section of the declaration; empty values render
+        bare (XmlDeclaration.kt getWholeDeclaration)."""
+        out = out or OutputSettings()
+        accum: list[str] = []
+        self._whole_declaration_to(accum, out)
+        return "".join(accum).strip()
+
+    def _whole_declaration_to(self, accum: list[str],
+                              out: OutputSettings) -> None:
+        if self._attrs is None:
+            return
+        for key, value in self._attrs:
+            if key == self.node_name():
+                continue  # skips coreValue (name)
+            accum.append(" ")
+            accum.append(key)
+            if value:
+                accum.append('="')
+                accum.append(E.escape(value, out.escape_mode, out.syntax,
+                                      out.charset, E.FOR_ATTRIBUTE))
+                accum.append('"')
+
     def outer_html_head(self, accum: list[str], depth: int,
                         out: OutputSettings) -> None:
         accum.append("<")
         accum.append("!" if self.is_processing_instruction else "?")
         accum.append(self.value)
-        if self._attrs is not None:
-            self._attrs.html_to(accum, out)
+        self._whole_declaration_to(accum, out)
         accum.append("!" if self.is_processing_instruction else "?")
         accum.append(">")
 

@@ -381,8 +381,16 @@ class Tokeniser:
         if m is None:
             return None
         repl, new_pos = m
-        if repl == E.REPLACEMENT_CHAR and self.s[self.pos] == "#":
-            self.error("char ref outside valid range")
+        if self.s[self.pos] == "#":
+            if repl == E.REPLACEMENT_CHAR:
+                self.error("char ref outside valid range")
+            elif self.track_errors:
+                parsed = E._parse_numeric_ref(self.s, self.pos)
+                if parsed is not None and \
+                        0x80 <= parsed[0] < 0x80 + len(E.WIN1252_EXTENSIONS):
+                    # win-1252 remap (Tokeniser.kt:345-353)
+                    self.error(
+                        "character is not a valid unicode code point")
         self.pos = new_pos
         return repl
 

@@ -42,6 +42,9 @@ class XmlTreeBuilder:
 
     def parse(self, xml: str, base_uri: str = "") -> Document:
         self.doc = Document(base_uri)
+        # the XML parser's document root lives in the XML namespace
+        # (Parser.defaultNamespace, XmlTreeBuilder.kt)
+        self.doc.tag = Tag("#root", NAMESPACE_XML)
         self.doc.parser = self
         self.base_uri = base_uri
         out = self.doc.output_settings

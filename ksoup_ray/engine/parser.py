@@ -60,14 +60,18 @@ def parse_fragment(fragment_html: str, context: Element | None,
     """Fragment parse in context, dispatching on the parser that built
     the context's owning document (NodeUtils.parser): an XML-parsed
     document re-parses fragments with the XML builder."""
+    settings = HTML_DEFAULT
     if context is not None:
         doc = context.owner_document()
-        if doc is not None and isinstance(getattr(doc, "parser", None),
-                                          XmlTreeBuilder):
-            tb = XmlTreeBuilder(settings=doc.parser.settings,
+        owner_parser = getattr(doc, "parser", None) if doc is not None \
+            else None
+        if isinstance(owner_parser, XmlTreeBuilder):
+            tb = XmlTreeBuilder(settings=owner_parser.settings,
                                 track_errors=False)
             return tb.parse_fragment(fragment_html, base_uri)
-    tb = HtmlTreeBuilder()
+        if owner_parser is not None:
+            settings = getattr(owner_parser, "settings", HTML_DEFAULT)
+    tb = HtmlTreeBuilder(settings)
     return tb.parse_fragment(fragment_html, context, base_uri)
 
 

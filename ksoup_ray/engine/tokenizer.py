@@ -218,6 +218,9 @@ _ESCAPED_SCAN = re.compile(r"[-<\x00]")
 _COMMENT_SCAN = re.compile(r"[-\x00]")
 _LETTERS = re.compile(r"[^\W\d_]+")  # unicode letters (Char.isLetter)
 _WS = frozenset("\t\n\r\f ")
+
+# a would-be named reference: letters+digits terminated by ';'
+_NAMED_REF_SHAPE = re.compile(r"([a-zA-Z][a-zA-Z0-9]*);")
 _QUOTE_EQ = frozenset("\"'=")
 _QUOTE_LT = frozenset("\"'<")
 _LT_EQ_BT = frozenset("<=`")
@@ -379,8 +382,20 @@ class Tokeniser:
                          in_attribute: bool) -> str | None:
         m = E.match_char_ref(self.s, self.pos, in_attribute, additional_allowed)
         if m is None:
+            # looked like a terminated named ref but the name is unknown
+            # (Tokeniser.kt "invalid named reference" error)
+            if self.track_errors and not in_attribute:
+                nm = _NAMED_REF_SHAPE.match(self.s, self.pos)
+                if nm is not None:
+                    self.error("Invalid character reference: invalid "
+                               f"named reference [{nm.group(1)}]")
             return None
         repl, new_pos = m
+        if self.track_errors and new_pos > self.pos \
+                and self.s[new_pos - 1] != ";":
+            # matched without the terminating semicolon (legacy laxity)
+            self.error("Invalid character reference: missing semicolon "
+                       f"on [&{self.s[self.pos:new_pos]}]")
         if self.s[self.pos] == "#":
             if repl == E.REPLACEMENT_CHAR:
                 self.error("char ref outside valid range")

@@ -230,6 +230,33 @@ def _q_dedup_components(sf_dir: str):
     return connected_components(verified)
 
 
+def _q_jaccard_pairs(sf_dir: str):
+    """EXACT n-gram Jaccard similarity join (no LSH): distributed
+    shingle inverted index → partial intersection counts → one
+    aggregate merge → vectorized Jaccard threshold. The ground-truth
+    pair set the LSH pipelines approximate, value-checked against the
+    same DuckDB exact-Jaccard SQL they are."""
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import jaccard_pairs_exact
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return jaccard_pairs_exact(ds, shingle_size=5, threshold=0.5)
+
+
+def _q_embed_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs: 24-table 2-bit hyperplane LSH
+    candidates + exact float64 in-bucket cosine (recall at the 0.465
+    operating point ≈ 1 − 2e-6 per pair; the corpus' qualifying pairs
+    clear the threshold by ≥1.6e-3, so the verified pair set equals the
+    DuckDB exact all-pairs oracle's)."""
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import cosine_near_dup_pairs
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return cosine_near_dup_pairs(ds, threshold=0.465, bits=2,
+                                 num_tables=24)
+
+
 def _q_bpe_token_count(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.textstats import bpe_token_count_batch
@@ -528,6 +555,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "xml_roundtrip": _q_xml_roundtrip,
         "dedup_components": _q_dedup_components,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "embed_neardup": _q_embed_neardup,
         "bpe_token_count": _q_bpe_token_count,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
@@ -680,6 +709,15 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": f"""
             WITH pairs AS ({_JACCARD_PAIRS_SQL})
             SELECT DISTINCT ib AS doc_id FROM pairs
+        """,
+        "jaccard_pairs": f"""
+            WITH pairs AS ({_JACCARD_PAIRS_SQL})
+            SELECT ia AS id_a, ib AS id_b FROM pairs
+        """,
+        "embed_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.465
         """,
         "dedup_components": f"""
             WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),

@@ -569,3 +569,176 @@ def connected_components(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
         lambda b: pa.table({"node_id": b.column("node"),
                             "component_id": b.column("label")}),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard dedup via a distributed shingle inverted index
+
+def jaccard_pairs_exact(ds, *, shingle_size: int = 5,
+                        threshold: float = 0.5, text_col: str = "text",
+                        id_col: str = "doc_id", num_partitions: int = 8,
+                        max_df: int | None = None):
+    """EXACT n-gram Jaccard near-dup pairs — no LSH approximation.
+
+    Distributed inverted-index shape (the classic exact-similarity-join
+    plan, complementary to ``minhash_candidate_pairs``):
+
+    1. explode each doc to its DISTINCT ``shingle_size``-word shingles,
+       hashed to 63-bit ints (rows carry ``(sh, doc_id, n_sh)`` — 24
+       bytes, never text);
+    2. hash-partition by shingle, self-merge per partition → PARTIAL
+       intersection counts per (id_a, id_b);
+    3. ONE native ``groupby(id_a, id_b).aggregate(Sum, Min, Min)``
+       merges partials into exact ``|A∩B|`` with ``|A|``/``|B|``
+       carried alongside (no extra sizes join);
+    4. vectorized Jaccard ``i / (n_a + n_b - i)`` + threshold filter.
+
+    Shingle sets EXACTLY mirror :func:`word_shingles` (== the DuckDB
+    oracle's list_distinct/list_transform definition), so the output
+    pair set is the ground truth that LSH pipelines approximate.
+
+    Scale notes: only fixed-width id rows ride the shuffle; a document
+    contributes O(words) rows. Hot shingles (boilerplate n-grams shared
+    by k docs) cost k² partial pairs — ``max_df`` drops shingles with
+    within-partition document frequency above the cap (a RECALL
+    tradeoff, off by default; the exact oracle requires no cap).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        sh: list[int] = []
+        did: list[int] = []
+        nsh: list[int] = []
+        for i, t in zip(ids, texts):
+            ss = word_shingles(t or "", shingle_size)
+            n = len(ss)
+            for s in ss:
+                h = int.from_bytes(
+                    hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                    "big") >> 1
+                sh.append(h)
+                did.append(i)
+                nsh.append(n)
+        pk = [h % num_partitions for h in sh]
+        return pa.table({
+            "sh": pa.array(sh, pa.int64()),
+            id_col: pa.array(did, pa.int64()),
+            "n_sh": pa.array(nsh, pa.int64()),
+            "pk": pa.array(pk, pa.int32()),
+        })
+
+    rows = ds.map_batches(explode, batch_format="pyarrow")
+
+    ix, iy = f"{id_col}_x", f"{id_col}_y"
+
+    def partial_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        df = group[["sh", id_col, "n_sh"]]
+        if max_df is not None:
+            sizes = df.groupby("sh")[id_col].transform("size")
+            df = df[sizes <= max_df]
+        m = df.merge(df, on="sh")
+        m = m[m[ix] < m[iy]]
+        g = m.groupby([ix, iy, "n_sh_x", "n_sh_y"], as_index=False).size()
+        return pd.DataFrame({
+            "id_a": g[ix].astype("int64"),
+            "id_b": g[iy].astype("int64"),
+            "i_part": g["size"].astype("int64"),
+            "n_a": g["n_sh_x"].astype("int64"),
+            "n_b": g["n_sh_y"].astype("int64"),
+        })
+
+    partials = rows.groupby("pk").map_groups(partial_pairs,
+                                             batch_format="pandas")
+    merged = partials.groupby(["id_a", "id_b"]).aggregate(
+        Sum("i_part", alias_name="inter"),
+        Min("n_a", alias_name="n_a"),
+        Min("n_b", alias_name="n_b"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        inter = batch.column("inter").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        na = batch.column("n_a").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_b").to_numpy(zero_copy_only=False)
+        jac = inter / (na + nb - inter)
+        return batch.filter(pa.array(jac >= threshold)) \
+            .select(["id_a", "id_b"])
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup pairs (multi-table hyperplane LSH + exact verify)
+
+def cosine_near_dup_pairs(ds, *, threshold: float = 0.465, bits: int = 2,
+                          num_tables: int = 24, seed: int = 11,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id", concurrency=(1, 4)):
+    """Embedding-cosine near-dup PAIRS: multi-table random-hyperplane
+    LSH candidates, exact float64 cosine verification in-bucket.
+
+    Per table t, a vector's bucket is the sign pattern of ``bits``
+    hyperplane projections; a pair at cosine c collides in one table
+    with p = (1 − acos(c)/π)^bits, and across T OR'd tables recall is
+    1 − (1 − p)^T (c = 0.465, bits=2, T=24 → miss ≈ 2e-6 — verified
+    exhaustively against the brute-force pair set in tests). In-bucket
+    similarity is EXACT cosine (float64 matmul), so precision is 1 and
+    the only approximation is candidate recall.
+
+    Scale notes: vectors ride the bucket shuffle once per table — for
+    corpus scale raise ``bits`` (smaller buckets, more tables for the
+    same recall) and run table ranges in waves; in-bucket work is one
+    matmul per (table, bucket) group. Ids-only pairs come back; the
+    final cross-table dedup is a groupby on the pair key.
+    """
+    planes_holder: dict[str, np.ndarray] = {}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        n = len(vecs)
+        if n == 0:
+            return pa.table({"t": pa.array([], pa.int32()),
+                             "bucket": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             vec_col: batch.column(vec_col)})
+        if "p" not in planes_holder:
+            rng = np.random.RandomState(seed)
+            planes_holder["p"] = rng.standard_normal(
+                (num_tables, vecs.shape[1], bits))
+        planes = planes_holder["p"]
+        proj = np.einsum("nd,tdb->tnb", vecs, planes) > 0   # (T, n, bits)
+        bucket = np.zeros((num_tables, n), dtype=np.int64)
+        for j in range(bits):
+            bucket |= proj[:, :, j].astype(np.int64) << j
+        idx = pa.array(np.tile(np.arange(n), num_tables), pa.int64())
+        return pa.table({
+            "t": pa.array(np.repeat(np.arange(num_tables, dtype=np.int32),
+                                    n), pa.int32()),
+            "bucket": pa.array(bucket.ravel(), pa.int64()),
+            id_col: batch.column(id_col).combine_chunks().take(idx),
+            vec_col: batch.column(vec_col).combine_chunks().take(idx),
+        })
+
+    rows = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.array(group[vec_col].tolist(), dtype=np.float64)
+        ids = group[id_col].to_numpy()
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        sims = unit @ unit.T
+        ii, jj = np.where(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame({
+            "id_a": np.minimum(ids[ii], ids[jj]).astype("int64"),
+            "id_b": np.maximum(ids[ii], ids[jj]).astype("int64"),
+        })
+
+    pairs = rows.groupby(["t", "bucket"]).map_groups(
+        pairs_in_bucket, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).count() \
+        .select_columns(["id_a", "id_b"])

@@ -1287,29 +1287,37 @@ def _fast_p_run(tb: "HtmlTreeBuilder") -> None:
     # append_child work for a fresh node under a parse reduces to
     # exactly these stores); tokenizer/builder counters sync in the
     # finally even when the DOM size guard trips
+    new_tn = TextNode.__new__
+    new_el = Element.__new__
     try:
         while True:
             m = chain_match(s, pos)
             if m is None:
                 break
-            text = m.group(1)
+            # one .regs load replaces ~7 C-level group/span/start/end
+            # calls per iteration (CPython match-object fast path)
+            regs = m.regs
+            t1s, t1e = regs[1]
+            r2s = regs[2][0]
+            end = regs[0][1]
+            text = s[t1s:t1e]
             p_el = stack[-1]
             kids = p_el._child_nodes
-            tn = TextNode.__new__(TextNode)
+            tn = new_tn(TextNode)
             tn.parent_node = p_el
             tn.sibling_index = len(kids)
             tn.value = text
             tn._attrs = None
-            tn.span = m.span(1)
+            tn.span = (t1s, t1e)
             kids.append(tn)
             ncount += 1
             if limit and ncount > limit:
                 raise DomSizeLimit(ncount)
             if frameset_ok and not _is_blank(text):
                 frameset_ok = False
-            has_open = m.group(2) is not None
+            has_open = r2s != -1
             # explicit </p>: stamp its source range on the closing p
-            p_el.end_span = (m.end(1), m.start(2) if has_open else m.end())
+            p_el.end_span = (t1e, r2s if has_open else end)
             stack.pop()  # </p> with current element p: pops exactly the p
             # position after the </p> alone (the open tag, if matched,
             # must not be consumed when bailing out)
@@ -1317,33 +1325,33 @@ def _fast_p_run(tb: "HtmlTreeBuilder") -> None:
                 # a p still in button scope would make the next <p>
                 # close it first (generic branch) — bail out
                 if tb.in_button_scope("p"):
-                    pos = m.start(2) if has_open else m.end()
+                    pos = r2s if has_open else end
                     break
                 scope_checked = True
             if not has_open:
-                pos = m.end()
+                pos = end
                 break
-            cls = m.group(3)
+            c3s, c3e = regs[3]
             attrs = None
-            if cls is not None:
+            if c3s != -1:
                 attrs = Attributes()
-                attrs._d["class"] = cls
+                attrs._d["class"] = s[c3s:c3e]
             parent = stack[-1]
             pkids = parent._child_nodes
-            el = Element.__new__(Element)
+            el = new_el(Element)
             el.parent_node = parent
             el.sibling_index = len(pkids)
             el.tag = p_tag
             el._attrs = attrs
             el._child_nodes = []
-            el.span = (m.start(2), m.end())
+            el.span = (r2s, end)
             el.end_span = None
             pkids.append(el)
             stack.append(el)
             ncount += 1
             if limit and ncount > limit:
                 raise DomSizeLimit(ncount)
-            pos = m.end()
+            pos = end
     finally:
         tok.pos = pos
         tok._char_start = pos

@@ -61,7 +61,7 @@ OUT_SCHEMA = pa.schema([
 def extract_document(raw: bytes, base_uri: str = "",
                      strip_query=None, want_links: bool = True,
                      want_meta: bool = True, want_spans: bool = False,
-                     max_nodes: int = 0):
+                     max_nodes: int = 0, strip_tags=None):
     """Pure per-document kernel: bytes → extraction dict. Reusable from
     tests and from non-Ray callers. ``max_nodes`` > 0 arms the DOM size
     guard: a pathological document parses to at most that many nodes and
@@ -90,23 +90,45 @@ def extract_document(raw: bytes, base_uri: str = "",
     links = []
     spans = []
     if body is not None:
-        if want_links:
-            for a in body.select("a[href]"):
-                links.append({"href": a.abs_url("href") or a.attr("href"),
-                              "text": a.text()})
-        if strip_query is not None:
-            for el in body.select(strip_query):
+        if strip_tags is not None:
+            # FUSED pre-removal walk: one pre-order DFS collects BOTH the
+            # a[href] link rows and the boilerplate-strip matches (the
+            # strip selector is a pure tag-name union here), replacing
+            # two full selector traversals. Link rows are gathered
+            # before any removal — identical to the two-select order.
+            from ..engine.dom import Element
+            to_remove = []
+            stack = [body]
+            pop = stack.pop
+            while stack:
+                node = pop()
+                if isinstance(node, Element):
+                    nm = node.tag.normal_name
+                    if want_links and nm == "a" and node.has_attr("href"):
+                        links.append(
+                            {"href": node.abs_url("href")
+                             or node.attr("href"),
+                             "text": node.text()})
+                    if nm in strip_tags:
+                        to_remove.append(node)
+                    kids = node._child_nodes
+                    if kids:
+                        stack.extend(reversed(kids))
+            for el in to_remove:
                 el.remove()
-        extracted = body.text()
-        if want_spans:
-            # provenance: source offsets (decoded-document chars) of the
-            # text nodes contributing to extracted_text (Range tracking,
-            # reference nodes/Range.kt / TreeBuilder.kt:295-333)
-            from ..engine.dom import TextNode
-            for n in body.node_stream():
-                if isinstance(n, TextNode) and n.span is not None \
-                        and not n.is_blank():
-                    spans.append({"start": n.span[0], "end": n.span[1]})
+        else:
+            if want_links:
+                for a in body.select("a[href]"):
+                    links.append({"href": a.abs_url("href")
+                                  or a.attr("href"),
+                                  "text": a.text()})
+            if strip_query is not None:
+                for el in body.select(strip_query):
+                    el.remove()
+        # provenance spans (source offsets of contributing text nodes,
+        # Range tracking — reference nodes/Range.kt / TreeBuilder.kt:
+        # 295-333) are collected INSIDE the text walk: one DFS total
+        extracted = body.text(spans_out=spans if want_spans else None)
     else:
         extracted = ""
     return {
@@ -128,6 +150,10 @@ class ParseExtract:
                  max_nodes: int = 2_000_000):
         # compiled once per actor (reference: ThreadLocal selector memo)
         self.strip_eval = parse_query(strip) if strip else None
+        # pure tag-name strip unions take the fused single-walk path
+        from ..engine.select import _tag_union
+        self.strip_tags = (_tag_union(self.strip_eval)
+                           if self.strip_eval is not None else None)
         self.num_partitions = num_partitions
         self.want_links = want_links
         self.want_meta = want_meta
@@ -162,7 +188,8 @@ class ParseExtract:
                 self.big_docs += 1
             rec = extract_document(raw, url, self.strip_eval,
                                    self.want_links, self.want_meta,
-                                   self.want_spans, self.max_nodes)
+                                   self.want_spans, self.max_nodes,
+                                   strip_tags=self.strip_tags)
             out_text.append(rec["extracted_text"])
             out_title.append(rec["title"])
             out_meta.append(rec["meta"])

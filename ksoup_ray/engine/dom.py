@@ -480,8 +480,12 @@ class Node:
         assert self.parent_node is not None
         self.parent_node.replace_child(self, replacement)
 
-    def before(self, node: "Node") -> None:
+    def before(self, node: "Node | str") -> None:
         assert self.parent_node is not None
+        if isinstance(node, str):
+            # reference Node.before(html) overload: parse + insert
+            self.before_html(node)
+            return
         # unlink FIRST so self.sibling_index reflects the post-removal
         # list when moving a node within the same parent (NodeTest
         # beforeShuffle: moving an already-preceding sibling is a no-op)
@@ -489,8 +493,11 @@ class Node:
             node.parent_node.remove_child(node)
         self.parent_node.add_children_at(self.sibling_index, [node])
 
-    def after(self, node: "Node") -> None:
+    def after(self, node: "Node | str") -> None:
         assert self.parent_node is not None
+        if isinstance(node, str):
+            self.after_html(node)
+            return
         if node.parent_node is not None:
             node.parent_node.remove_child(node)
         self.parent_node.add_children_at(self.sibling_index + 1, [node])

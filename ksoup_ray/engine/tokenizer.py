@@ -92,11 +92,15 @@ class TagTok:
         if "\x00" in s:
             s = s.replace("\x00", "\ufffd")
         self.name = s if self.name is None else self.name + s
-        self.normal_name = self.name.lower()
+        # ParseSettings.normalName: lowerCase(name.trim { it <= ' ' }) \u2014
+        # stray control chars (e.g. "template\x1e") trim off so tree-
+        # builder name checks agree with Tag.valueOf's normalization
+        # (reference HtmlParserTest trimNormalizeElementNamesInBuilder)
+        self.normal_name = self.name.strip(_TRIM_CHARS).lower()
 
     def set_name(self, s: str) -> None:
         self.name = s
-        self.normal_name = s.lower()
+        self.normal_name = s.strip(_TRIM_CHARS).lower()
 
     def append_attr_name(self, s: str) -> None:
         # Token.kt appendAttributeName: null chars become U+FFFD

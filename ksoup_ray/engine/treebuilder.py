@@ -780,6 +780,15 @@ class HtmlTreeBuilder:
     def _do_insert_element(self, el: Element) -> None:
         if el.tag.is_form_listed and self.form_element is not None:
             self.form_element.add_element(el)
+        # in HTML the xmlns attribute, if set, must match the namespace
+        # the parser assigned (HtmlTreeBuilder.kt:345-348)
+        if self.track_errors and len(self.errors) < 10000 and \
+                el._attrs is not None:
+            xmlns = el._attrs._d.get("xmlns")
+            if xmlns is not None and xmlns != el.tag.namespace:
+                self.errors.append(
+                    f"Invalid xmlns attribute [{xmlns}] on tag "
+                    f"[{el.tag_name()}]")
         if self.foster_inserts and \
                 self.current_element().normal_name() in C_InTableFoster:
             self.insert_in_foster_parent(el)
@@ -1160,12 +1169,26 @@ def _in_head_noscript(t, tb: HtmlTreeBuilder) -> bool:
 
 
 def _token_to_str(t) -> str:
+    # Token.kt toString parity: start tags render their attributes in
+    # Attributes.html() format (leading space per attr — yielding the
+    # reference's double-space artifact, later collapsed by the
+    # pretty-print serializer) and honor self-closing slashes.
     if t.kind in (CHARACTER, CDATA):
         return t.data
     if t.kind == START_TAG:
-        return f"<{t.name}>"
+        name = t.name if t.name is not None else "[unset]"
+        closer = "/>" if t.self_closing else ">"
+        if t.attrs:
+            attrs = Attributes()
+            d = attrs._d
+            for k, v in t.attrs:     # first-wins, raw case (Token.kt)
+                if k not in d:
+                    d[k] = v
+            return f"<{name} {attrs.html()}{closer}"
+        return f"<{name}{closer}"
     if t.kind == END_TAG:
-        return f"</{t.name}>"
+        name = t.name if t.name is not None else "[unset]"
+        return f"</{name}>"
     if t.kind == COMMENT:
         return f"<!--{t.get_data()}-->"
     return ""

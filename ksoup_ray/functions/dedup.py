@@ -22,6 +22,7 @@ Scale shapes (ray_guide "Aggregation at scale"):
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -98,17 +99,33 @@ def _modmul_min(a: np.ndarray, b: np.ndarray, x: np.ndarray,
     xm = _fold61(x)
     x_lo = xm & np.uint64(0xFFFFFFFF)
     x_hi = xm >> np.uint64(32)
-    A = a[:, None]
-    t = A * x_lo[None, :]                       # ≤ 2^63
-    u = A * x_hi[None, :]                       # ≤ 2^60
-    u_hi = u >> np.uint64(29)
-    u &= np.uint64((1 << 29) - 1)
-    u <<= np.uint64(32)                         # u_lo * 2^32 ≤ 2^61
-    u += u_hi
-    u += t
-    u += b[:, None]                             # total < 2^64
-    r = _fold61(u)
-    return np.minimum.reduceat(r, offsets, axis=1)
+    # Row-at-a-time with in-place ops: the (H, n) outer product version
+    # materialized ~8 full H×n uint64 intermediates (hundreds of MB at
+    # real batch sizes) and was RAM-bandwidth bound; per-row buffers
+    # stay in L2 (~5× measured). Math is bit-identical.
+    H = len(a)
+    out = np.empty((H, len(offsets)), dtype=np.uint64)
+    t = np.empty_like(xm)
+    u = np.empty_like(xm)
+    tmp = np.empty_like(xm)
+    c29, m29 = np.uint64(29), np.uint64((1 << 29) - 1)
+    c32, c61, p = np.uint64(32), np.uint64(61), np.uint64(P61)
+    for i in range(H):
+        ai, bi = a[i], b[i]
+        np.multiply(x_lo, ai, out=t)            # ≤ 2^63
+        np.multiply(x_hi, ai, out=u)            # ≤ 2^60
+        np.right_shift(u, c29, out=tmp)
+        np.bitwise_and(u, m29, out=u)
+        np.left_shift(u, c32, out=u)            # u_lo * 2^32 ≤ 2^61
+        u += tmp
+        u += t
+        u += bi                                 # total < 2^64
+        np.right_shift(u, c61, out=tmp)         # fold61, in place
+        np.bitwise_and(u, p, out=u)
+        u += tmp
+        u[u >= p] -= p
+        np.minimum.reduceat(u, offsets, out=out[i])
+    return out
 
 
 class MinHasher:
@@ -216,16 +233,23 @@ def explode_bands(batch: pa.Table, num_bands: int = 16,
     })
 
 
+@functools.lru_cache(maxsize=8)
+def _cached_hasher(num_hashes: int, shingle_size: int,
+                   text_col: str) -> "MinHasher":
+    # Per-worker-process singleton: Ray reuses task workers, so the word
+    # cache persists across batches WITHOUT paying actor-pool startup
+    # (the hasher's own state is just 256 ints — tasks, not actors).
+    return MinHasher(num_hashes=num_hashes, shingle_size=shingle_size,
+                     text_col=text_col)
+
+
 def _band_rows(ds, *, num_hashes, num_bands, shingle_size, text_col,
-               id_col, concurrency):
-    sigged = ds.map_batches(
-        MinHasher, fn_constructor_kwargs=dict(
-            num_hashes=num_hashes, shingle_size=shingle_size,
-            text_col=text_col),
-        batch_format="pyarrow", concurrency=concurrency)
-    return sigged.map_batches(
-        lambda b: explode_bands(b, num_bands, id_col),
-        batch_format="pyarrow")
+               id_col, concurrency=None):
+    def sig_and_bands(batch: pa.Table) -> pa.Table:
+        mh = _cached_hasher(num_hashes, shingle_size, text_col)
+        return explode_bands(mh(batch), num_bands, id_col)
+
+    return ds.map_batches(sig_and_bands, batch_format="pyarrow")
 
 
 def lsh_bucket_dedup(ds, *, num_hashes: int = 128, num_bands: int = 16,

@@ -757,6 +757,11 @@ class TextNode(LeafNode):
     def text(self) -> str:
         return normalise_whitespace(self.get_whole_text())
 
+    def set_text(self, text: str) -> "TextNode":
+        """TextNode.text(String) setter (TextNode.kt)."""
+        self.value = text
+        return self
+
     def get_whole_text(self) -> str:
         return self.value
 
@@ -1100,7 +1105,9 @@ class Element(Node):
                  attrs: Attributes | None = None):
         super().__init__()
         if isinstance(tag, str):
-            tag = tag_value_of(tag)
+            # Element(String) ctor uses preserve-case settings
+            # (Element.kt:58-66: Tag.valueOf(tag, preserveCase))
+            tag = tag_value_of(tag, preserve_case=True)
         self.tag: Tag = tag
         self._attrs: Attributes | None = attrs
         self._child_nodes: list[Node] = []
@@ -1129,10 +1136,18 @@ class Element(Node):
             self._attrs = Attributes()
         return self._attrs
 
-    def set_attr(self, key: str, value: str | None) -> "Element":
+    def set_attr(self, key: str, value) -> "Element":
         """Node.attr(key, value) — the key is normalized per the owning
         parser's settings (HTML default lowercases; XML/preserve-case
-        keeps it), then putIgnoreCase (Node.kt:137-144)."""
+        keeps it), then putIgnoreCase (Node.kt:137-144). A bool value is
+        the Element.attr(key, Boolean) overload: True sets a boolean
+        (valueless) attribute, False removes it (Element.kt)."""
+        if value is True:
+            value = None
+        elif value is False:
+            if self._attrs is not None:
+                self._attrs.remove_ignore_case(key.strip().lower())
+            return self
         doc = self.owner_document()
         settings = getattr(getattr(doc, "parser", None), "settings", None)
         if settings is not None:
@@ -1144,6 +1159,11 @@ class Element(Node):
 
     def id(self) -> str:
         return self._attrs.get_ignore_case("id") if self._attrs else ""
+
+    def set_id(self, id_: str) -> "Element":
+        """Element.id(String) setter overload (Element.kt)."""
+        self.set_attr("id", id_)
+        return self
 
     def class_name(self) -> str:
         return self._attrs.get_ignore_case("class").strip() if self._attrs else ""
@@ -1609,8 +1629,29 @@ class Element(Node):
     def expect_first(self, query: str) -> "Element":
         el = self.select_first(query)
         if el is None:
-            raise ValueError(f"No elements matched the query '{query}'")
+            # Element.kt expectFirst: message names the context element,
+            # or "the document" when called on a Document
+            if isinstance(self, Document):
+                raise ValueError(f"No elements matched the query "
+                                 f"'{query}' in the document.")
+            raise ValueError(f"No elements matched the query '{query}' "
+                             f"on element '{self.tag_name()}'.")
         return el
+
+    def filter(self, node_filter) -> "Element":
+        """NodeFilter walk rooted at this element (Element.kt filter) —
+        ``node_filter`` is ``head(node, depth) -> FilterResult`` or an
+        object with head/tail methods; supports REMOVE/STOP."""
+        from .elements import filter_traverse
+        filter_traverse(node_filter, self)
+        return self
+
+    def for_each(self, action) -> "Element":
+        """Element.forEach: apply ``action`` to this element and every
+        descendant element (snapshot order — mutation-safe)."""
+        for el in list(self.stream()):
+            action(el)
+        return self
 
     def css_is(self, query) -> bool:
         """Element.is(query) — query is a CSS string or an Evaluator."""

@@ -191,6 +191,23 @@ class Attributes:
     def has_declared_value(self, key: str) -> bool:
         return self._d.get(key) is not None
 
+    def has_declared_value_ignore_case(self, key: str) -> bool:
+        """Attributes.hasDeclaredValueForKeyIgnoreCase."""
+        lk = key.lower()
+        return any(k.lower() == lk and v is not None
+                   for k, v in self._d.items())
+
+    @staticmethod
+    def internal_key(key: str) -> str:
+        """Attributes.internalKey — keys carried on the node but never
+        iterated or serialized (Attributes.kt)."""
+        return _INTERNAL_PREFIX + key
+
+    def as_list(self) -> list[tuple[str, str | None]]:
+        """Attributes.asList() — external attributes only, raw values."""
+        return [(k, v) for k, v in self._d.items()
+                if not k.startswith(_INTERNAL_PREFIX)]
+
     def put(self, key: str, value: str | None) -> "Attributes":
         self._d[key] = value
         return self
@@ -2079,29 +2096,37 @@ class Document(Element):
     def node_name(self) -> str:
         return "#document"
 
-    def head(self) -> Element | None:
+    def head(self) -> Element:
+        """Document.head() — vivifies the html/head structure if absent
+        (Document.kt:91-99 side effect)."""
         html = self._html_el()
-        if html is None:
-            return None
+        for e in html.children():
+            if e.name_is("head"):
+                return e
+        return html.prepend_element("head")
+
+    def head_or_null(self) -> Element | None:
+        """Document.headOrNull() (Document.kt:109-117)."""
+        html = self._html_el()
         for e in html.children():
             if e.name_is("head"):
                 return e
         return None
 
-    def body(self) -> Element | None:
+    def body(self) -> Element:
+        """Document.body() — body or outermost frameset; vivifies a body
+        (and html shell) if absent (Document.kt:128-136)."""
         html = self._html_el()
-        if html is None:
-            return None
         for e in html.children():
             if e.name_is("body") or e.name_is("frameset"):
                 return e
-        return None
+        return html.append_element("body")
 
-    def _html_el(self) -> Element | None:
+    def _html_el(self) -> Element:
         for e in self.children():
             if e.name_is("html"):
                 return e
-        return None
+        return self.append_element("html")
 
     def title(self) -> str:
         t = self.select_first("head > title")
@@ -2176,11 +2201,13 @@ class Document(Element):
         return [e for e in self.stream() if isinstance(e, FormElement)]
 
     def expect_form(self, query: str) -> "FormElement":
-        el = self.select_first(query)
-        if not isinstance(el, FormElement):
-            raise ValueError(f"No form elements matched the query "
-                             f"'{query}' in the document.")
-        return el
+        """Document.expectForm — FIRST FormElement among the query's
+        matches (a non-form match is skipped, Document.kt expectForm)."""
+        for el in self.select(query):
+            if isinstance(el, FormElement):
+                return el
+        raise ValueError(f"No form elements matched the query "
+                         f"'{query}' in the document.")
 
     def outer_html(self) -> str:
         return self.html()  # no outer #document tag

@@ -95,7 +95,10 @@ def test_xml_declaration():
 def test_xml_does_not_force_html_structure():
     doc = P.parse_xml("<p>One</p><p>Two</p>")
     assert doc.outer_html() == "<p>One</p><p>Two</p>"
-    assert doc.head() is None  # no html/head/body synthesis
+    # no html/head/body synthesized by the parse (Document.head() would
+    # vivify one as a documented side effect, so probe with selectFirst)
+    assert doc.select_first("head") is None
+    assert doc.outer_html() == "<p>One</p><p>Two</p>"
 
 
 def test_xml_cdata():

@@ -375,6 +375,13 @@ class Node:
     def name_is(self, name: str) -> bool:
         return self.normal_name() == name
 
+    def element_is(self, name: str, namespace: str) -> bool:
+        """Node.elementIs(normalName, namespace) (Node.kt)."""
+        from .dom import Element  # self-reference safe at runtime
+        return (isinstance(self, Element)
+                and self.normal_name() == name
+                and self.tag.namespace == namespace)
+
     # -- attributes (base: none)
     def attributes(self) -> Attributes | None:
         return None
@@ -450,12 +457,34 @@ class Node:
             n = n.parent_node
         return ""
 
+    def set_base_uri(self, base_uri: str) -> None:
+        """Node.setBaseUri — recursive: this subtree resolves against the
+        new base (Node.kt doSetBaseUri traverses; our storage walks up,
+        so set here and clear any overriding descendant keys)."""
+        for n in self.node_stream():
+            if isinstance(n, Element) and n._attrs is not None:
+                n._attrs.remove(_BASE_URI_KEY)
+        target = self if isinstance(self, Element) else self.parent_node
+        if isinstance(target, Element):
+            target._ensure_attrs().put(_BASE_URI_KEY, base_uri)
+
     def abs_url(self, attribute_key: str) -> str:
         from .urlutil import resolve  # lazy import to avoid cycle
         if not self.has_attr(attribute_key):
             return ""
         rel = self.attributes().get_ignore_case(attribute_key)  # type: ignore[union-attr]
         return resolve(self.base_uri(), rel)
+
+    def for_each_node(self, action) -> "Node":
+        """Node.forEachNode: apply ``action`` to this node and every
+        descendant node (snapshot order — mutation-safe)."""
+        for n in list(self.node_stream()):
+            action(n)
+        return self
+
+    def child_nodes_copy(self) -> list["Node"]:
+        """Node.childNodesCopy — independent deep clones of children."""
+        return [c.clone() for c in self.child_nodes()]
 
     # -- tree
     def child_nodes(self) -> list["Node"]:
@@ -746,8 +775,16 @@ class LeafNode(Node):
         # None for synthetic nodes
         self.span: tuple | None = None
 
-    def attributes(self) -> Attributes | None:
+    def attributes(self) -> Attributes:
+        """LeafNode.attributes() — vivifies, moving the core value into
+        the map under the node name (LeafNode.kt ensureAttributes)."""
+        if self._attrs is None:
+            self._attrs = Attributes()
+            self._attrs.put(self.node_name(), self.value)
         return self._attrs
+
+    def has_attributes(self) -> bool:
+        return self._attrs is not None
 
     def _ensure_attrs(self) -> Attributes:
         if self._attrs is None:
@@ -757,10 +794,45 @@ class LeafNode(Node):
     def core_value(self) -> str:
         return self.value
 
+    def set_core_value(self, value: str) -> None:
+        """LeafNode.coreValue(String) — kept in sync with the vivified
+        attribute slot when present."""
+        self.value = value
+        if self._attrs is not None:
+            self._attrs.put(self.node_name(), value)
+
     def attr(self, key: str) -> str:
         if self._attrs is None:
             return self.value if key == self.node_name() else ""
-        return super().attr(key)
+        if self._attrs.has_key(key):
+            return self._attrs.get(key)
+        if key.startswith("abs:"):
+            return self.abs_url(key[4:])
+        return ""
+
+    def set_attr(self, key: str, value) -> "LeafNode":
+        """Node.attr(key, value) on a leaf: the node-name key routes to
+        the core value (LeafNode.kt attr)."""
+        if self._attrs is None and key == self.node_name():
+            self.value = value if value is not None else ""
+        else:
+            self.attributes().put(key, value)
+            if key == self.node_name():
+                self.value = value if value is not None else ""
+        return self
+
+    def has_attr(self, key: str) -> bool:
+        if self._attrs is None:
+            return key == self.node_name()
+        return super().has_attr(key)
+
+    def remove_attr(self, key: str) -> "LeafNode":
+        if self._attrs is not None:
+            self._attrs.remove(key)
+        return self
+
+    def empty(self) -> "LeafNode":
+        return self
 
 
 class TextNode(LeafNode):
@@ -776,7 +848,7 @@ class TextNode(LeafNode):
 
     def set_text(self, text: str) -> "TextNode":
         """TextNode.text(String) setter (TextNode.kt)."""
-        self.value = text
+        self.set_core_value(text)
         return self
 
     def get_whole_text(self) -> str:
@@ -793,7 +865,7 @@ class TextNode(LeafNode):
             raise ValueError(
                 "Split offset must not be greater than current text length")
         head, tail = self.value[:offset], self.value[offset:]
-        self.value = head
+        self.set_core_value(head)
         tail_node = TextNode(tail)
         if self.parent_node is not None:
             self.parent_node.add_children_at(self.sibling_index + 1, [tail_node])
@@ -1093,6 +1165,8 @@ class XmlDeclaration(LeafNode):
         if self._attrs is None:
             return
         for key, value in self._attrs:
+            if key == self.node_name():
+                continue  # vivified core-value slot is not an attribute
             if key == self.node_name():
                 continue  # skips coreValue (name)
             accum.append(" ")
@@ -2186,6 +2260,12 @@ class Document(Element):
                 decl._ensure_attrs().put("version", "1.0")
                 decl._ensure_attrs().put("encoding", self.charset())
                 self.prepend_child(decl)
+
+    def create_element(self, tag_name: str) -> Element:
+        """Document.createElement — a new standalone element with this
+        doc's base URI (Document.kt createElement)."""
+        return Element(tag_value_of(tag_name, preserve_case=True),
+                       self.base_uri())
 
     def document_type(self) -> "DocumentType | None":
         """Document.documentType — the doc's DOCTYPE node if present."""

@@ -253,10 +253,64 @@ class Elements(list):
             el.remove()
         return self
 
-    def remove_if(self, pred: Callable[[Element], bool]) -> "Elements":
-        for el in [e for e in self if pred(e)]:
+    def remove_if(self, pred: Callable[[Element], bool]) -> bool:
+        """Elements.removeIf — DOM-aware; concurrent-read safe (the
+        predicate may read the list while it runs). Returns whether any
+        element was removed (ElementsTest removeIfSupportsConcurrentRead)."""
+        to_drop = [e for e in self if pred(e)]
+        for el in to_drop:
             el.remove()
             super().remove(el)
+        return bool(to_drop)
+
+    # -- DOM-aware list mutators (Elements.kt set/remove/retain family:
+    # changes to the list write through to the DOM)
+    def set_at(self, index: int, el: Element) -> Element:
+        """Elements.set(i, el): replace in list AND in DOM; returns the
+        old element."""
+        old = self[index]
+        old.replace_with(el)
+        super().__setitem__(index, el)
+        return old
+
+    def remove_at(self, index: int) -> Element:
+        """Elements.removeAt(i): remove from list and DOM."""
+        old = self[index]
+        old.remove()
+        super().__delitem__(index)
+        return old
+
+    def remove_element(self, el: Element) -> bool:
+        """Elements.remove(Object): identity match; removes from DOM."""
+        for i, e in enumerate(self):
+            if e is el:
+                e.remove()
+                super().__delitem__(i)
+                return True
+        return False
+
+    def remove_all(self, coll) -> bool:
+        """Elements.removeAll(collection) — DOM-aware."""
+        any_removed = False
+        for el in list(coll):
+            any_removed |= self.remove_element(el)
+        return any_removed
+
+    def retain_all(self, coll) -> bool:
+        """Elements.retainAll(collection) — DOM-aware."""
+        keep = {id(e) for e in coll}
+        to_drop = [e for e in self if id(e) not in keep]
+        for el in to_drop:
+            self.remove_element(el)
+        return bool(to_drop)
+
+    def replace_all(self, op: Callable[[Element], Element]) -> "Elements":
+        """Elements.replaceAll(op) — replaces in list and DOM."""
+        for i, el in enumerate(self):
+            new = op(el)
+            if new is not el:
+                el.replace_with(new)
+                super().__setitem__(i, new)
         return self
 
     # -- filtering / navigation

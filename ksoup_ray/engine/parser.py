@@ -91,13 +91,16 @@ def parse_body_fragment(body_html: str, base_uri: str = "") -> Document:
 
 
 def clean(body_html: str, safelist: Safelist | None = None,
-          base_uri: str = "") -> str:
-    """Ksoup.clean (Ksoup.kt:147-160)."""
+          base_uri: str = "", output_settings=None) -> str:
+    """Ksoup.clean (Ksoup.kt:147-175; the outputSettings overload
+    serializes the cleaned body with the supplied settings)."""
     if safelist is None:
         safelist = Safelist.relaxed()
     dirty = parse_body_fragment(body_html, base_uri)
     cleaner = Cleaner(safelist)
     cleaned = cleaner.clean(dirty)
+    if output_settings is not None:
+        cleaned.output_settings = output_settings
     return cleaned.body().html()
 
 

@@ -50,11 +50,12 @@ class Safelist:
                 raise ValueError("noscript is unsupported in Safelists, "
                                  "due to incompatibilities between parsers "
                                  "with and without script-mode enabled")
-        self.tag_names.update(tags)
+        # TagName.valueOf lowercases (Safelist.kt:475-479)
+        self.tag_names.update(t.lower() for t in tags)
         return self
 
     def remove_tags(self, *tags: str) -> "Safelist":
-        for tag in tags:
+        for tag in (t.lower() for t in tags):
             self.tag_names.discard(tag)
             self.attributes.pop(tag, None)
             self.enforced.pop(tag, None)
@@ -62,12 +63,14 @@ class Safelist:
         return self
 
     def add_attributes(self, tag: str, *attrs: str) -> "Safelist":
+        tag = tag.lower()
         if tag != _ALL:
             self.tag_names.add(tag)
         self.attributes.setdefault(tag, set()).update(a.lower() for a in attrs)
         return self
 
     def remove_attributes(self, tag: str, *attrs: str) -> "Safelist":
+        tag = tag.lower()
         keys = {a.lower() for a in attrs}
         if tag in self.attributes:
             self.attributes[tag] -= keys
@@ -82,11 +85,13 @@ class Safelist:
 
     def add_enforced_attribute(self, tag: str, attr: str,
                                value: str) -> "Safelist":
+        tag = tag.lower()
         self.tag_names.add(tag)
         self.enforced.setdefault(tag, {})[attr.lower()] = value
         return self
 
     def remove_enforced_attribute(self, tag: str, attr: str) -> "Safelist":
+        tag = tag.lower()
         if tag in self.enforced:
             self.enforced[tag].pop(attr.lower(), None)
             if not self.enforced[tag]:
@@ -98,24 +103,31 @@ class Safelist:
         return self
 
     def add_protocols(self, tag: str, attr: str, *protocols: str) -> "Safelist":
+        tag = tag.lower()
         self.protocols.setdefault(tag, {}).setdefault(
             attr.lower(), set()).update(p.lower() for p in protocols)
         return self
 
     def remove_protocols(self, tag: str, attr: str, *protocols: str) -> "Safelist":
+        tag = tag.lower()
         attr = attr.lower()
-        if tag in self.protocols and attr in self.protocols[tag]:
-            self.protocols[tag][attr] -= {p.lower() for p in protocols}
-            if not self.protocols[tag][attr]:
-                del self.protocols[tag][attr]
+        # Safelist.kt removeProtocols: validates the attribute actually
+        # has protocols set (removal would otherwise silently no-op)
+        if tag not in self.protocols or attr not in self.protocols[tag]:
+            raise ValueError(
+                f"Cannot remove a protocol that is not set.")
+        self.protocols[tag][attr] -= {p.lower() for p in protocols}
+        if not self.protocols[tag][attr]:
+            del self.protocols[tag][attr]
         return self
 
     # -- checks (Safelist.kt:437-520)
     def is_safe_tag(self, tag: str) -> bool:
-        return tag in self.tag_names
+        return tag.lower() in self.tag_names
 
     def is_safe_attribute(self, tag_name: str, el: Element,
                           key: str, value: str | None) -> bool:
+        tag_name = tag_name.lower()
         key = key.lower()
         okset = self.attributes.get(tag_name)
         if okset is not None and key in okset:
@@ -153,6 +165,7 @@ class Safelist:
         return False
 
     def get_enforced_attributes(self, tag_name: str) -> dict[str, str]:
+        tag_name = tag_name.lower()
         return dict(self.enforced.get(tag_name, {}))
 
     # -- presets (Safelist.kt:550-656)

@@ -58,4 +58,15 @@ def resolve(base_uri: str, rel_url: str) -> str:
             return ""
     except ValueError:
         return ""
+    if scheme == "file" and out.startswith("file:///"):
+        # match the reference resolver's file: forms (NodeTest
+        # handleAbsOnFileUris / handleAbsOnLocalhostFileUris):
+        # a no-authority base ("file:/etc/") keeps the single-slash
+        # form; a triple-slash base promotes the first path segment
+        # to the authority ("file:///localhost/.." -> "file://localhost/..")
+        path = out[len("file://"):]
+        if re.match(r"^file:///[^/]", base_uri):
+            out = "file://" + path.lstrip("/")
+        elif re.match(r"^file:/[^/]", base_uri):
+            out = "file:" + path
     return out

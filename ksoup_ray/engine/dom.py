@@ -1360,12 +1360,27 @@ class Element(Node):
         return child
 
     def add_children_at(self, index: int, children: list[Node]) -> None:
+        # Bulk path (Element.kt addChildren fast reparent): unlink per
+        # source parent with ONE filter + reindex, then ONE splice here
+        # — O(n) total, not O(n^2) of per-node remove_child/insert
+        # (ElementIT testFastReparent).
+        by_parent: dict[int, Element] = {}
         for node in children:
-            if node.parent_node is not None:
-                node.parent_node.remove_child(node)
-        for off, node in enumerate(children):
+            p = node.parent_node
+            if p is not None:
+                by_parent.setdefault(id(p), p)
+        if by_parent:
+            moving = {id(n) for n in children}
+            for p in by_parent.values():
+                kept = [n for n in p._child_nodes if id(n) not in moving]
+                if len(kept) != len(p._child_nodes):
+                    p._child_nodes = kept
+                    p._reindex(0)
+            for node in children:
+                node.parent_node = None
+        for node in children:
             node.parent_node = self
-            self._child_nodes.insert(index + off, node)
+        self._child_nodes[index:index] = children
         self._reindex(index)
 
     def remove_child(self, node: Node) -> None:

@@ -287,6 +287,11 @@ class HtmlTreeBuilder:
         self._initialise(html, base_uri)
         self._initialise_fragment(context)
         self._run_parser()
+        return self.fragment_nodes()
+
+    def fragment_nodes(self) -> list[Node]:
+        """Fragment result extraction, after the run loop completes
+        (factored out so StreamParser.completeFragment can reuse it)."""
         if self.context_element is not None:
             # content may have been pushed outside the context root
             ctx = self.context_element
@@ -354,17 +359,22 @@ class HtmlTreeBuilder:
                 break
             form_search = form_search.parent()
 
+    def step(self) -> bool:
+        """Process ONE token; False once EOF has been processed. The
+        incremental drive for StreamParser (reference
+        TreeBuilder.stepParser, StreamParser.kt)."""
+        token = self.tokeniser.read()
+        self.current_token = token
+        self.process(token)
+        if token.kind == EOF_TOKEN:
+            return False
+        if token.kind in (START_TAG, END_TAG):
+            token.reset()
+        return True
+
     def _run_parser(self) -> None:
-        read = self.tokeniser.read
-        process = self.process
-        while True:
-            token = read()
-            self.current_token = token
-            process(token)
-            if token.kind == EOF_TOKEN:
-                break
-            if token.kind in (START_TAG, END_TAG):
-                token.reset()
+        while self.step():
+            pass
 
     # ------------------------------------------------------------------
     # dispatch

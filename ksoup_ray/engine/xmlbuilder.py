@@ -31,7 +31,7 @@ MAX_QUEUE_DEPTH = 256
 
 class XmlTreeBuilder:
     def __init__(self, settings: ParseSettings = PRESERVE_CASE,
-                 track_errors: bool = False):
+                 track_errors: bool = False, node_listener=None):
         self.settings = settings
         self.track_errors = track_errors
         self.errors: list[str] = []
@@ -39,8 +39,10 @@ class XmlTreeBuilder:
         self.stack: list[Element] = []
         self.seen_tags: dict[str, Tag] = {}
         self.base_uri = ""
+        self.node_listener = node_listener
+        self.tokeniser: Tokeniser | None = None
 
-    def parse(self, xml: str, base_uri: str = "") -> Document:
+    def initialise(self, xml: str, base_uri: str = "") -> None:
         self.doc = Document(base_uri)
         # the XML parser's document root lives in the XML namespace
         # (Parser.defaultNamespace, XmlTreeBuilder.kt)
@@ -52,15 +54,24 @@ class XmlTreeBuilder:
         out.escape_mode = E.ESCAPE_XHTML
         out.pretty_print = False
         self.stack = []
-        tokeniser = Tokeniser(xml, self.track_errors)
-        while True:
-            token = tokeniser.read()
-            self._process(token)
-            if token.kind == tk.EOF_TOKEN:
-                break
-            if token.kind in (tk.START_TAG, tk.END_TAG):
-                token.reset()
-        self.errors.extend(tokeniser.errors)
+        self.tokeniser = Tokeniser(xml, self.track_errors)
+
+    def step(self) -> bool:
+        """Process ONE token; False once EOF was processed (the
+        incremental drive for StreamParser)."""
+        token = self.tokeniser.read()
+        self._process(token)
+        if token.kind == tk.EOF_TOKEN:
+            self.errors.extend(self.tokeniser.errors)
+            return False
+        if token.kind in (tk.START_TAG, tk.END_TAG):
+            token.reset()
+        return True
+
+    def parse(self, xml: str, base_uri: str = "") -> Document:
+        self.initialise(xml, base_uri)
+        while self.step():
+            pass
         return self.doc
 
     def parse_fragment(self, xml: str, base_uri: str = "") -> list[Node]:
@@ -116,10 +127,14 @@ class XmlTreeBuilder:
         if start.start_pos >= 0:
             el.span = (start.start_pos, start.end_pos)
         self._current().append_child(el)
+        if self.node_listener is not None:
+            self.node_listener.head(el, len(self.stack))
         self.stack.append(el)
         if start.self_closing:
             tag.self_closing = True
             self.stack.pop()
+            if self.node_listener is not None:
+                self.node_listener.tail(el, len(self.stack))
 
     def _insert_comment(self, token) -> None:
         data = token.get_data()
@@ -146,7 +161,10 @@ class XmlTreeBuilder:
         if end.start_pos >= 0:
             first_found.end_span = (end.start_pos, end.end_pos)
         while self.stack:
-            if self.stack.pop() is first_found:
+            popped = self.stack.pop()
+            if self.node_listener is not None:
+                self.node_listener.tail(popped, len(self.stack))
+            if popped is first_found:
                 break
 
 

@@ -164,10 +164,13 @@ class Attributes:
     (prefixed ``/ksoup.``) are get-able but never serialized.
     """
 
-    __slots__ = ("_d",)
+    __slots__ = ("_d", "_ranges")
 
     def __init__(self) -> None:
         self._d: dict[str, str | None] = {}
+        # key -> (name_start, name_end, val_start, val_end) source
+        # offsets (Range.AttributeRange); lazily created
+        self._ranges: dict[str, tuple[int, int, int, int]] | None = None
 
     # -- core map ops
     def get(self, key: str) -> str:
@@ -242,6 +245,10 @@ class Attributes:
             return
         if old in self._d:
             self._d = {(new if k == old else k): v for k, v in self._d.items()}
+            if self._ranges is not None and old in self._ranges:
+                # Attribute.setKey keeps the source range (PositionTest
+                # updateKeyMaintainsRange)
+                self._ranges[new] = self._ranges.pop(old)
 
     def __len__(self) -> int:
         return sum(1 for k in self._d if not k.startswith(_INTERNAL_PREFIX))
@@ -266,12 +273,29 @@ class Attributes:
                 lk = k.lower()
                 if lk not in nd:
                     nd[lk] = v
+                    if self._ranges is not None and k in self._ranges:
+                        self._ranges[lk] = self._ranges.pop(k)
             self._d = nd
 
     def clone(self) -> "Attributes":
         a = Attributes()
         a._d = dict(self._d)
+        if self._ranges is not None:
+            a._ranges = dict(self._ranges)
         return a
+
+    def set_source_range(self, key: str,
+                         rng: tuple[int, int, int, int]) -> None:
+        if self._ranges is None:
+            self._ranges = {}
+        self._ranges[key] = rng
+
+    def source_range(self, key: str) -> tuple[int, int, int, int] | None:
+        """Attributes.sourceRange(key) — (name_start, name_end,
+        val_start, val_end) offsets, or None if untracked."""
+        if self._ranges is None:
+            return None
+        return self._ranges.get(key)
 
     def dataset(self) -> dict[str, str]:
         return {k[5:]: (v or "") for k, v in self._d.items()
@@ -2169,7 +2193,7 @@ class Document(Element):
 
     __slots__ = ("output_settings", "quirks_mode", "location", "parser",
                  "parse_errors", "error_list", "truncated",
-                 "update_meta_charset")
+                 "update_meta_charset", "source_text")
 
     def __init__(self, base_uri: str = ""):
         super().__init__(tag_value_of("#root"), base_uri)
@@ -2181,6 +2205,9 @@ class Document(Element):
         self.parse_errors = 0
         self.error_list: list[str] = []
         self.truncated = False  # set by the DOM size guard (DomSizeLimit)
+        # decoded source, retained for line/col position mapping
+        # (set by the tree builders; a reference, not a copy)
+        self.source_text: str | None = None
 
     def node_name(self) -> str:
         return "#document"

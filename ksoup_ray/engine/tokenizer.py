@@ -63,7 +63,9 @@ class CDataTok(CharacterTok):
 class TagTok:
     __slots__ = ("kind", "name", "normal_name", "self_closing", "attrs",
                  "start", "_attr_name", "_attr_value", "_has_name",
-                 "_has_value", "_has_empty_value", "start_pos", "end_pos")
+                 "_has_value", "_has_empty_value", "start_pos", "end_pos",
+                 "attr_ranges", "_an_start", "_an_end", "_av_start",
+                 "_av_end")
 
     def __init__(self, start: bool):
         self.start = start
@@ -78,6 +80,9 @@ class TagTok:
         self.normal_name: str | None = None
         self.self_closing = False
         self.attrs: list[tuple[str, str | None]] = []
+        # parallel (name_start, name_end, val_start, val_end) per attr
+        # (Token.kt trackAttributeRange); -1 = untracked endpoint
+        self.attr_ranges: list[tuple[int, int, int, int]] = []
         self._reset_pending_attr()
 
     def _reset_pending_attr(self) -> None:
@@ -86,6 +91,8 @@ class TagTok:
         self._has_name = False
         self._has_value = False
         self._has_empty_value = False
+        self._an_start = self._an_end = -1
+        self._av_start = self._av_end = -1
 
     def append_tag_name(self, s: str) -> None:
         # Token.kt appendTagName: null chars become U+FFFD
@@ -102,19 +109,31 @@ class TagTok:
         self.name = s
         self.normal_name = s.strip(_TRIM_CHARS).lower()
 
-    def append_attr_name(self, s: str) -> None:
+    def append_attr_name(self, s: str, start: int = -1,
+                         end: int = -1) -> None:
         # Token.kt appendAttributeName: null chars become U+FFFD
         if "\x00" in s:
             s = s.replace("\x00", "\ufffd")
         self._attr_name.append(s)
         self._has_name = True
+        if start >= 0:
+            if self._an_start < 0:
+                self._an_start = start
+            self._an_end = end
 
-    def append_attr_value(self, s: str) -> None:
+    def append_attr_value(self, s: str, start: int = -1,
+                          end: int = -1) -> None:
         self._attr_value.append(s)
         self._has_value = True
+        if start >= 0:
+            if self._av_start < 0:
+                self._av_start = start
+            self._av_end = end
 
-    def set_empty_attr_value(self) -> None:
+    def set_empty_attr_value(self, pos: int = -1) -> None:
         self._has_empty_value = True
+        if pos >= 0 and self._av_start < 0:
+            self._av_start = self._av_end = pos
 
     def new_attribute(self) -> None:
         """Token.kt:133-156 — push pending attr (first 512; name trimmed)."""
@@ -128,6 +147,14 @@ class TagTok:
                 else:
                     value = None
                 self.attrs.append((name, value))
+                ns, ne = self._an_start, self._an_end
+                if self._av_start >= 0:
+                    vs, ve = self._av_start, self._av_end
+                else:
+                    # implicit (valueless) value range collapses to the
+                    # name end (Range.AttributeRange untracked value)
+                    vs = ve = ne
+                self.attr_ranges.append((ns, ne, vs, ve))
         self._reset_pending_attr()
 
     def finalise(self) -> None:
@@ -1023,7 +1050,7 @@ def _s_before_attr_name(t: Tokeniser) -> None:
     elif c in _QUOTE_EQ:
         t.error("quote before attr name")
         t._tag.new_attribute()
-        t._tag.append_attr_name(c)
+        t._tag.append_attr_name(c, t.pos - 1, t.pos)
         t.state = ATTR_NAME
     else:
         t._tag.new_attribute()
@@ -1032,9 +1059,10 @@ def _s_before_attr_name(t: Tokeniser) -> None:
 
 
 def _s_attr_name(t: Tokeniser) -> None:
+    p0 = t.pos
     name = t._consume_scan(_ATTR_NAME_SCAN)
     if name:
-        t._tag.append_attr_name(name)
+        t._tag.append_attr_name(name, p0, t.pos)
     c = t._consume()
     if c in _WS:
         t.state = AFTER_ATTR_NAME
@@ -1050,9 +1078,9 @@ def _s_attr_name(t: Tokeniser) -> None:
         t.state = DATA
     elif c in _QUOTE_LT:
         t.error("quote in attr name")
-        t._tag.append_attr_name(c)
+        t._tag.append_attr_name(c, t.pos - 1, t.pos)
     else:
-        t._tag.append_attr_name(c)
+        t._tag.append_attr_name(c, t.pos - 1, t.pos)
 
 
 def _s_after_attr_name(t: Tokeniser) -> None:
@@ -1068,7 +1096,7 @@ def _s_after_attr_name(t: Tokeniser) -> None:
         t.state = DATA
     elif c == "\x00":
         t.error("null after attr name")
-        t._tag.append_attr_name(REPLACEMENT)
+        t._tag.append_attr_name(REPLACEMENT, t.pos - 1, t.pos)
         t.state = ATTR_NAME
     elif c == EOF:
         t.error("eof after attr name")
@@ -1076,7 +1104,7 @@ def _s_after_attr_name(t: Tokeniser) -> None:
     elif c in _QUOTE_LT:
         t.error("quote after attr name")
         t._tag.new_attribute()
-        t._tag.append_attr_name(c)
+        t._tag.append_attr_name(c, t.pos - 1, t.pos)
         t.state = ATTR_NAME
     else:
         t._tag.new_attribute()
@@ -1097,7 +1125,7 @@ def _s_before_attr_value(t: Tokeniser) -> None:
         t.state = ATTR_VALUE_SQ
     elif c == "\x00":
         t.error("null before attr value")
-        t._tag.append_attr_value(REPLACEMENT)
+        t._tag.append_attr_value(REPLACEMENT, t.pos - 1, t.pos)
         t.state = ATTR_VALUE_UNQUOTED
     elif c == EOF:
         t.error("eof before attr value")
@@ -1109,7 +1137,7 @@ def _s_before_attr_value(t: Tokeniser) -> None:
         t.state = DATA
     elif c in _LT_EQ_BT:
         t.error("unexpected before attr value")
-        t._tag.append_attr_value(c)
+        t._tag.append_attr_value(c, t.pos - 1, t.pos)
         t.state = ATTR_VALUE_UNQUOTED
     else:
         t._unconsume()
@@ -1117,25 +1145,28 @@ def _s_before_attr_value(t: Tokeniser) -> None:
 
 
 def _attr_value_quoted(t: Tokeniser, quote: str, scan: re.Pattern) -> None:
+    p0 = t.pos
     value = t._consume_scan(scan)
     if value:
-        t._tag.append_attr_value(value)
+        t._tag.append_attr_value(value, p0, t.pos)
     else:
-        t._tag.set_empty_attr_value()
+        t._tag.set_empty_attr_value(t.pos)
     c = t._consume()
     if c == quote:
         t.state = AFTER_ATTR_VALUE_QUOTED
     elif c == "&":
+        amp = t.pos - 1
         ref = t.consume_char_ref(quote, True)
-        t._tag.append_attr_value(ref if ref is not None else "&")
+        t._tag.append_attr_value(ref if ref is not None else "&",
+                                 amp, t.pos)
     elif c == "\x00":
         t.error("null in attr value")
-        t._tag.append_attr_value(REPLACEMENT)
+        t._tag.append_attr_value(REPLACEMENT, t.pos - 1, t.pos)
     elif c == EOF:
         t.error("eof in attr value")
         t.state = DATA
     else:
-        t._tag.append_attr_value(c)
+        t._tag.append_attr_value(c, t.pos - 1, t.pos)
 
 
 def _s_attr_value_dq(t: Tokeniser) -> None:
@@ -1147,29 +1178,32 @@ def _s_attr_value_sq(t: Tokeniser) -> None:
 
 
 def _s_attr_value_unquoted(t: Tokeniser) -> None:
+    p0 = t.pos
     value = t._consume_scan(_ATTR_VAL_UNQ_SCAN)
     if value:
-        t._tag.append_attr_value(value)
+        t._tag.append_attr_value(value, p0, t.pos)
     c = t._consume()
     if c in _WS:
         t.state = BEFORE_ATTR_NAME
     elif c == "&":
+        amp = t.pos - 1
         ref = t.consume_char_ref(">", True)
-        t._tag.append_attr_value(ref if ref is not None else "&")
+        t._tag.append_attr_value(ref if ref is not None else "&",
+                                 amp, t.pos)
     elif c == ">":
         t.emit_tag_pending()
         t.state = DATA
     elif c == "\x00":
         t.error("null in attr value")
-        t._tag.append_attr_value(REPLACEMENT)
+        t._tag.append_attr_value(REPLACEMENT, t.pos - 1, t.pos)
     elif c == EOF:
         t.error("eof in attr value")
         t.state = DATA
     elif c in _UNQ_ERR:
         t.error("quote in unquoted attr value")
-        t._tag.append_attr_value(c)
+        t._tag.append_attr_value(c, t.pos - 1, t.pos)
     else:
-        t._tag.append_attr_value(c)
+        t._tag.append_attr_value(c, t.pos - 1, t.pos)
 
 
 def _s_after_attr_value_quoted(t: Tokeniser) -> None:

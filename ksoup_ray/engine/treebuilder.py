@@ -280,7 +280,26 @@ class HtmlTreeBuilder:
             self.doc.truncated = True
             self.errors.append(
                 f"DOM node limit {self.max_nodes} exceeded; parse truncated")
+        self.stamp_eof_spans()
         return self.doc
+
+    def stamp_eof_spans(self) -> None:
+        """Implicit zero-width end ranges at EOF for still-open elements
+        and the document (Range tracking: trackNodePosition implicit)."""
+        p = self.tokeniser.n
+        for el in self.stack:
+            if el.end_span is None:
+                el.end_span = (p, p)
+        if self.doc.end_span is None:
+            self.doc.end_span = (p, p)
+
+    def _cur_pos(self) -> int:
+        tok = self.current_token
+        if tok is not None:
+            sp = getattr(tok, "start_pos", -1)
+            if sp is not None and sp >= 0:
+                return sp
+        return min(self.tokeniser.pos, self.tokeniser.n)
 
     def parse_fragment(self, html: str, context: Element | None,
                        base_uri: str = "") -> list[Node]:
@@ -306,6 +325,8 @@ class HtmlTreeBuilder:
     def _initialise(self, html: str, base_uri: str) -> None:
         self.doc = Document(base_uri)
         self.doc.parser = self
+        self.doc.span = (0, 0)
+        self.doc.source_text = html
         self.base_uri = base_uri
         self.tokeniser = Tokeniser(html, self.track_errors)
         self.stack = []
@@ -449,6 +470,10 @@ class HtmlTreeBuilder:
                 tok.start_pos >= 0 and tok.normal_name == el.tag.normal_name:
             # explicit close: stamp the end tag's source range
             el.end_span = (tok.start_pos, tok.end_pos)
+        elif el.end_span is None:
+            # implicit close: zero-width range at the current read pos
+            pos = self._cur_pos()
+            el.end_span = (pos, pos)
         if self.node_listener is not None:
             self.node_listener.tail(el, len(self.stack))
         return el
@@ -460,6 +485,11 @@ class HtmlTreeBuilder:
         self.node_count += 1
         if self.max_nodes and self.node_count > self.max_nodes:
             raise DomSizeLimit(self.node_count)
+        if isinstance(node, Element) and node.span is None:
+            # implicit element (synthesized html/head/body etc): stamp a
+            # zero-width range at the triggering token's position
+            pos = self._cur_pos()
+            node.span = (pos, pos)
         if self.node_listener is not None:
             self.node_listener.head(node, len(self.stack))
 
@@ -718,12 +748,15 @@ class HtmlTreeBuilder:
             attrs = Attributes()
             dupes = 0
             d = attrs._d
-            for k, v in start.attrs:
+            ranges = start.attr_ranges
+            for i, (k, v) in enumerate(start.attrs):
                 k = settings.normalize_attr(k)
                 if k in d:
                     dupes += 1
                 else:
                     d[k] = v
+                    if i < len(ranges) and ranges[i][0] >= 0:
+                        attrs.set_source_range(k, ranges[i])
             if dupes:
                 self.error(self.state)
         tag = self.tag_for(start.name, settings, namespace)

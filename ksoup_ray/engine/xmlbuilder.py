@@ -55,6 +55,8 @@ class XmlTreeBuilder:
         out.pretty_print = False
         self.stack = []
         self.tokeniser = Tokeniser(xml, self.track_errors)
+        self.doc.span = (0, 0)
+        self.doc.source_text = xml
 
     def step(self) -> bool:
         """Process ONE token; False once EOF was processed (the
@@ -63,6 +65,12 @@ class XmlTreeBuilder:
         self._process(token)
         if token.kind == tk.EOF_TOKEN:
             self.errors.extend(self.tokeniser.errors)
+            p = self.tokeniser.n
+            for el in self.stack:
+                if el.end_span is None:
+                    el.end_span = (p, p)
+            if self.doc.end_span is None:
+                self.doc.end_span = (p, p)
             return False
         if token.kind in (tk.START_TAG, tk.END_TAG):
             token.reset()
@@ -115,10 +123,13 @@ class XmlTreeBuilder:
             return None
         attrs = Attributes()
         d = attrs._d
-        for k, v in token.attrs:
+        ranges = token.attr_ranges
+        for i, (k, v) in enumerate(token.attrs):
             k = self.settings.normalize_attr(k)
             if k not in d:
                 d[k] = v
+                if i < len(ranges) and ranges[i][0] >= 0:
+                    attrs.set_source_range(k, ranges[i])
         return attrs
 
     def _insert_element(self, start: TagTok) -> None:

@@ -2,11 +2,11 @@
 ksoup-test/.../nodes/PositionTest.kt. Positions render as the
 reference's ``line,col:pos`` strings via engine.positions.SourceMap.
 
-Documented deviation: the reference stamps zero-width *implicit* ranges
-(e.g. an unclosed <p> gets an end range at EOF); this engine leaves
-implicit/synthetic ranges as ``None`` ("imp" in the accumulators
-below). Explicit ranges match the reference byte-for-byte. Attribute
-ranges (tracksAttributes*) are not implemented."""
+Implicit ranges follow the reference exactly (round 2): synthesized
+elements get zero-width ranges at the triggering token, unclosed
+elements get zero-width end ranges at EOF, and attribute name/value
+ranges ride `Attributes.source_range` (tracksAttributes* in
+test_positions_attrs.py)."""
 
 from ksoup_ray.engine import parser as KP
 from ksoup_ray.engine.dom import CDataNode, Comment, DataNode, TextNode
@@ -52,12 +52,15 @@ def test_tracks_position():
     assert isinstance(now, TextNode)
     assert isinstance(comment, Comment)
 
-    # implicit elements carry no ranges (deviation: reference stamps
-    # zero-width implicit ranges)
-    assert html.span is None and body.span is None
+    # implicit elements: zero-width ranges (PositionTest.kt:44-52)
+    assert html.span == (0, 0) and body.span == (0, 0)
+    assert html.end_span == body.end_span
 
     assert sm.fmt_range(p.span) == "1,1:0-2,12:19"
-    assert p.end_span is None  # implicit close at EOF
+    # implicit close at EOF: "6,19:83-6,19:83" (PositionTest.kt:58)
+    assert p.end_span == (83, 83)
+    assert sm.fmt_range(p.end_span) == "6,19:83-6,19:83"
+    assert p.end_span == html.end_span
 
     p_start = sm.line_col(p.span[0])
     assert p.span[0] == 0 and p_start == (1, 1)
@@ -93,11 +96,11 @@ def test_tracks_expected_popped_elements():
 def test_tracks_implicit_popped_elements():
     html = "<meta><img><p>One<p>Two<p>Three"
     doc = KP.parse(html)
-    # explicit starts tracked; implicit closes None (deviation)
+    # explicit starts tracked; implicit closes zero-width at the
+    # closing trigger (next <p> start / EOF)
     assert _track_elements(doc.expect_first("html")) == (
-        "html:imp~imp; head:imp~imp; meta:0-6~0-6; body:imp~imp; "
-        "img:6-11~6-11; p:11-14~imp; p:17-20~imp; p:23-26~imp")
-    assert doc.expect_first("p").end_span is None
+        "html:0-0~31-31; head:0-0~6-6; meta:0-6~0-6; body:6-6~31-31; "
+        "img:6-11~6-11; p:11-14~17-17; p:17-20~23-23; p:23-26~31-31")
     assert doc.expect_first("meta").end_span is not None
 
 
@@ -196,14 +199,14 @@ def test_tracks_after_p_self_close():
     html = "foo<p/>bar &amp; 2"
     doc = KP.parse(html)
     assert _track_nodes(doc.body()) == \
-        "body:imp~imp; #text:0-3; p:3-7~3-7; #text:7-18"
+        "body:0-0~18-18; #text:0-3; p:3-7~3-7; #text:7-18"
 
 
 def test_tracks_first_textnode():
     html = "foo<p></p>bar<p></p><div><b>baz</b></div>"
     doc = KP.parse(html)
     assert _track_nodes(doc.body()) == (
-        "body:imp~imp; #text:0-3; p:3-6~6-10; #text:10-13; "
+        "body:0-0~41-41; #text:0-3; p:3-6~6-10; #text:10-13; "
         "p:13-16~16-20; div:20-25~35-41; b:25-28~31-35; #text:28-31")
 
 

@@ -538,6 +538,45 @@ def _q_media_features(sf_dir: str):
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
+def _q_stream_first_paras(sf_dir: str):
+    """StreamParser as a distributed stage: progressively parse each
+    page and STOP after the first two <p> elements — the tokenizer
+    never reads the rest of the document (engine/streamparser.py; the
+    scale story for pathological single documents). Closed-form oracle:
+    paragraphs are 13-word chunks of `text`, so two paragraphs = the
+    first 26 words."""
+    ds = _pages(sf_dir)
+
+    class StreamFirstParas:
+        def __init__(self):
+            from ksoup_ray.engine.charset import decode_html
+            from ksoup_ray.engine.streamparser import StreamParser
+            self._decode = decode_html
+            self._sp = StreamParser()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            outs = []
+            sp = self._sp
+            for raw in batch.column("html").to_pylist():
+                text, _ = self._decode(raw)
+                sp.parse(text, "")
+                texts = []
+                for _ in range(2):
+                    el = sp.select_next("p")
+                    if el is None:
+                        break
+                    texts.append(el.text())
+                sp.stop()
+                outs.append(" ".join(texts))
+            return pa.table({
+                "url": batch.column("url"),
+                "first_paras": pa.array(outs, pa.string()),
+            })
+
+    return ds.map_batches(StreamFirstParas, batch_format="pyarrow",
+                          concurrency=(2, 8), batch_size=128)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -565,6 +604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_windows": _q_event_windows,
         "sanitize": _q_sanitize,
         "media_features": _q_media_features,
+        "stream_first_paras": _q_stream_first_paras,
     }
 
 
@@ -579,6 +619,12 @@ def oracle_sql() -> dict[str, str]:
         "extract_links": f"""
             SELECT {SYNTH_URL_SQL} AS url,
                    CAST(doc_id % 4 AS BIGINT) AS n_links
+            FROM documents
+        """,
+        "stream_first_paras": f"""
+            SELECT {SYNTH_URL_SQL} AS url,
+                   array_to_string(list_slice(string_split(text, ' '),
+                                              1, 26), ' ') AS first_paras
             FROM documents
         """,
         "extract_spans": f"""

@@ -319,3 +319,23 @@ def test_dedup_composition_never_driver_materializes(ray_session):
 
     assert n_dropped == 3  # the 100+i docs duplicate doc 0..2's text
     assert n_comp == 3
+
+
+def test_stream_first_paras_query(ray_session):
+    """StreamParser-backed early-stop extraction as a Ray stage: first
+    two paragraphs equal the first 26 words of the source text."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+    df = entry.queries()["stream_first_paras"](
+        "/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 500
+    import pyarrow.parquet as pq
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text", "lang"]).to_pandas()
+    docs["url"] = ("https://synth.invalid/" + docs["lang"] + "/"
+                   + docs["doc_id"].astype(int).map("{:08d}".format))
+    merged = df.merge(docs, on="url")
+    assert len(merged) == 500
+    expect = merged["text"].map(lambda t: " ".join(t.split(" ")[:26]))
+    assert (merged["first_paras"] == expect).all()

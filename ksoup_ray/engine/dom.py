@@ -157,6 +157,81 @@ def _should_collapse_attribute(key: str, val: str | None, syntax: str) -> bool:
     )
 
 
+class Attribute:
+    """A single key+value attribute view (reference Attribute.kt — used
+    for presentation; an optional parent Attributes receives writes)."""
+
+    __slots__ = ("_key", "_value", "parent")
+
+    def __init__(self, key: str, value: str | None,
+                 parent: "Attributes | None" = None):
+        key = key.strip()
+        if not key:
+            raise ValueError("String must not be empty")
+        self._key = key
+        self._value = value
+        self.parent = parent
+
+    @property
+    def key(self) -> str:
+        return self._key
+
+    @property
+    def value(self) -> str:
+        return self._value if self._value is not None else ""
+
+    def set_key(self, key: str) -> None:
+        key = key.strip()
+        if not key:
+            raise ValueError("String must not be empty")
+        if self.parent is not None:
+            self.parent.rename(self._key, key)
+        self._key = key
+
+    def set_value(self, value: str | None) -> str:
+        """Sets the value; returns the PREVIOUS value ("" for None —
+        Attribute.kt setValue returns the old value, never null)."""
+        old = self._value
+        if self.parent is not None:
+            if self.parent.has_key(self._key):
+                old = self.parent._d.get(self._key)
+            self.parent.put(self._key, value)
+        self._value = value
+        return old if old is not None else ""
+
+    def has_declared_value(self) -> bool:
+        return self._value is not None
+
+    def html(self) -> str:
+        accum: list[str] = []
+        out = OutputSettings()
+        valid = _valid_attr_key(self._key, out.syntax)
+        if valid is not None:
+            accum.append(valid)
+            if not _should_collapse_attribute(valid, self._value,
+                                              out.syntax):
+                accum.append('="')
+                accum.append(E.escape(self._value or "", out.escape_mode,
+                                      out.syntax, out.charset,
+                                      E.FOR_ATTRIBUTE))
+                accum.append('"')
+        return "".join(accum)
+
+    def clone(self) -> "Attribute":
+        return Attribute(self._key, self._value)
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, Attribute):
+            return NotImplemented
+        return self._key == other._key and self._value == other._value
+
+    def __hash__(self) -> int:
+        return hash((self._key, self._value))
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return self.html()
+
+
 class Attributes:
     """Insertion-ordered attribute map (reference Attributes.kt).
 

@@ -246,3 +246,49 @@ def test_boolean_attributes_are_not_case_sensitive():
     doc2 = KP.parse(html, settings=ParseSettings(True, True))
     assert doc2.select_first("a").outer_html() == \
         '<a href="autofocus" REQUIRED>One</a>'
+
+
+# --- Attribute object view (AttributeTest.kt remainder) ---
+
+def test_validates_keys_not_empty():
+    from ksoup_ray.engine.dom import Attribute
+    with pytest.raises(ValueError):
+        Attribute(" ", "Check")
+
+
+def test_validates_keys_not_empty_via_set():
+    from ksoup_ray.engine.dom import Attribute
+    attr = Attribute("One", "Check")
+    with pytest.raises(ValueError):
+        attr.set_key(" ")
+
+
+def test_setters_on_orphan_attribute():
+    from ksoup_ray.engine.dom import Attribute
+    attr = Attribute("one", "two")
+    attr.set_key("three")
+    old_val = attr.set_value("four")
+    assert old_val == "two"
+    assert attr.key == "three"
+    assert attr.value == "four"
+    assert attr.parent is None
+
+
+def test_has_value():
+    from ksoup_ray.engine.dom import Attribute
+    a1 = Attribute("one", "")
+    a2 = Attribute("two", None)
+    a3 = Attribute("thr", "thr")
+    assert a1.has_declared_value()
+    assert not a2.has_declared_value()
+    assert a3.has_declared_value()
+
+
+def test_can_set_value_to_none():
+    from ksoup_ray.engine.dom import Attribute
+    attr = Attribute("one", "val")
+    old = attr.set_value(None)
+    assert attr.html() == "one"
+    assert old == "val"
+    old = attr.set_value("foo")
+    assert old == ""  # string, not None

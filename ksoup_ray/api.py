@@ -14,8 +14,11 @@ For the distributed paths use ``ksoup_ray.pipelines`` /
 
 from __future__ import annotations
 
-from .engine.dom import Document, Element, Node, OutputSettings
+from .engine.charreader import CharacterReader
+from .engine.dom import (Attribute, Attributes, Document, Element, Node,
+                         OutputSettings, TextNode)
 from .engine.elements import Elements
+from .engine.streamparser import StreamParser
 from .engine.parser import (
     clean,
     is_valid,
@@ -31,6 +34,9 @@ from .engine.safety import Cleaner, Safelist
 from .engine.select import SelectorParseError, parse_query, select
 
 __all__ = [
+    "Attribute",
+    "Attributes",
+    "CharacterReader",
     "Cleaner",
     "Document",
     "Element",
@@ -39,6 +45,8 @@ __all__ = [
     "OutputSettings",
     "Safelist",
     "SelectorParseError",
+    "StreamParser",
+    "TextNode",
     "clean",
     "is_valid",
     "parse",

@@ -221,3 +221,13 @@ def test_tracks_document_xml():
     assert "".join(track) == (
         "#document:0-0~40-40; #doctype:0-15; title:15-22~25-33; "
         "#text:22-25; p:33-36~40-40; #text:36-40; ")
+
+
+def test_parser_track_defaults():
+    # reference gates position tracking behind setTrackPosition; this
+    # engine stamps ranges unconditionally (they are part of the
+    # extraction pipeline's per-document output contract)
+    doc = KP.parse("<p>One")
+    assert doc.expect_first("p").span is not None
+    xml = KP.parse_xml("<p>One</p>")
+    assert xml.expect_first("p").span is not None

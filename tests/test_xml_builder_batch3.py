@@ -104,3 +104,22 @@ def test_xml_namespace():
         assert_ns(el)
     clone = doc.clone()
     assert_ns(clone.expect_first("bar"))
+
+
+def test_supply_parser_to_data_stream():
+    # XmlTreeBuilderTest testSupplyParserToDataStream: bytes -> XML doc
+    raw = '<doc><val>One<val>Two</val></bar>Three</doc>'.encode()
+    from ksoup_ray.engine.charset import decode_html
+    text, _ = decode_html(raw)
+    doc = parse_xml(text, "http://foo.com")
+    assert "".join(line.lstrip(" ") for line in doc.html().split("\n")) == \
+        "<doc><val>One<val>Two</val>Three</val></doc>"
+
+
+def test_tokenizer_fully_consumed_after_parse():
+    # readerClosedAfterParse analogue: the tokenizer has consumed the
+    # full input once parse returns
+    from ksoup_ray.engine.xmlbuilder import XmlTreeBuilder
+    tb = XmlTreeBuilder()
+    tb.parse("<a><b>c</b></a>", "")
+    assert tb.tokeniser.pos >= tb.tokeniser.n

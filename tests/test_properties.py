@@ -1,0 +1,114 @@
+"""Property-based invariants (hypothesis) — complements the translated
+reference goldens with randomized coverage:
+
+* serialization fixed point: parse∘serialize is idempotent after one
+  round (with pretty-print off);
+* StreamParser.complete() builds the identical DOM to parse();
+* Element.cssSelector() round-trips to exactly that element;
+* fragment parse + re-serialize is stable;
+* CharacterReader consumes the exact input sequence.
+"""
+
+from hypothesis import given, settings, strategies as st
+
+from ksoup_ray.engine import parser as KP
+from ksoup_ray.engine.charreader import EOF, CharacterReader
+from ksoup_ray.engine.streamparser import StreamParser
+
+# HTML-ish soup alphabet: tag chars, specials, whitespace, entities
+_soup = st.text(
+    alphabet=("abcdefghijklmnop <>&\"'=/!-;#" "\t\n"),
+    min_size=0, max_size=120)
+
+_tags = st.sampled_from(
+    ["div", "p", "span", "b", "i", "table", "td", "li", "a", "h1",
+     "section", "pre", "script", "style", "title", "svg", "template"])
+
+
+@st.composite
+def _html_docs(draw):
+    """Generate small structurally-interesting documents."""
+    n = draw(st.integers(1, 8))
+    parts = []
+    for _ in range(n):
+        kind = draw(st.integers(0, 3))
+        if kind == 0:
+            parts.append(draw(_soup))
+        elif kind == 1:
+            t = draw(_tags)
+            parts.append(f"<{t}>")
+        elif kind == 2:
+            t = draw(_tags)
+            parts.append(f"</{t}>")
+        else:
+            t = draw(_tags)
+            attr = draw(st.sampled_from(
+                ["", " id=x", ' class="a b"', " data-k='v'", " checked"]))
+            parts.append(f"<{t}{attr}>{draw(_soup)}</{t}>")
+    return "".join(parts)
+
+
+def _flat(doc):
+    doc.output_settings.pretty_print = False
+    return doc.outer_html()
+
+
+@settings(max_examples=150, deadline=None)
+@given(_html_docs())
+def test_serialization_fixed_point(html):
+    # fixed point from the SECOND round: the reference's
+    # CommentStartDash drops a leading dash (TokeniserState.kt:1069-
+    # 1097, matched here), so round one can still normalize
+    once = _flat(KP.parse(html))
+    twice = _flat(KP.parse(once))
+    thrice = _flat(KP.parse(twice))
+    assert thrice == twice
+
+
+@settings(max_examples=100, deadline=None)
+@given(_html_docs())
+def test_stream_parser_complete_equals_parse(html):
+    direct = _flat(KP.parse(html))
+    streamed = _flat(StreamParser().parse(html, "").complete())
+    assert streamed == direct
+
+
+@settings(max_examples=100, deadline=None)
+@given(_html_docs())
+def test_xml_serialization_fixed_point(xml):
+    once = _flat(KP.parse_xml(xml))
+    twice = _flat(KP.parse_xml(once))
+    assert _flat(KP.parse_xml(twice)) == twice
+
+
+@settings(max_examples=75, deadline=None)
+@given(_html_docs())
+def test_css_selector_roundtrip(html):
+    doc = KP.parse(html)
+    for el in list(doc.expect_first("body").stream())[:20]:
+        sel = el.css_selector()
+        found = doc.select(sel)
+        assert len(found) == 1 and found[0] is el, sel
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_character_reader_consumes_exact_sequence(s):
+    r = CharacterReader(s)
+    out = []
+    while not r.is_empty():
+        out.append(r.consume())
+    assert "".join(out) == s
+    assert r.consume() == EOF
+
+
+@settings(max_examples=100, deadline=None)
+@given(_html_docs())
+def test_fragment_parse_is_stable(html):
+    def rt(h):
+        d = KP.parse_body_fragment(h, "")
+        d.output_settings.pretty_print = False
+        return d.body().html()
+    once = rt(html)
+    twice = rt(once)
+    assert rt(twice) == twice  # see comment-dash note above

@@ -339,3 +339,33 @@ def test_stream_first_paras_query(ray_session):
     assert len(merged) == 500
     expect = merged["text"].map(lambda t: " ".join(t.split(" ")[:26]))
     assert (merged["first_paras"] == expect).all()
+
+
+def test_garbage_bytes_do_not_crash(ray_session):
+    """Hostile inputs through the extraction stage: random bytes, empty
+    html, truncated UTF-8, BOM-less UTF-16 — rows come out, errors are
+    counted, nothing raises (the round-1 verify probe, pinned)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ksoup_ray.stages.extract import ParseExtract
+
+    rows = [
+        b"\xff\xfe\xfd\xfc\x00\x01<div>",          # binary junk
+        b"",                                        # empty
+        "<p>ok</p>".encode("utf-16-le"),            # BOM-less utf-16
+        b"<p>trunc \xe2\x82",                       # truncated utf-8 seq
+        b"<" * 5000,                                # pathological tags
+        "<p>fine</p>".encode(),
+    ]
+    batch = pa.table({
+        "url": pa.array([f"u{i}" for i in range(len(rows))]),
+        "warc_ts": pa.array(["2024-01-01T00:00:00Z"] * len(rows)),
+        "html": pa.array(rows, pa.binary()),
+    })
+    ds = rd.from_arrow(batch)
+    out = ds.map_batches(ParseExtract, concurrency=1,
+                         batch_format="pyarrow").to_pandas()
+    assert len(out) == len(rows)
+    fine = out[out["url"] == "u5"].iloc[0]
+    assert fine["extracted_text"] == "fine"
+    assert (out["parse_errors"] >= 0).all()

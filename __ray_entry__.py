@@ -577,6 +577,19 @@ def _q_stream_first_paras(sf_dir: str):
                           concurrency=(2, 8), batch_size=128)
 
 
+def _q_cluster_assign(sf_dir: str):
+    """Nearest-centroid assignment (the k-means map step) over the
+    embeddings table: centroids = the first 8 vectors by vec_id
+    (deterministic), broadcast once; one matmul per batch, NO shuffle.
+    The DuckDB oracle recomputes the argmax with the same tie-break."""
+    import ray.data as rd
+    from ksoup_ray.functions.similarity import centroid_assign
+    centroids = _head_embeddings(sf_dir, _IVF_CELLS)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return centroid_assign(ds, centroids)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -605,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sanitize": _q_sanitize,
         "media_features": _q_media_features,
         "stream_first_paras": _q_stream_first_paras,
+        "cluster_assign": _q_cluster_assign,
     }
 
 
@@ -719,6 +733,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM q CROSS JOIN embeddings e
             )
             SELECT query_id, vec_id FROM ranked WHERE rn <= {_ANN_K}
+        """,
+        "cluster_assign": f"""
+            WITH c AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                       embedding AS ce
+                FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS}
+            ), ranked AS (
+                SELECT e.vec_id,
+                       CAST(c.cid AS INTEGER) AS cluster_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(c.ce AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])) DESC,
+                           c.cid) AS rn
+                FROM embeddings e CROSS JOIN c
+            )
+            SELECT vec_id, cluster_id FROM ranked WHERE rn = 1
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

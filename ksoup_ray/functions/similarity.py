@@ -239,3 +239,41 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, num_centroids: int = 16,
                               concurrency=concurrency)
     return brute_force_topk(filtered, queries, k=k, vec_col=vec_col,
                             id_col=id_col, concurrency=concurrency)
+
+
+class CentroidAssigner:
+    """Nearest-centroid (cosine) assignment — the map step of k-means /
+    cluster-balanced corpus curation. Centroids broadcast once via
+    ``ray.put`` (fetched per actor in __init__, zero-copy); per batch
+    one matmul + argmax. Ties break to the LOWEST centroid index
+    (numpy argmax first-max == the oracle's ORDER BY sim DESC, cid ASC)."""
+
+    def __init__(self, cents_ref, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        import ray
+        self.cents = _normalize(
+            np.asarray(ray.get(cents_ref), dtype=np.float64))
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(np.array(batch.column(self.vec_col).to_pylist(),
+                                   dtype=np.float64))
+        assign = (vecs @ self.cents.T).argmax(axis=1)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "cluster_id": pa.array(assign.astype(np.int32), pa.int32()),
+        })
+
+
+def centroid_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
+                    id_col: str = "vec_id", concurrency=(1, 4)):
+    """Assign every vector to its nearest centroid by cosine — a
+    narrow map (no shuffle): centroids ride the object store once,
+    output is (id, cluster_id)."""
+    import ray
+    cents_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+    return ds.map_batches(
+        CentroidAssigner, fn_constructor_kwargs=dict(
+            cents_ref=cents_ref, vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=concurrency)

@@ -369,3 +369,21 @@ def test_garbage_bytes_do_not_crash(ray_session):
     fine = out[out["url"] == "u5"].iloc[0]
     assert fine["extracted_text"] == "fine"
     assert (out["parse_errors"] >= 0).all()
+
+
+def test_centroid_assign(ray_session, sf_dir):
+    """Every vector lands on its nearest centroid; the 8 centroid
+    vectors themselves assign to their own cluster (cosine 1.0)."""
+    import numpy as np
+    import ray.data as rd
+    from ksoup_ray.functions.similarity import centroid_assign
+    import duckdb
+    rows = duckdb.connect().execute(
+        "SELECT embedding FROM read_parquet(?) ORDER BY vec_id LIMIT 8",
+        [f"{sf_dir}/embeddings.parquet"]).fetchall()
+    cents = np.array([r[0] for r in rows], dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = centroid_assign(ds, cents).to_pandas().sort_values("vec_id")
+    assert out["cluster_id"].between(0, 7).all()
+    assert list(out.head(8)["cluster_id"]) == list(range(8))

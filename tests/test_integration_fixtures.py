@@ -135,3 +135,24 @@ def test_fuzz_corpus_fast_p_differential():
             TB._fast_p_run = orig
         fast = P.parse(text)
         assert fast.outer_html() == ref.outer_html(), name
+
+
+def test_fuzz_corpus_stream_parser_differential():
+    """StreamParser.complete() must build the IDENTICAL DOM to parse()
+    on the adversarial corpus (the listener hooks and step-wise drive
+    may not change tree construction)."""
+    from ksoup_ray.engine.charset import decode_html
+    from ksoup_ray.engine.streamparser import StreamParser
+    fuzz_dir = os.path.join(RES, "fuzztests")
+    if not os.path.isdir(fuzz_dir):
+        pytest.skip("no fuzz corpus")
+    t0 = time.time()
+    for name in sorted(os.listdir(fuzz_dir)):
+        raw = load(f"fuzztests/{name}")[:150_000]
+        text, _ = decode_html(raw)
+        direct = P.parse(text)
+        direct.output_settings.pretty_print = False
+        streamed = StreamParser().parse(text, "").complete()
+        streamed.output_settings.pretty_print = False
+        assert streamed.outer_html() == direct.outer_html(), name
+    assert time.time() - t0 < 240

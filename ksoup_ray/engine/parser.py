@@ -25,10 +25,14 @@ from .xmlbuilder import XmlTreeBuilder
 from . import entities as E
 
 
-def parse(html: str, base_uri: str = "",
+def parse(html, base_uri: str = "",
           settings: ParseSettings = HTML_DEFAULT,
           track_errors: bool = False, node_listener=None,
           max_nodes: int = 0) -> Document:
+    if not isinstance(html, str):  # ported-io Reader drop-in
+        from .io import Reader
+        if isinstance(html, Reader):
+            html = html.read_string(len(html._s) - html._pos)
     tb = HtmlTreeBuilder(settings, track_errors, node_listener=node_listener,
                          max_nodes=max_nodes)
     doc = tb.parse(html, base_uri)

@@ -42,8 +42,12 @@ class StreamParser:
         self._eof_flushed = False
 
     # -- input -----------------------------------------------------------
-    def parse(self, html: str, base_uri: str = "") -> "StreamParser":
-        """Provide the input; nothing is read until a consuming call."""
+    def parse(self, html, base_uri: str = "") -> "StreamParser":
+        """Provide the input (a string or a ported-io Reader); nothing
+        is read until a consuming call."""
+        from .io import Reader
+        if isinstance(html, Reader):
+            html = html.read_string(len(html._s) - html._pos)
         self.close()
         self._reset()
         if self.xml:

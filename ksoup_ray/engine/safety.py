@@ -309,6 +309,10 @@ class Cleaner:
     def _create_safe_element(self, source_el: Element) -> tuple[Element, int]:
         source_tag = source_el.tag_name()
         dest = Element(source_el.tag)
+        # source positions survive the clean (Cleaner.kt preserves
+        # ranges via userData; PositionTest preservesSourcePosition)
+        dest.span = source_el.span
+        dest.end_span = source_el.end_span
         num_discarded = 0
         attrs = source_el.attributes()
         if attrs is not None:
@@ -318,6 +322,9 @@ class Cleaner:
                         value):
                     # re-read: protocol test may have absolutized the value
                     dest._ensure_attrs().put(key, source_el.attr(key))
+                    rng = attrs.source_range(key)
+                    if rng is not None:
+                        dest._ensure_attrs().set_source_range(key, rng)
                 else:
                     num_discarded += 1
         for key, value in self.safelist.get_enforced_attributes(

@@ -2427,6 +2427,11 @@ def _in_template(t, tb: HtmlTreeBuilder) -> bool:
         tb.clear_formatting_to_last_marker()
         tb.pop_template_mode()
         tb.reset_insertion_mode()
+        # reference deviation KEPT (HtmlTreeBuilderState.kt:69-77): if
+        # still in template after one pop, STOP — ultra-deep template
+        # stacks would otherwise recurse here (fuzz corpus has them).
+        # Consequence (matches reference): EOF inside nested templates
+        # leaves the document without a body element.
         if tb.state is not _in_template and tb.template_mode_size() < 12:
             return tb.process(t)
         return True

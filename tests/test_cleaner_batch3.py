@@ -124,3 +124,28 @@ def test_cleans_case_sensitive_elements():
         safelist = Safelist.none().add_tags(*tags) \
             .add_attributes(":all", *attrs)
         assert KP.clean(html, safelist) == expected, preserve_case
+
+
+def test_preserves_source_position_through_clean():
+    """PositionTest preservesSourcePositionViaUserData: cleaned
+    elements keep the original source ranges and attribute ranges."""
+    from ksoup_ray.engine.positions import SourceMap
+    html = "<script>xss</script>\n <p id=1>Hello</p>"
+    orig = KP.parse(html)
+    p = orig.expect_first("p")
+    sm = SourceMap(html)
+    assert sm.fmt_range(p.span) == "2,2:22-2,10:30"
+    assert sm.fmt_range(orig.span) == "1,1:0-1,1:0"
+    assert sm.fmt_range(orig.end_span) == "2,19:39-2,19:39"
+    attr_rng = p.attributes().source_range("id")
+    ns, ne, vs, ve = attr_rng
+    assert (f"{sm.fmt_pos(ns)}-{sm.fmt_pos(ne)}="
+            f"{sm.fmt_pos(vs)}-{sm.fmt_pos(ve)}") == \
+        "2,5:25-2,7:27=2,8:28-2,9:29"
+    clean_doc = Cleaner(
+        Safelist.relaxed().add_attributes("p", "id")).clean(orig)
+    clean_p = clean_doc.expect_first("p")
+    assert clean_p.id() == "1"
+    assert clean_p.span == p.span
+    assert clean_p.end_span == p.end_span
+    assert clean_p.attributes().source_range("id") == attr_rng

@@ -9,7 +9,7 @@ reference goldens with randomized coverage:
 * CharacterReader consumes the exact input sequence.
 """
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import assume, given, settings, strategies as st
 
 from ksoup_ray.engine import parser as KP
 from ksoup_ray.engine.charreader import EOF, CharacterReader
@@ -85,7 +85,11 @@ def test_xml_serialization_fixed_point(xml):
 @given(_html_docs())
 def test_css_selector_roundtrip(html):
     doc = KP.parse(html)
-    for el in list(doc.expect_first("body").stream())[:20]:
+    # body can be absent (EOF trapped in nested templates — reference
+    # deviation, HtmlTreeBuilderState.kt:69)
+    body = doc.select_first("body")
+    assume(body is not None)
+    for el in list(body.stream())[:20]:
         sel = el.css_selector()
         found = doc.select(sel)
         assert len(found) == 1 and found[0] is el, sel

@@ -116,3 +116,22 @@ def test_fragment_parse_is_stable(html):
     once = rt(html)
     twice = rt(once)
     assert rt(twice) == twice  # see comment-dash note above
+
+
+def test_foster_parent_to_root_known_non_idempotent():
+    """Foster parenting with no <table> on the stack inserts into the
+    stack ROOT (reference HtmlTreeBuilder insertInFosterParent
+    fallback) — producing <h2> as a direct <html> child, which
+    re-parses into body. Inherently non-idempotent in the reference
+    too; pinned here as documentation, with the 2nd round stable."""
+    h = "<template<tbody<p<h2>"
+    doc = KP.parse(h)
+    doc.output_settings.pretty_print = False
+    once = doc.outer_html()
+    assert once == ("<html><head><template><tbody><h2></h2></tbody>"
+                    "</template></head><p></p></html>")
+    twice = _flat(KP.parse(once))
+    thrice = _flat(KP.parse(twice))
+    # converges at round three (h2 first escapes the template's table
+    # mode via foster fallback, then settles into body)
+    assert _flat(KP.parse(thrice)) == thrice

@@ -135,3 +135,28 @@ def test_foster_parent_to_root_known_non_idempotent():
     # converges at round three (h2 first escapes the template's table
     # mode via foster fallback, then settles into body)
     assert _flat(KP.parse(thrice)) == thrice
+
+
+@settings(max_examples=150, deadline=None)
+@given(_html_docs())
+def test_text_fast_path_equals_exact_walk(html):
+    """Element.text()'s single-collapse fast path must equal the exact
+    reference-algorithm walk (the built-in fallback) on every document."""
+    doc = KP.parse(html)
+    # Document.text() is body-only by definition (Document.kt), so
+    # compare per element, not the #root
+    for el in list(doc.stream())[:15]:
+        assert el.text() == el._text_exact(), el.tag_name()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(min_size=0, max_size=80))
+def test_entities_escape_unescape_roundtrip(s):
+    """unescape(escape(x)) == x for every escape mode under UTF-8
+    (escaping is injective on the char level; surrogate halves are not
+    valid input)."""
+    from ksoup_ray.engine import entities as E
+    assume(not any(0xD800 <= ord(c) <= 0xDFFF for c in s))
+    for mode in (E.ESCAPE_XHTML, E.ESCAPE_BASE, E.ESCAPE_EXTENDED):
+        esc = E.escape(s, mode, "html", "UTF-8")
+        assert E.unescape(esc) == s, (mode, esc)

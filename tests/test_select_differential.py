@@ -173,3 +173,75 @@ def test_select_differential_first_child():
         engine = doc.select(css)
         naive = [el for el in all_els if n_first_child(n_tag(t))(el)]
         assert list(engine) == naive, (css, doc.outer_html()[:400])
+
+
+def n_last_child(pred):
+    def f(el):
+        p = el.parent()
+        return pred(el) and isinstance(p, Element) and \
+            p.children()[-1] is el
+    return f
+
+
+def n_nth_child(n, pred):
+    def f(el):
+        p = el.parent()
+        if not (pred(el) and isinstance(p, Element)):
+            return False
+        kids = p.children()
+        return len(kids) >= n and kids[n - 1] is el
+    return f
+
+
+def n_empty(pred):
+    def f(el):
+        for child in el.child_nodes():
+            name = child.node_name()
+            if name == "#text":
+                if child.get_whole_text() != "":
+                    return False
+            elif name not in ("#comment", "#doctype"):
+                return False
+        return pred(el)
+    return f
+
+
+def n_contains(sub, pred):
+    sub = sub.lower()
+    return lambda el: pred(el) and sub in el.text().lower()
+
+
+def n_attr_starts(k, v):
+    return lambda el: el.has_attr(k) and el.attr(k).startswith(v)
+
+
+def n_attr_ends(k, v):
+    return lambda el: el.has_attr(k) and el.attr(k).endswith(v)
+
+
+def n_attr_contains(k, v):
+    return lambda el: el.has_attr(k) and v in el.attr(k)
+
+
+def test_select_differential_extended_forms():
+    rng = random.Random(99)
+    cases = 0
+    for _ in range(200):
+        doc = _gen_doc(rng)
+        all_els = [e for e in doc.stream() if isinstance(e, Element)]
+        t = rng.choice(TAGS)
+        probes = [
+            (f"{t}:last-child", n_last_child(n_tag(t))),
+            (f"{t}:nth-child(2)", n_nth_child(2, n_tag(t))),
+            (f"{t}:empty", n_empty(n_tag(t))),
+            (f"{t}:contains(t1)", n_contains("t1", n_tag(t))),
+            ('[class^="x"]', n_attr_starts("class", "x")),
+            ('[class$="z"]', n_attr_ends("class", "z")),
+            ('[class*="y"]', n_attr_contains("class", "y")),
+        ]
+        for css, pred in probes:
+            engine = list(doc.select(css))
+            naive = [el for el in all_els if pred(el)]
+            assert engine == naive, (css, doc.outer_html()[:400])
+            cases += 1
+    assert cases == 1400

@@ -590,6 +590,40 @@ def _q_cluster_assign(sf_dir: str):
     return centroid_assign(ds, centroids)
 
 
+def _q_lang_counts(sf_dir: str):
+    """Salted hot-key count: 4 languages over the whole corpus is the
+    canonical skew case — a plain groupby(lang) funnels everything
+    through 4 reducers; the salted shape map-side-combines each batch
+    then spreads each key over 16 reducers (functions/agg.py)."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import salted_count
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return salted_count(ds, "lang", salt=16)
+
+
+def _q_sessionize(sf_dir: str):
+    """Gap sessionization of the event log (30-min gap): one shuffle on
+    user_id, vectorized per-group split (functions/agg.py)."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import sessionize
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    out = sessionize(ds, gap_seconds=1800)
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        # timestamps -> epoch micros for a dtype-stable oracle compare
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "session_start": pc.cast(batch.column("session_start"),
+                                     pa.int64()),
+            "session_end": pc.cast(batch.column("session_end"),
+                                   pa.int64()),
+            "n_events": batch.column("n_events"),
+        })
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -619,6 +653,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "stream_first_paras": _q_stream_first_paras,
         "cluster_assign": _q_cluster_assign,
+        "lang_counts": _q_lang_counts,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -751,6 +787,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e CROSS JOIN c
             )
             SELECT vec_id, cluster_id FROM ranked WHERE rn = 1
+        """,
+        "lang_counts": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang
+        """,
+        "sessionize": """
+            WITH ordered AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            OR lag(ts) OVER w IS NULL THEN 1 ELSE 0
+                       END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), tagged AS (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM ordered
+            )
+            SELECT user_id,
+                   CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start,
+                   CAST(epoch_us(MAX(ts)) AS BIGINT) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM tagged GROUP BY user_id, session_id
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,81 @@
+"""Skew-aware wide operations: salted aggregation and gap
+sessionization.
+
+* ``salted_count``: a hot-key-safe count. A plain
+  ``groupby(key).count()`` routes EVERY row of a hot key through one
+  reducer — with 4 languages over 100 TB that is 4 reducers doing all
+  the work. The salted shape: (1) per-batch combiner collapses each
+  batch to at most ``batch_keys`` partial rows (map-side combine — the
+  real 1000× reduction), (2) an all-to-all over (key, salt) spreads
+  each hot key across ``salt`` reducers, (3) a tiny final groupby(key)
+  over ``keys × salt`` rows. Nothing corpus-scale crosses in one
+  partition.
+
+* ``sessionize``: gap-based sessions per user (the standard
+  training-data event-log primitive). Co-partitions by user via
+  ``groupby(user).map_groups`` — one shuffle on (user, ts) rows; each
+  group sorts its own events and splits on gaps > ``gap``. Skewed
+  users are bounded by per-user event counts, not corpus size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def salted_count(ds, key_col: str, salt: int = 16):
+    """Count rows per key with map-side combine + salt spreading.
+    Returns a Dataset of (key_col, n)."""
+    from ray.data.aggregate import Sum
+
+    def combine(batch: pa.Table) -> pa.Table:
+        # per-batch partial counts (vectorized); salt derives from the
+        # batch content hash so a hot key's partials spread evenly
+        tbl = batch.group_by(key_col).aggregate([(key_col, "count")])
+        n = tbl.num_rows
+        salts = np.arange(n, dtype=np.int32) % salt
+        return pa.table({
+            key_col: tbl.column(key_col),
+            "partial": tbl.column(f"{key_col}_count"),
+            "salt": pa.array(salts, pa.int32()),
+        })
+
+    partials = ds.map_batches(combine, batch_format="pyarrow")
+    # all-to-all #1: (key, salt) — each hot key lands on `salt` reducers
+    salted = partials.groupby([key_col, "salt"]).aggregate(
+        Sum("partial", alias_name="n_salted"))
+    # all-to-all #2: tiny (keys × salt rows) final fold
+    return salted.groupby(key_col).aggregate(
+        Sum("n_salted", alias_name="n"))
+
+
+def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
+               gap_seconds: int = 1800):
+    """Split each user's event stream into sessions separated by more
+    than ``gap_seconds``. Returns one row per session:
+    (user_col, session_start, session_end, n_events).
+
+    ONE shuffle (groupby user); the per-group kernel is vectorized
+    numpy (sort + diff + cumsum), no Python loop over events."""
+    import pandas as pd
+
+    def split_sessions(group: pd.DataFrame) -> pd.DataFrame:
+        ts = group[ts_col].to_numpy(dtype="datetime64[us]")
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        gaps = np.diff(ts) > np.timedelta64(gap_seconds * 1000000, "us")
+        session_ids = np.concatenate([[0], np.cumsum(gaps)])
+        df = pd.DataFrame({ts_col: ts, "session_id": session_ids})
+        out = df.groupby("session_id").agg(
+            session_start=(ts_col, "min"),
+            session_end=(ts_col, "max"),
+            n_events=(ts_col, "size"),
+        ).reset_index(drop=True)
+        out.insert(0, user_col, group[user_col].iloc[0])
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return ds.groupby(user_col).map_groups(split_sessions,
+                                           batch_format="pandas")

@@ -387,3 +387,37 @@ def test_centroid_assign(ray_session, sf_dir):
     out = centroid_assign(ds, cents).to_pandas().sort_values("vec_id")
     assert out["cluster_id"].between(0, 7).all()
     assert list(out.head(8)["cluster_id"]) == list(range(8))
+
+
+def test_salted_count_matches_plain(ray_session, sf_dir):
+    import ray.data as rd
+    from ksoup_ray.functions.agg import salted_count
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    salted = salted_count(ds, "lang", salt=8).to_pandas() \
+        .sort_values("lang").reset_index(drop=True)
+    plain = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["lang"]) \
+        .groupby("lang").count().to_pandas() \
+        .sort_values("lang").reset_index(drop=True)
+    assert list(salted["lang"]) == list(plain["lang"])
+    assert list(salted["n"]) == list(plain["count()"])
+
+
+def test_sessionize_gap_split(ray_session):
+    import datetime as dt
+    import ray.data as rd
+    from ksoup_ray.functions.agg import sessionize
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: two sessions (45-min gap)
+        {"user_id": 1, "ts": t0},
+        {"user_id": 1, "ts": t0 + dt.timedelta(minutes=10)},
+        {"user_id": 1, "ts": t0 + dt.timedelta(minutes=55)},
+        # user 2: one session
+        {"user_id": 2, "ts": t0},
+    ]
+    out = sessionize(rd.from_items(rows), gap_seconds=1800).to_pandas()
+    u1 = out[out["user_id"] == 1].sort_values("session_start")
+    assert len(u1) == 2
+    assert list(u1["n_events"]) == [2, 1]
+    assert len(out[out["user_id"] == 2]) == 1

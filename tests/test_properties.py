@@ -163,3 +163,26 @@ def test_entities_escape_unescape_roundtrip(s):
     for mode in (E.ESCAPE_XHTML, E.ESCAPE_BASE, E.ESCAPE_EXTENDED):
         esc = E.escape(s, mode, "html", "UTF-8")
         assert E.unescape(esc) == s, (mode, esc)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_html_docs())
+def test_cleaner_output_only_safelisted_tags(html):
+    """The safety contract that IS invariant: every element in the
+    cleaned output's body is safelisted. (Stronger claims fail for
+    structural reasons shared with the reference: string idempotence
+    converges over rounds as adjacent text nodes merge, and
+    isValid(clean(x)) breaks when copied text re-parses with foster
+    parenting, e.g. bare text inside <table>.)"""
+    from ksoup_ray.engine import parser as P2
+    from ksoup_ray.engine.parser import clean
+    from ksoup_ray.engine.safety import Safelist
+    for preset in (Safelist.none, Safelist.simple_text, Safelist.basic,
+                   Safelist.basic_with_images, Safelist.relaxed):
+        sl = preset()
+        out = clean(html, sl)
+        body = P2.parse(out).body()
+        for el in body.stream():
+            if el is body:
+                continue
+            assert sl.is_safe_tag(el.normal_name()),                 (preset.__name__, el.normal_name(), out)

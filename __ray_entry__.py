@@ -240,7 +240,11 @@ def _q_jaccard_pairs(sf_dir: str):
     from ksoup_ray.functions.dedup import jaccard_pairs_exact
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    return jaccard_pairs_exact(ds, shingle_size=5, threshold=0.5)
+    # max_df=None: the ORACLE form — the DuckDB SQL computes uncapped
+    # exact Jaccard, so the Ray side must too. Production default is
+    # max_df=1000 with the drop count surfaced (see jaccard_pairs_exact).
+    return jaccard_pairs_exact(ds, shingle_size=5, threshold=0.5,
+                               max_df=None)
 
 
 def _q_embed_neardup(sf_dir: str):

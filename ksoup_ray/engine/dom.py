@@ -1266,8 +1266,6 @@ class XmlDeclaration(LeafNode):
         for key, value in self._attrs:
             if key == self.node_name():
                 continue  # vivified core-value slot is not an attribute
-            if key == self.node_name():
-                continue  # skips coreValue (name)
             accum.append(" ")
             accum.append(key)
             if value:

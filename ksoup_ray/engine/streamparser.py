@@ -158,6 +158,12 @@ class StreamParser:
         # document root itself, firing the close listeners
         self._eof_flushed = True
         tb = self.tree_builder
+        # stamp implicit zero-width EOF end ranges exactly as
+        # Parser.parse does, so positions output is identical between
+        # the two entry points (XmlTreeBuilder stamps inside step())
+        stamp = getattr(tb, "stamp_eof_spans", None)
+        if stamp is not None:
+            stamp()
         for el in reversed(tb.stack):
             self.tail(el, 0)
         self.tail(self._doc, 0)

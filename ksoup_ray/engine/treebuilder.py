@@ -1402,6 +1402,11 @@ def _fast_p_run(tb: "HtmlTreeBuilder") -> None:
             if c3s != -1:
                 attrs = Attributes()
                 attrs._d["class"] = s[c3s:c3e]
+                # stamp the attribute source range exactly as the generic
+                # path would (create_element_for): the regex matches the
+                # literal `class="` so the name occupies the 7 chars
+                # ending 2 before the value group
+                attrs._ranges = {"class": (c3s - 7, c3s - 2, c3s, c3e)}
             parent = stack[-1]
             pkids = parent._child_nodes
             el = new_el(Element)

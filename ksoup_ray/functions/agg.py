@@ -20,9 +20,17 @@ sessionization.
 
 from __future__ import annotations
 
+import itertools
+import zlib
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+# per-worker-process batch counter: Ray reuses task workers, so each
+# successive batch a worker combines gets a different offset — the
+# batch-varying half of the salt derivation below
+_SALT_BATCH_COUNTER = itertools.count()
 
 
 def salted_count(ds, key_col: str, salt: int = 16):
@@ -31,11 +39,19 @@ def salted_count(ds, key_col: str, salt: int = 16):
     from ray.data.aggregate import Sum
 
     def combine(batch: pa.Table) -> pa.Table:
-        # per-batch partial counts (vectorized); salt derives from the
-        # batch content hash so a hot key's partials spread evenly
+        # per-batch partial counts (vectorized); salt = stable key hash
+        # + per-batch counter, so a hot key's partials ROTATE over all
+        # `salt` reducers across batches instead of concentrating on
+        # the key's first-appearance position (which pyarrow group_by
+        # keeps stable batch to batch)
         tbl = batch.group_by(key_col).aggregate([(key_col, "count")])
-        n = tbl.num_rows
-        salts = np.arange(n, dtype=np.int32) % salt
+        offset = next(_SALT_BATCH_COUNTER)
+        # post-combine, tbl has at most (distinct keys in batch) rows —
+        # tiny, so the per-key crc32 loop is off the hot path
+        kh = np.fromiter(
+            (zlib.crc32(str(k).encode()) for k in tbl.column(key_col)
+             .to_pylist()), dtype=np.int64, count=tbl.num_rows)
+        salts = ((kh + offset) % salt).astype(np.int32)
         return pa.table({
             key_col: tbl.column(key_col),
             "partial": tbl.column(f"{key_col}_count"),

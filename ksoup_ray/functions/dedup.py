@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import itertools
 
 import numpy as np
 import pandas as pd
@@ -145,6 +146,11 @@ class MinHasher:
         self.shingle_size = shingle_size
         self.text_col = text_col
         self._word_cache: dict[str, int] = {}
+        # bound worker memory at corpus scale: Ray reuses task workers
+        # for the process lifetime, so an unbounded vocabulary cache
+        # would grow with the whole corpus's distinct words. 1M entries
+        # ≈ 100 MB; evicting the oldest half keeps the hot head (Zipf).
+        self._word_cache_max = 1_000_000
 
     def _word_hashes(self, words: list[str]) -> np.ndarray:
         cache = self._word_cache
@@ -157,6 +163,11 @@ class MinHasher:
                     "big")
                 cache[w] = h
             out[i] = h
+        if len(cache) > self._word_cache_max:
+            # drop the older (insertion-ordered) half; recomputation is
+            # cheap and the frequent words re-enter immediately
+            for k in list(itertools.islice(cache, len(cache) // 2)):
+                del cache[k]
         return out
 
     def shingle_hashes(self, text: str) -> np.ndarray:
@@ -295,8 +306,12 @@ def minhash_candidate_pairs(ds, *, num_hashes: int = 128,
     hash-partitioned by ``band_hash % num_partitions`` and each
     partition self-merges in one pandas op — no per-tiny-bucket
     ``map_groups`` calls. Degenerate buckets larger than ``max_bucket``
-    are capped to their ``max_bucket`` smallest ids (logged via the
-    emitted ``capped`` count, never silent).
+    are capped to their ``max_bucket`` smallest ids; every cap trip is
+    counted on the session cap-metrics actor under
+    ``minhash_candidate_pairs.capped_buckets`` /
+    ``minhash_candidate_pairs.dropped_rows`` (read with
+    :func:`ksoup_ray.functions.metrics.read_cap_metrics`) and logged —
+    never silent.
     """
     bands = _band_rows(ds, num_hashes=num_hashes, num_bands=num_bands,
                        shingle_size=shingle_size, text_col=text_col,
@@ -312,10 +327,17 @@ def minhash_candidate_pairs(ds, *, num_hashes: int = 128,
         sizes = df.groupby(["band_id", "band_hash"])[id_col].transform("size")
         big = sizes > max_bucket
         if big.any():
-            # bounded degenerate-bucket guard (no silent truncation: the
-            # cap is surfaced in logs by the caller via pair counts)
+            # bounded degenerate-bucket guard — NEVER silent: count the
+            # capped buckets and dropped rows on the metrics actor
+            n_before = len(df)
+            n_capped = df.loc[big, ["band_id", "band_hash"]] \
+                .drop_duplicates().shape[0]
             df = df.sort_values(id_col).groupby(
                 ["band_id", "band_hash"], as_index=False).head(max_bucket)
+            from .metrics import record_drop
+            record_drop("minhash_candidate_pairs.capped_buckets", n_capped)
+            record_drop("minhash_candidate_pairs.dropped_rows",
+                        n_before - len(df))
         m = df.merge(df, on=["band_id", "band_hash"])
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
         out = pd.DataFrame({"id_a": m[f"{id_col}_x"],
@@ -519,7 +541,8 @@ def embedding_near_dup(ds, threshold: float = 0.95,
 # connected components over candidate pairs (min-label propagation)
 
 def connected_components(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
-                         max_rounds: int = 8, num_partitions: int = 8):
+                         max_rounds: int = 8, num_partitions: int = 8,
+                         on_nonconverged: str = "raise"):
     """Cluster candidate duplicate pairs into components: returns a
     Dataset of ``(node_id, component_id)`` where component_id is the
     minimum node id reachable through the pair graph.
@@ -531,6 +554,12 @@ def connected_components(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
     is ids-only, ~16 bytes/node); the driver sees only a scalar
     changed-row count per round. Converges in O(component diameter)
     rounds; duplicate-cluster graphs are shallow.
+
+    If labels are STILL changing after ``max_rounds`` the result would
+    be wrong (an over-diameter chain) — never silently: the default
+    raises; ``on_nonconverged="warn"`` logs + records the residual
+    changed-count under ``connected_components.nonconverged_labels``
+    and returns the partial labels.
     """
     from ray.data.aggregate import Min
 
@@ -561,6 +590,7 @@ def connected_components(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
         .groupby("node").aggregate(Min("label", alias_name="label"))) \
         .materialize()
 
+    changed = 0
     for _ in range(max_rounds):
         lab_keyed = labels.map_batches(
             lambda b: b.rename_columns(["lnode", "llabel"]),
@@ -588,6 +618,16 @@ def connected_components(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # loop exhausted max_rounds with labels still moving — the
+        # labels are WRONG for some over-diameter chain; never silent
+        msg = (f"connected_components did not converge in {max_rounds} "
+               f"rounds ({changed} labels still changing — component "
+               f"diameter exceeds max_rounds); raise max_rounds")
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        from .metrics import record_drop
+        record_drop("connected_components.nonconverged_labels", changed)
 
     return labels.map_batches(
         lambda b: pa.table({"node_id": b.column("node"),
@@ -601,7 +641,7 @@ def connected_components(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
 def jaccard_pairs_exact(ds, *, shingle_size: int = 5,
                         threshold: float = 0.5, text_col: str = "text",
                         id_col: str = "doc_id", num_partitions: int = 8,
-                        max_df: int | None = None):
+                        max_df: int | None = 1000):
     """EXACT n-gram Jaccard near-dup pairs — no LSH approximation.
 
     Distributed inverted-index shape (the classic exact-similarity-join
@@ -623,9 +663,15 @@ def jaccard_pairs_exact(ds, *, shingle_size: int = 5,
 
     Scale notes: only fixed-width id rows ride the shuffle; a document
     contributes O(words) rows. Hot shingles (boilerplate n-grams shared
-    by k docs) cost k² partial pairs — ``max_df`` drops shingles with
-    within-partition document frequency above the cap (a RECALL
-    tradeoff, off by default; the exact oracle requires no cap).
+    by k docs) cost k² partial pairs — the quadratic corner of this
+    plan — so the PRODUCTION DEFAULT caps them: shingles with
+    within-partition document frequency above ``max_df`` (default 1000)
+    are dropped, every drop counted on the cap-metrics actor under
+    ``jaccard_pairs_exact.dropped_shingle_rows`` and logged (a RECALL
+    tradeoff: a true near-dup pair whose overlap is ONLY boilerplate
+    can be missed). Pass ``max_df=None`` for the uncapped exact form
+    the DuckDB oracle mirrors — required for oracle parity, quadratic
+    in the hottest shingle's document frequency.
     """
     from ray.data.aggregate import Min, Sum
 
@@ -661,7 +707,12 @@ def jaccard_pairs_exact(ds, *, shingle_size: int = 5,
         df = group[["sh", id_col, "n_sh"]]
         if max_df is not None:
             sizes = df.groupby("sh")[id_col].transform("size")
-            df = df[sizes <= max_df]
+            kept = df[sizes <= max_df]
+            if len(kept) < len(df):
+                from .metrics import record_drop
+                record_drop("jaccard_pairs_exact.dropped_shingle_rows",
+                            len(df) - len(kept))
+            df = kept
         m = df.merge(df, on="sh")
         m = m[m[ix] < m[iy]]
         g = m.groupby([ix, iy, "n_sh_x", "n_sh_y"], as_index=False).size()

@@ -17,8 +17,10 @@ North-rule obligations implemented here (SURVEY.md §4):
 * output: ``out_dir/data/partition_id=N/...parquet`` (one dir per
   partition — resumable, never one giant file) + ``out_dir/_lineage/
   N.json`` (rows, bytes, errors, wall ms, engine version);
-* lineage is derived from the written Parquet footers (no second
-  execution of the pipeline, no extra shuffle).
+* lineage is derived from the written output: row counts from Parquet
+  footers (metadata only), byte/error sums from one DISTRIBUTED
+  column-pruned aggregate over the two int64 stat columns — no second
+  execution of the pipeline and zero driver-side data decoding.
 
 The whole flow is streaming: one pass over the input, blocks flow
 through the object store with backpressure; nothing is materialized.
@@ -141,32 +143,59 @@ def run_extraction(
 
 
 def write_lineage(out_dir: str, wall_ms: int) -> dict:
-    """Derive per-partition lineage from written Parquet footers."""
+    """Derive per-partition lineage WITHOUT driver-side data reads.
+
+    Row counts per file come from Parquet FOOTER metadata only
+    (``pq.ParquetFile(...).metadata.num_rows`` decodes no data pages);
+    the ``doc_bytes`` / ``parse_errors`` sums — which footers do not
+    store — come from ONE distributed column-pruned aggregate over the
+    written output (two int64 columns, RLE/delta-encoded, executed by
+    Ray workers). The driver touches only directory listings, footers,
+    and the final ≤``num_partitions``-row aggregate table. Exact and
+    retry-safe (derived from what was actually written, not from
+    in-flight actor counters)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
     data_dir = os.path.join(out_dir, DATA_DIR)
     lin_dir = os.path.join(out_dir, LINEAGE_DIR)
     os.makedirs(lin_dir, exist_ok=True)
-    total_rows = 0
-    total_bytes = 0
-    total_errors = 0
-    n_parts = 0
+
+    files_by_pid: dict[int, list[str]] = {}
+    rows_by_pid: dict[int, int] = {}
     for name in sorted(os.listdir(data_dir)):
         if not name.startswith("partition_id="):
             continue
         pid = int(name.split("=", 1)[1])
         pdir = os.path.join(data_dir, name)
-        rows = 0
-        doc_bytes = 0
-        errors = 0
-        files = []
-        for f in sorted(os.listdir(pdir)):
-            if not f.endswith(".parquet"):
-                continue
-            path = os.path.join(pdir, f)
-            t = pq.read_table(path, columns=["doc_bytes", "parse_errors"])
-            rows += t.num_rows
-            doc_bytes += pc.sum(t.column("doc_bytes")).as_py() or 0
-            errors += pc.sum(t.column("parse_errors")).as_py() or 0
-            files.append(f)
+        files = [f for f in sorted(os.listdir(pdir))
+                 if f.endswith(".parquet")]
+        files_by_pid[pid] = files
+        rows_by_pid[pid] = sum(
+            pq.ParquetFile(os.path.join(pdir, f)).metadata.num_rows
+            for f in files)
+
+    stats_by_pid: dict[int, tuple[int, int, int]] = {}
+    if files_by_pid:
+        agg = (rd.read_parquet(
+                   data_dir,
+                   columns=["doc_bytes", "parse_errors", "partition_id"])
+               .groupby("partition_id")
+               .aggregate(Count(alias_name="rows"),
+                          Sum("doc_bytes", alias_name="doc_bytes"),
+                          Sum("parse_errors", alias_name="parse_errors")))
+        for r in agg.take_all():     # ≤ num_partitions rows — tiny
+            stats_by_pid[int(r["partition_id"])] = (
+                int(r["rows"]), int(r["doc_bytes"] or 0),
+                int(r["parse_errors"] or 0))
+
+    total_rows = total_bytes = total_errors = n_parts = 0
+    for pid, files in files_by_pid.items():
+        rows, doc_bytes, errors = stats_by_pid.get(pid, (0, 0, 0))
+        if rows != rows_by_pid[pid]:   # footer cross-check
+            raise RuntimeError(
+                f"lineage row mismatch for partition {pid}: footers say "
+                f"{rows_by_pid[pid]}, aggregate says {rows}")
         lineage = {
             "partition_id": pid,
             "rows": rows,

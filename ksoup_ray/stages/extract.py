@@ -180,7 +180,6 @@ class ParseExtract:
         out_spans: list[list] = []
         out_errors: list[int] = []
         out_bytes: list[int] = []
-        out_part: list[int] = []
         for url, raw in zip(urls, htmls):
             raw = raw or b""
             size = len(raw)
@@ -197,9 +196,21 @@ class ParseExtract:
             out_spans.append(rec["spans"])
             out_errors.append(rec["parse_errors"])
             out_bytes.append(size)
-            out_part.append(_partition_of(url, self.num_partitions))
             self.docs += 1
             self.bytes += size
+        # partition_id / doc_bytes are computed ONCE at ingest
+        # (_add_ingest_columns) and passed through; fall back to local
+        # computation only when the stage runs standalone
+        if "partition_id" in batch.column_names:
+            part_col = batch.column("partition_id").cast(pa.int32())
+        else:
+            part_col = pa.array(
+                [_partition_of(u, self.num_partitions) for u in urls],
+                pa.int32())
+        if "doc_bytes" in batch.column_names:
+            bytes_col = batch.column("doc_bytes").cast(pa.int64())
+        else:
+            bytes_col = pa.array(out_bytes, pa.int64())
         return pa.table({
             "url": batch.column("url"),
             "extracted_text": pa.array(out_text, pa.string()),
@@ -209,8 +220,8 @@ class ParseExtract:
             "spans": pa.array(out_spans, SPANS_TYPE),
             "lang": pa.array(langs, pa.string()),
             "parse_errors": pa.array(out_errors, pa.int32()),
-            "doc_bytes": pa.array(out_bytes, pa.int64()),
-            "partition_id": pa.array(out_part, pa.int32()),
+            "doc_bytes": bytes_col,
+            "partition_id": part_col,
         })
 
 

@@ -115,3 +115,20 @@ def test_cosine_near_dup_planted_duplicates(ray_session):
     got = _pairs_df(cosine_near_dup_pairs(rd.from_arrow(t), threshold=0.95,
                                           bits=2, num_tables=24))
     assert got == [(5, 40)]
+
+
+def test_minhasher_word_cache_bounded():
+    """Worker memory must stay bounded at corpus scale: the vocabulary
+    cache evicts when it exceeds its cap, without changing hashes."""
+    import numpy as np
+    from ksoup_ray.functions.dedup import MinHasher
+
+    mh = MinHasher(num_hashes=8)
+    mh._word_cache_max = 100
+    for i in range(300):
+        mh.shingle_hashes(f"word{i} filler{i} extra{i}")
+    assert len(mh._word_cache) <= 101
+    fresh = MinHasher(num_hashes=8)
+    text = "alpha beta gamma delta epsilon"
+    assert np.array_equal(mh.shingle_hashes(text),
+                          fresh.shingle_hashes(text))

@@ -76,13 +76,35 @@ def _parse_both(html):
     return ref, fast
 
 
+def _attr_ranges(doc):
+    out = []
+    for el in doc.select("*"):
+        attrs = el.attributes()
+        if attrs is None:
+            continue
+        for k, _ in attrs:
+            out.append((el.tag_name(), k, attrs.source_range(k)))
+    return out
+
+
 @pytest.mark.parametrize("html", CASES)
 def test_fast_p_run_differential(html):
     ref, fast = _parse_both(html)
     assert fast.outer_html() == ref.outer_html()
     assert fast.text() == ref.text()
     assert _spans(fast) == _spans(ref)
+    assert _attr_ranges(fast) == _attr_ranges(ref)
     assert fast.parse_errors == ref.parse_errors
+
+
+def test_fast_p_run_attr_source_ranges():
+    """The fast path must stamp attribute name/value source ranges
+    identically to the generic path (round-3 advice item)."""
+    html = '<p>a</p><p class="x">b</p><p class="yy zz">c</p>'
+    ref, fast = _parse_both(html)
+    assert _attr_ranges(fast) == _attr_ranges(ref)
+    p2 = fast.select("p")[1]
+    assert p2.attributes().source_range("class") == (11, 16, 18, 19)
 
 
 def test_fast_p_run_random_soup():

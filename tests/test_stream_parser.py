@@ -290,3 +290,32 @@ def test_can_stream_fragment_xml():
         nodes = parser.complete_fragment()
         assert len(nodes) == 3
         assert nodes[0].node_name() == "tr"
+
+
+def test_eof_spans_match_parse_entry_point():
+    """StreamParser.complete() must stamp the same implicit zero-width
+    EOF end ranges as Parser.parse — positions output is identical
+    between the two documented-equivalent entry points (round-3
+    advice item)."""
+    from ksoup_ray.engine import parser as KP
+
+    for html in ["<div><p>hello", "<div><span>x</span>",
+                 "<ul><li>a<li>b", "plain text only", ""]:
+        d1 = KP.parse(html)
+        d2 = StreamParser().parse(html, "").complete()
+        for n1, n2 in zip(d1.node_stream(), d2.node_stream()):
+            assert n1.node_name() == n2.node_name()
+            assert getattr(n1, "end_span", None) == \
+                getattr(n2, "end_span", None), (html, n1.node_name())
+        assert d1.end_span == d2.end_span
+
+
+def test_eof_spans_match_xml_entry_point():
+    from ksoup_ray.engine import parser as KP
+
+    html = "<root><open><leaf>t"
+    d1 = KP.parse_xml(html)
+    d2 = StreamParser(xml=True).parse(html, "").complete()
+    for n1, n2 in zip(d1.node_stream(), d2.node_stream()):
+        assert getattr(n1, "end_span", None) == \
+            getattr(n2, "end_span", None), n1.node_name()

@@ -514,25 +514,30 @@ def _q_sanitize(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
-    """Multimodal plumbing, value-checked on everything except the
-    stubbed decode kernel itself: payload size, typed metadata
-    (media_type/format by doc_id), and the stub decoder's fixed 4×4
-    shape all have closed forms the DuckDB oracle states."""
+    """Multimodal decode, value-checked END-TO-END for the formats this
+    container can really decode: the synthetic generator emits genuine
+    PPM images and PCM WAVs whose decoded width/height/duration are
+    closed-form in doc_id, and the MediaFeatures actor stage REALLY
+    decodes them (functions/codecs.py — pure numpy/stdlib). Only the
+    compressed video format stays a stub (NULL decoded columns). The
+    oracle recomputes the closed forms, so a broken decoder fails the
+    hash check."""
     import ray.data as rd
-    from ksoup_ray.functions.multimodal import ImageFeatures, synth_media_batch
+    from ksoup_ray.functions.multimodal import MediaFeatures, synth_media_batch
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     media = ds.map_batches(synth_media_batch, batch_format="pyarrow")
-    out = media.map_batches(ImageFeatures, batch_format="pyarrow",
+    out = media.map_batches(MediaFeatures, batch_format="pyarrow",
                             batch_size=32, concurrency=(1, 2))
 
     def finalize(batch: pa.Table) -> pa.Table:
         meta = batch.column("meta")
         return pa.table({
             "media_id": batch.column("media_id"),
-            "width": batch.column("width"),
-            "height": batch.column("height"),
+            "width": batch.column("decoded_width"),
+            "height": batch.column("decoded_height"),
+            "duration_ms": batch.column("decoded_duration_ms"),
             "n_bytes": pc.cast(pc.binary_length(batch.column("media")),
                                pa.int64()),
             "media_type": pc.struct_field(meta, "media_type"),
@@ -992,13 +997,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "media_features": """
+            -- closed forms of the DECODED values: the Ray side gets
+            -- width/height by decoding the PPM payload and duration
+            -- by parsing the WAV header, so a decoder bug breaks the
+            -- hash match. n_bytes: PPM = 9 + digits(w) + digits(h)
+            -- + 3wh; WAV = 44-byte PCM header + 2 bytes/sample
+            -- @1000 Hz; video blob = 256.
             SELECT doc_id AS media_id,
-                   CAST(4 AS INTEGER) AS width,
-                   CAST(4 AS INTEGER) AS height,
-                   CAST(256 AS BIGINT) AS n_bytes,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN CAST(4 + doc_id % 13 AS INTEGER) END AS width,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN CAST(3 + doc_id % 7 AS INTEGER) END AS height,
+                   CASE WHEN doc_id % 3 = 1
+                        THEN CAST(1000 + doc_id % 5000 AS INTEGER)
+                        END AS duration_ms,
+                   CASE doc_id % 3
+                        WHEN 0 THEN CAST(
+                            9 + LENGTH(CAST(4 + doc_id % 13 AS VARCHAR))
+                              + LENGTH(CAST(3 + doc_id % 7 AS VARCHAR))
+                              + 3 * (4 + doc_id % 13) * (3 + doc_id % 7)
+                            AS BIGINT)
+                        WHEN 1 THEN CAST(44 + 2 * (1000 + doc_id % 5000)
+                                         AS BIGINT)
+                        ELSE CAST(256 AS BIGINT) END AS n_bytes,
                    CASE doc_id % 3 WHEN 0 THEN 'image'
                         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-                   CASE doc_id % 3 WHEN 0 THEN 'png'
+                   CASE doc_id % 3 WHEN 0 THEN 'ppm'
                         WHEN 1 THEN 'wav' ELSE 'mp4' END AS format
             FROM documents
         """,

@@ -30,6 +30,10 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "20000"))
 PAD_SCALE = int(os.environ.get("GRAFT_BENCH_PAD_SCALE", "3"))
 CACHE_ROOT = os.environ.get("GRAFT_BENCH_CACHE", "/tmp/ksoup_bench")
+# --scaling writes its pair-level evidence here; plain bench runs embed
+# it into their JSON line so the per-round bench artifact carries it
+SCALING_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SCALING.json")
 
 
 def log(msg: str) -> None:
@@ -189,7 +193,7 @@ def bench_once() -> dict:
 
     queries = {"extract": round(headline["sec"], 3)}
     queries.update({k: round(v, 3) for k, v in secondary.items()})
-    return {
+    out = {
         "metric": ("documents/sec (and HTML MB/sec) extracted "
                    "byte-identical on CC-style parquet shards"),
         "value": round(headline["sec"], 3),
@@ -202,6 +206,17 @@ def bench_once() -> dict:
         "docs_per_sec": round(headline["docs_per_sec"], 1),
         "mb_per_sec": round(headline["mb_per_sec"], 2),
     }
+    # embed the most recent --scaling artifact (pair-level evidence for
+    # the N -> 4N efficiency bar) so the per-round bench JSON carries
+    # it; a scaling run is ~25 min and is re-run explicitly, not per
+    # bench invocation. Skipped in scaling-mode subprocesses.
+    if not os.environ.get("GRAFT_SCALE_WORKERS"):
+        try:
+            with open(SCALING_PATH) as fh:
+                out["scaling"] = json.load(fh)
+        except (OSError, ValueError):
+            pass
+    return out
 
 
 def bench_scaling() -> dict:
@@ -254,7 +269,7 @@ def bench_scaling() -> dict:
     ]
     best_i = max(range(len(pairs)), key=lambda i: pairs[i])
     l_best, h_best = results[lo][best_i], results[hi][best_i]
-    return {
+    result = {
         "metric": f"scaling efficiency ({lo} -> {hi} extraction workers "
                   "+ proportional aux, sandbox proxy for N -> 4N nodes; "
                   "pairwise over interleaved reps, best pair)",
@@ -266,8 +281,28 @@ def bench_scaling() -> dict:
         f"docs_per_sec_{hi}": h_best["docs_per_sec"],
         "scaling_efficiency": pairs[best_i],
         "pair_efficiencies": pairs,
+        # pair-level evidence: every interleaved rep's raw seconds +
+        # throughput at both levels, in run order, so the efficiency
+        # math is re-derivable from this artifact alone
+        "reps": [
+            {"rep": i + 1,
+             f"sec_{lo}": results[lo][i]["value"],
+             f"sec_{hi}": results[hi][i]["value"],
+             f"mb_per_sec_{lo}": results[lo][i]["mb_per_sec"],
+             f"mb_per_sec_{hi}": results[hi][i]["mb_per_sec"],
+             "pair_efficiency": pairs[i]}
+            for i in range(len(pairs))
+        ],
+        "workers_lo": lo,
+        "workers_hi": hi,
+        "docs": h_best["docs"],
+        "input_mb": h_best["input_mb"],
         "sf": h_best["sf"],
     }
+    with open(SCALING_PATH, "w") as fh:
+        json.dump(result, fh, indent=1)
+    log(f"bench --scaling: wrote {SCALING_PATH}")
+    return result
 
 
 if __name__ == "__main__":

@@ -2248,6 +2248,54 @@ class FormElement(Element):
     def add_element(self, element: Element) -> None:
         self.form_elements.append(element)
 
+    def elements(self) -> list[Element]:
+        """Form controls associated with this form
+        (FormElement.kt:28-37): current submittable descendants, plus
+        parse-time linked controls that the parse rules moved outside
+        the form but are still attached to a document."""
+        els = [e for e in self.stream()
+               if e is not self and e.tag.is_form_submittable]
+        for linked in self.form_elements:
+            if linked.owner_document() is not None and linked not in els:
+                els.append(linked)
+        return els
+
+    def form_data(self) -> list[tuple[str, str]]:
+        """Assemble the (name, value) pairs this form would submit —
+        jsoup's FormElement.formData() semantics (the reference dropped
+        the helper with its network-module split; the node type and
+        control linking at FormElement.kt:18 are what it builds on):
+        skip disabled/unnamed/button/image controls; selects emit every
+        selected option (first option as fallback); checkbox/radio only
+        when checked, defaulting to 'on'."""
+        data: list[tuple[str, str]] = []
+        for el in self.elements():
+            if not el.tag.is_form_submittable:
+                continue
+            if el.has_attr("disabled"):
+                continue
+            name = el.attr("name")
+            if not name:
+                continue
+            typ = el.attr("type").lower()
+            if typ in ("button", "image"):
+                continue
+            if el.normal_name() == "select":
+                had_selected = False
+                for opt in el.select("option[selected]"):
+                    data.append((name, opt.value()))
+                    had_selected = True
+                if not had_selected:
+                    opt = el.select_first("option")
+                    if opt is not None:
+                        data.append((name, opt.value()))
+            elif typ in ("checkbox", "radio"):
+                if el.has_attr("checked"):
+                    data.append((name, el.value() or "on"))
+            else:
+                data.append((name, el.value()))
+        return data
+
 
 class PseudoTextElement(Element):
     """Elements inserted by :matchText (Element.kt PseudoTextElement)."""

@@ -505,7 +505,8 @@ def embedding_near_dup(ds, threshold: float = 0.95,
     planes_holder = {}
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
+        from .similarity import vecs_from_arrow
+        vecs = vecs_from_arrow(batch.column(vec_col), np.float32)
         if "planes" not in planes_holder:
             rng = np.random.RandomState(seed)
             nbits = max(1, int(np.log2(num_buckets)))
@@ -519,7 +520,7 @@ def embedding_near_dup(ds, threshold: float = 0.95,
         return batch.append_column("sim_bucket", pa.array(bucket, pa.int64()))
 
     def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        vecs = np.array(group[vec_col].tolist(), dtype=np.float32)
+        vecs = np.stack(group[vec_col].to_numpy()).astype(np.float32)
         ids = group[id_col].to_numpy()
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
@@ -773,7 +774,8 @@ def cosine_near_dup_pairs(ds, *, threshold: float = 0.465, bits: int = 2,
     planes_holder: dict[str, np.ndarray] = {}
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        from .similarity import vecs_from_arrow
+        vecs = vecs_from_arrow(batch.column(vec_col), np.float64)
         n = len(vecs)
         if n == 0:
             return pa.table({"t": pa.array([], pa.int32()),
@@ -801,7 +803,7 @@ def cosine_near_dup_pairs(ds, *, threshold: float = 0.465, bits: int = 2,
     rows = ds.map_batches(bucketize, batch_format="pyarrow")
 
     def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        vecs = np.array(group[vec_col].tolist(), dtype=np.float64)
+        vecs = np.stack(group[vec_col].to_numpy()).astype(np.float64)
         ids = group[id_col].to_numpy()
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0

@@ -1,13 +1,18 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, processed by actor-pool stages.
 
-The image/audio decode libraries are NOT in this container, so the
-decode kernels are STUBS (clearly marked): ``decode_stub=True`` (the
-default) runs a deterministic fake that exercises the real Ray-side
-plumbing — schema, batch sizing, actor signature, output layout — and
-is what the tests cover. Setting ``decode_stub=False`` raises
-``NotImplementedError`` at the decode step, which is where a real
-Pillow/torchaudio/ffmpeg call plugs in.
+Decode status (honest accounting):
+
+* UNCOMPRESSED formats — binary PPM, 24-bit BMP, PCM WAV — have REAL
+  pure-numpy/stdlib decoders (``functions/codecs.py``) and are decoded
+  end-to-end: the synthetic generator emits genuine PPM/WAV payloads
+  whose decoded width/height/duration are closed-form in doc_id, so
+  the decode step itself is value-checked by the DuckDB oracle.
+* COMPRESSED formats (png/jpeg/mp4/...) need Pillow/cv2/ffmpeg, which
+  are NOT in this container — those paths raise ``NotImplementedError``
+  at the decode call (clearly marked below), which is where the real
+  library call plugs in. ``decode_stub=True`` substitutes a
+  deterministic fake so the Ray-side plumbing stays exercised.
 
 Scale notes: binary payloads are large → run these stages with a SMALL
 ``batch_size`` (16-64) and let ``DataContext.target_max_block_size``
@@ -22,9 +27,12 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from .codecs import (decode_bmp, decode_ppm, encode_ppm, encode_wav,
+                     wav_duration_ms)
+
 MEDIA_META = pa.struct([
     ("media_type", pa.string()),    # image | audio | video
-    ("format", pa.string()),        # png/jpeg/wav/...
+    ("format", pa.string()),        # ppm/bmp/wav/png/mp4/...
     ("width", pa.int32()),
     ("height", pa.int32()),
     ("duration_ms", pa.int32()),
@@ -32,8 +40,8 @@ MEDIA_META = pa.struct([
 
 
 def _fake_decode_image(data: bytes) -> np.ndarray:
-    """Deterministic stand-in for an image decoder: derives a tiny
-    pseudo-'pixel' array from the payload bytes."""
+    """Deterministic stand-in for a COMPRESSED-format image decoder:
+    derives a tiny pseudo-'pixel' array from the payload bytes."""
     h = hashlib.blake2b(data, digest_size=16).digest()
     side = 4
     arr = np.frombuffer((h * (side * side * 3 // 16 + 1))[: side * side * 3],
@@ -41,26 +49,50 @@ def _fake_decode_image(data: bytes) -> np.ndarray:
     return arr.reshape(side, side, 3)
 
 
+def decode_image(data: bytes) -> np.ndarray:
+    """REAL image decode for the uncompressed formats this container
+    can handle: P6 PPM and 24-bit BMP, dispatched on magic bytes.
+    Compressed formats are where Pillow/cv2 plugs in."""
+    if data[:2] == b"P6":
+        return decode_ppm(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    raise NotImplementedError(
+        "compressed image decode (png/jpeg/...) requires Pillow/cv2 — "
+        "not in this container; plug the decoder in here")
+
+
+def _resample_to(img: np.ndarray, side: int) -> np.ndarray:
+    """Nearest-neighbor resize to (side, side, 3) — pure index math,
+    the fixed-size front end of the feature projection."""
+    h, w = img.shape[:2]
+    ys = np.minimum((np.arange(side) * h) // side, h - 1)
+    xs = np.minimum((np.arange(side) * w) // side, w - 1)
+    return img[np.ix_(ys, xs)]
+
+
 class ImageFeatures:
     """Actor-pool stage: binary image column → feature vector + shape.
 
-    Real decoder loads once per actor in __init__ (model-load pattern);
-    here the stub 'model' is a fixed projection matrix.
-    """
+    Real decoder + projection 'model' load once per actor in __init__
+    (model-load pattern). With ``decode_stub=False`` the stage REALLY
+    decodes PPM/BMP payloads (variable size; nearest-neighbor
+    resampled to 4×4 before projection); compressed formats raise at
+    the decode call. ``decode_stub=True`` keeps the fixed fake."""
 
     def __init__(self, media_col: str = "media", dim: int = 16,
                  decode_stub: bool = True, seed: int = 5):
         self.media_col = media_col
         self.decode_stub = decode_stub
         rng = np.random.RandomState(seed)
-        self.projection = rng.randn(4 * 4 * 3, dim).astype(np.float32)
+        self.side = 4
+        self.projection = rng.randn(self.side * self.side * 3,
+                                    dim).astype(np.float32)
 
     def _decode(self, data: bytes) -> np.ndarray:
         if self.decode_stub:
             return _fake_decode_image(data)
-        raise NotImplementedError(
-            "real image decode requires Pillow/cv2 — not in this container; "
-            "plug the decoder in here")
+        return decode_image(data)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.media_col).to_pylist()
@@ -68,15 +100,55 @@ class ImageFeatures:
         shapes: list[tuple[int, int]] = []
         for data in payloads:
             img = self._decode(data or b"")
-            flat = img.astype(np.float32).ravel() / 255.0
-            feats.append((flat @ self.projection).tolist())
             shapes.append((img.shape[1], img.shape[0]))
+            small = _resample_to(img, self.side)
+            flat = small.astype(np.float32).ravel() / 255.0
+            feats.append((flat @ self.projection).tolist())
         out = batch.append_column(
             "features", pa.array(feats, pa.list_(pa.float32())))
         out = out.append_column(
             "width", pa.array([s[0] for s in shapes], pa.int32()))
         out = out.append_column(
             "height", pa.array([s[1] for s in shapes], pa.int32()))
+        return out
+
+
+class MediaFeatures:
+    """Actor-pool stage over a MIXED media table: dispatch on the typed
+    metadata and decode what the container really can — PPM/BMP images
+    → decoded width/height, PCM WAV audio → decoded duration — leaving
+    NULLs for the stubbed compressed formats (video here). The decoded
+    columns are the oracle-checked proof the decode path runs."""
+
+    def __init__(self, media_col: str = "media", meta_col: str = "meta"):
+        self.media_col = media_col
+        self.meta_col = meta_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.media_col).to_pylist()
+        metas = batch.column(self.meta_col).to_pylist()
+        widths: list[int | None] = []
+        heights: list[int | None] = []
+        durations: list[int | None] = []
+        for data, meta in zip(payloads, metas):
+            mt = (meta or {}).get("media_type")
+            w = h = d = None
+            if mt == "image":
+                img = decode_image(data or b"")
+                h_, w_ = img.shape[:2]
+                w, h = int(w_), int(h_)
+            elif mt == "audio":
+                d = wav_duration_ms(data or b"")
+            # video: compressed (mp4) — decode stays stubbed, NULLs out
+            widths.append(w)
+            heights.append(h)
+            durations.append(d)
+        out = batch.append_column("decoded_width",
+                                  pa.array(widths, pa.int32()))
+        out = out.append_column("decoded_height",
+                                pa.array(heights, pa.int32()))
+        out = out.append_column("decoded_duration_ms",
+                                pa.array(durations, pa.int32()))
         return out
 
 
@@ -115,24 +187,57 @@ class FrameSampler:
         })
 
 
+def _pixels(doc_id: int, n: int) -> np.ndarray:
+    """n deterministic bytes from a doc_id-keyed blake2b stream."""
+    out = bytearray()
+    counter = 0
+    while len(out) < n:
+        out += hashlib.blake2b(f"{doc_id}:{counter}".encode(),
+                               digest_size=64).digest()
+        counter += 1
+    return np.frombuffer(bytes(out[:n]), dtype=np.uint8)
+
+
 def synth_media_batch(batch: pa.Table) -> pa.Table:
-    """Deterministic opaque media payloads from the documents table —
-    the test/bench stand-in for real crawled bytes."""
+    """Deterministic media payloads from the documents table — the
+    test/bench stand-in for real crawled bytes. Image and audio rows
+    are REAL PPM / PCM-WAV payloads (decodable by functions/codecs.py)
+    whose decoded dimensions are closed-form in doc_id:
+
+    * image (doc_id%3==0): PPM, width = 4 + doc_id%13,
+      height = 3 + doc_id%7 → n_bytes = 9 + len(str(w)) + len(str(h))
+      + 3*w*h;
+    * audio (doc_id%3==1): mono 16-bit WAV @ 1000 Hz,
+      duration_ms = 1000 + doc_id%5000 → n_bytes = 44 + 2*duration_ms;
+    * video (doc_id%3==2): opaque 256-byte blob (compressed-format
+      stand-in; decode stays stubbed).
+    """
     doc_ids = batch.column("doc_id").to_pylist()
-    texts = batch.column("text").to_pylist()
     payloads: list[bytes] = []
     metas: list[dict] = []
-    for doc_id, text in zip(doc_ids, texts):
-        seed = f"{doc_id}:{len(text or '')}".encode()
-        blob = hashlib.blake2b(seed, digest_size=32).digest() * 8
-        payloads.append(blob)
-        metas.append({
-            "media_type": ("image", "audio", "video")[doc_id % 3],
-            "format": ("png", "wav", "mp4")[doc_id % 3],
-            "width": 4 if doc_id % 3 == 0 else None,
-            "height": 4 if doc_id % 3 == 0 else None,
-            "duration_ms": 1000 + doc_id % 5000 if doc_id % 3 else None,
-        })
+    for doc_id in doc_ids:
+        kind = doc_id % 3
+        if kind == 0:
+            w = 4 + doc_id % 13
+            h = 3 + doc_id % 7
+            img = _pixels(doc_id, w * h * 3).reshape(h, w, 3)
+            payloads.append(encode_ppm(img))
+            metas.append({"media_type": "image", "format": "ppm",
+                          "width": w, "height": h, "duration_ms": None})
+        elif kind == 1:
+            duration_ms = 1000 + doc_id % 5000
+            samples = _pixels(doc_id, duration_ms * 2).view(np.int16)
+            payloads.append(encode_wav(samples, rate=1000))
+            metas.append({"media_type": "audio", "format": "wav",
+                          "width": None, "height": None,
+                          "duration_ms": duration_ms})
+        else:
+            blob = hashlib.blake2b(f"{doc_id}:video".encode(),
+                                   digest_size=32).digest() * 8
+            payloads.append(blob)
+            metas.append({"media_type": "video", "format": "mp4",
+                          "width": None, "height": None,
+                          "duration_ms": 1000 + doc_id % 5000})
     return pa.table({
         "media_id": batch.column("doc_id"),
         "media": pa.array(payloads, pa.binary()),

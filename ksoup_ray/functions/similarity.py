@@ -22,6 +22,33 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def vecs_from_arrow(col, dtype=np.float64) -> np.ndarray:
+    """(n, d) matrix from a ``list<float>`` / ``fixed_size_list`` Arrow
+    column — ZERO-COPY from the values buffer (no ``to_pylist`` Python
+    object round-trip; the only copy is the requested dtype upcast).
+    Raises on ragged rows (embeddings must be fixed-dim)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    if isinstance(col, pa.FixedSizeListArray):
+        d = col.type.list_size
+        flat = col.values.to_numpy(zero_copy_only=False)
+        off = col.offset * d
+        m = flat[off:off + n * d].reshape(n, d)
+    else:
+        offs = np.asarray(col.offsets)        # slice-adjusted (n+1,)
+        widths = np.diff(offs)
+        d = int(widths[0])
+        if not (widths == d).all():
+            raise ValueError("ragged embedding column (rows of unequal "
+                             "length)")
+        flat = col.values.to_numpy(zero_copy_only=False)
+        m = flat[offs[0]:offs[-1]].reshape(n, d)
+    return m.astype(dtype, copy=False)
+
+
 class BruteForceScorer:
     """Actor: the broadcast query matrix is fetched ONCE per actor in
     __init__ (ray.put on the driver → zero-copy reads here)."""
@@ -38,8 +65,7 @@ class BruteForceScorer:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch.column(self.vec_col).to_pylist(),
-                        dtype=np.float32)
+        vecs = vecs_from_arrow(batch.column(self.vec_col), np.float32)
         ids = np.asarray(batch.column(self.id_col).to_pylist())
         unit = _normalize(vecs)
         sims = unit @ self.queries.T  # (batch, Q)
@@ -106,8 +132,7 @@ class SeededIVFScorer:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch.column(self.vec_col).to_pylist(),
-                        dtype=np.float64)
+        vecs = vecs_from_arrow(batch.column(self.vec_col), np.float64)
         ids = np.asarray(batch.column(self.id_col).to_pylist())
         unit = _normalize(vecs)
         # Voronoi assignment; ties break to the LOWEST cell id (argmax
@@ -229,7 +254,7 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, num_centroids: int = 16,
             self.probed = set(ray.get(probed_ref).tolist())
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = _normalize(np.array(batch.column(vec_col).to_pylist(),
+            vecs = _normalize(vecs_from_arrow(batch.column(vec_col),
                                        dtype=np.float32))
             assign = (vecs @ self.cents.T).argmax(axis=1)
             mask = np.isin(assign, list(self.probed))
@@ -257,8 +282,8 @@ class CentroidAssigner:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _normalize(np.array(batch.column(self.vec_col).to_pylist(),
-                                   dtype=np.float64))
+        vecs = _normalize(
+            vecs_from_arrow(batch.column(self.vec_col), np.float64))
         assign = (vecs @ self.cents.T).argmax(axis=1)
         return pa.table({
             self.id_col: batch.column(self.id_col),

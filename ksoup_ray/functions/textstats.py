@@ -123,30 +123,63 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def rolling_hash_batch(batch: pa.Table, text_col: str = "text",
-                       window: int = 16, base: int = 257,
-                       mod: int = (1 << 61) - 1) -> pa.Table:
-    """Polynomial rolling-hash fingerprint (Rabin-Karp style) over bytes —
-    the winnowing building block. Deterministic; no SQL oracle (rows-only
-    check)."""
+                       window: int = 16, base: int = 257) -> pa.Table:
+    """Polynomial rolling-hash fingerprint (Rabin-Karp style) over bytes
+    — the winnowing building block: min window-hash per document.
+
+    FULLY VECTORIZED: all documents' bytes concatenate into ONE numpy
+    buffer; ``window`` shifted multiply-adds compute every window hash
+    (wrapping uint64 polynomial — deterministic everywhere), and one
+    ``minimum.reduceat`` takes each document's min over its own valid
+    windows (windows crossing document boundaries are excluded by the
+    segment math). Documents shorter than ``window`` hash whole.
+    Deterministic; no SQL oracle (rows-only check)."""
     texts = batch.column(text_col).to_pylist()
-    mins: list[int] = []
-    for t in texts:
-        data = (t or "").encode()
-        if len(data) < window:
-            h = 0
-            for b in data:
-                h = (h * base + b) % mod
-            mins.append(h)
-            continue
-        h = 0
-        pw = pow(base, window - 1, mod)
-        lo = None
-        for i, b in enumerate(data):
-            if i >= window:
-                h = (h - data[i - window] * pw) % mod
-            h = (h * base + b) % mod
-            if i >= window - 1:
-                lo = h if lo is None or h < lo else lo
-        mins.append(lo or 0)
+    n_docs = len(texts)
+    if n_docs == 0:
+        return batch.append_column("rolling_min_hash",
+                                   pa.array([], pa.uint64()))
+    b = np.uint64(base)
+    payloads = [(t or "").encode() for t in texts]
+    lens = np.array([len(p) for p in payloads], dtype=np.int64)
+    mins = np.zeros(n_docs, dtype=np.uint64)
+
+    # short docs (len < window): whole-doc polynomial, padded matrix
+    short = lens < window
+    if short.any():
+        sidx = np.nonzero(short)[0]
+        w = int(lens[sidx].max()) if len(sidx) else 0
+        mat = np.zeros((len(sidx), w), dtype=np.uint64)
+        for r, i in enumerate(sidx):
+            d = np.frombuffer(payloads[i], dtype=np.uint8)
+            mat[r, :len(d)] = d
+        acc = np.zeros(len(sidx), dtype=np.uint64)
+        # zero-padding right of the payload would change the hash —
+        # run the Horner step only while j < len (mask the rest)
+        for j in range(w):
+            live = j < lens[sidx]
+            acc[live] = acc[live] * b + mat[live.nonzero()[0], j]
+        mins[sidx] = acc
+
+    long_idx = np.nonzero(~short)[0]
+    if len(long_idx):
+        data = np.frombuffer(b"".join(payloads[i] for i in long_idx),
+                             dtype=np.uint8).astype(np.uint64)
+        starts = np.zeros(len(long_idx), dtype=np.int64)
+        np.cumsum(lens[long_idx][:-1], out=starts[1:])
+        n_out = len(data) - window + 1
+        acc = np.zeros(n_out, dtype=np.uint64)
+        for j in range(window):
+            acc = acc * b + data[j:j + n_out]
+        # valid windows of doc i: [starts[i], starts[i] + len_i - w]
+        # — reduceat over [valid_start, invalid_tail) pairs, keeping
+        # only the even segments (the odd ones cover boundary windows)
+        valid_ends = starts + lens[long_idx] - window + 1
+        bounds = np.empty(2 * len(long_idx), dtype=np.int64)
+        bounds[0::2] = starts
+        bounds[1::2] = valid_ends
+        segs = np.minimum.reduceat(acc, np.minimum(bounds[:-1], n_out - 1))
+        mins[long_idx] = segs[0::2]
+
     return batch.append_column("rolling_min_hash",
                                pa.array(mins, pa.uint64()))

@@ -208,10 +208,79 @@ def test_multimodal_stub_plumbing(ray_session, documents_path):
     frames = media.map_batches(FrameSampler, batch_format="pyarrow",
                                batch_size=16, concurrency=1).to_pandas()
     assert len(frames) == 90  # 3 frames per row
-    # real decode is explicitly stubbed
+    # compressed-format decode is explicitly stubbed
     img = ImageFeatures(decode_stub=False)
     with pytest.raises(NotImplementedError):
-        img(pa.table({"media": pa.array([b"x"], pa.binary())}))
+        img(pa.table({"media": pa.array([b"\x89PNG"], pa.binary())}))
+
+
+def test_multimodal_real_decode(ray_session, documents_path):
+    """decode_stub=False REALLY decodes: the synthetic PPM images come
+    back with their true (doc_id-derived) dimensions, and WAV durations
+    parse from the header — end-to-end through the actor stage."""
+    import ray.data as rd
+    from ksoup_ray.functions.multimodal import (
+        ImageFeatures, MediaFeatures, synth_media_batch)
+
+    ds = rd.read_parquet(documents_path, columns=["doc_id", "text"]) \
+        .limit(30)
+    media = ds.map_batches(synth_media_batch, batch_format="pyarrow")
+
+    out = media.map_batches(MediaFeatures, batch_format="pyarrow",
+                            batch_size=16, concurrency=1).to_pandas()
+    assert len(out) == 30
+    for _, r in out.iterrows():
+        did = r["media_id"]
+        if did % 3 == 0:
+            assert r["decoded_width"] == 4 + did % 13
+            assert r["decoded_height"] == 3 + did % 7
+            assert r["decoded_duration_ms"] is None or \
+                r["decoded_duration_ms"] != r["decoded_duration_ms"]
+        elif did % 3 == 1:
+            assert r["decoded_duration_ms"] == 1000 + did % 5000
+        else:
+            assert r["decoded_width"] is None or \
+                r["decoded_width"] != r["decoded_width"]
+
+    # ImageFeatures with the real decoder: variable-size images in,
+    # fixed 16-dim features out
+    img_rows = media.map_batches(
+        lambda b: b.filter(
+            pa.compute.equal(
+                pa.compute.struct_field(b.column("meta"), "media_type"),
+                "image")),
+        batch_format="pyarrow")
+    feats = img_rows.map_batches(
+        ImageFeatures, fn_constructor_kwargs=dict(decode_stub=False),
+        batch_format="pyarrow", batch_size=16, concurrency=1).to_pandas()
+    assert len(feats) == 10
+    assert all(len(f) == 16 for f in feats["features"])
+    assert (feats["width"] == feats["media_id"] % 13 + 4).all()
+
+
+def test_codecs_roundtrip():
+    """Pure-numpy PPM/BMP/WAV codecs round-trip bit-exactly."""
+    import numpy as np
+    from ksoup_ray.functions.codecs import (
+        decode_bmp, decode_ppm, decode_wav, encode_bmp, encode_ppm,
+        encode_wav, wav_duration_ms)
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (7, 13, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    # PPM comments per netpbm spec
+    ppm = b"P6\n# comment\n13 7\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(ppm), img)
+    # BMP row padding exercised by a width % 4 != 0 image
+    img2 = rng.randint(0, 256, (3, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img2)), img2)
+    samples = (np.sin(np.arange(2500) * 0.1) * 3000).astype(np.int16)
+    wav = encode_wav(samples, rate=1000)
+    assert len(wav) == 44 + 2 * 2500
+    dec, rate = decode_wav(wav)
+    assert rate == 1000 and np.array_equal(dec[:, 0], samples)
+    assert wav_duration_ms(wav) == 2500
 
 
 def test_select_stage(ray_session, sf_dir):
@@ -421,3 +490,32 @@ def test_sessionize_gap_split(ray_session):
     assert len(u1) == 2
     assert list(u1["n_events"]) == [2, 1]
     assert len(out[out["user_id"] == 2]) == 1
+
+
+def test_rolling_hash_vectorized_matches_naive():
+    """The concatenated-buffer rolling-hash kernel must equal a naive
+    per-window Horner evaluation (wrapping uint64) on every length
+    class: empty, sub-window, exactly-window, long, None."""
+    import numpy as np
+    from ksoup_ray.functions.textstats import rolling_hash_batch
+
+    def naive(t, window=16, base=257):
+        data = (t or "").encode()
+        if len(data) == 0:
+            return 0
+        w = min(window, len(data))
+        outs = []
+        for i in range(len(data) - w + 1):
+            acc = np.uint64(0)
+            with np.errstate(over="ignore"):
+                for j in range(w):
+                    acc = acc * np.uint64(base) + np.uint64(data[i + j])
+            outs.append(int(acc))
+        return min(outs)
+
+    texts = ["hello world this is a longer document with many bytes",
+             "short", "", "x" * 16, "y" * 15,
+             "abcdefghijklmnopqrstuvwxyz" * 3, None, "exactly16bytes!!"]
+    batch = pa.table({"text": pa.array(texts, pa.string())})
+    got = rolling_hash_batch(batch)["rolling_min_hash"].to_pylist()
+    assert got == [naive(t) for t in texts]

@@ -262,17 +262,22 @@ def bench_scaling() -> dict:
     # PAIRWISE efficiency: each interleaved rep pairs a lo and a hi run
     # sampled in the same weather window; the ratio must be computed
     # WITHIN a pair (best-of-each-side breaks the pairing: one lucky lo
-    # run deflates the ratio even though nothing about scaling changed)
+    # run deflates the ratio even though nothing about scaling changed).
+    # The headline statistic is the MEDIAN pair: host weather swings
+    # individual pairs by ±0.2 (a throttled lo window can even push a
+    # pair above 1.0), and the median is the estimate that neither
+    # cherry-picks a lucky pair nor lets one bad window sink the run.
     pairs = [
         round((l["value"] / h["value"]) / (hi / lo), 3)
         for l, h in zip(results[lo], results[hi])
     ]
-    best_i = max(range(len(pairs)), key=lambda i: pairs[i])
+    order = sorted(range(len(pairs)), key=lambda i: pairs[i])
+    best_i = order[len(order) // 2]          # median pair's rep
     l_best, h_best = results[lo][best_i], results[hi][best_i]
     result = {
         "metric": f"scaling efficiency ({lo} -> {hi} extraction workers "
                   "+ proportional aux, sandbox proxy for N -> 4N nodes; "
-                  "pairwise over interleaved reps, best pair)",
+                  "pairwise over interleaved reps, median pair)",
         f"sec_{lo}": l_best["value"],
         f"sec_{hi}": h_best["value"],
         f"mb_per_sec_{lo}": l_best["mb_per_sec"],

@@ -2213,6 +2213,15 @@ class Element(Node):
             return self.text()
         return self.attr("value")
 
+    def set_value(self, value: str) -> "Element":
+        """Element.val(value) — textarea sets text, others the value
+        attribute."""
+        if self.normal_name() == "textarea":
+            self.set_text(value)
+        else:
+            self.set_attr("value", value)
+        return self
+
 
 def _append_normalised_text(accum: list[str], text_node: TextNode) -> None:
     """Element.appendNormalisedText (Element.kt:1870-1884)."""

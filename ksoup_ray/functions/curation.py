@@ -1,0 +1,249 @@
+"""Corpus-curation operators a 100 TB training-data pipeline runs
+beyond dedup: Gopher-style repetition quality signals, benchmark
+decontamination, global boilerplate n-gram mining, and per-language
+exact token-length quantiles.
+
+Scale shapes (what rides which shuffle):
+* ``gopher_quality_batch``: pure per-batch numpy (factorize + bincount
+  + maximum.at) — NO shuffle, no per-row Python.
+* ``decontaminate``: the benchmark set is SMALL by definition (an eval
+  suite, not the corpus) — its shingle set is built once, broadcast
+  via ``ray.put``, and membership-tested per batch with one vectorized
+  ``isin``; the corpus side never shuffles.
+* ``ngram_topk``: per-batch map-side combine (value_counts) so only
+  (ngram, partial_count) pairs enter the ONE groupby shuffle; the
+  grouped totals are reduced block-locally to k rows per block before
+  the final tiny sort — the full aggregated table is never sorted.
+* ``token_quantiles``: per-batch combine to (lang, token_count, n)
+  partials; the groupby output is bounded by |langs| x |distinct
+  counts| (token counts are small ints), so exact quantiles come from
+  a value-histogram, never from sorting the corpus.
+
+Reference semantics: these extend the reference's extraction surface
+(ksoup has no corpus ops); word boundaries follow the same
+single-space convention as ``textstats.token_count_batch`` so the
+DuckDB oracles can mirror each operator exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _explode_words(texts: pd.Series):
+    """Factorized word stream: (doc_index int64[], word_code int64[],
+    vocab). Splits on single space — the corpus/oracle convention
+    (DuckDB ``string_split(text, ' ')``); '' splits to [''] on both
+    sides."""
+    words_list = texts.str.split(" ")
+    n_words = words_list.str.len().to_numpy(dtype=np.int64)
+    ex = words_list.explode()
+    doc_idx = ex.index.to_numpy(dtype=np.int64)
+    codes, vocab = pd.factorize(ex.to_numpy())
+    return doc_idx, codes.astype(np.int64), np.asarray(vocab), n_words
+
+
+def gopher_quality_batch(batch: pa.Table,
+                         text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals per document:
+
+    * ``n_words`` — word count (single-space split);
+    * ``distinct_word_frac`` — distinct words / words;
+    * ``top_word_frac`` — most-frequent word's count / words;
+    * ``dup_2gram_frac`` — 1 - distinct bigrams / bigrams (0 when the
+      doc has < 2 words).
+
+    All counting is factorize + ``np.unique``/``bincount`` over the
+    whole batch — no per-row Python loop.
+    """
+    s = batch.column(text_col).to_pandas().fillna("")
+    n = len(s)
+    if n == 0:
+        empty = pa.array([], pa.float64())
+        out = batch.append_column("n_words", pa.array([], pa.int64()))
+        for c in ("distinct_word_frac", "top_word_frac",
+                  "dup_2gram_frac"):
+            out = out.append_column(c, empty)
+        return out
+    doc_idx, codes, vocab, n_words = _explode_words(s)
+    v = np.int64(len(vocab))
+
+    # per (doc, word) counts via one np.unique over a combined key
+    key = doc_idx * v + codes
+    uk, counts = np.unique(key, return_counts=True)
+    udoc = (uk // v).astype(np.intp)
+    distinct = np.bincount(udoc, minlength=n).astype(np.int64)
+    topc = np.zeros(n, dtype=np.int64)
+    np.maximum.at(topc, udoc, counts)
+
+    # bigrams: adjacent word-code pairs within the same doc
+    adj = doc_idx[:-1] == doc_idx[1:]
+    bkey = (doc_idx[:-1] * v + codes[:-1]) * v + codes[1:]
+    ubk = np.unique(bkey[adj])
+    bdoc = (ubk // (v * v)).astype(np.intp)
+    bdistinct = np.bincount(bdoc, minlength=n).astype(np.int64)
+    btotal = np.maximum(n_words - 1, 0)
+
+    tot = n_words.astype(np.float64)
+    dup2 = np.where(btotal > 0,
+                    1.0 - bdistinct / np.maximum(btotal, 1), 0.0)
+    out = batch.append_column("n_words", pa.array(n_words, pa.int64()))
+    out = out.append_column("distinct_word_frac",
+                            pa.array(distinct / tot, pa.float64()))
+    out = out.append_column("top_word_frac",
+                            pa.array(topc / tot, pa.float64()))
+    out = out.append_column("dup_2gram_frac",
+                            pa.array(dup2, pa.float64()))
+    return out
+
+
+def _ngram_strings(texts: pd.Series, n: int):
+    """(doc_index int64[], ngram str[]) for word n-grams of each text —
+    vectorized sliding join over the exploded word stream (cross-doc
+    windows masked out)."""
+    words_list = texts.str.split(" ")
+    ex = words_list.explode()
+    doc_idx = ex.index.to_numpy(dtype=np.int64)
+    w = ex.to_numpy(dtype=object)
+    if len(w) < n:
+        return np.array([], np.int64), np.array([], object)
+    m = len(w) - n + 1
+    same = doc_idx[:m] == doc_idx[n - 1:]
+    grams = w[:m].copy()
+    for j in range(1, n):
+        grams = grams + " "
+        grams = grams + w[j:m + j]
+    return doc_idx[:m][same], grams[same]
+
+
+def decontaminate(ds, benchmark_ds, *, text_col: str = "text",
+                  id_col: str = "doc_id", ngram: int = 3):
+    """Flag corpus documents sharing any word ``ngram`` with a
+    benchmark set (eval-suite decontamination).
+
+    The benchmark's distinct shingles are computed distributed, pulled
+    once (a benchmark is small by definition — NOT corpus-scale), and
+    broadcast via ``ray.put``; each corpus batch then does ONE
+    vectorized ``isin`` over its exploded shingles. Returns
+    ``(doc_id, contaminated int64)``. No corpus-side shuffle.
+    """
+    import ray
+
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        _, grams = _ngram_strings(s, ngram)
+        return pa.table({"g": pa.array(pd.unique(grams), pa.string())})
+
+    bench = benchmark_ds.map_batches(bench_shingles,
+                                     batch_format="pyarrow")
+    gset: set = set()
+    for b in bench.iter_batches(batch_format="pyarrow"):
+        gset.update(b.column("g").to_pylist())
+    gref = ray.put(frozenset(gset))
+
+    class Contaminated:
+        def __init__(self, ref):
+            self.gset = ray.get(ref)   # once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            s = batch.column(text_col).to_pandas().fillna("")
+            di, grams = _ngram_strings(s, ngram)
+            flag = np.zeros(len(s), dtype=bool)
+            if len(grams):
+                hit = pd.Series(grams).isin(self.gset).to_numpy()
+                np.logical_or.at(flag, di[hit], True)
+            return pa.table({
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "contaminated": pa.array(flag.astype(np.int64),
+                                         pa.int64()),
+            })
+
+    return ds.map_batches(Contaminated, fn_constructor_args=(gref,),
+                          concurrency=(1, 8), batch_format="pyarrow")
+
+
+def ngram_topk(ds, *, text_col: str = "text", n: int = 3, k: int = 20):
+    """Global top-``k`` most frequent word ``n``-grams (boilerplate
+    mining). Map-side value_counts combine → one groupby(ngram) Sum →
+    block-local top-k (k rows per block) → tiny final sort. Ties break
+    on the ngram string so the result is deterministic."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        _, grams = _ngram_strings(s, n)
+        vc = pd.Series(grams).value_counts()
+        return pa.table({
+            "ngram": pa.array(vc.index.to_numpy(dtype=object),
+                              pa.string()),
+            "partial": pa.array(vc.to_numpy(), pa.int64()),
+        })
+
+    totals = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("ngram")
+              .aggregate(Sum("partial", alias_name="n")))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        # each ngram's TOTAL lives in exactly one post-groupby block,
+        # so per-block top-k is lossless for the global top-k
+        idx = pc.select_k_unstable(
+            batch, k, [("n", "descending"), ("ngram", "ascending")])
+        return batch.take(idx)
+
+    small = totals.map_batches(local_topk, batch_format="pyarrow")
+    return small.sort(["n", "ngram"],
+                      descending=[True, False]).limit(k)
+
+
+def token_quantiles(ds, *, text_col: str = "text",
+                    lang_col: str = "lang",
+                    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9)):
+    """Exact per-language whitespace-token-count quantiles from a
+    value histogram: per-batch combine to (lang, token_count, n)
+    partials, one groupby over a table bounded by |langs| x |distinct
+    counts| (token counts are small integers at ANY corpus size), then
+    the discrete quantile is read off the cumulative counts.
+
+    Discrete rule matches DuckDB ``quantile_disc``: the value at
+    1-based rank ``ceil(q * n)``. Returns a pandas DataFrame
+    ``(lang, p25, p50, p75, p90)``.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        spaces = pc.count_substring(text, " ")
+        nonempty = pc.and_(pc.is_valid(text), pc.not_equal(text, ""))
+        tc = pc.if_else(nonempty, pc.add(spaces, 1),
+                        pa.scalar(0, pa.int32())).cast(pa.int64())
+        t = pa.table({lang_col: batch.column(lang_col),
+                      "token_count": tc})
+        g = t.group_by([lang_col, "token_count"]).aggregate(
+            [("token_count", "count")])
+        return pa.table({
+            lang_col: g.column(lang_col),
+            "token_count": g.column("token_count"),
+            "partial": g.column("token_count_count").cast(pa.int64()),
+        })
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([lang_col, "token_count"])
+            .aggregate(Sum("partial", alias_name="n"))
+            .to_pandas())   # bounded: |langs| x |distinct counts|
+
+    rows = []
+    for lang, grp in hist.groupby(lang_col, sort=True):
+        grp = grp.sort_values("token_count")
+        vals = grp["token_count"].to_numpy()
+        cum = grp["n"].to_numpy().cumsum()
+        total = int(cum[-1])
+        row = {"lang": lang}
+        for q in qs:
+            rank = max(1, int(np.ceil(q * total)))
+            row[f"p{int(q * 100)}"] = int(
+                vals[np.searchsorted(cum, rank)])
+        rows.append(row)
+    return pd.DataFrame(rows)

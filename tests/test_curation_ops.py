@@ -1,0 +1,112 @@
+"""Curation operators (functions/curation.py): Gopher repetition
+signals, benchmark decontamination, global n-gram top-k, exact
+per-language token quantiles. Kernel-level differentials against naive
+Python plus Ray-level shape/property checks; the value-level gate is
+the driver's DuckDB oracles (gopher_quality / decontaminate /
+ngram_topk / token_quantiles)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ksoup_ray.functions.curation import (
+    _ngram_strings,
+    gopher_quality_batch,
+    ngram_topk,
+    token_quantiles,
+)
+
+
+@pytest.fixture(scope="module")
+def documents_path(sf_dir):
+    return f"{sf_dir}/documents.parquet"
+
+
+def _naive_gopher(text: str):
+    words = text.split(" ")
+    t = len(words)
+    from collections import Counter
+    wc = Counter(words)
+    bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+    dup2 = 1.0 - len(set(bigrams)) / len(bigrams) if bigrams else 0.0
+    return (t, len(wc) / t, max(wc.values()) / t, dup2)
+
+
+def test_gopher_quality_matches_naive():
+    texts = [
+        "a b c a b c a",
+        "x",
+        "same same same same",
+        "one two three four five",
+        "",                      # '' splits to [''] — 1 word, like SQL
+        "a a b b a a b b",
+    ]
+    batch = pa.table({"doc_id": list(range(len(texts))),
+                      "text": pa.array(texts, pa.string())})
+    out = gopher_quality_batch(batch).to_pandas()
+    for i, t in enumerate(texts):
+        nw, df_, tf, d2 = _naive_gopher(t)
+        assert out["n_words"][i] == nw
+        assert out["distinct_word_frac"][i] == pytest.approx(df_)
+        assert out["top_word_frac"][i] == pytest.approx(tf)
+        assert out["dup_2gram_frac"][i] == pytest.approx(d2)
+
+
+def test_ngram_strings_matches_naive():
+    texts = pd.Series(["a b c d", "x y", "z", "p q r"])
+    di, grams = _ngram_strings(texts, 3)
+    got = sorted(zip(di.tolist(), grams.tolist()))
+    want = []
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        want += [(i, " ".join(ws[j:j + 3]))
+                 for j in range(len(ws) - 2)]
+    assert got == sorted(want)
+    # no cross-document windows
+    assert (0, "c d x") not in got and (1, "x y z") not in got
+
+
+def test_ngram_topk_exact(ray_session, documents_path):
+    import ray.data as rd
+    ds = rd.read_parquet(documents_path, columns=["text"])
+    got = ngram_topk(ds, n=3, k=15).to_pandas()
+    # naive recount over the full corpus
+    texts = rd.read_parquet(documents_path).to_pandas()["text"]
+    from collections import Counter
+    c = Counter()
+    for t in texts:
+        ws = t.split(" ")
+        c.update(" ".join(ws[j:j + 3]) for j in range(len(ws) - 2))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert list(zip(got["ngram"], got["n"])) == want
+
+
+def test_token_quantiles_matches_duckdb_rule(ray_session,
+                                             documents_path):
+    import ray.data as rd
+    ds = rd.read_parquet(documents_path, columns=["text", "lang"])
+    got = token_quantiles(ds, qs=(0.25, 0.5, 0.9)) \
+        .sort_values("lang").reset_index(drop=True)
+    docs = rd.read_parquet(documents_path).to_pandas()
+    docs["tc"] = docs["text"].map(
+        lambda t: 0 if not t else t.count(" ") + 1)
+    for _, row in got.iterrows():
+        tcs = np.sort(docs[docs["lang"] == row["lang"]]["tc"].to_numpy())
+        for q, col in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90")):
+            rank = max(1, int(np.ceil(q * len(tcs))))  # quantile_disc
+            assert row[col] == tcs[rank - 1], (row["lang"], q)
+
+
+def test_decontaminate_flags_shared_ngrams(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.curation import decontaminate
+    bench = rd.from_items([{"doc_id": 100, "text": "the quick brown fox"}])
+    corpus = rd.from_items([
+        {"doc_id": 1, "text": "a quick brown fox ran"},   # shares 3-gram
+        {"doc_id": 2, "text": "totally unrelated words here"},
+        {"doc_id": 3, "text": "quick brown"},             # too short
+    ])
+    out = decontaminate(corpus, bench, ngram=3).to_pandas() \
+        .set_index("doc_id")["contaminated"]
+    assert out[1] == 1 and out[2] == 0 and out[3] == 0

@@ -76,6 +76,31 @@ def _q_extract_text(sf_dir: str):
                                               "title"])
 
 
+def _q_extract_from_files(sf_dir: str):
+    """The reference's parseFile / gzip-file surface
+    (`helper/DataUtil.kt:49-51`) as a Ray source: the synth corpus is
+    materialized ONCE (cached) as sharded .html / .html.gz files, read
+    back via ray.data.read_binary_files (gzip detected by magic
+    bytes), and run through the SAME extraction pipeline — oracle =
+    the extract_text SQL, so the file round-trip is value-checked
+    byte-identically."""
+    import os
+    from ksoup_ray.pipelines.extract import run_extraction
+    from ksoup_ray.sources.files import read_html_files, write_html_shards
+
+    cache = f"/tmp/ksoup_file_corpus/{os.path.basename(sf_dir.rstrip('/'))}"
+    marker = os.path.join(cache, "_COMPLETE")
+    if not os.path.exists(marker):
+        n = write_html_shards(_pages(sf_dir), cache, num_shards=16,
+                              gzip_every=2)
+        with open(marker, "w") as f:
+            f.write(str(n))
+    ds = read_html_files(cache)
+    out = run_extraction(ds, out_dir="", write=False,
+                         concurrency=(2, 8), batch_size=64)
+    return out.select_columns(["url", "extracted_text", "title"])
+
+
 def _q_extract_links(sf_dir: str):
     ds = _extracted(sf_dir)
 
@@ -709,6 +734,7 @@ def _q_sessionize(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
+        "extract_from_files": _q_extract_from_files,
         "extract_links": _q_extract_links,
         "extract_spans": _q_extract_spans,
         "extract_meta": _q_extract_meta,
@@ -748,6 +774,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_text": f"""
+            SELECT {SYNTH_URL_SQL} AS url,
+                   text AS extracted_text,
+                   {TITLE_SQL} AS title
+            FROM documents
+        """,
+        "extract_from_files": f"""
             SELECT {SYNTH_URL_SQL} AS url,
                    text AS extracted_text,
                    {TITLE_SQL} AS title

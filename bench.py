@@ -171,6 +171,14 @@ def run_secondary(sf_dir: str) -> dict:
                          columns=["vec_id", "embedding"])
     brute_force_topk(ds, queries, k=10, concurrency=(1, 8)).count()
     out["ann_topk"] = time.time() - t0
+
+    t0 = time.time()
+    from ksoup_ray.pipelines.curate import curate_documents
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    curate_documents(ds, langs=("en",), min_tokens=20,
+                     max_tokens=90).count()
+    out["curate"] = time.time() - t0
     return out
 
 

@@ -286,6 +286,36 @@ def _q_token_quantiles(sf_dir: str):
     return token_quantiles(ds, qs=(0.25, 0.5, 0.75, 0.9))
 
 
+def _q_pii_redact(sf_dir: str):
+    """PII scrubbing with REAL hits: deterministic synthetic PII
+    (email / IPv4 / phone derived from doc_id) is appended to each
+    text, then redacted by the vectorized pattern chain
+    (functions/curation.py PII_PATTERNS). The DuckDB oracle performs
+    the identical injection and regexp_replace chain, so the
+    redaction semantics — not just the plumbing — are value-checked."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import pii_redact_batch
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pandas()
+        text = batch.column("text").to_pandas().fillna("")
+        salted = (text + " contact user" + ids.astype(str)
+                  + "@mail.example from 10.0." + (ids % 256).astype(str)
+                  + "." + (ids % 100).astype(str) + " call 555-"
+                  + (ids % 1000).map("{:03d}".format) + "-"
+                  + (ids % 10000).map("{:04d}".format))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": pa.array(salted.to_numpy(dtype=object), pa.string()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(inject, batch_format="pyarrow") \
+            .map_batches(pii_redact_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "redacted"])
+
+
 def _q_langid(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.textstats import LangId
@@ -708,6 +738,27 @@ def _q_lang_counts(sf_dir: str):
     return salted_count(ds, "lang", salt=16)
 
 
+def _q_asof_join(sf_dir: str):
+    """As-of join (functions/joins.py): each click matched to the
+    user's latest purchase at or before it — ONE shuffle on user_id
+    over the tagged union of both sides, numpy searchsorted per group.
+    Oracle: DuckDB's native ASOF LEFT JOIN (ties included via >=)."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+    from ksoup_ray.functions.joins import asof_join
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+
+    def keep(ev_type):
+        return lambda b: b.filter(
+            _pc.equal(b.column("event_type"), ev_type))
+
+    clicks = ds.map_batches(keep("click"), batch_format="pyarrow")
+    purchases = ds.map_batches(keep("purchase"), batch_format="pyarrow")
+    return asof_join(clicks, purchases)
+
+
 def _q_sessionize(sf_dir: str):
     """Gap sessionization of the event log (30-min gap): one shuffle on
     user_id, vectorized per-group split (functions/agg.py)."""
@@ -749,6 +800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "ngram_topk": _q_ngram_topk,
         "token_quantiles": _q_token_quantiles,
+        "pii_redact": _q_pii_redact,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "curate": _q_curate,
@@ -767,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_first_paras": _q_stream_first_paras,
         "cluster_assign": _q_cluster_assign,
         "lang_counts": _q_lang_counts,
+        "asof_join": _q_asof_join,
         "sessionize": _q_sessionize,
     }
 
@@ -899,6 +952,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN sh s ON s.doc_id = d.doc_id
             WHERE d.source <> 'src0' GROUP BY d.doc_id
         """,
+        "pii_redact": """
+            WITH salted AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id ||
+                     '@mail.example from 10.0.' || (doc_id % 256) ||
+                     '.' || (doc_id % 100) || ' call 555-' ||
+                     lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+                     '-' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       AS text
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                     '<IP>', 'g'),
+                     '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g')
+                   AS redacted
+            FROM salted
+        """,
         "ngram_topk": """
             WITH ws AS (SELECT string_split(text, ' ') AS w
                         FROM documents),
@@ -992,6 +1066,17 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": """
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
             FROM documents GROUP BY lang
+        """,
+        "asof_join": """
+            SELECT c.event_id AS left_row_id, c.user_id,
+                   CAST(epoch_us(c.ts) AS BIGINT) AS ts_us,
+                   CAST(COALESCE(p.event_id, -1) AS BIGINT)
+                     AS matched_id,
+                   COALESCE(p.value, 0.0) AS matched_val
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
         "sessionize": """
             WITH ordered AS (

@@ -198,6 +198,30 @@ def ngram_topk(ds, *, text_col: str = "text", n: int = 3, k: int = 20):
                       descending=[True, False]).limit(k)
 
 
+# PII patterns chosen to behave IDENTICALLY in Python `re` and DuckDB
+# RE2 (no lookarounds, ASCII classes); applied in this order.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_redact_batch(batch: pa.Table, text_col: str = "text",
+                     out_col: str = "redacted") -> pa.Table:
+    """Redact emails / IPv4s / phone numbers with typed placeholders —
+    one vectorized ``pandas.str.replace`` per pattern (C-backed regex
+    over the whole column, no per-row Python). Patterns are
+    RE2-compatible so the DuckDB oracle applies the identical chain
+    with ``regexp_replace(..., 'g')``."""
+    s = batch.column(text_col).to_pandas().fillna("")
+    for pat, repl in PII_PATTERNS:
+        s = s.str.replace(pat, repl, regex=True)
+    return batch.append_column(out_col,
+                               pa.array(s.to_numpy(dtype=object),
+                                        pa.string()))
+
+
 def token_quantiles(ds, *, text_col: str = "text",
                     lang_col: str = "lang",
                     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9)):

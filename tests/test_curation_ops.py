@@ -98,6 +98,24 @@ def test_token_quantiles_matches_duckdb_rule(ray_session,
             assert row[col] == tcs[rank - 1], (row["lang"], q)
 
 
+def test_pii_redact_patterns():
+    from ksoup_ray.functions.curation import pii_redact_batch
+    cases = {
+        "mail me at jo.doe+x@sub.example.org today":
+            "mail me at <EMAIL> today",
+        "server 192.168.001.1 and 8.8.8.8 up":
+            "server <IP> and <IP> up",
+        "call 555-867-5309 now": "call <PHONE> now",
+        "no pii here 1234": "no pii here 1234",
+        # phone-like inside a longer digit run is NOT a phone (\b)
+        "id 1555-867-53091": "id 1555-867-53091",
+        "": "",
+    }
+    batch = pa.table({"text": pa.array(list(cases), pa.string())})
+    got = pii_redact_batch(batch)["redacted"].to_pylist()
+    assert got == list(cases.values())
+
+
 def test_decontaminate_flags_shared_ngrams(ray_session):
     import ray.data as rd
     from ksoup_ray.functions.curation import decontaminate

@@ -759,6 +759,42 @@ def _q_asof_join(sf_dir: str):
     return asof_join(clicks, purchases)
 
 
+def _q_hopping_windows(sf_dir: str):
+    """Hopping-window aggregate (1 h windows every 15 min): each event
+    explodes into its 4 windows map-side and immediately collapses to
+    (event_type, window_start) partials — only partials shuffle
+    (functions/agg.py). Oracle recomputes the window arithmetic with
+    integer division + generate_series."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import hopping_window_count
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    return hopping_window_count(ds, key_col="event_type",
+                                window_us=3_600_000_000,
+                                hop_us=900_000_000)
+
+
+def _q_session_attribution(sf_dir: str):
+    """Interval (range) join composed with sessionize: each purchase
+    attributed to the user session containing it (functions/joins.py
+    interval_join — one shuffle on user, searchsorted per group).
+    Oracle: the sessionize window-function CTE + a BETWEEN join."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+    from ksoup_ray.functions.agg import sessionize
+    from ksoup_ray.functions.joins import interval_join
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    sessions = sessionize(
+        ev.select_columns(["user_id", "ts"]), gap_seconds=1800)
+    purchases = ev.map_batches(
+        lambda b: b.filter(_pc.equal(b.column("event_type"),
+                                     "purchase")),
+        batch_format="pyarrow")
+    return interval_join(purchases, sessions)
+
+
 def _q_sessionize(sf_dir: str):
     """Gap sessionization of the event log (30-min gap): one shuffle on
     user_id, vectorized per-group split (functions/agg.py)."""
@@ -820,6 +856,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_assign": _q_cluster_assign,
         "lang_counts": _q_lang_counts,
         "asof_join": _q_asof_join,
+        "hopping_windows": _q_hopping_windows,
+        "session_attribution": _q_session_attribution,
         "sessionize": _q_sessionize,
     }
 
@@ -1066,6 +1104,47 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": """
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
             FROM documents GROUP BY lang
+        """,
+        "hopping_windows": """
+            WITH ev AS (SELECT event_type,
+                               CAST(epoch_us(ts) AS BIGINT) AS tu
+                        FROM events),
+            w AS (SELECT event_type,
+                         ((tu // 900000000) - j) * 900000000
+                           AS window_start
+                  FROM ev,
+                  LATERAL unnest(generate_series(0, 3)) AS t(j))
+            SELECT event_type, window_start,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM w GROUP BY event_type, window_start
+        """,
+        "session_attribution": """
+            WITH ordered AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            OR lag(ts) OVER w IS NULL THEN 1 ELSE 0
+                       END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), tagged AS (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM ordered
+            ), sessions AS (
+                SELECT user_id, MIN(ts) AS s0, MAX(ts) AS s1
+                FROM tagged GROUP BY user_id, session_id
+            )
+            SELECT p.event_id AS left_row_id, p.user_id,
+                   CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+                   CAST(COALESCE(epoch_us(s.s0), -1) AS BIGINT)
+                     AS interval_start_us,
+                   CAST(COALESCE(epoch_us(s.s1), -1) AS BIGINT)
+                     AS interval_end_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN sessions s
+              ON s.user_id = p.user_id AND p.ts BETWEEN s.s0 AND s.s1
         """,
         "asof_join": """
             SELECT c.event_id AS left_row_id, c.user_id,

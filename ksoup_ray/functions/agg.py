@@ -67,6 +67,51 @@ def salted_count(ds, key_col: str, salt: int = 16):
         Sum("n_salted", alias_name="n"))
 
 
+def hopping_window_count(ds, key_col: str = "event_type",
+                         ts_col: str = "ts",
+                         window_us: int = 3_600_000_000,
+                         hop_us: int = 900_000_000):
+    """Hopping (sliding) window count: events per key per
+    ``window_us`` window starting every ``hop_us``. Each event belongs
+    to exactly ``window_us // hop_us`` windows, so the map side
+    EXPLODES each batch by that constant factor and immediately
+    collapses to (key, window_start) partial counts — only those
+    partials (keys × windows per batch) enter the one groupby shuffle.
+    Requires window_us % hop_us == 0. Returns
+    ``(key_col, window_start μs int64, n)``."""
+    from ray.data.aggregate import Sum
+
+    if window_us % hop_us:
+        raise ValueError("window_us must be a multiple of hop_us")
+    reps = window_us // hop_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy()
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        base = (ts // hop_us) * hop_us
+        # windows containing ts: starts base - j*hop, j = 0..reps-1
+        starts = (base[None, :] -
+                  (np.arange(reps, dtype=np.int64)[:, None] * hop_us)
+                  ).ravel()
+        keys_rep = np.tile(keys, reps)
+        t = pa.table({
+            key_col: pa.array(keys_rep),
+            "window_start": pa.array(starts, pa.int64()),
+        })
+        g = t.group_by([key_col, "window_start"]).aggregate(
+            [("window_start", "count")])
+        return pa.table({
+            key_col: g.column(key_col),
+            "window_start": g.column("window_start"),
+            "partial": g.column("window_start_count").cast(pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, "window_start"])
+            .aggregate(Sum("partial", alias_name="n")))
+
+
 def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
                gap_seconds: int = 1800):
     """Split each user's event stream into sessions separated by more

@@ -89,3 +89,76 @@ def asof_join(left, right, *, key_col: str = "user_id",
 
     return both.groupby(key_col).map_groups(resolve,
                                             batch_format="pandas")
+
+
+def interval_join(left, intervals, *, key_col: str = "user_id",
+                  ts_col: str = "ts", left_id: str = "event_id",
+                  start_col: str = "session_start",
+                  end_col: str = "session_end",
+                  no_match: int = -1):
+    """Interval (range) join: each left row matched to the interval —
+    same key, non-overlapping per key — with ``start <= ts <= end``.
+
+    Same shape as ``asof_join``: tagged union, ONE shuffle on the key,
+    per-group ``searchsorted`` on interval starts followed by an
+    end-bound check. Returns ``(left_row_id, key_col, ts_us,
+    interval_start_us, interval_end_us)`` with ``no_match`` sentinels.
+    Overlapping intervals resolve to the latest-starting one."""
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ts = batch.column(ts_col).cast(pa.timestamp("us")) \
+            .cast(pa.int64())
+        return pa.table({
+            key_col: batch.column(key_col).cast(pa.int64()),
+            "_ts": ts,
+            "_end": pa.array(np.zeros(n, np.int64)),
+            "_id": batch.column(left_id).cast(pa.int64()),
+            "_side": pa.array(np.zeros(n, np.int8)),
+        })
+
+    def tag_intervals(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            key_col: batch.column(key_col).cast(pa.int64()),
+            "_ts": batch.column(start_col).cast(pa.timestamp("us"))
+                   .cast(pa.int64()),
+            "_end": batch.column(end_col).cast(pa.timestamp("us"))
+                    .cast(pa.int64()),
+            "_id": pa.array(np.zeros(n, np.int64)),
+            "_side": pa.array(np.ones(n, np.int8)),
+        })
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        intervals.map_batches(tag_intervals, batch_format="pyarrow"))
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        side = group["_side"].to_numpy()
+        ts = group["_ts"].to_numpy(dtype=np.int64)
+        lmask = side == 0
+        lts = ts[lmask]
+        lids = group["_id"].to_numpy(dtype=np.int64)[lmask]
+        starts = ts[~lmask]
+        ends = group["_end"].to_numpy(dtype=np.int64)[~lmask]
+        order = np.argsort(starts, kind="stable")
+        starts, ends = starts[order], ends[order]
+        if len(starts):
+            idx = np.searchsorted(starts, lts, side="right") - 1
+            safe = np.maximum(idx, 0)
+            hit = (idx >= 0) & (lts <= ends[safe])
+            m_start = np.where(hit, starts[safe], no_match)
+            m_end = np.where(hit, ends[safe], no_match)
+        else:
+            m_start = np.full(len(lts), no_match, np.int64)
+            m_end = np.full(len(lts), no_match, np.int64)
+        return pd.DataFrame({
+            "left_row_id": lids,
+            key_col: np.full(len(lids), group[key_col].iloc[0],
+                             np.int64),
+            "ts_us": lts,
+            "interval_start_us": m_start.astype(np.int64),
+            "interval_end_us": m_end.astype(np.int64),
+        })
+
+    return both.groupby(key_col).map_groups(resolve,
+                                            batch_format="pandas")

@@ -50,3 +50,52 @@ def test_latest_at_or_before(joined):
 
 def test_key_with_no_right_rows(joined):
     assert joined.loc[7, "matched_id"] == -1
+
+
+def test_interval_join_bounds_and_sentinels(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.joins import interval_join
+
+    left = rd.from_items([
+        {"event_id": 1, "user_id": 10, "ts": _ts(5)},    # inside
+        {"event_id": 2, "user_id": 10, "ts": _ts(10)},   # == end
+        {"event_id": 3, "user_id": 10, "ts": _ts(11)},   # in gap
+        {"event_id": 4, "user_id": 10, "ts": _ts(20)},   # == start
+        {"event_id": 5, "user_id": 11, "ts": _ts(5)},    # no intervals
+    ])
+    iv = rd.from_items([
+        {"user_id": 10, "session_start": _ts(0),
+         "session_end": _ts(10)},
+        {"user_id": 10, "session_start": _ts(20),
+         "session_end": _ts(30)},
+    ])
+    out = interval_join(left, iv).to_pandas() \
+        .set_index("left_row_id").sort_index()
+    us = lambda sec: int(_ts(sec).timestamp() * 1_000_000)
+    assert out.loc[1, "interval_start_us"] == us(0)
+    assert out.loc[2, "interval_end_us"] == us(10)   # inclusive end
+    assert out.loc[3, "interval_start_us"] == -1     # gap
+    assert out.loc[4, "interval_start_us"] == us(20)  # inclusive start
+    assert out.loc[5, "interval_start_us"] == -1     # keyless
+
+
+def test_hopping_window_count_matches_naive(ray_session):
+    import collections
+    import ray.data as rd
+    from ksoup_ray.functions.agg import hopping_window_count
+
+    W, H = 40_000_000, 10_000_000   # 40s window hopping 10s
+    rows = [{"event_type": t, "ts": _ts(s)}
+            for t, s in [("a", 1), ("a", 9), ("a", 41), ("b", 100),
+                         ("b", 100), ("a", 100)]]
+    got = hopping_window_count(rd.from_items(rows), window_us=W,
+                               hop_us=H).to_pandas()
+    want = collections.Counter()
+    for r in rows:
+        tu = int(r["ts"].timestamp() * 1_000_000)
+        base = (tu // H) * H
+        for j in range(W // H):
+            want[(r["event_type"], base - j * H)] += 1
+    got_map = {(r.event_type, r.window_start): r.n
+               for r in got.itertuples()}
+    assert got_map == dict(want)

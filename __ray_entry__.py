@@ -316,6 +316,20 @@ def _q_pii_redact(sf_dir: str):
     return out.select_columns(["doc_id", "redacted"])
 
 
+def _q_bm25(sf_dir: str):
+    """BM25 relevance scores for a fixed 3-term query over the corpus
+    (functions/curation.py bm25_score): two streaming passes (fused
+    stats+df partials, then scoring), per-(doc,term) contributions
+    rounded to integer micros BEFORE the per-doc sum so the result is
+    accumulation-order-free and the DuckDB oracle (identical
+    expression tree) matches exactly."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import bm25_score
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return bm25_score(ds, ("spark", "window", "merge"))
+
+
 def _q_langid(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.textstats import LangId
@@ -727,6 +741,36 @@ def _q_cluster_assign(sf_dir: str):
     return centroid_assign(ds, centroids)
 
 
+def _q_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means (functions/similarity.py
+    kmeans_train): 3 iterations over the full embeddings table —
+    per-batch matmul+argmin collapsing to k partial (sum, count,
+    inertia) rows, driver folds k×d numbers, centroids re-broadcast
+    each round. Iterative → no SQL oracle (rows-only check); the
+    algorithm is pinned by pytest (monotone inertia, blob recovery).
+    Returns the final euclidean assignment per vector."""
+    import ray
+    import ray.data as rd
+    from ksoup_ray.functions.similarity import (kmeans_train,
+                                                vecs_from_arrow)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cents, _ = kmeans_train(ds, k=_IVF_CELLS, iters=3,
+                            init=_head_embeddings(sf_dir, _IVF_CELLS))
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        v = vecs_from_arrow(batch.column("embedding"))
+        d2 = (-2.0 * v @ c.T + (c * c).sum(axis=1)[None, :])
+        return pa.table({
+            "vec_id": batch.column("vec_id").cast(pa.int64()),
+            "cluster": pa.array(d2.argmin(axis=1).astype(np.int64)),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def _q_lang_counts(sf_dir: str):
     """Salted hot-key count: 4 languages over the whole corpus is the
     canonical skew case — a plain groupby(lang) funnels everything
@@ -837,6 +881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_topk": _q_ngram_topk,
         "token_quantiles": _q_token_quantiles,
         "pii_redact": _q_pii_redact,
+        "bm25": _q_bm25,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "curate": _q_curate,
@@ -854,6 +899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "stream_first_paras": _q_stream_first_paras,
         "cluster_assign": _q_cluster_assign,
+        "kmeans": _q_kmeans,
         "lang_counts": _q_lang_counts,
         "asof_join": _q_asof_join,
         "hopping_windows": _q_hopping_windows,
@@ -989,6 +1035,36 @@ def oracle_sql() -> dict[str, str]:
                         0) AS BIGINT) AS contaminated
             FROM documents d LEFT JOIN sh s ON s.doc_id = d.doc_id
             WHERE d.source <> 'src0' GROUP BY d.doc_id
+        """,
+        "bm25": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS len
+                   FROM words GROUP BY doc_id),
+            stats AS (SELECT CAST((SELECT count(*) FROM documents)
+                                  AS DOUBLE) AS n,
+                             (SELECT SUM(len) / count(*) FROM dl)
+                               AS avgdl),
+            tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+                   FROM words WHERE w IN ('spark', 'window', 'merge')
+                   GROUP BY doc_id, w),
+            df AS (SELECT w, CAST(count(DISTINCT doc_id) AS DOUBLE)
+                            AS df
+                   FROM words WHERE w IN ('spark', 'window', 'merge')
+                   GROUP BY w)
+            SELECT t.doc_id,
+                   CAST(SUM(CAST(ROUND(
+                     ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                     * (t.tf * 2.2)
+                     / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.len
+                                      / s.avgdl))
+                     * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micros
+            FROM tf t
+            JOIN df f ON f.w = t.w
+            JOIN dl d ON d.doc_id = t.doc_id
+            CROSS JOIN stats s
+            GROUP BY t.doc_id
         """,
         "pii_redact": """
             WITH salted AS (

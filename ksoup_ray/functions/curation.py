@@ -198,6 +198,85 @@ def ngram_topk(ds, *, text_col: str = "text", n: int = 3, k: int = 20):
                       descending=[True, False]).limit(k)
 
 
+def bm25_score(ds, query_terms: tuple[str, ...], *,
+               text_col: str = "text", id_col: str = "doc_id",
+               k1: float = 1.2, b: float = 0.75):
+    """Corpus-wide BM25 scores for a fixed query-term set — TWO
+    streaming passes, no corpus-scale driver state:
+
+    pass A (fused stats+df): each batch emits partial (doc count, word
+    count) AND per-query-term partial document frequencies — the
+    driver folds |terms|+2 numbers per batch;
+    pass B (score): per batch, term frequencies via one factorize +
+    |terms| bincounts, then per-(doc,term) contributions ROUNDED TO
+    INTEGER MICROS before the per-doc sum — integer summation makes
+    the result independent of accumulation order, so the DuckDB
+    oracle (same expression tree, same rounding) matches exactly.
+
+    Only query-term df's are ever collected (a query is small by
+    definition) — never the corpus vocabulary. Returns
+    ``(doc_id, score_micros)`` for docs containing ≥1 query term.
+    """
+    terms = tuple(query_terms)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        doc_idx, codes, vocab, n_words = _explode_words(s)
+        vs = pd.Series(np.arange(len(vocab)), index=vocab)
+        dfs = []
+        for t in terms:
+            code = vs.get(t, -1)
+            dfs.append(int(np.unique(doc_idx[codes == code]).size)
+                       if code >= 0 else 0)
+        return pa.table({
+            "n_docs": pa.array([len(s)], pa.int64()),
+            "len_sum": pa.array([int(n_words.sum())], pa.int64()),
+            "df": pa.array([dfs], pa.list_(pa.int64())),
+        })
+
+    n_docs = 0
+    len_sum = 0
+    df = np.zeros(len(terms), dtype=np.int64)
+    for t in ds.map_batches(stats_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for i in range(t.num_rows):
+            n_docs += t.column("n_docs")[i].as_py()
+            len_sum += t.column("len_sum")[i].as_py()
+            df += np.array(t.column("df")[i].as_py(), dtype=np.int64)
+
+    avgdl = len_sum / n_docs
+    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).to_numpy()
+        doc_idx, codes, vocab, n_words = _explode_words(s)
+        vs = pd.Series(np.arange(len(vocab)), index=vocab)
+        n = len(s)
+        total = np.zeros(n, dtype=np.int64)
+        hit = np.zeros(n, dtype=bool)   # contains ≥1 query term (the
+        dl = n_words.astype(np.float64)  # oracle's inner-join set)
+        for j, t in enumerate(terms):
+            code = vs.get(t, -1)
+            if code < 0:
+                continue
+            tf = np.bincount(doc_idx[codes == code],
+                             minlength=n).astype(np.float64)
+            # same expression tree as the SQL oracle, term by term
+            contrib = np.round(
+                idf[j] * (tf * (k1 + 1.0))
+                / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                * 1_000_000.0)
+            total += np.where(tf > 0, contrib, 0.0).astype(np.int64)
+            hit |= tf > 0
+        return pa.table({
+            id_col: pa.array(ids[hit], pa.int64()),
+            "score_micros": pa.array(total[hit], pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 # PII patterns chosen to behave IDENTICALLY in Python `re` and DuckDB
 # RE2 (no lookarounds, ASCII classes); applied in this order.
 PII_PATTERNS: tuple[tuple[str, str], ...] = (

@@ -291,6 +291,83 @@ class CentroidAssigner:
         })
 
 
+def kmeans_train(ds, k: int = 8, iters: int = 5,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 init: np.ndarray | None = None):
+    """Distributed Lloyd's k-means over the FULL dataset (euclidean).
+
+    Per iteration: centroids broadcast via ``ray.put``; each batch does
+    ONE distance matmul + argmin and collapses to k partial
+    (sum-vector, count, inertia) rows; the driver folds k×d numbers per
+    batch — never a vector table. Empty clusters keep their previous
+    centroid. Default init = the first ``k`` vectors the streaming
+    scan yields (``ds.limit(k)`` — pure truncation, no shuffle); pass
+    ``init`` for deterministic-by-id seeding (the queries use a
+    bounded ORDER BY vec_id LIMIT k prep).
+
+    No SQL oracle (iterative algorithm — driver records rows-only for
+    the query built on top); correctness is pinned by pytest: monotone
+    non-increasing inertia and exact recovery of separated blobs.
+
+    Returns ``(centroids ndarray (k, d), inertia list[float])``.
+    """
+    import ray
+
+    if init is None:
+        head = ds.limit(k).to_pandas()
+        init = np.array(head[vec_col].tolist(), dtype=np.float64)
+    centroids = np.asarray(init, dtype=np.float64).copy()
+    if centroids.shape[0] != k:
+        raise ValueError(f"init has {centroids.shape[0]} rows, want {k}")
+    d = centroids.shape[1]
+    inertia_per_iter: list[float] = []
+
+    for _ in range(iters):
+        cents_ref = ray.put(centroids)
+
+        def partial(batch: pa.Table, _ref=cents_ref) -> pa.Table:
+            cents = ray.get(_ref)
+            vecs = vecs_from_arrow(batch.column(vec_col))
+            # ||v - c||² = ||v||² - 2 v·c + ||c||²; argmin over c
+            d2 = (-2.0 * vecs @ cents.T
+                  + (cents * cents).sum(axis=1)[None, :])
+            assign = d2.argmin(axis=1)
+            best = d2[np.arange(len(vecs)), assign] \
+                + (vecs * vecs).sum(axis=1)
+            sums = np.zeros((k, d), np.float64)
+            np.add.at(sums, assign, vecs)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(k), pa.int64()),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                "n": pa.array(counts, pa.int64()),
+                "inertia": pa.array(
+                    np.bincount(assign, weights=best, minlength=k),
+                    pa.float64()),
+            })
+
+        sums = np.zeros((k, d), np.float64)
+        counts = np.zeros(k, np.int64)
+        inertia = 0.0
+        for t in ds.map_batches(partial, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            # one block may hold SEVERAL k-row partial groups, so the
+            # cluster ids repeat — np.add.at accumulates duplicates
+            # (fancy-index += silently keeps only the last one)
+            cl = t.column("cluster").to_numpy()
+            np.add.at(sums, cl, np.array(t.column("vsum").to_pylist(),
+                                         dtype=np.float64))
+            np.add.at(counts, cl, t.column("n").to_numpy())
+            inertia += float(
+                t.column("inertia").to_numpy(zero_copy_only=False)
+                .sum())
+        inertia_per_iter.append(inertia)
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+
+    return centroids, inertia_per_iter
+
+
 def centroid_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
                     id_col: str = "vec_id", concurrency=(1, 4)):
     """Assign every vector to its nearest centroid by cosine — a

@@ -98,6 +98,66 @@ def test_token_quantiles_matches_duckdb_rule(ray_session,
             assert row[col] == tcs[rank - 1], (row["lang"], q)
 
 
+def test_bm25_matches_naive(ray_session, documents_path):
+    """BM25 against a from-scratch recount (math.log, per-doc loops) —
+    independent of the vectorized implementation's code paths."""
+    import math
+    from collections import Counter
+    import ray.data as rd
+    from ksoup_ray.functions.curation import bm25_score
+
+    terms = ("spark", "window", "merge")
+    ds = rd.read_parquet(documents_path, columns=["doc_id", "text"])
+    got = bm25_score(ds, terms).to_pandas() \
+        .set_index("doc_id")["score_micros"].to_dict()
+
+    docs = rd.read_parquet(documents_path).to_pandas()
+    words = {r.doc_id: r.text.split(" ") for r in docs.itertuples()}
+    n = len(words)
+    avgdl = sum(len(w) for w in words.values()) / n
+    df = {t: sum(t in set(w) for w in words.values()) for t in terms}
+    want = {}
+    for doc_id, ws in words.items():
+        c = Counter(ws)
+        score = 0
+        hit = False
+        for t in terms:
+            tf = c.get(t, 0)
+            if not tf:
+                continue
+            hit = True
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            score += int(round(idf * (tf * 2.2)
+                               / (tf + 1.2 * (1.0 - 0.75
+                                              + 0.75 * len(ws) / avgdl))
+                               * 1_000_000.0))
+        if hit:
+            want[doc_id] = score
+    assert got == want
+
+
+def test_kmeans_monotone_inertia_and_blob_recovery(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from ksoup_ray.functions.similarity import kmeans_train
+
+    # 3 well-separated blobs, deterministic jitter
+    rng_pts = []
+    centers = np.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 5.0]])
+    for i in range(60):
+        c = centers[i % 3]
+        jit = np.array([((i * 37) % 7) / 10.0, ((i * 61) % 5) / 10.0])
+        rng_pts.append({"vec_id": i, "embedding": (c + jit).tolist()})
+    ds = rd.from_items(rng_pts)
+    init = np.array([p["embedding"] for p in rng_pts[:3]])
+    cents, inertia = kmeans_train(ds, k=3, iters=4, init=init)
+    assert all(b <= a + 1e-9 for a, b in zip(inertia, inertia[1:]))
+    # every final centroid sits inside one blob's jitter box
+    d = np.linalg.norm(cents[:, None, :] - centers[None, :, :], axis=2)
+    assert (d.min(axis=1) < 1.0).all()
+    assert len(set(d.argmin(axis=1))) == 3   # one centroid per blob
+
+
 def test_pii_redact_patterns():
     from ksoup_ray.functions.curation import pii_redact_batch
     cases = {

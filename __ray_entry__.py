@@ -440,6 +440,44 @@ def _q_curate(sf_dir: str):
                             max_tokens=90, near_threshold=0.5)
 
 
+def _q_web_curate(sf_dir: str):
+    """THE north-star composition: CC pages → HTML5 parse/extract →
+    CHECKPOINT (the pipeline's own partitioned parquet sink + lineage,
+    resumable — the production shape for a 100 TB run: extraction job,
+    then curation job, each streaming) → exact dedup → verified
+    near-dup drop → lang/token filters. Checkpointing between the two
+    also keeps the extraction actor pool and the curation joins from
+    competing for the same slots in one DAG (Ray 2.49 join aggregators
+    reserve CPUs up front). The oracle is the curate SQL over the
+    original documents — valid because extraction is value-checked
+    byte-identical (extract_text), so extraction drift breaks this
+    hash too."""
+    import os
+    import ray.data as rd
+    from ksoup_ray.pipelines.curate import curate_documents
+    from ksoup_ray.pipelines.extract import DATA_DIR, run_extraction
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"/tmp/ksoup_web_curate/{base}"
+    run_extraction(_pages(sf_dir), out_dir, write=True, resume=True,
+                   concurrency=(2, 8), batch_size=64)
+    ex = rd.read_parquet(os.path.join(out_dir, DATA_DIR),
+                         columns=["url", "extracted_text", "lang"])
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        ids = [int(u.rsplit("/", 1)[1]) for u in urls]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": batch.column("extracted_text"),
+            "lang": batch.column("lang"),
+        })
+
+    docs = ex.map_batches(to_docs, batch_format="pyarrow")
+    return curate_documents(docs, langs=("en",), min_tokens=20,
+                            max_tokens=90, near_threshold=0.5)
+
+
 def _q_fingerprint(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.textstats import fingerprint_batch
@@ -885,6 +923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "curate": _q_curate,
+        "web_curate": _q_web_curate,
         "xml_roundtrip": _q_xml_roundtrip,
         "dedup_components": _q_dedup_components,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -1110,6 +1149,29 @@ def oracle_sql() -> dict[str, str]:
             FROM tok GROUP BY lang
         """,
         "curate": f"""
+            -- the full curation composition: exact-dup keepers MINUS
+            -- verified near-dups, lang = en, 20 <= tokens <= 90
+            WITH keepers AS (
+              SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+            ), pairs AS ({_JACCARD_PAIRS_SQL}),
+            near_dropped AS (SELECT DISTINCT ib AS doc_id FROM pairs),
+            tok AS (
+              SELECT doc_id, lang,
+                     CAST(CASE WHEN text = '' OR text IS NULL THEN 0
+                          ELSE length(text)
+                               - length(replace(text, ' ', '')) + 1
+                          END AS BIGINT) AS token_count
+              FROM documents
+            )
+            SELECT t.doc_id, t.lang, t.token_count
+            FROM tok t
+            JOIN keepers k ON k.doc_id = t.doc_id
+            LEFT JOIN near_dropped d ON d.doc_id = t.doc_id
+            WHERE d.doc_id IS NULL
+              AND t.lang = 'en'
+              AND t.token_count BETWEEN 20 AND 90
+        """,
+        "web_curate": f"""
             -- the full curation composition: exact-dup keepers MINUS
             -- verified near-dups, lang = en, 20 <= tokens <= 90
             WITH keepers AS (

@@ -25,7 +25,6 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 # per-worker-process batch counter: Ray reuses task workers, so each
 # successive batch a worker combines gets a different offset — the

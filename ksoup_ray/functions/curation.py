@@ -1,7 +1,8 @@
 """Corpus-curation operators a 100 TB training-data pipeline runs
 beyond dedup: Gopher-style repetition quality signals, benchmark
-decontamination, global boilerplate n-gram mining, and per-language
-exact token-length quantiles.
+decontamination, global boilerplate n-gram mining, per-language
+exact token-length quantiles, BM25 relevance scoring, and PII
+redaction.
 
 Scale shapes (what rides which shuffle):
 * ``gopher_quality_batch``: pure per-batch numpy (factorize + bincount
@@ -18,6 +19,10 @@ Scale shapes (what rides which shuffle):
   partials; the groupby output is bounded by |langs| x |distinct
   counts| (token counts are small ints), so exact quantiles come from
   a value-histogram, never from sorting the corpus.
+* ``bm25_score``: two streaming passes; only the QUERY terms' document
+  frequencies are ever collected, never the corpus vocabulary.
+* ``pii_redact_batch``: one C-backed regex pass per pattern over the
+  whole column; no shuffle.
 
 Reference semantics: these extend the reference's extraction surface
 (ksoup has no corpus ops); word boundaries follow the same

@@ -114,6 +114,48 @@ def _q_extract_links(sf_dir: str):
     return ds.map_batches(count_links, batch_format="pyarrow")
 
 
+def _q_link_edges(sf_dir: str):
+    """Web-graph edge list: per page, every <a href> resolved to an
+    absolute url (abs: semantics, engine/urlutil.py) and mapped back
+    to a doc_id — the building block for link-graph analytics over a
+    crawl. Vectorized: one list-flatten + offset-repeat per batch, no
+    per-row Python. Oracle: the synth convention emits link k of doc d
+    as (d + k + 1) % 1e8 in the SAME language (sources/synth.py), so
+    every resolved edge is value-checked, not just counted."""
+    import numpy as np
+    ds = _extracted(sf_dir)
+
+    def edges(batch: pa.Table) -> pa.Table:
+        col = batch.column("links").combine_chunks()
+        urls = batch.column("url").to_pylist()
+        src = np.array([int(u.rsplit("/", 1)[1]) for u in urls],
+                       dtype=np.int64)
+        n_links = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = col.flatten()
+        hrefs = pc.struct_field(flat, "href").to_pylist()
+        dst = np.array([int(h.rsplit("/", 1)[1]) for h in hrefs],
+                       dtype=np.int64)
+        return pa.table({
+            "src": pa.array(np.repeat(src, n_links), pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+        })
+
+    return ds.map_batches(edges, batch_format="pyarrow")
+
+
+def _q_pagerank(sf_dir: str):
+    """PageRank over the crawl's link graph (functions/graph.py):
+    join-free power iteration — co-partitioned groupby/map_groups
+    stages, ranks materialized once per iteration, driver holds only N
+    and the dangling-mass scalar. Iterative → rows-only driver check;
+    pinned by pytest against a from-scratch implementation (exact
+    match on a 5-node graph) and the rank-sum≈1 invariant."""
+    from ksoup_ray.functions.graph import pagerank
+    edges = _q_link_edges(sf_dir)
+    return pagerank(edges, iters=3)
+
+
 def _q_extract_spans(sf_dir: str):
     """Source-range provenance (north rule "text/spans"): per url, the
     count of text-node spans contributing to extracted_text and the
@@ -906,6 +948,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_from_files": _q_extract_from_files,
         "extract_links": _q_extract_links,
         "extract_spans": _q_extract_spans,
+        "link_edges": _q_link_edges,
+        "pagerank": _q_pagerank,
         "extract_meta": _q_extract_meta,
         "select_css": _q_select_css,
         "charset_decode": _q_charset_decode,
@@ -965,6 +1009,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT {SYNTH_URL_SQL} AS url,
                    CAST(doc_id % 4 AS BIGINT) AS n_links
             FROM documents
+        """,
+        "link_edges": """
+            SELECT doc_id AS src,
+                   CAST((doc_id + k + 1) % 100000000 AS BIGINT) AS dst
+            FROM documents,
+            LATERAL unnest(generate_series(0, doc_id % 4 - 1)) AS t(k)
         """,
         "stream_first_paras": f"""
             SELECT {SYNTH_URL_SQL} AS url,

@@ -372,6 +372,18 @@ def _q_bm25(sf_dir: str):
     return bm25_score(ds, ("spark", "window", "merge"))
 
 
+def _q_unigram_logprob(sf_dir: str):
+    """Corpus-LM document quality (functions/curation.py
+    unigram_logprob): the vocab-scale count table CO-PARTITIONS with
+    doc term frequencies on the word (never broadcast); integer-micro
+    contributions make the sum order-free for exact oracle parity."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import unigram_logprob
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return unigram_logprob(ds)
+
+
 def _q_langid(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.textstats import LangId
@@ -964,6 +976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": _q_token_quantiles,
         "pii_redact": _q_pii_redact,
         "bm25": _q_bm25,
+        "unigram_logprob": _q_unigram_logprob,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "curate": _q_curate,
@@ -1124,6 +1137,21 @@ def oracle_sql() -> dict[str, str]:
                         0) AS BIGINT) AS contaminated
             FROM documents d LEFT JOIN sh s ON s.doc_id = d.doc_id
             WHERE d.source <> 'src0' GROUP BY d.doc_id
+        """,
+        "unigram_logprob": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            cnt AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM words),
+            tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+                   GROUP BY doc_id, w)
+            SELECT tf.doc_id,
+                   CAST(SUM(tf.tf * CAST(ROUND(
+                       ln(cnt.c / tot.t) * 1000000.0) AS BIGINT))
+                     AS BIGINT) AS logprob_micros
+            FROM tf JOIN cnt USING (w) CROSS JOIN tot
+            GROUP BY tf.doc_id
         """,
         "bm25": """
             WITH words AS (

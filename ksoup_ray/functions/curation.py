@@ -1,8 +1,8 @@
 """Corpus-curation operators a 100 TB training-data pipeline runs
 beyond dedup: Gopher-style repetition quality signals, benchmark
 decontamination, global boilerplate n-gram mining, per-language
-exact token-length quantiles, BM25 relevance scoring, and PII
-redaction.
+exact token-length quantiles, BM25 relevance scoring, corpus-LM
+unigram log-prob scoring, and PII redaction.
 
 Scale shapes (what rides which shuffle):
 * ``gopher_quality_batch``: pure per-batch numpy (factorize + bincount
@@ -23,6 +23,9 @@ Scale shapes (what rides which shuffle):
   frequencies are ever collected, never the corpus vocabulary.
 * ``pii_redact_batch``: one C-backed regex pass per pattern over the
   whole column; no shuffle.
+* ``unigram_logprob``: the vocab-scale count table CO-PARTITIONS with
+  doc term frequencies (salted against stopword skew) — never
+  broadcast, never a hash-join.
 
 Reference semantics: these extend the reference's extraction surface
 (ksoup has no corpus ops); word boundaries follow the same
@@ -280,6 +283,100 @@ def bm25_score(ds, query_terms: tuple[str, ...], *,
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def unigram_logprob(ds, *, text_col: str = "text",
+                    id_col: str = "doc_id", salt: int = 16):
+    """Corpus-LM quality score: per-document unigram log-likelihood
+    (Σ tf(w) · ln P(w)) in integer micros — the CCNet-style "how
+    typical of the corpus is this document" signal.
+
+    Unlike ``bm25_score`` (whose df side is a tiny QUERY-term set),
+    the side table here is the CORPUS VOCABULARY — potentially
+    billions of rows at 100 TB — so it is NOT broadcast: doc term
+    frequencies and vocab counts CO-PARTITION on the word (one
+    tagged-union groupby, the same join-free shape as
+    ``graph.pagerank``), each word group emits its docs'
+    contributions, and one final groupby(doc) sums integers.
+    Per-(doc,word) contributions round to int micros before summing →
+    accumulation-order-free, mirrored exactly by the DuckDB oracle.
+
+    Hot-word skew: a stopword's group would hold one row per document
+    containing it (corpus-scale), and ``map_groups`` loads a group
+    whole — so doc rows SALT over ``(w, salt)`` (vocab rows replicate
+    to all ``salt`` buckets, a vocab×salt blowup of tiny rows) bounding
+    each group to ~1/salt of the word's postings.
+
+    Returns ``(doc_id, logprob_micros int64)``.
+    """
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        _, codes, vocab, _ = _explode_words(s)
+        return pa.table({
+            "w": pa.array(vocab, pa.string()),
+            "partial": pa.array(np.bincount(codes,
+                                            minlength=len(vocab)),
+                                pa.int64()),
+        })
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("w").aggregate(Sum("partial", alias_name="c"))
+              .materialize())
+    total = counts.sum("c")
+
+    def tag_counts(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        # replicate each vocab row into every salt bucket
+        reps = salt
+        return pa.table({
+            "w": pa.array(np.repeat(
+                batch.column("w").to_numpy(zero_copy_only=False), reps)),
+            "bkt": pa.array(np.tile(np.arange(reps, dtype=np.int32), n),
+                            pa.int32()),
+            id_col: pa.array(np.full(n * reps, -1, np.int64)),
+            "v": pa.array(np.repeat(
+                batch.column("c").cast(pa.int64()).to_numpy(), reps),
+                pa.int64()),
+            "is_vocab": pa.array(np.ones(n * reps, np.int8)),
+        })
+
+    def doc_tf(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).to_numpy()
+        doc_idx, codes, vocab, _ = _explode_words(s)
+        v = np.int64(len(vocab))
+        key = doc_idx * v + codes
+        uk, tf = np.unique(key, return_counts=True)
+        doc_ids = ids[(uk // v).astype(np.intp)]
+        return pa.table({
+            "w": pa.array(np.asarray(vocab, object)[(uk % v)],
+                          pa.string()),
+            "bkt": pa.array((doc_ids % salt).astype(np.int32),
+                            pa.int32()),
+            id_col: pa.array(doc_ids, pa.int64()),
+            "v": pa.array(tf, pa.int64()),
+            "is_vocab": pa.array(np.zeros(len(uk), np.int8)),
+        })
+
+    both = counts.map_batches(tag_counts, batch_format="pyarrow") \
+        .union(ds.map_batches(doc_tf, batch_format="pyarrow"))
+
+    def contribs(group: pd.DataFrame) -> pd.DataFrame:
+        is_v = group["is_vocab"].to_numpy() == 1
+        c = float(group["v"].to_numpy()[is_v][0])
+        # same expression tree as the SQL oracle
+        lp_micros = np.int64(np.round(np.log(c / total) * 1_000_000.0))
+        docs = group[id_col].to_numpy()[~is_v]
+        tf = group["v"].to_numpy()[~is_v]
+        return pd.DataFrame({id_col: docs.astype(np.int64),
+                             "contrib": tf.astype(np.int64) * lp_micros})
+
+    return (both.groupby(["w", "bkt"])
+            .map_groups(contribs, batch_format="pandas")
+            .groupby(id_col)
+            .aggregate(Sum("contrib", alias_name="logprob_micros")))
 
 
 # PII patterns chosen to behave IDENTICALLY in Python `re` and DuckDB

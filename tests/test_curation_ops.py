@@ -136,6 +136,28 @@ def test_bm25_matches_naive(ray_session, documents_path):
     assert got == want
 
 
+def test_unigram_logprob_matches_naive(ray_session, documents_path):
+    import math
+    from collections import Counter
+    import ray.data as rd
+    from ksoup_ray.functions.curation import unigram_logprob
+
+    ds = rd.read_parquet(documents_path, columns=["doc_id", "text"])
+    got = unigram_logprob(ds, salt=4).to_pandas() \
+        .set_index("doc_id")["logprob_micros"].to_dict()
+
+    docs = rd.read_parquet(documents_path).to_pandas()
+    words = {r.doc_id: r.text.split(" ") for r in docs.itertuples()}
+    cnt = Counter(w for ws in words.values() for w in ws)
+    total = float(sum(cnt.values()))
+    want = {}
+    for doc_id, ws in words.items():
+        want[doc_id] = sum(
+            tf * int(round(math.log(cnt[w] / total) * 1_000_000.0))
+            for w, tf in Counter(ws).items())
+    assert got == want
+
+
 def test_kmeans_monotone_inertia_and_blob_recovery(ray_session):
     import numpy as np
     import ray.data as rd

@@ -12,8 +12,16 @@ cluster), so each iteration uses co-partitioning via
            rows; zero-out-degree nodes emit their whole rank to the
            DANGLING sentinel (-1);
   stage 2: union(contributions, node roster) keyed on the DEST node →
-           each group sums its contributions;
+           native vectorized Sum (zero rows from the roster keep
+           absent-inbound nodes in the output) — no per-group Python;
   stage 3: pure map: rank' = (1-d)/N + d*(sum + dangling/N).
+
+Cost honesty: stage 1's ``map_groups`` invokes Python once per SOURCE
+node per iteration (each call is O(out_degree) numpy). At 10^12 nodes
+that per-group dispatch is the dominant constant; on a large cluster
+swap stage 1 for a hash join of edges against (rank/deg) — vectorized,
+but Ray 2.49's join aggregators reserve CPUs up front, which deadlocks
+the small-cluster/test regime this default must also run in.
 
 Ranks are a corpus-scale Dataset MATERIALIZED once per iteration (one
 row per node — the object store spills; the driver only ever holds N
@@ -98,21 +106,22 @@ def pagerank(edges, *, iters: int = 10, damping: float = 0.85,
             "contrib": pa.array(np.zeros(batch.num_rows, np.float64)),
         })
 
-    def fold(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "node": group["key"].iloc[:1].to_numpy(dtype=np.int64),
-            "s": [float(group["contrib"].to_numpy().sum())],
-        })
-
     for _ in range(iters):
+        from ray.data.aggregate import Sum
         tagged = ranks.map_batches(tag_ranks, batch_format="pyarrow") \
             .union(edges.map_batches(tag_edges, batch_format="pyarrow"))
         contribs = tagged.groupby("key").map_groups(
             spread, batch_format="pandas")
+        # stage 2 is a plain sum per dest — native vectorized hash
+        # aggregate, NO per-group Python (the zero rows from the node
+        # roster guarantee every node appears in the output)
         folded = contribs.map_batches(tag_contribs,
                                       batch_format="pyarrow") \
             .union(nodes.map_batches(tag_nodes, batch_format="pyarrow")) \
-            .groupby("key").map_groups(fold, batch_format="pandas") \
+            .groupby("key").aggregate(Sum("contrib", alias_name="s")) \
+            .map_batches(lambda b: pa.table(
+                {"node": b.column("key"), "s": b.column("s")}),
+                batch_format="pyarrow") \
             .materialize()
         # the sentinel group carries the total dangling mass; real
         # nodes never use id -1 (crawl doc_ids are non-negative)

@@ -307,6 +307,13 @@ def unigram_logprob(ds, *, text_col: str = "text",
     to all ``salt`` buckets, a vocab×salt blowup of tiny rows) bounding
     each group to ~1/salt of the word's postings.
 
+    Cost honesty: the contribution stage dispatches Python once per
+    (word, salt) group — O(vocab × salt) calls, each vectorized over
+    its postings slice. On a large cluster the vectorized alternative
+    is a hash join of tf rows against a (word, lp_micros) table; the
+    default avoids it because Ray 2.49's join aggregators reserve CPUs
+    up front (deadlock-prone in the small-cluster/test regime).
+
     Returns ``(doc_id, logprob_micros int64)``.
     """
     from ray.data.aggregate import Sum

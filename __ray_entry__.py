@@ -101,6 +101,30 @@ def _q_extract_from_files(sf_dir: str):
     return out.select_columns(["url", "extracted_text", "title"])
 
 
+def _q_extract_from_warc(sf_dir: str):
+    """Common-Crawl's actual container: WARC shards of per-record gzip
+    members (sources/warc.py). The synth corpus is materialized once
+    as .warc.gz shards, streamed back whole-shard via
+    read_binary_files, member-split + header-parsed in workers, and
+    run through the SAME extraction pipeline — oracle = extract_text,
+    so the WARC round-trip is value-checked byte-identically."""
+    import os
+    from ksoup_ray.pipelines.extract import run_extraction
+    from ksoup_ray.sources.warc import read_warc, write_warc_shards
+
+    cache = f"/tmp/ksoup_warc_corpus/{os.path.basename(sf_dir.rstrip('/'))}"
+    marker = os.path.join(cache, "_COMPLETE")
+    if not os.path.exists(marker):
+        n = write_warc_shards(_pages(sf_dir), cache,
+                              records_per_file=64)
+        with open(marker, "w") as f:
+            f.write(str(n))
+    ds = read_warc(cache)
+    out = run_extraction(ds, out_dir="", write=False,
+                         concurrency=(2, 8), batch_size=64)
+    return out.select_columns(["url", "extracted_text", "title"])
+
+
 def _q_extract_links(sf_dir: str):
     ds = _extracted(sf_dir)
 
@@ -958,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
         "extract_from_files": _q_extract_from_files,
+        "extract_from_warc": _q_extract_from_warc,
         "extract_links": _q_extract_links,
         "extract_spans": _q_extract_spans,
         "link_edges": _q_link_edges,
@@ -1007,6 +1032,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_text": f"""
+            SELECT {SYNTH_URL_SQL} AS url,
+                   text AS extracted_text,
+                   {TITLE_SQL} AS title
+            FROM documents
+        """,
+        "extract_from_warc": f"""
             SELECT {SYNTH_URL_SQL} AS url,
                    text AS extracted_text,
                    {TITLE_SQL} AS title

@@ -1,0 +1,157 @@
+"""WARC-style crawl archives as a Ray source — the container format
+Common-Crawl actually ships (ISO 28500): one gzip MEMBER per record,
+members concatenated into .warc.gz shard files, each record = WARC
+headers + raw HTTP payload.
+
+This implements the subset a 100 TB extraction run needs:
+* ``write_warc_shards``: pages → ``shard-NNNNN.warc.gz`` files of
+  ``records_per_file`` response records each, written INSIDE workers
+  (the driver folds counts only). Per-record gzip members (mtime=0,
+  deterministic bytes) mean a reader can split/seek members without
+  decompressing the whole shard — the property CC relies on.
+* ``read_warc``: ``ray.data.read_binary_files`` streams whole shards
+  (at 100 TB each shard is the work unit — ~1 GB in real CC); one
+  ``map_batches`` task decompresses the concatenated members
+  (``zlib.decompressobj`` loop, member-by-member) and parses the WARC
+  header block per record (WARC-Target-URI + Content-Length). The
+  per-RECORD Python here parses ~5 header lines; the subsequent HTML5
+  parse dominates by orders of magnitude.
+
+Parity note: the reference's file surface stops at single gzipped
+documents (`helper/DataUtil.kt:49-51`); WARC is the multi-document
+generalization its users run at crawl scale.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import zlib
+
+import pyarrow as pa
+
+_CRLF = "\r\n"
+
+
+def _record_bytes(url: str, payload: bytes) -> bytes:
+    head = (f"WARC/1.0{_CRLF}"
+            f"WARC-Type: response{_CRLF}"
+            f"WARC-Target-URI: {url}{_CRLF}"
+            f"Content-Length: {len(payload)}{_CRLF}"
+            f"{_CRLF}").encode("ascii")
+    return head + payload + _CRLF.encode() * 2
+
+
+def write_warc_shards(pages, out_dir: str, *,
+                      records_per_file: int = 256) -> int:
+    """Write a pages Dataset (``url``/``html``) as ``.warc.gz`` shards
+    of per-record gzip members. Returns total records written. Shard
+    names derive from the first record's url hash — deterministic and
+    collision-free per batch; a retried task overwrites its own file
+    (idempotent), never appends."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        written = 0
+        for i in range(0, len(urls), records_per_file):
+            chunk = list(zip(urls[i:i + records_per_file],
+                             payloads[i:i + records_per_file]))
+            # 128-bit name: collision-free at crawl scale (a 32-bit
+            # hash birthday-collides around ~10^5 shards)
+            import hashlib
+            h = hashlib.md5(chunk[0][0].encode()).hexdigest()
+            name = f"shard-{h}.warc.gz"
+            tmp = os.path.join(out_dir, "." + name)
+            with open(tmp, "wb") as f:
+                for url, payload in chunk:
+                    f.write(gzip.compress(_record_bytes(url, payload),
+                                          mtime=0))
+            os.replace(tmp, os.path.join(out_dir, name))
+            written += len(chunk)
+        return pa.table({"n": pa.array([written], pa.int64())})
+
+    total = 0
+    import pyarrow.compute as pc
+    for b in pages.map_batches(write_batch, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            total += int(pc.sum(b.column("n")).as_py())
+    return total
+
+
+def _split_members(blob: bytes):
+    """Decompress a concatenation of gzip members, yielding each
+    member's decompressed bytes (zlib.decompressobj with the gzip
+    wrapper; unused_data marks the member boundary)."""
+    pos = 0
+    while pos < len(blob):
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out = d.decompress(blob[pos:])
+        yield out
+        consumed = len(blob) - pos - len(d.unused_data)
+        if consumed <= 0:       # corrupt trailing garbage — stop
+            return
+        pos += consumed
+
+
+def _parse_record(rec: bytes) -> tuple[str, bytes]:
+    """One decompressed WARC record → (target_uri, payload)."""
+    head_end = rec.index(b"\r\n\r\n")
+    headers = {}
+    for line in rec[:head_end].split(b"\r\n")[1:]:   # skip WARC/1.0
+        k, _, v = line.partition(b":")
+        headers[k.strip().lower()] = v.strip()
+    n = int(headers[b"content-length"])
+    payload = rec[head_end + 4:head_end + 4 + n]
+    return headers[b"warc-target-uri"].decode("ascii"), payload
+
+
+def _iter_records(buf: bytes):
+    """Records from a PLAIN (already-decompressed) concatenation of
+    WARC records — walk header blocks by Content-Length."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        head_end = buf.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            return
+        rec_len = None
+        for line in buf[pos:head_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            if k.strip().lower() == b"content-length":
+                rec_len = int(v.strip())
+        body_end = head_end + 4 + rec_len
+        yield buf[pos:body_end]
+        pos = body_end + 4          # skip the record's CRLF CRLF
+
+
+def read_warc(root: str, *, concurrency=None):
+    """Directory of ``.warc.gz`` shards → Dataset of
+    ``(url, html: binary)``. Whole shards stream through
+    ``read_binary_files``; record splitting + header parse happen in
+    the worker task. Handles BOTH payload forms: Ray/Arrow
+    transparently gunzips ``.gz`` files (plain concatenated records
+    arrive), while bytes from other filesystem layers may still be
+    raw gzip members — detected by the 1f 8b magic."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(root, file_extensions=["gz"])
+
+    def decode(batch: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for blob in batch.column("bytes").to_pylist():
+            recs = _split_members(blob) if blob[:2] == b"\x1f\x8b" \
+                else _iter_records(blob)
+            for rec in recs:
+                url, payload = _parse_record(rec)
+                urls.append(url)
+                htmls.append(payload)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(htmls, pa.binary()),
+        })
+
+    kwargs = {"concurrency": concurrency} if concurrency else {}
+    return ds.map_batches(decode, batch_format="pyarrow", **kwargs)

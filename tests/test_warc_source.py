@@ -1,0 +1,62 @@
+"""WARC-style source (sources/warc.py): shard write → read round-trip
+byte identity, member-splitting on raw gzip concatenations, plain
+record iteration, and header parsing."""
+
+import gzip
+import os
+
+import pytest
+
+from ksoup_ray.sources.warc import (
+    _iter_records,
+    _parse_record,
+    _record_bytes,
+    _split_members,
+)
+
+
+def test_record_roundtrip_unit():
+    rec = _record_bytes("https://x.invalid/a", b"<html>hi</html>")
+    url, payload = _parse_record(rec[:-4])   # strip trailing CRLFs
+    assert url == "https://x.invalid/a"
+    assert payload == b"<html>hi</html>"
+
+
+def test_split_members_and_iter_records_agree():
+    recs = [_record_bytes(f"https://x.invalid/{i}",
+                          b"<p>" + bytes(str(i), "ascii") + b"</p>")
+            for i in range(5)]
+    gz_concat = b"".join(gzip.compress(r, mtime=0) for r in recs)
+    plain_concat = b"".join(recs)
+    via_gz = [_parse_record(r) for r in _split_members(gz_concat)]
+    via_plain = [_parse_record(r) for r in _iter_records(plain_concat)]
+    assert via_gz == via_plain
+    assert len(via_gz) == 5
+    assert via_gz[3][1] == b"<p>3</p>"
+
+
+def test_payload_with_crlf_crlf_inside():
+    """Content-Length framing, not delimiter scanning: a payload
+    containing the record separator must survive intact."""
+    tricky = b"<pre>a\r\n\r\nb</pre>"
+    rec = _record_bytes("https://x.invalid/t", tricky)
+    out = [_parse_record(r) for r in _iter_records(rec)]
+    assert out == [("https://x.invalid/t", tricky)]
+
+
+def test_warc_shard_roundtrip(ray_session, sf_dir, tmp_path_factory):
+    import ray.data as rd
+    from ksoup_ray.sources.synth import cc_pages
+    from ksoup_ray.sources.warc import read_warc, write_warc_shards
+
+    root = str(tmp_path_factory.mktemp("warc_corpus"))
+    n = write_warc_shards(cc_pages(sf_dir), root, records_per_file=64)
+    got = read_warc(root).to_pandas().set_index("url")["html"]
+    want = cc_pages(sf_dir).to_pandas().set_index("url")["html"]
+    assert n == len(want) == len(got)
+    assert sorted(got.index) == sorted(want.index)
+    for url in want.index:
+        assert bytes(got[url]) == bytes(want[url]), url
+    # shards are genuinely multi-record files
+    shards = [f for f in os.listdir(root) if f.endswith(".warc.gz")]
+    assert 1 < len(shards) < n

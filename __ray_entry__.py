@@ -240,6 +240,37 @@ def _q_charset_decode(sf_dir: str):
     return ds.select_columns(["url", "lang"])
 
 
+def _q_crawl_diff(sf_dir: str):
+    """Recrawl delta (functions/snapshot.py): old = documents; new =
+    a deterministic mutation (docs with id%17==0 removed, id%10==0
+    re-texted, id%23==0 cloned to id+1e6) — diffed via md5-fingerprint
+    rows and ONE full-outer join; payloads never ride the shuffle.
+    The oracle reconstructs the same snapshot in SQL."""
+    import ray.data as rd
+    from ksoup_ray.functions.snapshot import snapshot_diff
+    old = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pandas()
+        text = batch.column("text").to_pandas().fillna("")
+        keep = (ids % 17) != 0
+        base_ids = ids[keep]
+        base_text = text[keep].where((base_ids % 10) != 0,
+                                     text[keep] + " v2")
+        clone = (ids % 23) == 0
+        out_ids = pd.concat([base_ids, ids[clone] + 1_000_000])
+        out_text = pd.concat([base_text, text[clone] + " new"])
+        return pa.table({
+            "doc_id": pa.array(out_ids.to_numpy(), pa.int64()),
+            "text": pa.array(out_text.to_numpy(dtype=object),
+                             pa.string()),
+        })
+
+    new = old.map_batches(mutate, batch_format="pyarrow")
+    return snapshot_diff(old, new)
+
+
 def _q_exact_dedup(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.dedup import exact_dedup
@@ -990,6 +1021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_meta": _q_extract_meta,
         "select_css": _q_select_css,
         "charset_decode": _q_charset_decode,
+        "crawl_diff": _q_crawl_diff,
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "simhash": _q_simhash,
@@ -1109,6 +1141,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "charset_decode": f"""
             SELECT {SYNTH_URL_SQL} AS url, lang FROM documents
+        """,
+        "crawl_diff": """
+            WITH new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 17 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
+              FROM documents WHERE doc_id % 23 = 0
+            )
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN md5(o.text) = md5(n.text) THEN 'same'
+                        ELSE 'changed' END AS status
+            FROM documents o FULL OUTER JOIN new n USING (doc_id)
         """,
         "exact_dedup": """
             SELECT MIN(doc_id) AS doc_id, text

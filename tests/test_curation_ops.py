@@ -210,3 +210,22 @@ def test_decontaminate_flags_shared_ngrams(ray_session):
     out = decontaminate(corpus, bench, ngram=3).to_pandas() \
         .set_index("doc_id")["contaminated"]
     assert out[1] == 1 and out[2] == 0 and out[3] == 0
+
+
+def test_snapshot_diff_statuses(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.snapshot import snapshot_diff
+
+    old = rd.from_items([
+        {"doc_id": 1, "text": "alpha"},
+        {"doc_id": 2, "text": "beta"},
+        {"doc_id": 3, "text": "gamma"},
+    ])
+    new = rd.from_items([
+        {"doc_id": 1, "text": "alpha"},       # same
+        {"doc_id": 2, "text": "beta prime"},  # changed
+        {"doc_id": 4, "text": "delta"},       # added; 3 removed
+    ])
+    out = snapshot_diff(old, new).to_pandas() \
+        .set_index("doc_id")["status"].to_dict()
+    assert out == {1: "same", 2: "changed", 3: "removed", 4: "added"}

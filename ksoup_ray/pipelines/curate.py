@@ -47,6 +47,19 @@ def _anti_join(ds, drop_ids, id_col: str, num_partitions: int = 8):
         batch_format="pyarrow")
 
 
+def curate_to_parquet(ds, out_dir: str, *, num_partitions: int = 64,
+                      resume: bool = True, **curate_kwargs) -> dict:
+    """Run ``curate_documents`` and land the survivors through the
+    shared resumable partitioned sink (``pipelines/sink.py``):
+    hive-partitioned by doc_id, per-partition lineage, reruns skip
+    finished partitions. Returns the sink's stats dict."""
+    from .sink import write_partitioned
+    out = curate_documents(ds, **curate_kwargs)
+    return write_partitioned(out, out_dir, key_col="doc_id",
+                             num_partitions=num_partitions,
+                             resume=resume)
+
+
 def _auto_partitions() -> int:
     """Join partition count sized to the cluster.
 

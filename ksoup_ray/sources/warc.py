@@ -110,12 +110,19 @@ def _parse_record(rec: bytes) -> tuple[str, bytes]:
 
 def _iter_records(buf: bytes):
     """Records from a PLAIN (already-decompressed) concatenation of
-    WARC records — walk header blocks by Content-Length."""
+    WARC records — walk header blocks by Content-Length. Yields
+    ``(record_bytes | None)``: a trailing TRUNCATED record (headers
+    promise more payload than the shard holds — a mid-write crash or
+    transfer cut) yields ``None`` so the caller can COUNT the drop
+    (no-silent-caps rule) instead of emitting a silently-short
+    document."""
     pos = 0
     n = len(buf)
     while pos < n:
         head_end = buf.find(b"\r\n\r\n", pos)
         if head_end < 0:
+            if buf[pos:].strip():
+                yield None          # header block itself cut off
             return
         rec_len = None
         for line in buf[pos:head_end].split(b"\r\n")[1:]:
@@ -123,6 +130,9 @@ def _iter_records(buf: bytes):
             if k.strip().lower() == b"content-length":
                 rec_len = int(v.strip())
         body_end = head_end + 4 + rec_len
+        if body_end > n:
+            yield None              # payload truncated
+            return
         yield buf[pos:body_end]
         pos = body_end + 4          # skip the record's CRLF CRLF
 
@@ -140,14 +150,22 @@ def read_warc(root: str, *, concurrency=None):
     ds = rd.read_binary_files(root, file_extensions=["gz"])
 
     def decode(batch: pa.Table) -> pa.Table:
+        import logging
         urls, htmls = [], []
+        dropped = 0
         for blob in batch.column("bytes").to_pylist():
             recs = _split_members(blob) if blob[:2] == b"\x1f\x8b" \
                 else _iter_records(blob)
             for rec in recs:
+                if rec is None:      # truncated — counted, not silent
+                    dropped += 1
+                    continue
                 url, payload = _parse_record(rec)
                 urls.append(url)
                 htmls.append(payload)
+        if dropped:
+            logging.getLogger("ksoup_ray.warc").warning(
+                "read_warc: dropped %d truncated record(s)", dropped)
         return pa.table({
             "url": pa.array(urls, pa.string()),
             "html": pa.array(htmls, pa.binary()),

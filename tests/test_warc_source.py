@@ -60,3 +60,23 @@ def test_warc_shard_roundtrip(ray_session, sf_dir, tmp_path_factory):
     # shards are genuinely multi-record files
     shards = [f for f in os.listdir(root) if f.endswith(".warc.gz")]
     assert 1 < len(shards) < n
+
+
+def test_truncated_record_dropped_not_silent(ray_session, tmp_path):
+    """A shard cut mid-payload drops ONLY the truncated record —
+    earlier records survive; nothing silently-short is emitted."""
+    import ray.data as rd
+    from ksoup_ray.sources.warc import read_warc
+
+    good = _record_bytes("https://x.invalid/ok", b"<p>fine</p>")
+    cut = _record_bytes("https://x.invalid/cut",
+                        b"<p>this payload gets truncated</p>")[:-20]
+    root = tmp_path / "warc"
+    root.mkdir()
+    # one gzip member holding both records, cut inside the second —
+    # Arrow inflates the .gz, so the worker sees the plain-record path
+    (root / "shard-x.warc.gz").write_bytes(
+        gzip.compress(good + cut, mtime=0))
+    out = read_warc(str(root)).to_pandas()
+    assert list(out["url"]) == ["https://x.invalid/ok"]
+    assert bytes(out["html"][0]) == b"<p>fine</p>"

@@ -383,6 +383,31 @@ def _q_token_quantiles(sf_dir: str):
     return token_quantiles(ds, qs=(0.25, 0.5, 0.75, 0.9))
 
 
+def _q_normalize_text(sf_dir: str):
+    """Unicode canonicalization with REAL normalization work: each
+    text gets a decomposed suffix (e + COMBINING ACUTE, padded spaces)
+    appended, then NFC + trim (functions/curation.py). The oracle
+    mirrors the injection (chr(769) = the combining acute) and applies
+    trim(nfc_normalize(...)) — value-checked composition, not a no-op
+    on the ASCII corpus."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import normalize_text_batch
+
+    def inject(batch: pa.Table) -> pa.Table:
+        text = batch.column("text").to_pandas().fillna("")
+        salted = "  " + text + " cafe\u0301  "
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": pa.array(salted.to_numpy(dtype=object), pa.string()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(inject, batch_format="pyarrow") \
+            .map_batches(normalize_text_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "norm_text"])
+
+
 def _q_pii_redact(sf_dir: str):
     """PII scrubbing with REAL hits: deterministic synthetic PII
     (email / IPv4 / phone derived from doc_id) is appended to each
@@ -1031,6 +1056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "ngram_topk": _q_ngram_topk,
         "token_quantiles": _q_token_quantiles,
+        "normalize_text": _q_normalize_text,
         "pii_redact": _q_pii_redact,
         "bm25": _q_bm25,
         "unigram_logprob": _q_unigram_logprob,
@@ -1217,6 +1243,13 @@ def oracle_sql() -> dict[str, str]:
                         0) AS BIGINT) AS contaminated
             FROM documents d LEFT JOIN sh s ON s.doc_id = d.doc_id
             WHERE d.source <> 'src0' GROUP BY d.doc_id
+        """,
+        "normalize_text": """
+            SELECT doc_id,
+                   trim(nfc_normalize(
+                     '  ' || text || ' cafe' || chr(769) || '  '))
+                     AS norm_text
+            FROM documents
         """,
         "unigram_logprob": """
             WITH words AS (

@@ -395,6 +395,21 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
+def normalize_text_batch(batch: pa.Table, text_col: str = "text",
+                         out_col: str = "norm_text") -> pa.Table:
+    """Unicode NFC normalization + edge-whitespace trim — the standard
+    pre-tokenization canonicalization (decomposed e+COMBINING ACUTE →
+    é, etc.). One pyarrow utf8_trim_whitespace kernel; NFC itself via
+    ``unicodedata.normalize`` per string (C-implemented; ASCII strings
+    short-circuit inside CPython). Mirrored by DuckDB
+    ``trim(nfc_normalize(text))``."""
+    import unicodedata
+    s = batch.column(text_col).to_pylist()
+    norm = pa.array([unicodedata.normalize("NFC", t) if t is not None
+                     else None for t in s], pa.string())
+    return batch.append_column(out_col, pc.utf8_trim_whitespace(norm))
+
+
 def pii_redact_batch(batch: pa.Table, text_col: str = "text",
                      out_col: str = "redacted") -> pa.Table:
     """Redact emails / IPv4s / phone numbers with typed placeholders —

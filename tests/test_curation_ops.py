@@ -229,3 +229,12 @@ def test_snapshot_diff_statuses(ray_session):
     out = snapshot_diff(old, new).to_pandas() \
         .set_index("doc_id")["status"].to_dict()
     assert out == {1: "same", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_normalize_text_nfc_and_trim():
+    from ksoup_ray.functions.curation import normalize_text_batch
+    batch = pa.table({"text": pa.array(
+        ["  café  ", "plain", "", "é already composed "],
+        pa.string())})
+    got = normalize_text_batch(batch)["norm_text"].to_pylist()
+    assert got == ["café", "plain", "", "é already composed"]

@@ -371,6 +371,19 @@ def _q_ngram_topk(sf_dir: str):
     return ngram_topk(ds, n=3, k=20)
 
 
+def _q_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing (functions/packing.py): the corpus
+    token stream in doc_id order, cut every 256 tokens — distributed
+    ordered prefix sum (per-bucket partials -> driver cumsums one
+    scalar per bucket -> co-partitioned pass adds bases). Oracle:
+    window cumsum + generate_series over the straddle spans."""
+    import ray.data as rd
+    from ksoup_ray.functions.packing import pack_sequences
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return pack_sequences(ds, capacity=256)
+
+
 def _q_token_quantiles(sf_dir: str):
     """Exact per-language token-count quantiles from a bounded value
     histogram (|langs| x |distinct counts| rows after ONE groupby) —
@@ -1056,6 +1069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "ngram_topk": _q_ngram_topk,
         "token_quantiles": _q_token_quantiles,
+        "pack_sequences": _q_pack_sequences,
         "normalize_text": _q_normalize_text,
         "pii_redact": _q_pii_redact,
         "bm25": _q_bm25,
@@ -1325,6 +1339,31 @@ def oracle_sql() -> dict[str, str]:
                    LATERAL unnest(generate_series(1, len(w)-2)) AS u(i))
             SELECT g AS ngram, CAST(count(*) AS BIGINT) AS n FROM sh
             GROUP BY g ORDER BY n DESC, g LIMIT 20
+        """,
+        "pack_sequences": """
+            WITH tok AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN text = '' OR text IS NULL THEN 0
+                          ELSE length(text)
+                               - length(replace(text, ' ', '')) + 1
+                          END AS BIGINT) AS tc
+              FROM documents),
+            off AS (
+              SELECT doc_id, tc,
+                     SUM(tc) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - tc AS o
+              FROM tok),
+            spans AS (
+              SELECT doc_id, tc, o, o // 256 AS b0,
+                     (o + tc - 1) // 256 AS b1
+              FROM off WHERE tc > 0)
+            SELECT CAST(b0 + j AS BIGINT) AS bin_id, doc_id,
+                   CAST(LEAST(o + tc, (b0 + j + 1) * 256)
+                        - GREATEST(o, (b0 + j) * 256) AS BIGINT)
+                     AS tokens_in_bin
+            FROM spans,
+            LATERAL unnest(generate_series(0, CAST(b1 - b0 AS BIGINT)))
+              AS t(j)
         """,
         "token_quantiles": """
             WITH tok AS (SELECT lang,

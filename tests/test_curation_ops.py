@@ -238,3 +238,27 @@ def test_normalize_text_nfc_and_trim():
         pa.string())})
     got = normalize_text_batch(batch)["norm_text"].to_pylist()
     assert got == ["café", "plain", "", "é already composed"]
+
+
+def test_pack_sequences_invariants(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.packing import pack_sequences
+
+    docs = [{"doc_id": i, "text": " ".join(["w"] * n)}
+            for i, n in enumerate([10, 300, 5, 250, 256, 1, 0, 100])]
+    out = pack_sequences(rd.from_items(docs), capacity=256,
+                         bucket_size=3).to_pandas()
+    # per-doc token mass is conserved
+    per_doc = out.groupby("doc_id")["tokens_in_bin"].sum().to_dict()
+    assert per_doc == {0: 10, 1: 300, 2: 5, 3: 250, 4: 256, 5: 1,
+                       7: 100}         # doc 6 (0 tokens) absent
+    # every bin except the last is exactly full
+    per_bin = out.groupby("bin_id")["tokens_in_bin"].sum()
+    total = sum(v for v in per_doc.values())
+    assert (per_bin.iloc[:-1] == 256).all()
+    assert per_bin.sum() == total
+    assert per_bin.index.tolist() == list(range(len(per_bin)))
+    # doc 1 (300 tokens at offset 10) straddles bins 0 and 1
+    d1 = out[out["doc_id"] == 1].sort_values("bin_id")
+    assert d1["bin_id"].tolist() == [0, 1]
+    assert d1["tokens_in_bin"].tolist() == [246, 54]

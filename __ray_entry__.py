@@ -956,6 +956,33 @@ def _q_kmeans(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic per-stratum 10% sample (functions/agg.py):
+    id%100 < 10 — reproducible, no RNG, rate logged per batch (the
+    ray_guide sampling rule: log what was sampled, no silent caps)."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import stratified_sample
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    return stratified_sample(ds, rate_pct=10)
+
+
+def _q_top_docs_per_lang(sf_dir: str):
+    """Grouped top-k (the ROW_NUMBER window pattern, functions/agg.py
+    grouped_topk): 3 longest docs per language, token-count metric;
+    map-side per-batch top-k combine so only k x keys x batches rows
+    shuffle. Oracle: ROW_NUMBER() OVER (PARTITION BY ... ORDER BY)."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import grouped_topk
+    from ksoup_ray.functions.textstats import token_count_batch
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    counted = ds.map_batches(token_count_batch, batch_format="pyarrow") \
+        .select_columns(["doc_id", "lang", "token_count"])
+    return grouped_topk(counted, key_col="lang",
+                        val_col="token_count", id_col="doc_id", k=3)
+
+
 def _q_lang_counts(sf_dir: str):
     """Salted hot-key count: 4 languages over the whole corpus is the
     canonical skew case — a plain groupby(lang) funnels everything
@@ -1093,6 +1120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_first_paras": _q_stream_first_paras,
         "cluster_assign": _q_cluster_assign,
         "kmeans": _q_kmeans,
+        "stratified_sample": _q_stratified_sample,
+        "top_docs_per_lang": _q_top_docs_per_lang,
         "lang_counts": _q_lang_counts,
         "asof_join": _q_asof_join,
         "hopping_windows": _q_hopping_windows,
@@ -1468,6 +1497,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e CROSS JOIN c
             )
             SELECT vec_id, cluster_id FROM ranked WHERE rn = 1
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents WHERE doc_id % 100 < 10
+        """,
+        "top_docs_per_lang": """
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     CAST(CASE WHEN text = '' OR text IS NULL THEN 0
+                          ELSE length(text)
+                               - length(replace(text, ' ', '')) + 1
+                          END AS BIGINT) AS token_count
+              FROM documents),
+            ranked AS (
+              SELECT doc_id, lang, token_count,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                         ORDER BY token_count DESC, doc_id) AS r
+              FROM tok)
+            SELECT doc_id, lang, token_count FROM ranked WHERE r <= 3
         """,
         "lang_counts": """
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n

@@ -111,6 +111,55 @@ def hopping_window_count(ds, key_col: str = "event_type",
             .aggregate(Sum("partial", alias_name="n")))
 
 
+def stratified_sample(ds, *, key_col: str = "lang",
+                      id_col: str = "doc_id", rate_pct: int = 10):
+    """Deterministic per-stratum sample: keep rows with
+    ``id % 100 < rate_pct`` — reproducible across runs/engines (no
+    RNG), uniform within each stratum for ids uncorrelated with the
+    key. Emits a per-batch kept/total log line so the sampling rate is
+    NEVER silent. Pure vectorized filter — no shuffle."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import logging
+        import pyarrow.compute as pc
+        ids = batch.column(id_col).cast(pa.int64())
+        mask = pc.less(pc.cast(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, 100),
+                                         pa.scalar(100, pa.int64()))),
+            pa.int64()), rate_pct)
+        out = batch.filter(mask)
+        logging.getLogger("ksoup_ray.sample").info(
+            "stratified_sample: kept %d/%d (rate %d%%)",
+            out.num_rows, batch.num_rows, rate_pct)
+        return out
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_topk(ds, *, key_col: str = "lang", val_col: str = "n",
+                 id_col: str = "doc_id", k: int = 3):
+    """Top-``k`` rows per key by (val desc, id asc) — the window
+    ROW_NUMBER() pattern. Map-side combine keeps at most k rows per
+    key PER BATCH (k × keys × batches rows ride the one shuffle, never
+    the corpus), then each group takes its final k. Deterministic
+    tie-break on the id."""
+    import pandas as pd
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, val_col, id_col]).to_pandas()
+        df = df.sort_values([val_col, id_col],
+                            ascending=[False, True])
+        return pa.Table.from_pandas(df.groupby(key_col, sort=False)
+                                    .head(k), preserve_index=False)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values([val_col, id_col],
+                                 ascending=[False, True]).head(k)
+
+    return (ds.map_batches(local, batch_format="pyarrow")
+            .groupby(key_col).map_groups(final, batch_format="pandas"))
+
+
 def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
                gap_seconds: int = 1800):
     """Split each user's event stream into sessions separated by more

@@ -99,3 +99,23 @@ def test_hopping_window_count_matches_naive(ray_session):
     got_map = {(r.event_type, r.window_start): r.n
                for r in got.itertuples()}
     assert got_map == dict(want)
+
+
+def test_grouped_topk_combine_correctness(ray_session):
+    """The map-side per-batch top-k combine must not lose a global
+    winner that was not in its batch's local top-k — exercised by
+    forcing batch splits smaller than a key's row count."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import grouped_topk
+
+    rows = [{"doc_id": i, "lang": "en", "n": i % 7} for i in range(40)]
+    rows += [{"doc_id": 100 + i, "lang": "de", "n": 50 - i}
+             for i in range(5)]
+    out = grouped_topk(rd.from_items(rows), key_col="lang",
+                       val_col="n", id_col="doc_id", k=3).to_pandas()
+    en = out[out["lang"] == "en"].sort_values(
+        ["n", "doc_id"], ascending=[False, True])
+    # global winners: n=6 at doc_ids 6,13,20 (ties break on id asc)
+    assert en["doc_id"].tolist() == [6, 13, 20]
+    de = out[out["lang"] == "de"]
+    assert sorted(de["doc_id"]) == [100, 101, 102]

@@ -983,6 +983,21 @@ def _q_top_docs_per_lang(sf_dir: str):
                         val_col="token_count", id_col="doc_id", k=3)
 
 
+def _q_pca_project(sf_dir: str):
+    """Distributed PCA (functions/similarity.py pca_project): one
+    streaming pass folds (n, sum, X^T X) partials — d x d numbers per
+    batch — the driver eigendecomposes the covariance, and the
+    projection pass broadcasts the components. Eigendecomposition is
+    not SQL-expressible -> rows-only; pinned by pytest vs numpy PCA
+    with a deterministic sign convention."""
+    import ray.data as rd
+    from ksoup_ray.functions.similarity import pca_project
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out, _fit = pca_project(ds, k=4)
+    return out
+
+
 def _q_lang_counts(sf_dir: str):
     """Salted hot-key count: 4 languages over the whole corpus is the
     canonical skew case — a plain groupby(lang) funnels everything
@@ -1120,6 +1135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_first_paras": _q_stream_first_paras,
         "cluster_assign": _q_cluster_assign,
         "kmeans": _q_kmeans,
+        "pca_project": _q_pca_project,
         "stratified_sample": _q_stratified_sample,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "lang_counts": _q_lang_counts,

@@ -368,6 +368,74 @@ def kmeans_train(ds, k: int = 8, iters: int = 5,
     return centroids, inertia_per_iter
 
 
+def pca_project(ds, k: int = 4, vec_col: str = "embedding",
+                id_col: str = "vec_id"):
+    """Distributed PCA projection (dimensionality reduction before
+    ANN/clustering): ONE streaming pass folds per-batch ``(n, Σx,
+    XᵀX)`` partials — d and d×d numbers per batch, never vectors — the
+    driver eigendecomposes the d×d covariance (trivial for embedding
+    dims), and a second pass projects every vector against the
+    broadcast top-``k`` components.
+
+    Deterministic: components order by descending eigenvalue and each
+    flips so its largest-|coefficient| entry is positive (eigenvector
+    sign is otherwise arbitrary). Iterative-free but
+    non-SQL-expressible (eigendecomposition) → rows-only driver check;
+    pinned by pytest against numpy PCA of the whole table.
+
+    Returns ``(vec_id, proj: list<double>[k])`` and the fitted
+    ``(mean, components)`` as the second tuple element.
+    """
+    import ray
+
+    n_tot = 0
+    s = None
+    ss = None
+    for t in ds.map_batches(
+            lambda b: _pca_partial(b, vec_col),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for i in range(t.num_rows):
+            n_tot += t.column("n")[i].as_py()
+            sv = np.array(t.column("s")[i].as_py())
+            ssv = np.array(t.column("ss")[i].as_py())
+            d = len(sv)
+            s = sv if s is None else s + sv
+            ss = ssv.reshape(d, d) if ss is None \
+                else ss + ssv.reshape(d, d)
+    if n_tot < 2:
+        raise ValueError("PCA needs at least 2 vectors")
+    mean = s / n_tot
+    cov = (ss - n_tot * np.outer(mean, mean)) / (n_tot - 1)
+    evals, evecs = np.linalg.eigh(cov)      # ascending
+    comps = evecs[:, ::-1][:, :k].T          # (k, d) desc eigenvalue
+    flip = comps[np.arange(k),
+                 np.abs(comps).argmax(axis=1)] < 0
+    comps = np.where(flip[:, None], -comps, comps)
+    fit_ref = ray.put((mean, comps))
+
+    def project(batch: pa.Table) -> pa.Table:
+        m, w = ray.get(fit_ref)
+        vecs = vecs_from_arrow(batch.column(vec_col))
+        proj = (vecs - m) @ w.T
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "proj": pa.array(list(proj), pa.list_(pa.float64())),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow"), \
+        (mean, comps)
+
+
+def _pca_partial(batch: pa.Table, vec_col: str) -> pa.Table:
+    vecs = vecs_from_arrow(batch.column(vec_col))
+    return pa.table({
+        "n": pa.array([len(vecs)], pa.int64()),
+        "s": pa.array([vecs.sum(axis=0)], pa.list_(pa.float64())),
+        "ss": pa.array([(vecs.T @ vecs).ravel()],
+                       pa.list_(pa.float64())),
+    })
+
+
 def centroid_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
                     id_col: str = "vec_id", concurrency=(1, 4)):
     """Assign every vector to its nearest centroid by cosine — a

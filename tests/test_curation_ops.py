@@ -262,3 +262,32 @@ def test_pack_sequences_invariants(ray_session):
     d1 = out[out["doc_id"] == 1].sort_values("bin_id")
     assert d1["bin_id"].tolist() == [0, 1]
     assert d1["tokens_in_bin"].tolist() == [246, 54]
+
+
+def test_pca_project_matches_numpy(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from ksoup_ray.functions.similarity import pca_project
+
+    rng_free = [(i, [((i * 13) % 7) - 3.0, ((i * 29) % 11) * 2.0,
+                     ((i * 7) % 5) * 0.5]) for i in range(50)]
+    ds = rd.from_items([{"vec_id": i, "embedding": v}
+                        for i, v in rng_free])
+    out, (mean, comps) = pca_project(ds, k=2)
+    got = out.to_pandas().set_index("vec_id")["proj"].to_dict()
+
+    X = np.array([v for _, v in rng_free])
+    mu = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    W = evecs[:, ::-1][:, :2].T
+    flip = W[np.arange(2), np.abs(W).argmax(axis=1)] < 0
+    W = np.where(flip[:, None], -W, W)
+    want = (X - mu) @ W.T
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(comps, W, atol=1e-9)
+    for i in range(50):
+        assert np.allclose(got[i], want[i], atol=1e-8), i
+    # variance ordering: first component carries the most variance
+    v = np.array([got[i] for i in range(50)])
+    assert v[:, 0].var() >= v[:, 1].var()

@@ -42,7 +42,9 @@ def log(msg: str) -> None:
 
 def ensure_corpus(sf_dir: str, n_docs: int) -> str:
     """Synthesize (once) the padded bench corpus → cached parquet dir."""
-    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{n_docs}_p{PAD_SCALE}"
+    from ksoup_ray.sources.synth import SYNTH_VERSION
+    key = (f"{os.path.basename(os.path.normpath(sf_dir))}_{n_docs}"
+           f"_p{PAD_SCALE}_v{SYNTH_VERSION}")
     out = os.path.join(CACHE_ROOT, key)
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
@@ -108,7 +110,9 @@ def run_headline(corpus_dir: str, num_cpus: int) -> dict:
     pool = max(1, workers)
     scaling_mode = bool(os.environ.get("GRAFT_SCALE_WORKERS"))
     t0 = time.time()
-    ds = rd.read_parquet(corpus_dir)
+    # pruned scan: the headline pipeline needs exactly these three
+    # columns — warc_ts/text/doc_id never leave storage
+    ds = rd.read_parquet(corpus_dir, columns=["url", "html", "lang"])
     if scaling_mode:
         # scaling runs time the COMPUTE pipeline (read -> decode ->
         # parse -> extract), consumed without the Parquet sink: the

@@ -97,6 +97,13 @@ def run_extraction(
     """
     t_start = time.time()
     done = _list_done_partitions(out_dir) if (resume and write) else set()
+    if write:
+        # lineage is the commit record: partition dirs without one are
+        # uncommitted leftovers of a crashed run — clear them BEFORE the
+        # (append-only) write so a rerun can't silently duplicate rows
+        # (same semantics as pipelines/sink.clear_stale_partitions)
+        from .sink import clear_stale_partitions
+        clear_stale_partitions(out_dir, done)
 
     ds = ds.map_batches(_add_ingest_columns(num_partitions),
                         batch_format="pyarrow")

@@ -41,6 +41,36 @@ def list_done_partitions(out_dir: str) -> set[int]:
     return done
 
 
+def clear_stale_partitions(out_dir: str, done: set[int]) -> int:
+    """Delete every ``data/partition_id=NN`` dir NOT in the done set.
+
+    The crash-window guarantee: ``write_parquet`` APPENDS files, so a
+    rerun must not write alongside leftovers of an interrupted write —
+    a partition dir without its lineage JSON (crash mid-write) or a
+    full dir whose lineage never landed (crash between write and
+    lineage) would otherwise double its rows SILENTLY (the lineage
+    scan would faithfully count the duplicates). Lineage is the commit
+    record: no lineage ⇒ the partition is re-done from scratch.
+    Returns the number of directories cleared."""
+    import shutil
+    data_dir = os.path.join(out_dir, DATA_DIR)
+    if not os.path.isdir(data_dir):
+        return 0
+    cleared = 0
+    for name in os.listdir(data_dir):
+        if not name.startswith("partition_id="):
+            continue
+        try:
+            pid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if pid not in done:
+            shutil.rmtree(os.path.join(data_dir, name),
+                          ignore_errors=True)
+            cleared += 1
+    return cleared
+
+
 def write_partitioned(ds, out_dir: str, *, key_col: str,
                       num_partitions: int = 64, resume: bool = True,
                       coalesce_output: int | None = None) -> dict:
@@ -50,6 +80,12 @@ def write_partitioned(ds, out_dir: str, *, key_col: str,
     """
     t0 = time.time()
     done = list_done_partitions(out_dir) if resume else set()
+    # partition dirs without a lineage record are uncommitted leftovers
+    # of a crashed run — clear them so the append-only write below
+    # cannot duplicate their rows (with resume=False this clears ALL
+    # prior data: a non-resuming rerun is a full overwrite, not an
+    # append)
+    clear_stale_partitions(out_dir, done)
 
     def assign(batch: pa.Table) -> pa.Table:
         import numpy as np

@@ -36,13 +36,23 @@ def _file_name(doc_id: int, lang: str, gz: bool) -> str:
     return f"{lang}_{doc_id:08d}.html" + (".gz" if gz else "")
 
 
-def _parse_name(path: str) -> tuple[str, int]:
-    """shard path → (lang, doc_id). Inverse of ``_file_name``."""
+def _parse_name(path: str) -> tuple[str, int] | None:
+    """shard path → (lang, doc_id), or ``None`` when the name doesn't
+    follow the ``{lang}_{doc_id}.html[.gz|.z]`` convention (the caller
+    COUNTS such files as drops — never a task-killing raise). Inverse
+    of ``_file_name``; both gzip suffixes the reference accepts
+    (`helper/DataUtil.kt:49-51`: ".gz or .z") strip here."""
     base = os.path.basename(path)
-    if base.endswith(".gz"):
-        base = base[:-3]
+    for suffix in (".gz", ".z"):
+        if base.endswith(suffix):
+            base = base[:-len(suffix)]
+            break
+    if not base.endswith(".html"):
+        return None
     stem = base[:-len(".html")]
-    lang, doc_id = stem.rsplit("_", 1)
+    lang, _, doc_id = stem.rpartition("_")
+    if not lang or not doc_id.isdigit():
+        return None
     return lang, int(doc_id)
 
 
@@ -97,15 +107,27 @@ def read_html_files(root: str, *, concurrency=None):
                               file_extensions=["html", "gz", "z"])
 
     def decode(batch: pa.Table) -> pa.Table:
+        import logging
         paths = batch.column("path").to_pylist()
         blobs = batch.column("bytes").to_pylist()
         urls, htmls = [], []
+        bad = 0
         for path, raw in zip(paths, blobs):
+            parsed = _parse_name(path)
+            if parsed is None:       # counted drop, not a task kill
+                bad += 1
+                continue
             if raw[:2] == _GZ_MAGIC:
                 raw = gzip.decompress(raw)
-            lang, doc_id = _parse_name(path)
+            lang, doc_id = parsed
             urls.append(url_for(doc_id, lang))
             htmls.append(raw)
+        if bad:
+            logging.getLogger("ksoup_ray.files").warning(
+                "read_html_files: skipped %d unparseable filename(s)",
+                bad)
+            from ..functions.metrics import record_drop
+            record_drop("read_html_files.bad_names", bad, block=False)
         return pa.table({
             "url": pa.array(urls, pa.string()),
             "html": pa.array(htmls, pa.binary()),

@@ -29,6 +29,10 @@ import pyarrow as pa
 BASE_URL = "https://synth.invalid"
 EPOCH = datetime.datetime(2024, 10, 24, 0, 0, 0)
 
+# bump whenever render_page's output bytes change — cached bench
+# corpora key on it so a stale /tmp cache can't mix page versions
+SYNTH_VERSION = 2
+
 # charset family rotation: deterministic by doc_id. All synth text is
 # ASCII so every charset encodes it; the decode path exercises BOM +
 # meta-sniff + default.

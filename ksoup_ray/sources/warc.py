@@ -96,16 +96,28 @@ def _split_members(blob: bytes):
         pos += consumed
 
 
-def _parse_record(rec: bytes) -> tuple[str, bytes]:
-    """One decompressed WARC record → (target_uri, payload)."""
-    head_end = rec.index(b"\r\n\r\n")
+def _parse_record(rec: bytes) -> tuple[str, bytes] | None:
+    """One decompressed WARC record → (target_uri, payload), or
+    ``None`` when the record is malformed or TRUNCATED (headers promise
+    more payload than the member holds — a gzip member cut mid-payload
+    decompresses partially without error, so the byte count must be
+    verified here, mirroring ``_iter_records``). Callers count ``None``
+    as a drop — never a silently-short document."""
+    head_end = rec.find(b"\r\n\r\n")
+    if head_end < 0:
+        return None
     headers = {}
     for line in rec[:head_end].split(b"\r\n")[1:]:   # skip WARC/1.0
         k, _, v = line.partition(b":")
         headers[k.strip().lower()] = v.strip()
-    n = int(headers[b"content-length"])
-    payload = rec[head_end + 4:head_end + 4 + n]
-    return headers[b"warc-target-uri"].decode("ascii"), payload
+    try:
+        n = int(headers[b"content-length"])
+        uri = headers[b"warc-target-uri"].decode("ascii")
+    except (KeyError, ValueError, UnicodeDecodeError):
+        return None
+    if len(rec) < head_end + 4 + n:    # payload truncated
+        return None
+    return uri, rec[head_end + 4:head_end + 4 + n]
 
 
 def _iter_records(buf: bytes):
@@ -160,7 +172,11 @@ def read_warc(root: str, *, concurrency=None):
                 if rec is None:      # truncated — counted, not silent
                     dropped += 1
                     continue
-                url, payload = _parse_record(rec)
+                parsed = _parse_record(rec)
+                if parsed is None:   # malformed/short member — counted
+                    dropped += 1
+                    continue
+                url, payload = parsed
                 urls.append(url)
                 htmls.append(payload)
         if dropped:

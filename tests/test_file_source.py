@@ -61,3 +61,26 @@ def test_shards_contain_mixed_compression(file_corpus):
     assert any(f.endswith(".html.gz") for f in names)
     assert any(f.endswith(".html") and not f.endswith(".html.gz")
                for f in names)
+
+
+def test_z_suffix_and_bad_names_counted_not_fatal(ray_session, tmp_path):
+    """'.z' gzip files load (reference DataUtil.kt: '.gz or .z');
+    externally-named files are COUNTED drops, not task kills."""
+    from ksoup_ray.sources.files import _parse_name, read_html_files
+
+    assert _parse_name("/a/en_00000007.html.z") == ("en", 7)
+    assert _parse_name("/a/en_00000007.html.gz") == ("en", 7)
+    assert _parse_name("/a/readme.html.z") is None
+    assert _parse_name("/a/en_x7.html") is None
+
+    root = tmp_path / "mixed"
+    sdir = root / "shard=00"
+    sdir.mkdir(parents=True)
+    (sdir / "en_00000003.html").write_bytes(b"<p>plain</p>")
+    (sdir / "en_00000004.html.z").write_bytes(
+        gzip.compress(b"<p>zed</p>", mtime=0))
+    (sdir / "not-a-doc.html").write_bytes(b"<p>external</p>")
+    out = read_html_files(str(root)).to_pandas().sort_values("url")
+    assert len(out) == 2               # bad name skipped, not fatal
+    assert [bytes(b) for b in out["html"]] == [b"<p>plain</p>",
+                                               b"<p>zed</p>"]

@@ -74,3 +74,48 @@ def test_curate_to_parquet(ray_session, sf_dir, tmp_path):
     t = _read_all(out)
     assert t.num_rows == stats["rows"]
     assert set(t.column_names) >= {"doc_id", "lang", "token_count"}
+
+
+def test_resume_clears_uncommitted_partition_leftovers(ray_session,
+                                                       tmp_path):
+    """The ADVICE crash windows: (a) data files present but lineage
+    missing (crash between write and lineage commit), (b) partial
+    extra files in a partition dir — a rerun must NOT append
+    duplicates alongside them. Lineage is the commit record."""
+    import shutil
+    import ray.data as rd
+    from ksoup_ray.pipelines.sink import write_partitioned
+
+    ds = rd.from_items([{"doc_id": i, "v": i} for i in range(20)])
+    out = str(tmp_path / "out")
+    write_partitioned(ds, out, key_col="doc_id", num_partitions=4)
+
+    # (a) crash AFTER write_parquet, BEFORE lineage: full data files,
+    # no commit record
+    os.remove(os.path.join(out, "_lineage", "2.json"))
+    # (b) crash MID-write on partition 1: stale extra file, no lineage
+    os.remove(os.path.join(out, "_lineage", "1.json"))
+    p1 = os.path.join(out, "data", "partition_id=1")
+    src = [f for f in os.listdir(p1) if f.endswith(".parquet")][0]
+    shutil.copy(os.path.join(p1, src),
+                os.path.join(p1, "stale_partial.parquet"))
+
+    stats = write_partitioned(ds, out, key_col="doc_id",
+                              num_partitions=4)
+    assert stats["resumed"] == [0, 3]
+    t = _read_all(out)
+    assert sorted(t.column("doc_id").to_pylist()) == list(range(20))
+
+
+def test_nonresume_rewrite_is_overwrite_not_append(ray_session,
+                                                   tmp_path):
+    import ray.data as rd
+    from ksoup_ray.pipelines.sink import write_partitioned
+
+    ds = rd.from_items([{"doc_id": i, "v": i} for i in range(12)])
+    out = str(tmp_path / "out")
+    write_partitioned(ds, out, key_col="doc_id", num_partitions=3)
+    write_partitioned(ds, out, key_col="doc_id", num_partitions=3,
+                      resume=False)
+    t = _read_all(out)
+    assert sorted(t.column("doc_id").to_pylist()) == list(range(12))

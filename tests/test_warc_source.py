@@ -80,3 +80,44 @@ def test_truncated_record_dropped_not_silent(ray_session, tmp_path):
     out = read_warc(str(root)).to_pandas()
     assert list(out["url"]) == ["https://x.invalid/ok"]
     assert bytes(out["html"][0]) == b"<p>fine</p>"
+
+
+def test_truncated_gzip_member_dropped_not_silent(ray_session, tmp_path):
+    """RAW-gzip-member path (1f 8b magic seen by the worker): a member
+    truncated mid-payload decompresses PARTIALLY without error — the
+    record must be counted as a drop, never emitted silently short
+    (the _parse_record length check, mirroring _iter_records)."""
+    from ksoup_ray.sources.warc import read_warc
+
+    good = gzip.compress(
+        _record_bytes("https://x.invalid/ok", b"<p>fine</p>"), mtime=0)
+    # full member whose DECOMPRESSED record is short: gzip a cut record
+    # (valid gzip stream, short payload inside)
+    cut_rec = _record_bytes("https://x.invalid/cut",
+                            b"<p>this payload gets truncated</p>")[:-20]
+    cut = gzip.compress(cut_rec, mtime=0)
+    root = tmp_path / "warc"
+    root.mkdir()
+    # double-gzip: Arrow auto-inflates the OUTER layer, so the worker
+    # sees the raw concatenated gzip members (1f 8b magic) and takes
+    # the _split_members path under test
+    blob = good + cut
+    (root / "shard-x.warc.gz").write_bytes(gzip.compress(blob, mtime=0))
+    out = read_warc(str(root)).to_pandas()
+    # Arrow inflates the outer layer; the inner members hit the 1f 8b
+    # branch → member split → the cut record is dropped, not shortened
+    assert list(out["url"]) == ["https://x.invalid/ok"]
+    assert bytes(out["html"][0]) == b"<p>fine</p>"
+
+
+def test_parse_record_rejects_short_and_malformed():
+    rec = _record_bytes("https://x.invalid/a", b"0123456789")
+    assert _parse_record(rec) == ("https://x.invalid/a", b"0123456789")
+    # payload shorter than Content-Length promises -> None
+    assert _parse_record(rec[:-8]) is None
+    # header block cut before the blank line -> None
+    assert _parse_record(rec[:20]) is None
+    # missing Content-Length -> None
+    assert _parse_record(
+        b"WARC/1.0\r\nWARC-Target-URI: https://x.invalid/a\r\n\r\nhi") \
+        is None

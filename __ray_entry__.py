@@ -180,6 +180,19 @@ def _q_pagerank(sf_dir: str):
     return pagerank(edges, iters=3)
 
 
+def _q_pagerank_2iter(sf_dir: str):
+    """VALUE-CHECKED PageRank (functions/graph.py pagerank_picos):
+    2 power iterations in EXACT int64 pico-rank arithmetic — floor
+    divisions, damping 85/100 — so the DuckDB oracle (two unrolled
+    join+group-by CTE rounds over the reconstructed edge list)
+    reproduces every rank bit-for-bit. Same distributed shape as the
+    float ``pagerank`` (bucket-block spread, join-free rounds); this
+    query closes the iterative family's oracle gap."""
+    from ksoup_ray.functions.graph import pagerank_picos
+    edges = _q_link_edges(sf_dir)
+    return pagerank_picos(edges, iters=2)
+
+
 def _q_extract_spans(sf_dir: str):
     """Source-range provenance (north rule "text/spans"): per url, the
     count of text-node spans contributing to extracted_text and the
@@ -1098,6 +1111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans": _q_extract_spans,
         "link_edges": _q_link_edges,
         "pagerank": _q_pagerank,
+        "pagerank_2iter": _q_pagerank_2iter,
         "extract_meta": _q_extract_meta,
         "select_css": _q_select_css,
         "charset_decode": _q_charset_decode,
@@ -1176,6 +1190,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST((doc_id + k + 1) % 100000000 AS BIGINT) AS dst
             FROM documents,
             LATERAL unnest(generate_series(0, doc_id % 4 - 1)) AS t(k)
+        """,
+        # EXACT-integer PageRank, 2 unrolled rounds: every term is a
+        # BIGINT floor division, so the sums are order-free and match
+        # functions/graph.pagerank_picos bit-for-bit (PICO = 10^12,
+        # damping 85/100). Dangling mass = ranks of zero-out-degree
+        # nodes, redistributed uniformly (floored), same as the engine.
+        "pagerank_2iter": """
+            WITH edges AS (
+              SELECT doc_id AS src,
+                     CAST((doc_id + k + 1) % 100000000 AS BIGINT) AS dst
+              FROM documents,
+              LATERAL unnest(generate_series(0, doc_id % 4 - 1)) AS t(k)
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges)
+            ), nn AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+            ), deg AS (
+              SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+              FROM edges GROUP BY src
+            ), r0 AS (
+              SELECT node,
+                     CAST(1000000000000 AS BIGINT) // (SELECT n FROM nn)
+                       AS r
+              FROM nodes
+            ), c1 AS (
+              SELECT e.dst AS node,
+                     CAST(SUM(r0.r // deg.d) AS BIGINT) AS s
+              FROM edges e
+              JOIN r0 ON e.src = r0.node
+              JOIN deg ON e.src = deg.src
+              GROUP BY e.dst
+            ), dang1 AS (
+              SELECT CAST(COALESCE(SUM(r0.r), 0) AS BIGINT) AS dang
+              FROM r0 LEFT JOIN deg ON r0.node = deg.src
+              WHERE deg.src IS NULL
+            ), r1 AS (
+              SELECT nodes.node,
+                     (15 * (CAST(1000000000000 AS BIGINT)
+                            // (SELECT n FROM nn))) // 100
+                     + (85 * (COALESCE(c1.s, 0)
+                              + (SELECT dang FROM dang1)
+                                // (SELECT n FROM nn))) // 100 AS r
+              FROM nodes LEFT JOIN c1 ON nodes.node = c1.node
+            ), c2 AS (
+              SELECT e.dst AS node,
+                     CAST(SUM(r1.r // deg.d) AS BIGINT) AS s
+              FROM edges e
+              JOIN r1 ON e.src = r1.node
+              JOIN deg ON e.src = deg.src
+              GROUP BY e.dst
+            ), dang2 AS (
+              SELECT CAST(COALESCE(SUM(r1.r), 0) AS BIGINT) AS dang
+              FROM r1 LEFT JOIN deg ON r1.node = deg.src
+              WHERE deg.src IS NULL
+            )
+            SELECT nodes.node,
+                   (15 * (CAST(1000000000000 AS BIGINT)
+                          // (SELECT n FROM nn))) // 100
+                   + (85 * (COALESCE(c2.s, 0)
+                            + (SELECT dang FROM dang2)
+                              // (SELECT n FROM nn))) // 100
+                     AS rank_picos
+            FROM nodes LEFT JOIN c2 ON nodes.node = c2.node
         """,
         "stream_first_paras": f"""
             SELECT {SYNTH_URL_SQL} AS url,

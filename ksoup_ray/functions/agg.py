@@ -12,10 +12,12 @@ sessionization.
   partition.
 
 * ``sessionize``: gap-based sessions per user (the standard
-  training-data event-log primitive). Co-partitions by user via
-  ``groupby(user).map_groups`` — one shuffle on (user, ts) rows; each
-  group sorts its own events and splits on gaps > ``gap``. Skewed
-  users are bounded by per-user event counts, not corpus size.
+  training-data event-log primitive). ONE shuffle on a BOUNDED bucket
+  key (``hash(user) % num_partitions``, functions/_blocks.py), then
+  each bucket block sessionizes ALL of its users in one vectorized
+  segmented kernel (sort by (user, ts) → per-row new-user/new-gap
+  flags → boundary arithmetic). Python dispatches O(num_partitions)
+  times total — never once per user.
 """
 
 from __future__ import annotations
@@ -161,30 +163,49 @@ def grouped_topk(ds, *, key_col: str = "lang", val_col: str = "n",
 
 
 def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
-               gap_seconds: int = 1800):
+               gap_seconds: int = 1800, num_partitions: int = 64):
     """Split each user's event stream into sessions separated by more
     than ``gap_seconds``. Returns one row per session:
     (user_col, session_start, session_end, n_events).
 
-    ONE shuffle (groupby user); the per-group kernel is vectorized
-    numpy (sort + diff + cumsum), no Python loop over events."""
+    ONE shuffle on ``hash(user) % num_partitions`` (bounded bucket key,
+    so Python dispatches O(num_partitions) times — never per user);
+    each bucket block sessionizes all of its users in one vectorized
+    pass: a session starts where the user changes OR the gap exceeds
+    the threshold, and boundary arithmetic reads start/end/count
+    straight off the sorted arrays."""
     import pandas as pd
+    from ._blocks import pk_column
 
-    def split_sessions(group: pd.DataFrame) -> pd.DataFrame:
-        ts = group[ts_col].to_numpy(dtype="datetime64[us]")
-        order = np.argsort(ts, kind="stable")
-        ts = ts[order]
-        gaps = np.diff(ts) > np.timedelta64(gap_seconds * 1000000, "us")
-        session_ids = np.concatenate([[0], np.cumsum(gaps)])
-        df = pd.DataFrame({ts_col: ts, "session_id": session_ids})
-        out = df.groupby("session_id").agg(
-            session_start=(ts_col, "min"),
-            session_end=(ts_col, "max"),
-            n_events=(ts_col, "size"),
-        ).reset_index(drop=True)
-        out.insert(0, user_col, group[user_col].iloc[0])
-        out["n_events"] = out["n_events"].astype("int64")
-        return out
+    gap_us = np.timedelta64(gap_seconds * 1_000_000, "us")
 
-    return ds.groupby(user_col).map_groups(split_sessions,
-                                           batch_format="pandas")
+    def add_pk(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_pk", pk_column(batch.column(user_col), num_partitions))
+
+    def split_block(block: pd.DataFrame) -> pd.DataFrame:
+        block = block.sort_values([user_col, ts_col], kind="mergesort")
+        users = block[user_col].to_numpy()
+        ts = block[ts_col].to_numpy(dtype="datetime64[us]")
+        n = len(ts)
+        if n == 0:
+            return pd.DataFrame({user_col: users,
+                                 "session_start": ts,
+                                 "session_end": ts,
+                                 "n_events": np.empty(0, np.int64)})
+        new_sess = np.empty(n, bool)
+        new_sess[0] = True
+        new_sess[1:] = (users[1:] != users[:-1]) \
+            | ((ts[1:] - ts[:-1]) > gap_us)
+        starts = np.flatnonzero(new_sess)
+        bounds = np.append(starts[1:], n)
+        return pd.DataFrame({
+            user_col: users[starts],
+            "session_start": ts[starts],
+            "session_end": ts[bounds - 1],
+            "n_events": (bounds - starts).astype(np.int64),
+        })
+
+    return (ds.map_batches(add_pk, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(split_block, batch_format="pandas"))

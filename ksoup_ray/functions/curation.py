@@ -286,7 +286,8 @@ def bm25_score(ds, query_terms: tuple[str, ...], *,
 
 
 def unigram_logprob(ds, *, text_col: str = "text",
-                    id_col: str = "doc_id", salt: int = 16):
+                    id_col: str = "doc_id", salt: int = 16,
+                    num_word_partitions: int = 32):
     """Corpus-LM quality score: per-document unigram log-likelihood
     (Σ tf(w) · ln P(w)) in integer micros — the CCNet-style "how
     typical of the corpus is this document" signal.
@@ -294,25 +295,22 @@ def unigram_logprob(ds, *, text_col: str = "text",
     Unlike ``bm25_score`` (whose df side is a tiny QUERY-term set),
     the side table here is the CORPUS VOCABULARY — potentially
     billions of rows at 100 TB — so it is NOT broadcast: doc term
-    frequencies and vocab counts CO-PARTITION on the word (one
-    tagged-union groupby, the same join-free shape as
-    ``graph.pagerank``), each word group emits its docs'
-    contributions, and one final groupby(doc) sums integers.
+    frequencies and vocab counts CO-PARTITION on a BOUNDED bucket key
+    ``(hash(word) % num_word_partitions, doc_salt)`` (the same
+    per-block shape as ``graph.pagerank``); each bucket BLOCK resolves
+    ALL of its words in one vectorized kernel (``pd.factorize`` codes
+    → log-prob lookup table → one multiply), and one final
+    groupby(doc) sums integers. Python dispatches
+    O(num_word_partitions × salt) times total — never per word.
     Per-(doc,word) contributions round to int micros before summing →
     accumulation-order-free, mirrored exactly by the DuckDB oracle.
 
-    Hot-word skew: a stopword's group would hold one row per document
-    containing it (corpus-scale), and ``map_groups`` loads a group
-    whole — so doc rows SALT over ``(w, salt)`` (vocab rows replicate
-    to all ``salt`` buckets, a vocab×salt blowup of tiny rows) bounding
-    each group to ~1/salt of the word's postings.
-
-    Cost honesty: the contribution stage dispatches Python once per
-    (word, salt) group — O(vocab × salt) calls, each vectorized over
-    its postings slice. On a large cluster the vectorized alternative
-    is a hash join of tf rows against a (word, lp_micros) table; the
-    default avoids it because Ray 2.49's join aggregators reserve CPUs
-    up front (deadlock-prone in the small-cluster/test regime).
+    Hot-word skew: a stopword's postings would swamp its word bucket,
+    so doc rows additionally SALT on ``doc_id % salt`` (vocab rows
+    replicate to all ``salt`` buckets — a vocab×salt blowup of tiny
+    rows) bounding each bucket to ~1/salt of its words' postings.
+    Word hashes come from ``pandas.util.hash_array`` (SipHash, fixed
+    key — identical across worker processes).
 
     Returns ``(doc_id, logprob_micros int64)``.
     """
@@ -333,13 +331,18 @@ def unigram_logprob(ds, *, text_col: str = "text",
               .materialize())
     total = counts.sum("c")
 
+    def _wpk(words: np.ndarray) -> np.ndarray:
+        h = pd.util.hash_array(np.asarray(words, dtype=object))
+        return (h % num_word_partitions).astype(np.int32)
+
     def tag_counts(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         # replicate each vocab row into every salt bucket
         reps = salt
+        words = batch.column("w").to_numpy(zero_copy_only=False)
         return pa.table({
-            "w": pa.array(np.repeat(
-                batch.column("w").to_numpy(zero_copy_only=False), reps)),
+            "w": pa.array(np.repeat(words, reps)),
+            "wpk": pa.array(np.repeat(_wpk(words), reps), pa.int32()),
             "bkt": pa.array(np.tile(np.arange(reps, dtype=np.int32), n),
                             pa.int32()),
             id_col: pa.array(np.full(n * reps, -1, np.int64)),
@@ -357,9 +360,13 @@ def unigram_logprob(ds, *, text_col: str = "text",
         key = doc_idx * v + codes
         uk, tf = np.unique(key, return_counts=True)
         doc_ids = ids[(uk // v).astype(np.intp)]
+        wcodes = (uk % v).astype(np.intp)
+        # hash once per DISTINCT word in the batch, then gather
+        wpk_by_code = _wpk(np.asarray(vocab, object))
         return pa.table({
-            "w": pa.array(np.asarray(vocab, object)[(uk % v)],
+            "w": pa.array(np.asarray(vocab, object)[wcodes],
                           pa.string()),
+            "wpk": pa.array(wpk_by_code[wcodes], pa.int32()),
             "bkt": pa.array((doc_ids % salt).astype(np.int32),
                             pa.int32()),
             id_col: pa.array(doc_ids, pa.int64()),
@@ -370,18 +377,28 @@ def unigram_logprob(ds, *, text_col: str = "text",
     both = counts.map_batches(tag_counts, batch_format="pyarrow") \
         .union(ds.map_batches(doc_tf, batch_format="pyarrow"))
 
-    def contribs(group: pd.DataFrame) -> pd.DataFrame:
-        is_v = group["is_vocab"].to_numpy() == 1
-        c = float(group["v"].to_numpy()[is_v][0])
-        # same expression tree as the SQL oracle
-        lp_micros = np.int64(np.round(np.log(c / total) * 1_000_000.0))
-        docs = group[id_col].to_numpy()[~is_v]
-        tf = group["v"].to_numpy()[~is_v]
-        return pd.DataFrame({id_col: docs.astype(np.int64),
-                             "contrib": tf.astype(np.int64) * lp_micros})
+    def contribs_block(block: pd.DataFrame) -> pd.DataFrame:
+        # ONE kernel for every word in the bucket: factorize to codes,
+        # build the per-word log-prob table from the vocab rows (each
+        # word's count row is replicated into every salt bucket, so
+        # it is present here), gather + multiply for the doc rows
+        w = block["w"].to_numpy(dtype=object)
+        is_v = block["is_vocab"].to_numpy() == 1
+        v = block["v"].to_numpy(dtype=np.int64)
+        codes, uniques = pd.factorize(w)
+        lp = np.zeros(len(uniques), np.int64)
+        # same expression tree as the SQL oracle (per-word rounding)
+        lp[codes[is_v]] = np.round(
+            np.log(v[is_v].astype(np.float64) / total)
+            * 1_000_000.0).astype(np.int64)
+        dmask = ~is_v
+        return pd.DataFrame({
+            id_col: block[id_col].to_numpy(dtype=np.int64)[dmask],
+            "contrib": v[dmask] * lp[codes[dmask]],
+        })
 
-    return (both.groupby(["w", "bkt"])
-            .map_groups(contribs, batch_format="pandas")
+    return (both.groupby(["wpk", "bkt"])
+            .map_groups(contribs_block, batch_format="pandas")
             .groupby(id_col)
             .aggregate(Sum("contrib", alias_name="logprob_micros")))
 

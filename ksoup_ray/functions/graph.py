@@ -3,31 +3,37 @@ PageRank (power iteration).
 
 JOIN-FREE shape: Ray 2.49's hash-join operators reserve aggregator
 CPUs up front (deadlock-prone when several joins share a small
-cluster), so each iteration uses co-partitioning via
-``groupby(key).map_groups`` instead — the same one-shuffle primitive
-``sessionize`` uses:
+cluster), so each iteration uses co-partitioning instead:
 
-  stage 1: union(ranks tagged R, edges tagged E) keyed on the SOURCE
-           node → each group emits (dst, rank/out_degree) contribution
-           rows; zero-out-degree nodes emit their whole rank to the
-           DANGLING sentinel (-1);
+  stage 1: union(ranks tagged R, edges tagged E) bucketed on
+           ``src % num_partitions`` (BOUNDED bucket key,
+           functions/_blocks.py) → each bucket BLOCK spreads ALL of
+           its source nodes in one vectorized kernel (sorted rank
+           lookup via searchsorted, out-degrees via np.unique counts);
+           zero-out-degree nodes emit their whole rank to the
+           DANGLING sentinel (-1). Python dispatches
+           O(num_partitions) times per iteration — never per node;
   stage 2: union(contributions, node roster) keyed on the DEST node →
            native vectorized Sum (zero rows from the roster keep
            absent-inbound nodes in the output) — no per-group Python;
   stage 3: pure map: rank' = (1-d)/N + d*(sum + dangling/N).
 
-Cost honesty: stage 1's ``map_groups`` invokes Python once per SOURCE
-node per iteration (each call is O(out_degree) numpy). At 10^12 nodes
-that per-group dispatch is the dominant constant; on a large cluster
-swap stage 1 for a hash join of edges against (rank/deg) — vectorized,
-but Ray 2.49's join aggregators reserve CPUs up front, which deadlocks
-the small-cluster/test regime this default must also run in.
+Partitioning contract: a bucket holds ~|V|/P rank rows + ~|E|/P edge
+rows and must fit a worker's heap — size ``num_partitions`` to the
+graph (total_bytes / target block size), not to the node count.
 
 Ranks are a corpus-scale Dataset MATERIALIZED once per iteration (one
 row per node — the object store spills; the driver only ever holds N
-and the dangling scalar). Iterative → no SQL oracle (rows-only driver
-check); pinned by pytest against a from-scratch reference
-implementation and the rank-sum≈1 invariant.
+and the dangling scalar).
+
+Two arithmetic modes:
+* :func:`pagerank` — float64, the production operator (iterative → no
+  SQL oracle; rows-only driver check + pytest vs a from-scratch
+  reference and the rank-sum≈1 invariant).
+* :func:`pagerank_picos` — EXACT int64 pico-rank arithmetic (floor
+  divisions, damping as a percent ratio): accumulation-order-free, so
+  a fixed-iteration run is reproducible bit-for-bit by a DuckDB CTE
+  oracle — the value-checked correctness row for the iterative family.
 """
 
 from __future__ import annotations
@@ -37,38 +43,106 @@ import pandas as pd
 import pyarrow as pa
 
 _DANGLING = -1
+PICO = 10**12
 
 
-def pagerank(edges, *, iters: int = 10, damping: float = 0.85,
-             src_col: str = "src", dst_col: str = "dst"):
-    """PageRank over an (src, dst) edge Dataset. Returns a Dataset of
-    ``(node, rank)`` (float64, sums to ~1). Duplicate edges count with
-    multiplicity, matching the textbook definition on multigraphs."""
-    import ray.data as rd
+def _empty_ranks(nodes, dtype: pa.DataType, col: str):
+    return nodes.map_batches(
+        lambda b: b.append_column(col, pa.array([], dtype)),
+        batch_format="pyarrow")
 
+
+def _node_roster(edges, src_col: str, dst_col: str):
+    """Distinct node Dataset from the edge list (one tiny shuffle)."""
     def node_partials(batch: pa.Table) -> pa.Table:
         u = np.union1d(batch.column(src_col).to_numpy(),
                        batch.column(dst_col).to_numpy())
         return pa.table({"node": pa.array(u, pa.int64())})
 
-    nodes = edges.map_batches(node_partials, batch_format="pyarrow") \
+    return edges.map_batches(node_partials, batch_format="pyarrow") \
         .groupby("node").count().drop_columns(["count()"]) \
         .materialize()
+
+
+def _spread_block_fn(val_np_dtype, integer: bool):
+    """Per-BUCKET contribution kernel: vectorized over every source
+    node in the block. Rank rows provide (node, rank); edge rows
+    provide (src, dst). All edges of a source share its bucket, so
+    in-block out-degree == global out-degree."""
+
+    def spread_block(block: pd.DataFrame) -> pd.DataFrame:
+        is_rank = block["is_rank"].to_numpy() == 1
+        keys = block["key"].to_numpy(dtype=np.int64)
+        vals = block["val"].to_numpy(dtype=val_np_dtype)
+        rk, rv = keys[is_rank], vals[is_rank]
+        order = np.argsort(rk, kind="stable")
+        rk, rv = rk[order], rv[order]
+        ek = keys[~is_rank]
+        ed = block["dst"].to_numpy(dtype=np.int64)[~is_rank]
+        out_dst = []
+        out_contrib = []
+        if len(ek):
+            uk, inv, cnt = np.unique(ek, return_inverse=True,
+                                     return_counts=True)
+            deg = cnt[inv]
+            r_at = rv[np.searchsorted(rk, ek)]
+            contrib = (r_at // deg) if integer else (r_at / deg)
+            out_dst.append(ed)
+            out_contrib.append(contrib)
+            # dangling = rank nodes absent from the source set
+            pos = np.searchsorted(uk, rk)
+            pos_safe = np.minimum(pos, len(uk) - 1)
+            dangling = uk[pos_safe] != rk
+        else:
+            dangling = np.ones(len(rk), bool)
+        if dangling.any():
+            nd = int(dangling.sum())
+            out_dst.append(np.full(nd, _DANGLING, np.int64))
+            out_contrib.append(rv[dangling])
+        if not out_dst:
+            return pd.DataFrame({
+                "dst": np.empty(0, np.int64),
+                "contrib": np.empty(0, val_np_dtype)})
+        return pd.DataFrame({
+            "dst": np.concatenate(out_dst),
+            "contrib": np.concatenate(out_contrib)
+                .astype(val_np_dtype)})
+
+    return spread_block
+
+
+def _pagerank_impl(edges, *, iters: int, src_col: str, dst_col: str,
+                   num_partitions: int, integer: bool,
+                   damping: float = 0.85, damping_pct: int = 85):
+    """Shared power-iteration driver for both arithmetic modes."""
+    from ray.data.aggregate import Sum
+    from ._blocks import bucket_of
+
+    val_type = pa.int64() if integer else pa.float64()
+    val_np = np.int64 if integer else np.float64
+
+    nodes = _node_roster(edges, src_col, dst_col)
     n = nodes.count()
     if n == 0:
-        return nodes.map_batches(
-            lambda b: b.append_column("rank",
-                                      pa.array([], pa.float64())),
-            batch_format="pyarrow")
+        return _empty_ranks(nodes, val_type,
+                            "rank_picos" if integer else "rank")
 
+    if integer:
+        init = PICO // n
+        init_arr = lambda m: np.full(m, init, np.int64)  # noqa: E731
+    else:
+        init_arr = lambda m: np.full(m, 1.0 / n)         # noqa: E731
     ranks = nodes.map_batches(
         lambda b: b.append_column(
-            "rank", pa.array(np.full(b.num_rows, 1.0 / n), pa.float64())),
+            "rank", pa.array(init_arr(b.num_rows), val_type)),
         batch_format="pyarrow").materialize()
 
     def tag_ranks(batch: pa.Table) -> pa.Table:
+        keys = batch.column("node").to_numpy()
         return pa.table({
             "key": batch.column("node"),
+            "_pk": pa.array(bucket_of(keys, num_partitions),
+                            pa.int32()),
             "dst": pa.array(np.full(batch.num_rows, 0, np.int64)),
             "val": batch.column("rank"),
             "is_rank": pa.array(np.ones(batch.num_rows, np.int8)),
@@ -76,42 +150,36 @@ def pagerank(edges, *, iters: int = 10, damping: float = 0.85,
 
     def tag_edges(batch: pa.Table) -> pa.Table:
         nrows = batch.num_rows
+        keys = batch.column(src_col).cast(pa.int64())
         return pa.table({
-            "key": batch.column(src_col).cast(pa.int64()),
+            "key": keys,
+            "_pk": pa.array(bucket_of(
+                keys.to_numpy(zero_copy_only=False), num_partitions),
+                pa.int32()),
             "dst": batch.column(dst_col).cast(pa.int64()),
-            "val": pa.array(np.zeros(nrows, np.float64)),
+            "val": pa.array(np.zeros(nrows, val_np)),
             "is_rank": pa.array(np.zeros(nrows, np.int8)),
         })
 
-    def spread(group: pd.DataFrame) -> pd.DataFrame:
-        is_rank = group["is_rank"].to_numpy() == 1
-        r = float(group["val"].to_numpy()[is_rank][0])
-        dsts = group["dst"].to_numpy()[~is_rank]
-        deg = len(dsts)
-        if deg == 0:
-            return pd.DataFrame({"dst": np.array([_DANGLING], np.int64),
-                                 "contrib": np.array([r])})
-        return pd.DataFrame({"dst": dsts.astype(np.int64),
-                             "contrib": np.full(deg, r / deg)})
+    spread_block = _spread_block_fn(val_np, integer)
 
     def tag_contribs(batch: pa.Table) -> pa.Table:
         return pa.table({
             "key": batch.column("dst"),
-            "contrib": batch.column("contrib"),
+            "contrib": batch.column("contrib").cast(val_type),
         })
 
     def tag_nodes(batch: pa.Table) -> pa.Table:
         return pa.table({
             "key": batch.column("node"),
-            "contrib": pa.array(np.zeros(batch.num_rows, np.float64)),
+            "contrib": pa.array(np.zeros(batch.num_rows, val_np)),
         })
 
     for _ in range(iters):
-        from ray.data.aggregate import Sum
         tagged = ranks.map_batches(tag_ranks, batch_format="pyarrow") \
             .union(edges.map_batches(tag_edges, batch_format="pyarrow"))
-        contribs = tagged.groupby("key").map_groups(
-            spread, batch_format="pandas")
+        contribs = tagged.groupby("_pk").map_groups(
+            spread_block, batch_format="pandas")
         # stage 2 is a plain sum per dest — native vectorized hash
         # aggregate, NO per-group Python (the zero rows from the node
         # roster guarantee every node appears in the output)
@@ -126,20 +194,74 @@ def pagerank(edges, *, iters: int = 10, damping: float = 0.85,
         # the sentinel group carries the total dangling mass; real
         # nodes never use id -1 (crawl doc_ids are non-negative)
         drow = folded.filter(expr="node == -1").take_all()
-        dangling = drow[0]["s"] if drow else 0.0
+        dangling = drow[0]["s"] if drow else (0 if integer else 0.0)
 
-        def update(batch: pa.Table, _dang=dangling) -> pa.Table:
-            node = batch.column("node").to_numpy()
-            s = batch.column("s").to_numpy(zero_copy_only=False)
-            keep = node != _DANGLING
-            rank = (1.0 - damping) / n + damping * (s + _dang / n)
-            return pa.table({
-                "node": pa.array(node[keep], pa.int64()),
-                "rank": pa.array(rank[keep], pa.float64()),
-            })
+        if integer:
+            def update(batch: pa.Table, _dang=int(dangling)) -> pa.Table:
+                node = batch.column("node").to_numpy()
+                s = batch.column("s").to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                keep = node != _DANGLING
+                base = ((100 - damping_pct) * (PICO // n)) // 100
+                rank = base + (damping_pct * (s + _dang // n)) // 100
+                return pa.table({
+                    "node": pa.array(node[keep], pa.int64()),
+                    "rank": pa.array(rank[keep], pa.int64()),
+                })
+        else:
+            def update(batch: pa.Table, _dang=float(dangling)) -> pa.Table:
+                node = batch.column("node").to_numpy()
+                s = batch.column("s").to_numpy(zero_copy_only=False)
+                keep = node != _DANGLING
+                rank = (1.0 - damping) / n + damping * (s + _dang / n)
+                return pa.table({
+                    "node": pa.array(node[keep], pa.int64()),
+                    "rank": pa.array(rank[keep], pa.float64()),
+                })
 
         # `folded` is already materialized; `update` is a cheap pure
         # map, so ranks stays lazy over it (one less copy per round)
         ranks = folded.map_batches(update, batch_format="pyarrow")
 
+    if integer:
+        ranks = ranks.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "rank_picos": b.column("rank")}),
+            batch_format="pyarrow")
     return ranks
+
+
+def pagerank(edges, *, iters: int = 10, damping: float = 0.85,
+             src_col: str = "src", dst_col: str = "dst",
+             num_partitions: int = 64):
+    """PageRank over an (src, dst) edge Dataset. Returns a Dataset of
+    ``(node, rank)`` (float64, sums to ~1). Duplicate edges count with
+    multiplicity, matching the textbook definition on multigraphs."""
+    return _pagerank_impl(edges, iters=iters, src_col=src_col,
+                          dst_col=dst_col,
+                          num_partitions=num_partitions,
+                          integer=False, damping=damping)
+
+
+def pagerank_picos(edges, *, iters: int = 2, damping_pct: int = 85,
+                   src_col: str = "src", dst_col: str = "dst",
+                   num_partitions: int = 64):
+    """EXACT-integer PageRank: ranks in pico-units (10^12 ≈ total
+    mass), every division a floor division, damping the rational
+    ``damping_pct/100``. The update is
+
+        rank' = ((100-p) * (PICO // N)) // 100
+                + (p * (Σ contribs + dangling // N)) // 100
+        contrib(s→d) = rank[s] // outdeg(s)
+
+    — all int64, accumulation-order-free, hence reproducible term for
+    term by a fixed-iteration DuckDB CTE oracle (the value-checked
+    correctness row VERDICT r3 asked for). Returns ``(node,
+    rank_picos int64)``. Floor-division mass leakage is ≤ |E| pico
+    per iteration — a relative error ~|E|/10^12, irrelevant for
+    ranking and irrelevant for the oracle (which floors identically).
+    """
+    return _pagerank_impl(edges, iters=iters, src_col=src_col,
+                          dst_col=dst_col,
+                          num_partitions=num_partitions,
+                          integer=True, damping_pct=damping_pct)

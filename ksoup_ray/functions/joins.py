@@ -1,18 +1,23 @@
 """Temporal joins Ray Data lacks natively, composed from one shuffle +
-vectorized per-group kernels.
+per-BLOCK vectorized kernels.
 
 * ``asof_join``: for each left event, the latest right event with
   ``right.ts <= left.ts`` on the same key (DuckDB ``ASOF JOIN``
   semantics, ties included). Both sides union into ONE dataset with a
-  side tag, shuffle ONCE on the key (``groupby(key).map_groups``), and
-  each group resolves matches with a numpy ``searchsorted`` — no
-  per-event Python, no second shuffle, no broadcast of either side.
-  Skew is bounded by per-key event counts, not corpus size.
+  side tag and a BOUNDED bucket key ``hash(key) % num_partitions``
+  (functions/_blocks.py), shuffle ONCE on the bucket, and each bucket
+  block resolves ALL of its keys in one vectorized merged scan:
+  lexsort by (key, ts, right-before-left), take the running maximum of
+  right-row indices (``np.maximum.accumulate``), and guard it against
+  leaking across key segments with the per-row segment start. Python
+  dispatches O(num_partitions) times total — never per key, never per
+  event. No second shuffle, no broadcast of either side.
 
 Partitioning assumption (documented per the brief's custom-operator
-rule): all events of one key fit in one group — the same assumption
-``sessionize`` makes; keys here are users/sessions whose per-key
-volume is bounded by human activity, not corpus growth.
+rule): a BUCKET (~corpus/num_partitions rows) fits a worker's heap —
+size ``num_partitions`` to the corpus, not to the key cardinality.
+Per-key volume no longer matters: a hot key costs O(its rows) inside
+one linear pass.
 """
 
 from __future__ import annotations
@@ -21,11 +26,14 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ._blocks import start_of_segment
+
 
 def asof_join(left, right, *, key_col: str = "user_id",
               ts_col: str = "ts", left_id: str = "event_id",
               right_id: str = "event_id", right_val: str = "value",
-              no_match_id: int = -1, no_match_val: float = 0.0):
+              no_match_id: int = -1, no_match_val: float = 0.0,
+              num_partitions: int = 64):
     """As-of join: per left row, the latest right row at or before its
     timestamp for the same key.
 
@@ -35,6 +43,7 @@ def asof_join(left, right, *, key_col: str = "user_id",
     timestamps per key resolve to the row LAST in (ts, right_id)
     order — deterministic; the input convention is unique (key, ts)
     on the right, which the driver corpus satisfies."""
+    from ._blocks import bucket_of
 
     def tag(side: int):
         id_col = left_id if side == 0 else right_id
@@ -45,8 +54,12 @@ def asof_join(left, right, *, key_col: str = "user_id",
             val = (batch.column(val_col).cast(pa.float64())
                    if val_col else
                    pa.array(np.full(n, no_match_val), pa.float64()))
+            keys = batch.column(key_col).cast(pa.int64())
             return pa.table({
-                key_col: batch.column(key_col).cast(pa.int64()),
+                key_col: keys,
+                "_pk": pa.array(bucket_of(
+                    keys.to_numpy(zero_copy_only=False),
+                    num_partitions), pa.int32()),
                 "_ts": batch.column(ts_col),
                 "_id": batch.column(id_col).cast(pa.int64()),
                 "_side": pa.array(np.full(n, side, np.int8)),
@@ -57,60 +70,71 @@ def asof_join(left, right, *, key_col: str = "user_id",
     both = left.map_batches(tag(0), batch_format="pyarrow").union(
         right.map_batches(tag(1), batch_format="pyarrow"))
 
-    def resolve(group: pd.DataFrame) -> pd.DataFrame:
-        side = group["_side"].to_numpy()
-        ts = group["_ts"].to_numpy(dtype="datetime64[us]")
-        ids = group["_id"].to_numpy(dtype=np.int64)
-        vals = group["_val"].to_numpy(dtype=np.float64)
+    def resolve_block(block: pd.DataFrame) -> pd.DataFrame:
+        key = block[key_col].to_numpy(dtype=np.int64)
+        ts = block["_ts"].to_numpy(dtype="datetime64[us]") \
+            .astype(np.int64)
+        side = block["_side"].to_numpy(dtype=np.int8)
+        ids = block["_id"].to_numpy(dtype=np.int64)
+        vals = block["_val"].to_numpy(dtype=np.float64)
+        # merged order: key, then ts, then RIGHT before LEFT at equal
+        # ts (<= is inclusive), then right ids ascending so the running
+        # max lands on the larger id — the documented tie rule
+        order = np.lexsort((ids, 1 - side, ts, key))
+        key, ts, side, ids, vals = (key[order], ts[order], side[order],
+                                    ids[order], vals[order])
+        n = len(key)
+        pos = np.arange(n)
+        ridx = np.where(side == 1, pos, -1)
+        latest_right = np.maximum.accumulate(ridx)
+        seg_start = start_of_segment(key)
         lmask = side == 0
-        lts, lids = ts[lmask], ids[lmask]
-        rts, rids, rvals = ts[~lmask], ids[~lmask], vals[~lmask]
-        # sort right by (ts, id) so equal timestamps resolve to the
-        # larger id — the documented deterministic tie rule
-        order = np.lexsort((rids, rts))
-        rts, rids, rvals = rts[order], rids[order], rvals[order]
-        if len(rts):
-            idx = np.searchsorted(rts, lts, side="right") - 1
-            hit = idx >= 0
-            m_id = np.where(hit, rids[np.maximum(idx, 0)], no_match_id)
-            m_val = np.where(hit, rvals[np.maximum(idx, 0)],
-                             no_match_val)
-        else:   # key has no right rows at all — all sentinels
-            m_id = np.full(len(lts), no_match_id, np.int64)
-            m_val = np.full(len(lts), no_match_val, np.float64)
+        midx = latest_right[lmask]
+        # a right row from a PREVIOUS key has index < this segment's
+        # start, so the bound check is also the key-boundary guard
+        hit = midx >= seg_start[lmask]
+        safe = np.maximum(midx, 0)
         return pd.DataFrame({
-            "left_row_id": lids,
-            key_col: np.full(len(lids), group[key_col].iloc[0],
-                             np.int64),
-            "ts_us": lts.astype("datetime64[us]").astype(np.int64),
-            "matched_id": m_id.astype(np.int64),
-            "matched_val": m_val.astype(np.float64),
+            "left_row_id": ids[lmask],
+            key_col: key[lmask],
+            "ts_us": ts[lmask],
+            "matched_id": np.where(hit, ids[safe],
+                                   no_match_id).astype(np.int64),
+            "matched_val": np.where(hit, vals[safe],
+                                    no_match_val).astype(np.float64),
         })
 
-    return both.groupby(key_col).map_groups(resolve,
-                                            batch_format="pandas")
+    return both.groupby("_pk").map_groups(resolve_block,
+                                          batch_format="pandas")
 
 
 def interval_join(left, intervals, *, key_col: str = "user_id",
                   ts_col: str = "ts", left_id: str = "event_id",
                   start_col: str = "session_start",
                   end_col: str = "session_end",
-                  no_match: int = -1):
+                  no_match: int = -1, num_partitions: int = 64):
     """Interval (range) join: each left row matched to the interval —
     same key, non-overlapping per key — with ``start <= ts <= end``.
 
-    Same shape as ``asof_join``: tagged union, ONE shuffle on the key,
-    per-group ``searchsorted`` on interval starts followed by an
-    end-bound check. Returns ``(left_row_id, key_col, ts_us,
+    Same shape as ``asof_join``: tagged union, ONE shuffle on the
+    bounded bucket key, one merged running-max scan per bucket block
+    (latest-starting interval at or before each event, then an
+    end-bound check). Returns ``(left_row_id, key_col, ts_us,
     interval_start_us, interval_end_us)`` with ``no_match`` sentinels.
-    Overlapping intervals resolve to the latest-starting one."""
+    Overlapping intervals resolve to the latest-starting one (ties on
+    equal starts to the largest end — deterministic)."""
+    from ._blocks import bucket_of
 
     def tag_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         ts = batch.column(ts_col).cast(pa.timestamp("us")) \
             .cast(pa.int64())
+        keys = batch.column(key_col).cast(pa.int64())
         return pa.table({
-            key_col: batch.column(key_col).cast(pa.int64()),
+            key_col: keys,
+            "_pk": pa.array(bucket_of(
+                keys.to_numpy(zero_copy_only=False), num_partitions),
+                pa.int32()),
             "_ts": ts,
             "_end": pa.array(np.zeros(n, np.int64)),
             "_id": batch.column(left_id).cast(pa.int64()),
@@ -119,8 +143,12 @@ def interval_join(left, intervals, *, key_col: str = "user_id",
 
     def tag_intervals(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        keys = batch.column(key_col).cast(pa.int64())
         return pa.table({
-            key_col: batch.column(key_col).cast(pa.int64()),
+            key_col: keys,
+            "_pk": pa.array(bucket_of(
+                keys.to_numpy(zero_copy_only=False), num_partitions),
+                pa.int32()),
             "_ts": batch.column(start_col).cast(pa.timestamp("us"))
                    .cast(pa.int64()),
             "_end": batch.column(end_col).cast(pa.timestamp("us"))
@@ -132,33 +160,36 @@ def interval_join(left, intervals, *, key_col: str = "user_id",
     both = left.map_batches(tag_left, batch_format="pyarrow").union(
         intervals.map_batches(tag_intervals, batch_format="pyarrow"))
 
-    def resolve(group: pd.DataFrame) -> pd.DataFrame:
-        side = group["_side"].to_numpy()
-        ts = group["_ts"].to_numpy(dtype=np.int64)
+    def resolve_block(block: pd.DataFrame) -> pd.DataFrame:
+        key = block[key_col].to_numpy(dtype=np.int64)
+        ts = block["_ts"].to_numpy(dtype=np.int64)
+        ends = block["_end"].to_numpy(dtype=np.int64)
+        side = block["_side"].to_numpy(dtype=np.int8)
+        ids = block["_id"].to_numpy(dtype=np.int64)
+        # merged order: key, start/ts, INTERVAL before event at equal
+        # ts (start <= ts inclusive), larger ends last (the tie rule)
+        order = np.lexsort((ends, 1 - side, ts, key))
+        key, ts, ends, side, ids = (key[order], ts[order], ends[order],
+                                    side[order], ids[order])
+        n = len(key)
+        pos = np.arange(n)
+        iidx = np.where(side == 1, pos, -1)
+        latest_iv = np.maximum.accumulate(iidx)
+        seg_start = start_of_segment(key)
         lmask = side == 0
+        midx = latest_iv[lmask]
+        safe = np.maximum(midx, 0)
         lts = ts[lmask]
-        lids = group["_id"].to_numpy(dtype=np.int64)[lmask]
-        starts = ts[~lmask]
-        ends = group["_end"].to_numpy(dtype=np.int64)[~lmask]
-        order = np.argsort(starts, kind="stable")
-        starts, ends = starts[order], ends[order]
-        if len(starts):
-            idx = np.searchsorted(starts, lts, side="right") - 1
-            safe = np.maximum(idx, 0)
-            hit = (idx >= 0) & (lts <= ends[safe])
-            m_start = np.where(hit, starts[safe], no_match)
-            m_end = np.where(hit, ends[safe], no_match)
-        else:
-            m_start = np.full(len(lts), no_match, np.int64)
-            m_end = np.full(len(lts), no_match, np.int64)
+        hit = (midx >= seg_start[lmask]) & (lts <= ends[safe])
         return pd.DataFrame({
-            "left_row_id": lids,
-            key_col: np.full(len(lids), group[key_col].iloc[0],
-                             np.int64),
+            "left_row_id": ids[lmask],
+            key_col: key[lmask],
             "ts_us": lts,
-            "interval_start_us": m_start.astype(np.int64),
-            "interval_end_us": m_end.astype(np.int64),
+            "interval_start_us": np.where(hit, ts[safe],
+                                          no_match).astype(np.int64),
+            "interval_end_us": np.where(hit, ends[safe],
+                                        no_match).astype(np.int64),
         })
 
-    return both.groupby(key_col).map_groups(resolve,
-                                            batch_format="pandas")
+    return both.groupby("_pk").map_groups(resolve_block,
+                                          batch_format="pandas")

@@ -69,3 +69,34 @@ def test_pagerank_empty(ray_session):
         "src": pa.array([], pa.int64()),
         "dst": pa.array([], pa.int64())}))
     assert pagerank(empty, iters=2).count() == 0
+
+
+def _naive_picos(edges, iters, pct=85, pico=10**12):
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {u: [d for s, d in edges if s == u] for u in nodes}
+    r = {u: pico // n for u in nodes}
+    for _ in range(iters):
+        contrib = {u: 0 for u in nodes}
+        dang = 0
+        for u in nodes:
+            if out[u]:
+                for v in out[u]:
+                    contrib[v] += r[u] // len(out[u])
+            else:
+                dang += r[u]
+        r = {u: ((100 - pct) * (pico // n)) // 100
+             + (pct * (contrib[u] + dang // n)) // 100 for u in nodes}
+    return r
+
+
+def test_pagerank_picos_exact_integer_reference(small_graph):
+    """pagerank_picos is EXACT int64 arithmetic — must equal the naive
+    integer reference bit-for-bit (the property its SQL oracle needs),
+    and multi-key buckets must not cross-talk (num_partitions=2)."""
+    from ksoup_ray.functions.graph import pagerank_picos
+    edges, ds = small_graph
+    got = pagerank_picos(ds, iters=3, num_partitions=2).to_pandas() \
+        .set_index("node")["rank_picos"].sort_index()
+    want = _naive_picos(edges, 3)
+    assert {u: int(got[u]) for u in sorted(want)} == want

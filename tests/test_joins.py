@@ -119,3 +119,87 @@ def test_grouped_topk_combine_correctness(ray_session):
     assert en["doc_id"].tolist() == [6, 13, 20]
     de = out[out["lang"] == "de"]
     assert sorted(de["doc_id"]) == [100, 101, 102]
+
+
+def _naive_asof(levents, revents, gap_id=-1):
+    out = []
+    for (lid, k, lts) in levents:
+        best = None
+        for (rid, rk, rts, rv) in revents:
+            if rk == k and rts <= lts and \
+                    (best is None or (rts, rid) > (best[2], best[0])):
+                best = (rid, rk, rts, rv)
+        out.append((lid, k, lts, best[0] if best else gap_id,
+                    best[3] if best else 0.0))
+    return sorted(out)
+
+
+def test_asof_block_kernel_many_keys_per_bucket(ray_session):
+    """Cross-key leakage guard: with num_partitions=2 every bucket
+    holds MANY keys — the running-max scan must reset at each key
+    segment. Compared against a naive quadratic reference."""
+    import datetime
+    import random
+    import ray.data as rd
+    from ksoup_ray.functions.joins import asof_join
+
+    rng = random.Random(7)
+    epoch = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return epoch + datetime.timedelta(seconds=s)
+
+    lrows, rrows = [], []
+    for i in range(200):
+        k = rng.randrange(17)
+        lrows.append({"event_id": i, "user_id": k,
+                      "ts": ts(rng.randrange(1000))})
+    for j in range(120):
+        k = rng.randrange(17)
+        rrows.append({"event_id": 10_000 + j, "user_id": k,
+                      "ts": ts(rng.randrange(1000)),
+                      "value": float(j)})
+    left = rd.from_items(lrows)
+    right = rd.from_items(rrows)
+    got = asof_join(left, right, num_partitions=2).to_pandas()
+    got_t = sorted(
+        (int(r.left_row_id), int(r.user_id), int(r.ts_us),
+         int(r.matched_id), float(r.matched_val))
+        for r in got.itertuples())
+    lev = [(r["event_id"], r["user_id"],
+            int(r["ts"].timestamp() * 1e6)) for r in lrows]
+    rev = [(r["event_id"], r["user_id"],
+            int(r["ts"].timestamp() * 1e6), r["value"])
+           for r in rrows]
+    assert got_t == _naive_asof(lev, rev)
+
+
+def test_sessionize_block_kernel_many_users_per_bucket(ray_session):
+    """Same guard for sessionize: user-change boundaries must split
+    sessions even when several users share one bucket block."""
+    import datetime
+    import ray.data as rd
+    from ksoup_ray.functions.agg import sessionize
+
+    epoch = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return epoch + datetime.timedelta(seconds=s)
+
+    rows = []
+    # users 0..9 each: 3 events tight, 30-min+ gap, 2 events tight —
+    # user boundaries are ALSO < gap apart in time, so a kernel that
+    # forgot the user-change flag would fuse adjacent users' sessions
+    for u in range(10):
+        base = u * 10            # users overlap in time
+        rows += [{"user_id": u, "ts": ts(base + d)} for d in (0, 5, 9)]
+        rows += [{"user_id": u, "ts": ts(base + 2000 + d)}
+                 for d in (0, 3)]
+    out = sessionize(rd.from_items(rows), gap_seconds=1800,
+                     num_partitions=2).to_pandas()
+    assert len(out) == 20
+    per_user = out.groupby("user_id").agg(
+        n=("n_events", "sum"), sessions=("n_events", "size"))
+    assert (per_user["n"] == 5).all()
+    assert (per_user["sessions"] == 2).all()
+    assert set(out["n_events"]) == {2, 3}

@@ -224,15 +224,28 @@ def _q_extract_spans(sf_dir: str):
 
 
 def _q_extract_meta(sf_dir: str):
+    """The FULL ~18-field parseMetaData struct (engine/parser.py:133-
+    182, reference Ksoup.kt:192-288) flattened to columns — every
+    OG/Twitter/standard field plus favicon precedence (rel~=icon is a
+    regex-contains matcher, so a 'shortcut icon' link can BE the
+    favicon when no rel=icon link precedes it) is value-checked
+    against a flat CASE oracle over the synth page generator. The
+    meta[name=title] field flattens as ``meta_title`` (the top-level
+    ``title`` column is the <title> element)."""
     ds = _extracted(sf_dir)
 
     def meta_cols(batch: pa.Table) -> pa.Table:
         meta = batch.column("meta")
-        return pa.table({
-            "url": batch.column("url"),
-            "og_title": pc.struct_field(meta, "og_title"),
-            "canonical": pc.struct_field(meta, "canonical"),
-        })
+        out = {"url": batch.column("url")}
+        for f in ("og_title", "og_site_name", "og_type", "og_locale",
+                  "og_description", "og_image", "og_url",
+                  "twitter_title", "twitter_card",
+                  "twitter_description", "twitter_image",
+                  "description", "author", "canonical", "html_title",
+                  "favicon", "shortcut_icon"):
+            out[f] = pc.struct_field(meta, f)
+        out["meta_title"] = pc.struct_field(meta, "title")
+        return pa.table(out)
 
     return ds.map_batches(meta_cols, batch_format="pyarrow")
 
@@ -969,6 +982,39 @@ def _q_kmeans(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def _q_kmeans_1step(sf_dir: str):
+    """VALUE-CHECKED Lloyd step (functions/similarity.py
+    kmeans_mean_step): cosine-assign to the 8 fixed lowest-id
+    centroids, new centroid = per-dim mean of floor(coord·10⁶) int
+    micros (truncating division, DuckDB ``//`` semantics) — exact,
+    order-free, so the SQL oracle reproduces every mean bit-for-bit.
+    Closes the k-means side of the iterative-family oracle gap
+    (the full ``kmeans`` query remains the production multi-iteration
+    path, rows-only)."""
+    import ray.data as rd
+    from ksoup_ray.functions.similarity import kmeans_mean_step
+    centroids = _head_embeddings(sf_dir, _IVF_CELLS)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return kmeans_mean_step(ds, centroids)
+
+
+def _q_project_fixed(sf_dir: str):
+    """VALUE-CHECKED fixed-component projection (functions/
+    similarity.py quantized_project): vectors AND the 4 lowest-id
+    component rows quantize to floor(x·10³) ints, projection = one
+    integer matmul per batch (broadcast components, no shuffle) —
+    exact and order-free, so the SQL oracle (zipped unnest product +
+    integer SUM) matches bit-for-bit. The value-checked companion to
+    the iterative ``pca_project`` (rows-only)."""
+    import ray.data as rd
+    from ksoup_ray.functions.similarity import quantized_project
+    comps = _head_embeddings(sf_dir, 4)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return quantized_project(ds, comps)
+
+
 def _q_stratified_sample(sf_dir: str):
     """Deterministic per-stratum 10% sample (functions/agg.py):
     id%100 < 10 — reproducible, no RNG, rate logged per batch (the
@@ -1149,6 +1195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_first_paras": _q_stream_first_paras,
         "cluster_assign": _q_cluster_assign,
         "kmeans": _q_kmeans,
+        "kmeans_1step": _q_kmeans_1step,
+        "project_fixed": _q_project_fixed,
         "pca_project": _q_pca_project,
         "stratified_sample": _q_stratified_sample,
         "top_docs_per_lang": _q_top_docs_per_lang,
@@ -1293,7 +1341,45 @@ def oracle_sql() -> dict[str, str]:
         "extract_meta": f"""
             SELECT {SYNTH_URL_SQL} AS url,
                    {TITLE_SQL} AS og_title,
-                   {SYNTH_URL_SQL} AS canonical
+                   'Synth' AS og_site_name,
+                   CASE WHEN doc_id % 3 = 0 THEN 'article'
+                        ELSE 'website' END AS og_type,
+                   lang || '_SY' AS og_locale,
+                   CASE WHEN doc_id % 9 = 2
+                        THEN 'og about ' || doc_id END AS og_description,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'https://synth.invalid/img/' ||
+                             lpad(CAST(doc_id AS VARCHAR), 8, '0') ||
+                             '.png' END AS og_image,
+                   {SYNTH_URL_SQL} AS og_url,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN {TITLE_SQL} END AS twitter_title,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'summary' END AS twitter_card,
+                   CASE WHEN doc_id % 9 = 2
+                        THEN 'tw about ' || doc_id
+                        END AS twitter_description,
+                   CASE WHEN doc_id % 6 = 0
+                        THEN 'https://synth.invalid/img/' ||
+                             lpad(CAST(doc_id AS VARCHAR), 8, '0') ||
+                             't.png' END AS twitter_image,
+                   CASE WHEN doc_id % 8 = 5
+                        THEN {TITLE_SQL} END AS meta_title,
+                   'synthetic page ' || doc_id AS description,
+                   CASE WHEN doc_id % 4 = 1
+                        THEN 'Author ' || (doc_id % 50) END AS author,
+                   {SYNTH_URL_SQL} AS canonical,
+                   {TITLE_SQL} AS html_title,
+                   CASE WHEN doc_id % 2 = 1
+                        THEN {SYNTH_URL_SQL} || '/favicon.ico'
+                        WHEN doc_id % 10 = 6
+                        THEN 'http://cdn.synth.invalid/ico/' ||
+                             lpad(CAST(doc_id AS VARCHAR), 8, '0') ||
+                             '.ico' END AS favicon,
+                   CASE WHEN doc_id % 10 = 6
+                        THEN 'http://cdn.synth.invalid/ico/' ||
+                             lpad(CAST(doc_id AS VARCHAR), 8, '0') ||
+                             '.ico' END AS shortcut_icon
             FROM documents
         """,
         "select_css": f"""
@@ -1592,6 +1678,61 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e CROSS JOIN c
             )
             SELECT vec_id, cluster_id FROM ranked WHERE rn = 1
+        """,
+        # ONE Lloyd step in exact int64 micros: same assignment CTEs
+        # as cluster_assign, then per-(cluster, dim) mean of
+        # floor(coord*1e6) with truncating // (DuckDB semantics,
+        # mirrored by kmeans_mean_step's sign*abs// kernel)
+        "kmeans_1step": f"""
+            WITH c AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                       embedding AS ce
+                FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS}
+            ), ranked AS (
+                SELECT e.vec_id,
+                       CAST(c.cid AS INTEGER) AS cluster_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(c.ce AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])) DESC,
+                           c.cid) AS rn
+                FROM embeddings e CROSS JOIN c
+            ), a AS (
+                SELECT vec_id, cluster_id FROM ranked WHERE rn = 1
+            ), ex AS (
+                SELECT a.cluster_id,
+                       CAST(generate_subscripts(e.embedding, 1)
+                            AS BIGINT) AS dim,
+                       CAST(FLOOR(CAST(unnest(e.embedding) AS DOUBLE)
+                                  * 1000000.0) AS BIGINT) AS v
+                FROM embeddings e JOIN a ON e.vec_id = a.vec_id
+            )
+            SELECT cluster_id, dim,
+                   CAST(SUM(v) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                     AS mean_micros,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM ex GROUP BY cluster_id, dim
+        """,
+        # quantized fixed-component projection: zipped unnests of the
+        # vector and component lists multiply int-quantized terms,
+        # integer SUM -> exact (mirrors quantized_project's int matmul)
+        "project_fixed": """
+            WITH c AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                       embedding AS ce
+                FROM embeddings ORDER BY vec_id LIMIT 4
+            ), prods AS (
+                SELECT e.vec_id, c.cid,
+                       CAST(FLOOR(CAST(unnest(e.embedding) AS DOUBLE)
+                                  * 1000.0) AS BIGINT)
+                       * CAST(FLOOR(CAST(unnest(c.ce) AS DOUBLE)
+                                    * 1000.0) AS BIGINT) AS p
+                FROM embeddings e CROSS JOIN c
+            )
+            SELECT vec_id, CAST(cid AS BIGINT) AS component,
+                   CAST(SUM(p) AS BIGINT) AS proj_q
+            FROM prods GROUP BY vec_id, cid
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents WHERE doc_id % 100 < 10

@@ -447,3 +447,128 @@ def centroid_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
         CentroidAssigner, fn_constructor_kwargs=dict(
             cents_ref=cents_ref, vec_col=vec_col, id_col=id_col),
         batch_format="pyarrow", concurrency=concurrency)
+
+
+class _MeanStepPartials:
+    """Per-batch kernel for :func:`kmeans_mean_step`: cosine-assign
+    (same tie rule as CentroidAssigner — argmax first-max == ORDER BY
+    sim DESC, cid ASC), floor each coordinate to int micros, and emit
+    per-(cluster, dim) PARTIAL sums + counts — k×d tiny rows per
+    batch, the only thing that rides the shuffle."""
+
+    def __init__(self, cents_ref, vec_col: str, id_col: str):
+        import ray
+        cents = np.asarray(ray.get(cents_ref), dtype=np.float64)
+        self.cents_n = _normalize(cents)
+        self.k = cents.shape[0]
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = vecs_from_arrow(batch.column(self.vec_col), np.float64)
+        assign = (_normalize(vecs) @ self.cents_n.T).argmax(axis=1)
+        micros = np.floor(vecs * 1_000_000.0).astype(np.int64)
+        d = micros.shape[1]
+        sums = np.zeros((self.k, d), np.int64)
+        np.add.at(sums, assign, micros)      # duplicate cluster ids OK
+        cnt = np.bincount(assign, minlength=self.k).astype(np.int64)
+        nz = np.flatnonzero(cnt)             # skip empty clusters
+        return pa.table({
+            "cluster_id": pa.array(np.repeat(nz, d).astype(np.int32),
+                                   pa.int32()),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(nz)), pa.int64()),
+            "sum_micros": pa.array(sums[nz].ravel(), pa.int64()),
+            "n": pa.array(np.repeat(cnt[nz], d), pa.int64()),
+        })
+
+
+def kmeans_mean_step(ds, centroids: np.ndarray,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id", concurrency=(1, 4)):
+    """ONE Lloyd update step in EXACT integer arithmetic — the
+    value-checked oracle row for the iterative k-means family
+    (VERDICT r3 item 3): assign every vector to its nearest fixed
+    centroid (cosine, deterministic ties), then the new centroid is
+    the per-dimension mean of floor(coord × 10^6) micros.
+
+    Shape: centroids broadcast once via ``ray.put``; per-batch matmul
+    + ``np.add.at`` partials (k×d rows); ONE native-Sum groupby on
+    (cluster, dim); a pure map divides. Division TRUNCATES toward
+    zero (``s // n`` per DuckDB's integer ``//`` semantics, which
+    truncate — numpy's ``//`` floors, so negatives are handled
+    explicitly). Returns ``(cluster_id, dim 1-based, mean_micros,
+    n)`` — empty clusters are absent, exactly as the SQL GROUP BY.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    cents_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+    partials = ds.map_batches(
+        _MeanStepPartials, fn_constructor_kwargs=dict(
+            cents_ref=cents_ref, vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=concurrency)
+    folded = partials.groupby(["cluster_id", "dim"]).aggregate(
+        Sum("sum_micros", alias_name="s"), Sum("n", alias_name="n"))
+
+    def mean(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = batch.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        trunc = np.sign(s) * (np.abs(s) // n)   # trunc-toward-zero
+        return pa.table({
+            "cluster_id": batch.column("cluster_id").cast(pa.int32()),
+            "dim": batch.column("dim").cast(pa.int64()),
+            "mean_micros": pa.array(trunc.astype(np.int64), pa.int64()),
+            "n": pa.array(n, pa.int64()),
+        })
+
+    return folded.map_batches(mean, batch_format="pyarrow")
+
+
+class _QuantizedProjector:
+    """Per-batch kernel for :func:`quantized_project`: both the
+    vectors and the broadcast component matrix quantize to int
+    ``floor(x * scale)`` (the int8-style quantized-matmul practice),
+    so the projection is an INTEGER matmul — exact, order-free,
+    reproducible bit-for-bit by a SQL oracle."""
+
+    def __init__(self, comps_ref, scale: int, vec_col: str,
+                 id_col: str):
+        import ray
+        comps = np.asarray(ray.get(comps_ref), dtype=np.float64)
+        self.cq = np.floor(comps * scale).astype(np.int64)   # (k, d)
+        self.scale = scale
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = vecs_from_arrow(batch.column(self.vec_col), np.float64)
+        vq = np.floor(vecs * self.scale).astype(np.int64)
+        proj = vq @ self.cq.T                                # (n, k)
+        n, k = proj.shape
+        ids = batch.column(self.id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            self.id_col: pa.array(np.repeat(ids, k), pa.int64()),
+            "component": pa.array(
+                np.tile(np.arange(k, dtype=np.int64), n), pa.int64()),
+            "proj_q": pa.array(proj.ravel(), pa.int64()),
+        })
+
+
+def quantized_project(ds, components: np.ndarray, *, scale: int = 1000,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id", concurrency=(1, 4)):
+    """Projection onto FIXED components in exact integer arithmetic
+    (the value-checked companion to the iterative ``pca_project``):
+    ``proj_q[i,j] = Σ_d floor(v_d·scale) · floor(c_jd·scale)`` — one
+    broadcast (``ray.put``) + one int64 matmul per batch, no shuffle.
+    Returns ``(id_col, component, proj_q)`` long-form rows."""
+    import ray
+    comps_ref = ray.put(np.asarray(components, dtype=np.float64))
+    return ds.map_batches(
+        _QuantizedProjector, fn_constructor_kwargs=dict(
+            comps_ref=comps_ref, scale=scale, vec_col=vec_col,
+            id_col=id_col),
+        batch_format="pyarrow", concurrency=concurrency)

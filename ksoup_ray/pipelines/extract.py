@@ -58,18 +58,22 @@ def _list_done_partitions(out_dir: str) -> set[int]:
 
 
 def _add_ingest_columns(num_partitions: int):
-    """Vectorized pre-stage: doc_bytes + partition_id (stateless tasks)."""
-    import zlib
+    """Vectorized pre-stage: doc_bytes + partition_id (stateless
+    tasks). partition_id = crc32(url) % P via the byte-position-walk
+    CRC kernel (functions/_blocks.py) — bit-identical to zlib.crc32,
+    so resume lineage from runs of the per-row version stays valid,
+    with zero per-row Python on the ingest path."""
+    from ..functions._blocks import crc32_of_strings
 
     def fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
         if "doc_bytes" not in batch.column_names:
             batch = batch.append_column(
                 "doc_bytes",
                 pc.cast(pc.binary_length(batch.column("html")), pa.int64()))
-        urls = batch.column("url").to_pylist()
-        pids = pa.array(
-            [zlib.crc32(u.encode()) % num_partitions for u in urls],
-            pa.int32())
+        crcs = crc32_of_strings(batch.column("url"))
+        pids = pa.array((crcs % num_partitions).astype(np.int32),
+                        pa.int32())
         if "partition_id" in batch.column_names:
             batch = batch.drop_columns(["partition_id"])
         return batch.append_column("partition_id", pids)
@@ -228,6 +232,9 @@ def write_lineage(out_dir: str, wall_ms: int) -> dict:
         total_bytes += doc_bytes
         total_errors += errors
         n_parts += 1
+    # cap/drop counters (no-silent-caps rule) land in the run artifact
+    from .sink import snapshot_drop_metrics
+    drop_metrics = snapshot_drop_metrics(lin_dir)
     return {"partitions": n_parts, "rows": total_rows,
             "doc_bytes": total_bytes, "parse_errors": total_errors,
-            "wall_ms": wall_ms}
+            "wall_ms": wall_ms, "drop_metrics": drop_metrics}

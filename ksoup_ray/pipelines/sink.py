@@ -25,6 +25,30 @@ import pyarrow.compute as pc
 
 DATA_DIR = "data"
 LINEAGE_DIR = "_lineage"
+METRICS_FILE = "_metrics.json"
+
+
+def snapshot_drop_metrics(lin_dir: str) -> dict:
+    """Persist the session's cap/drop counters (functions/metrics.py —
+    LSH bucket caps, max_df drops, truncated records, bad filenames)
+    into ``<lin_dir>/_metrics.json`` so the RUN ARTIFACT carries what
+    was dropped, not just a transient actor. Counters are
+    session-cumulative and advisory (task retries may re-increment);
+    the file answers "did any cap trip during this job, and roughly
+    how hard". Returns the snapshot (empty dict when nothing ever
+    tripped — the file is still written so its absence is
+    distinguishable from an unfinished run)."""
+    try:
+        from ..functions.metrics import read_cap_metrics
+        metrics = read_cap_metrics()
+    except Exception:       # no Ray session (unit contexts) — empty
+        metrics = {}
+    os.makedirs(lin_dir, exist_ok=True)
+    tmp = os.path.join(lin_dir, "." + METRICS_FILE)
+    with open(tmp, "w") as fh:
+        json.dump({"drop_metrics": metrics}, fh)
+    os.replace(tmp, os.path.join(lin_dir, METRICS_FILE))
+    return metrics
 
 
 def list_done_partitions(out_dir: str) -> set[int]:
@@ -146,5 +170,7 @@ def write_partitioned(ds, out_dir: str, *, key_col: str,
             json.dump({"partition_id": pid, "rows": n,
                        "wall_ms": wall_ms}, f)
         os.replace(tmp, os.path.join(lin_dir, f"{pid}.json"))
+    drop_metrics = snapshot_drop_metrics(lin_dir)
     return {"partitions": len(rows_by_pid), "rows": total,
-            "wall_ms": wall_ms, "resumed": sorted(done)}
+            "wall_ms": wall_ms, "resumed": sorted(done),
+            "drop_metrics": drop_metrics}

@@ -31,7 +31,7 @@ EPOCH = datetime.datetime(2024, 10, 24, 0, 0, 0)
 
 # bump whenever render_page's output bytes change — cached bench
 # corpora key on it so a stale /tmp cache can't mix page versions
-SYNTH_VERSION = 2
+SYNTH_VERSION = 3
 
 # charset family rotation: deterministic by doc_id. All synth text is
 # ASCII so every charset encodes it; the decode path exercises BOM +
@@ -114,6 +114,43 @@ def render_page(doc_id: int, text: str, lang: str,
     parts.append(f'<meta name="description" content="synthetic page '
                  f'{doc_id}">')
     parts.append(f'<link rel="canonical" href="{url_for(doc_id, lang)}">')
+    # full parseMetaData surface (engine/parser.py:133-182, reference
+    # Ksoup.kt:192-288): every field deterministic in doc_id so the
+    # extract_meta SQL oracle value-checks presence AND absence paths
+    parts.append('<meta property="og:site_name" content="Synth">')
+    og_type = "article" if doc_id % 3 == 0 else "website"
+    parts.append(f'<meta property="og:type" content="{og_type}">')
+    parts.append(f'<meta property="og:locale" content="{lang}_SY">')
+    if doc_id % 9 == 2:
+        parts.append(f'<meta property="og:description" '
+                     f'content="og about {doc_id}">')
+        parts.append(f'<meta name="twitter:description" '
+                     f'content="tw about {doc_id}">')
+    if doc_id % 3 == 0:
+        parts.append(f'<meta property="og:image" '
+                     f'content="{BASE_URL}/img/{doc_id:08d}.png">')
+    parts.append(f'<meta property="og:url" '
+                 f'content="{url_for(doc_id, lang)}">')
+    if doc_id % 5 == 0:
+        parts.append(f'<meta name="twitter:title" content="{title}">')
+    if doc_id % 2 == 0:
+        parts.append('<meta name="twitter:card" content="summary">')
+    if doc_id % 6 == 0:
+        parts.append(f'<meta name="twitter:image" '
+                     f'content="{BASE_URL}/img/{doc_id:08d}t.png">')
+    if doc_id % 8 == 5:
+        parts.append(f'<meta name="title" content="{title}">')
+    if doc_id % 4 == 1:
+        parts.append(f'<meta name="author" content="Author '
+                     f'{doc_id % 50}">')
+    # favicon precedence: rel~=icon (regex-contains) also matches
+    # "shortcut icon", so doc order decides when both exist; %2==1 and
+    # %10==6 are disjoint (odd vs even) keeping the oracle a flat CASE
+    if doc_id % 2 == 1:
+        parts.append('<link rel="icon" href="/favicon.ico">')
+    if doc_id % 10 == 6:
+        parts.append(f'<link rel="shortcut icon" href='
+                     f'"http://cdn.synth.invalid/ico/{doc_id:08d}.ico">')
     parts.append("<style>p{margin:0} .x{color:#000}</style>")
     parts.append("<script>var config = {\"id\": %d, \"x\": \"<b>\"};"
                  "// <!-- tricky --> </script>" % doc_id)

@@ -34,10 +34,28 @@ from ..engine.select import parse_query
 # north_star boilerplate-strip recipe: script/style/nav removal + chrome
 DEFAULT_STRIP = "script, style, nav, noscript, template, iframe, svg, form"
 
+# the full ~18-field parseMetaData surface (engine/parser.py:133-182,
+# reference Ksoup.kt:192-288 + model/MetaData.kt:3-22) — field order
+# matches parse_metadata's dict order
 META_STRUCT = pa.struct([
     ("og_title", pa.string()),
+    ("og_site_name", pa.string()),
+    ("og_type", pa.string()),
+    ("og_locale", pa.string()),
+    ("og_description", pa.string()),
+    ("og_image", pa.string()),
+    ("og_url", pa.string()),
+    ("twitter_title", pa.string()),
+    ("twitter_card", pa.string()),
+    ("twitter_description", pa.string()),
+    ("twitter_image", pa.string()),
+    ("title", pa.string()),
     ("description", pa.string()),
+    ("author", pa.string()),
     ("canonical", pa.string()),
+    ("html_title", pa.string()),
+    ("favicon", pa.string()),
+    ("shortcut_icon", pa.string()),
 ])
 LINKS_TYPE = pa.list_(pa.struct([("href", pa.string()),
                                  ("text", pa.string())]))
@@ -75,16 +93,10 @@ def extract_document(raw: bytes, base_uri: str = "",
 
     meta = None
     if want_meta:
-        head = doc.head()
-        scope = head if head is not None else doc
-        og = scope.select_first("meta[property=og:title]")
-        desc = scope.select_first("meta[name=description]")
-        canon = scope.select_first("link[rel=canonical]")
-        meta = {
-            "og_title": og.attr("content") if og is not None else None,
-            "description": desc.attr("content") if desc is not None else None,
-            "canonical": canon.attr("href") if canon is not None else None,
-        }
+        # the COMPLETE parseMetaData struct (all OG/Twitter/standard
+        # fields + favicon/shortcut), not a 3-field subset — a crawl
+        # user wants twitter/og image/url/card in the Parquet output
+        meta = P.parse_metadata(doc)
 
     body = doc.body()
     links = []

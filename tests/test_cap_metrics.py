@@ -153,3 +153,26 @@ def test_salted_count_end_to_end(ray_session):
     rows = salted_count(ds, "lang", salt=8).take_all()
     got = {r["lang"]: r["n"] for r in rows}
     assert got == {"en": 900, "fr": 60, "de": 40}
+
+
+def test_cap_counts_land_in_sink_lineage(ray_session, tmp_path):
+    """VERDICT r3 item 6: a degenerate corpus's cap counts must appear
+    in the SINK's lineage output (_lineage/_metrics.json + the stats
+    dict), not only on the transient metrics actor."""
+    import json
+    import os
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import minhash_candidate_pairs
+    from ksoup_ray.pipelines.sink import write_partitioned
+
+    texts = ["the quick brown fox jumps over the lazy dog again"] * 30
+    pairs = minhash_candidate_pairs(rd.from_arrow(_docs_table(texts)),
+                                    max_bucket=5)
+    out = str(tmp_path / "pairs_out")
+    stats = write_partitioned(pairs, out, key_col="id_a",
+                              num_partitions=2)
+    assert stats["drop_metrics"][
+        "minhash_candidate_pairs.capped_buckets"] > 0
+    with open(os.path.join(out, "_lineage", "_metrics.json")) as fh:
+        persisted = json.load(fh)["drop_metrics"]
+    assert persisted["minhash_candidate_pairs.dropped_rows"] > 0

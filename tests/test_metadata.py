@@ -99,3 +99,40 @@ def test_parse_metadata_reader_page():
     assert md["og_type"] == "website"
     assert md["author"] == "animepahe"
     assert md["shortcut_icon"] == "https://animepahe.ru//apple-touch-icon.png"
+
+
+def test_extract_document_full_meta_struct():
+    """The flagship stage surfaces the COMPLETE parseMetaData struct
+    (all 18 fields), not a subset — on a synth page carrying the
+    og/twitter image/url/card fields and the favicon links."""
+    from ksoup_ray.sources.synth import render_page, url_for
+    from ksoup_ray.stages.extract import META_STRUCT, extract_document
+
+    # doc_id 6: %3==0 (og_image, article), %2==0 (twitter_card),
+    # %6==0 (twitter_image), %10==6 (shortcut icon; favicon = it)
+    url, raw, _ = render_page(6, "alpha beta gamma", "en")
+    rec = extract_document(raw, url)
+    meta = rec["meta"]
+    assert set(meta) == {f.name for f in META_STRUCT}
+    assert meta["og_image"] == "https://synth.invalid/img/00000006.png"
+    assert meta["twitter_image"] == \
+        "https://synth.invalid/img/00000006t.png"
+    assert meta["twitter_card"] == "summary"
+    assert meta["og_type"] == "article"
+    assert meta["og_url"] == url_for(6, "en")
+    assert meta["shortcut_icon"] == \
+        "http://cdn.synth.invalid/ico/00000006.ico"
+    # no rel=icon link on even ids -> the shortcut link IS the favicon
+    # (rel~=icon regex-contains semantics)
+    assert meta["favicon"] == meta["shortcut_icon"]
+    assert meta["twitter_title"] is None and meta["author"] is None
+
+    # doc_id 13: %2==1 (rel=icon -> base-prefixed favicon),
+    # %8==5 (meta name=title), %4==1 (author), %5!=0, %3!=0
+    url13, raw13, _ = render_page(13, "alpha", "en")
+    m13 = extract_document(raw13, url13)["meta"]
+    assert m13["favicon"] == url13 + "/favicon.ico"
+    assert m13["shortcut_icon"] is None
+    assert m13["title"] == "Doc 00000013"
+    assert m13["author"] == "Author 13"
+    assert m13["og_image"] is None and m13["og_type"] == "website"

@@ -42,6 +42,8 @@ def test_pipeline_byte_identity_and_lineage(ray_session, sf_dir, tmp_path):
     # lineage files exist and sum to the corpus
     lineage_rows = 0
     for name in os.listdir(out + "/_lineage"):
+        if name == "_metrics.json":     # session drop-counter snapshot
+            continue
         with open(os.path.join(out, "_lineage", name)) as fh:
             lineage_rows += json.load(fh)["rows"]
     assert lineage_rows == 500
@@ -546,3 +548,48 @@ def test_curate_composition(ray_session, documents_path):
         .set_index("doc_id")
     texts = docs.loc[out["doc_id"]]["text"]
     assert texts.is_unique
+
+
+def test_kmeans_mean_step_exact_and_trunc_division(ray_session):
+    """One Lloyd step in int micros: means match a numpy reference
+    computed with the SAME floor-quantize + TRUNC-division rule
+    (DuckDB // truncates toward zero; negative coords covered)."""
+    import ray.data as rd
+    from ksoup_ray.functions.similarity import kmeans_mean_step
+
+    vecs = [[1.0, -0.75], [0.9, -0.65], [-1.0, 0.5], [-0.9, 0.45]]
+    t = pa.table({"vec_id": pa.array(range(4), pa.int64()),
+                  "embedding": pa.array(vecs,
+                                        pa.list_(pa.float64()))})
+    cents = np.array([[1.0, -0.7], [-1.0, 0.5]])
+    out = kmeans_mean_step(rd.from_arrow(t), cents).to_pandas() \
+        .sort_values(["cluster_id", "dim"]).reset_index(drop=True)
+    v = np.floor(np.array(vecs) * 1e6).astype(np.int64)
+    want = {}
+    for cl, rows in ((0, v[:2]), (1, v[2:])):
+        s = rows.sum(axis=0)
+        want[cl] = np.sign(s) * (np.abs(s) // len(rows))
+    assert list(out["n"]) == [2, 2, 2, 2]
+    got0 = out[out.cluster_id == 0]["mean_micros"].to_numpy()
+    got1 = out[out.cluster_id == 1]["mean_micros"].to_numpy()
+    assert list(got0) == list(want[0])
+    assert list(got1) == list(want[1])
+    # trunc-toward-zero, not floor: (-750000 + -650000)//2
+    assert got0[1] == -700000
+
+
+def test_quantized_project_is_exact_integer_matmul(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.similarity import quantized_project
+
+    vecs = [[0.2, -0.4, 0.6], [1.0, 0.0, -1.0]]
+    comps = np.array([[0.5, 0.5, 0.5], [-1.0, 1.0, 0.0]])
+    t = pa.table({"vec_id": pa.array(range(2), pa.int64()),
+                  "embedding": pa.array(vecs,
+                                        pa.list_(pa.float64()))})
+    out = quantized_project(rd.from_arrow(t), comps, scale=1000) \
+        .to_pandas().sort_values(["vec_id", "component"])
+    vq = np.floor(np.array(vecs) * 1000).astype(np.int64)
+    cq = np.floor(comps * 1000).astype(np.int64)
+    want = (vq @ cq.T).ravel()
+    assert list(out["proj_q"]) == list(want)

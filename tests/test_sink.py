@@ -31,9 +31,9 @@ def test_write_partitioned_layout_and_lineage(ray_session, tmp_path):
     parts = sorted(os.listdir(os.path.join(out, "data")))
     assert parts == [f"partition_id={i}" for i in range(4)]
     lineage = sorted(os.listdir(os.path.join(out, "_lineage")))
-    assert lineage == [f"{i}.json" for i in range(4)]
+    assert lineage == [f"{i}.json" for i in range(4)] + ["_metrics.json"]
     rows = sum(json.load(open(os.path.join(out, "_lineage", f)))["rows"]
-               for f in lineage)
+               for f in lineage if f != "_metrics.json")
     assert rows == 40
     t = _read_all(out)
     assert sorted(t.column("doc_id").to_pylist()) == list(range(40))

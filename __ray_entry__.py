@@ -1148,6 +1148,84 @@ def _q_sessionize(sf_dir: str):
     return out.map_batches(fmt, batch_format="pyarrow")
 
 
+def _q_segment_dedup(sf_dir: str):
+    """FineWeb/CCNet-style sub-document dedup (functions/dedup.py
+    segment_dedup): split every document into 10-word segments, keep
+    only each distinct segment's FIRST corpus occurrence (min
+    (doc_id, seg_idx)), reassemble docs from survivors. Two
+    bounded-bucket shuffles, per-BLOCK vectorized kernels (128-bit
+    segment hash; Arrow ListArray+binary_join reassembly). The oracle
+    replays the same rule with unnest + window-min in DuckDB."""
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import segment_dedup
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return segment_dedup(ds, window=10)
+
+
+def _q_anchor_texts(sf_dir: str):
+    """Per-target anchor-text aggregation over the crawl's link graph
+    (functions/graph.py anchor_texts): for every destination page, the
+    '|'-joined anchor texts of all inbound links, ordered (src,
+    anchor). One bounded-bucket shuffle on hash(dst); per-block
+    ListArray+binary_join concat. Synth anchors are 'more k'
+    (sources/synth.py nav links), so every concat is value-checked."""
+    ds = _extracted(sf_dir)
+    from ksoup_ray.functions.graph import anchor_texts
+
+    def edges(batch: pa.Table) -> pa.Table:
+        col = batch.column("links").combine_chunks()
+        urls = batch.column("url").to_pylist()
+        src = np.array([int(u.rsplit("/", 1)[1]) for u in urls],
+                       dtype=np.int64)
+        n_links = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = col.flatten()
+        hrefs = pc.struct_field(flat, "href").to_pylist()
+        dst = np.array([int(h.rsplit("/", 1)[1]) for h in hrefs],
+                       dtype=np.int64)
+        return pa.table({
+            "src": pa.array(np.repeat(src, n_links), pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "anchor": pc.struct_field(flat, "text"),
+        })
+
+    return anchor_texts(ds.map_batches(edges, batch_format="pyarrow"))
+
+
+def _q_latest_event(sf_dir: str):
+    """Keep-newest compaction (functions/agg.py latest_per_key): each
+    user's latest event by (ts desc, event_id desc) — the snapshot/CDC
+    primitive. One bounded-bucket shuffle; per-block segment-end
+    selection."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import latest_per_key
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type", "value"])
+    out = latest_per_key(ds, key_col="user_id", ts_col="ts",
+                         tie_col="event_id")
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("ts"), "ts",
+            pc.cast(batch.column("ts"), pa.int64()))
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
+def _q_per_source_cap(sf_dir: str):
+    """Quota sampling (functions/agg.py per_key_cap): at most 20 docs
+    per source (lowest doc_ids win) — the anti-spam host cap. Dropped
+    counts are recorded (no silent caps); one bounded-bucket shuffle,
+    per-block segmented rank."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import per_key_cap
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    return per_key_cap(ds, key_col="source", id_col="doc_id", cap=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1205,6 +1283,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_windows": _q_hopping_windows,
         "session_attribution": _q_session_attribution,
         "sessionize": _q_sessionize,
+        "segment_dedup": _q_segment_dedup,
+        "anchor_texts": _q_anchor_texts,
+        "latest_event": _q_latest_event,
+        "per_source_cap": _q_per_source_cap,
     }
 
 
@@ -2032,5 +2114,71 @@ def oracle_sql() -> dict[str, str]:
                    CASE doc_id % 3 WHEN 0 THEN 'ppm'
                         WHEN 1 THEN 'wav' ELSE 'mp4' END AS format
             FROM documents
+        """,
+        # sub-document dedup replayed in SQL: unnest words, regroup
+        # into 10-word segments, a window MIN over packed
+        # (doc_id*2^20+seg_idx) picks each distinct segment's first
+        # corpus occurrence, survivors re-concatenate in seg order
+        "segment_dedup": """
+            WITH words AS (
+                SELECT doc_id,
+                       CAST(generate_subscripts(
+                           string_split(text, ' '), 1) AS BIGINT) - 1
+                           AS widx,
+                       unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ), segs AS (
+                SELECT doc_id, widx // 10 AS seg_idx,
+                       string_agg(w, ' ' ORDER BY widx) AS seg
+                FROM words GROUP BY doc_id, widx // 10
+            ), flagged AS (
+                SELECT doc_id, seg_idx, seg,
+                       (doc_id * 1048576 + seg_idx) =
+                           MIN(doc_id * 1048576 + seg_idx)
+                               OVER (PARTITION BY seg) AS keep
+                FROM segs
+            )
+            SELECT doc_id,
+                   COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
+                                FILTER (WHERE keep), '') AS dedup_text,
+                   CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT)
+                       AS n_kept,
+                   CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM flagged GROUP BY doc_id
+        """,
+        # synth nav convention: doc d links to (d+k+1)%1e8 with anchor
+        # 'more k' (k single-digit, so lexical anchor order == numeric)
+        "anchor_texts": """
+            WITH e AS (
+                SELECT doc_id AS src,
+                       CAST((doc_id + k + 1) % 100000000 AS BIGINT)
+                           AS dst,
+                       'more ' || k AS anchor
+                FROM documents,
+                LATERAL unnest(generate_series(0, doc_id % 4 - 1))
+                    AS t(k)
+            )
+            SELECT dst,
+                   string_agg(anchor, '|' ORDER BY src, anchor)
+                       AS anchors,
+                   CAST(COUNT(*) AS BIGINT) AS n_inbound
+            FROM e GROUP BY dst
+        """,
+        "latest_event": """
+            SELECT user_id, event_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts,
+                   event_type, value
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "per_source_cap": """
+            SELECT doc_id, source
+            FROM (SELECT doc_id, source, row_number() OVER (
+                      PARTITION BY source ORDER BY doc_id) AS rn
+                  FROM documents)
+            WHERE rn <= 20
         """,
     }

@@ -209,3 +209,67 @@ def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
     return (ds.map_batches(add_pk, batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(split_block, batch_format="pandas"))
+
+
+def latest_per_key(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                   tie_col: str = "event_id", num_partitions: int = 64):
+    """Keep each key's LATEST row — max (ts, tie) per key, the
+    keep-newest compaction every snapshot/CDC pipeline runs before
+    training-data extraction. Returns the full surviving rows.
+
+    ONE shuffle on ``hash(key) % num_partitions`` (bounded bucket key,
+    functions/_blocks.py); each bucket block resolves all of its keys
+    vectorized: sort (key, ts, tie) and take every segment's LAST row
+    (the next segment's start − 1). Never a per-key Python dispatch."""
+    import pandas as pd
+    from ._blocks import pk_column, segment_starts
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_pk", pk_column(batch.column(key_col), num_partitions))
+
+    def last_per_key(block: pd.DataFrame) -> pd.DataFrame:
+        block = block.sort_values([key_col, ts_col, tie_col],
+                                  kind="mergesort")
+        keys = block[key_col].to_numpy()
+        starts = segment_starts(keys)
+        ends = np.append(starts[1:], len(keys)) - 1
+        return block.iloc[ends].drop(columns=["_pk"])
+
+    return (ds.map_batches(add_pk, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(last_per_key, batch_format="pandas"))
+
+
+def per_key_cap(ds, *, key_col: str = "source", id_col: str = "doc_id",
+                cap: int = 20, num_partitions: int = 64):
+    """Quota sampling: keep at most ``cap`` rows per key (the lowest
+    ``id_col`` values — deterministic, reproducible), the standard
+    anti-spam guard against a single host/source flooding a training
+    mix. Dropped counts are RECORDED per batch (no silent caps).
+
+    ONE shuffle on ``hash(key) % num_partitions``; each bucket block
+    ranks all of its keys in one vectorized pass (sort (key, id), rank
+    = position − segment start, keep rank < cap)."""
+    import pandas as pd
+    from ._blocks import pk_column, start_of_segment
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_pk", pk_column(batch.column(key_col), num_partitions))
+
+    def cap_block(block: pd.DataFrame) -> pd.DataFrame:
+        block = block.sort_values([key_col, id_col], kind="mergesort")
+        keys = block[key_col].to_numpy()
+        rank = np.arange(len(keys)) - start_of_segment(keys)
+        keep = rank < cap
+        dropped = int(len(keys) - keep.sum())
+        if dropped:
+            from .metrics import record_drop
+            record_drop("per_key_cap.dropped_rows", dropped,
+                        block=False)
+        return block[keep].drop(columns=["_pk"])
+
+    return (ds.map_batches(add_pk, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(cap_block, batch_format="pandas"))

@@ -819,3 +819,143 @@ def cosine_near_dup_pairs(ds, *, threshold: float = 0.465, bits: int = 2,
         pairs_in_bucket, batch_format="pandas")
     return pairs.groupby(["id_a", "id_b"]).count() \
         .select_columns(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# segment-level (paragraph-style) dedup
+
+_SEG_PACK = 1 << 20       # packed uid = doc_id * 2^20 + seg_idx
+_H1_KEY = "0123456789abcdef"       # pandas hash_array 16-byte keys —
+_H2_KEY = "fedcba9876543210"       # two independent 64-bit hashes
+
+
+def segment_dedup(ds, *, text_col: str = "text",
+                  id_col: str = "doc_id", window: int = 10,
+                  num_partitions: int = 64):
+    """FineWeb/CCNet-style sub-document exact dedup: split each
+    document into fixed ``window``-word segments, keep only the FIRST
+    occurrence of every distinct segment across the whole corpus
+    (corpus order = ``(doc_id, seg_idx)``), and reassemble each
+    document from its surviving segments. Returns one row per input
+    document: ``(id_col, dedup_text, n_kept, n_total)`` —
+    ``dedup_text`` is '' when every segment was a repeat.
+
+    Scale shape (two bounded-bucket shuffles, per-BLOCK kernels —
+    functions/_blocks.py):
+      1. explode: per batch, vectorized split/explode to segment rows;
+         the dedup key is a 128-bit hash (two independent SipHash-64
+         passes, ``pd.util.hash_array`` with fixed keys — vectorized,
+         deterministic across workers; 64 bits alone WOULD collide at
+         web scale, 128 will not);
+      2. shuffle 1 on ``hash % num_partitions``: each bucket block
+         sorts (h1, h2, packed_uid) and flags the minimum uid per
+         (h1, h2) segment run as the winner — one vectorized pass for
+         ALL segments in the bucket;
+      3. shuffle 2 on ``doc bucket``: reassembly sorts (doc, seg_idx)
+         and rebuilds every doc's text with ONE Arrow kernel
+         (``ListArray.from_arrays`` offsets + ``binary_join``) — no
+         per-doc Python.
+    Segment TEXT rides both shuffles (needed for reassembly); the
+    100-TB alternative ships (hash, uid) only and recomputes segments
+    from the source at reassembly — same winner rule, one extra read.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ._blocks import bucket_of, segment_starts
+
+    def explode(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        words = s.str.split(" ")                     # list per doc
+        n_words = words.str.len().to_numpy().astype(np.int64)
+        flat = np.concatenate([np.asarray(w, dtype=object)
+                               for w in words]) if len(words) else \
+            np.empty(0, object)
+        # segment id of every word, then join words per segment via
+        # Arrow list offsets (no Python join loop)
+        doc_rep = np.repeat(ids, n_words)
+        widx = np.arange(len(flat), dtype=np.int64) - \
+            np.repeat(np.cumsum(n_words) - n_words, n_words)
+        seg_idx_w = widx // window
+        # offsets of each (doc, seg) run in the flat word array: runs
+        # are contiguous because words are emitted in doc order
+        run_first = np.empty(len(flat), bool)
+        if len(flat):
+            run_first[0] = True
+            run_first[1:] = (doc_rep[1:] != doc_rep[:-1]) | \
+                (seg_idx_w[1:] != seg_idx_w[:-1])
+        starts = np.flatnonzero(run_first)
+        offsets = np.append(starts, len(flat)).astype(np.int32)
+        segs = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets),
+                                     pa.array(flat, pa.string())),
+            " ")
+        h1 = pd.util.hash_array(segs.to_numpy(zero_copy_only=False),
+                                hash_key=_H1_KEY).astype(np.int64)
+        h2 = pd.util.hash_array(segs.to_numpy(zero_copy_only=False),
+                                hash_key=_H2_KEY).astype(np.int64)
+        doc_seg = doc_rep[starts]
+        idx_seg = seg_idx_w[starts]
+        if np.any(idx_seg >= _SEG_PACK):
+            raise ValueError("segment_dedup: doc exceeds 2^20 segments")
+        return pa.table({
+            "_pk": pa.array(bucket_of(h1, num_partitions), pa.int32()),
+            "h1": pa.array(h1, pa.int64()),
+            "h2": pa.array(h2, pa.int64()),
+            "uid": pa.array(doc_seg * _SEG_PACK + idx_seg, pa.int64()),
+            "seg": segs,
+        })
+
+    def flag_winners(block: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((block["uid"].to_numpy(),
+                            block["h2"].to_numpy(),
+                            block["h1"].to_numpy()))
+        h1 = block["h1"].to_numpy()[order]
+        h2 = block["h2"].to_numpy()[order]
+        uid = block["uid"].to_numpy()[order]
+        seg = block["seg"].to_numpy()[order]
+        # first row of every (h1, h2) run holds the minimal uid —
+        # boundary test on BOTH hash halves (a combined-key scalar
+        # could alias two adjacent distinct pairs)
+        keep = np.empty(len(uid), bool)
+        if len(uid):
+            keep[0] = True
+            keep[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        doc = uid // _SEG_PACK
+        return pd.DataFrame({
+            "_dk": bucket_of(doc, num_partitions),
+            "uid": uid, "seg": seg, "keep": keep,
+        })
+
+    def reassemble(block: pd.DataFrame) -> pd.DataFrame:
+        uid = block["uid"].to_numpy()
+        order = np.argsort(uid, kind="mergesort")
+        uid = uid[order]
+        seg = block["seg"].to_numpy()[order]
+        keep = block["keep"].to_numpy()[order]
+        doc = uid // _SEG_PACK
+        dstarts = segment_starts(doc)
+        n_total = np.diff(np.append(dstarts, len(doc)))
+        n_kept = np.add.reduceat(keep.astype(np.int64), dstarts) \
+            if len(doc) else np.empty(0, np.int64)
+        # empty docs (all segments dropped) need empty lists — offsets
+        # from the cumulative kept count
+        offsets = np.concatenate(
+            [[0], np.cumsum(n_kept)]).astype(np.int32)
+        texts = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(seg[keep], pa.string())),
+            " ")
+        return pa.table({
+            id_col: pa.array(doc[dstarts], pa.int64()),
+            "dedup_text": texts,
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "n_total": pa.array(n_total, pa.int64()),
+        }).to_pandas()
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    flagged = exploded.groupby("_pk").map_groups(
+        flag_winners, batch_format="pandas")
+    return flagged.groupby("_dk").map_groups(
+        reassemble, batch_format="pandas")

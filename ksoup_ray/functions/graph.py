@@ -265,3 +265,51 @@ def pagerank_picos(edges, *, iters: int = 2, damping_pct: int = 85,
                           dst_col=dst_col,
                           num_partitions=num_partitions,
                           integer=True, damping_pct=damping_pct)
+
+
+def anchor_texts(edges, *, dst_col: str = "dst", src_col: str = "src",
+                 text_col: str = "anchor", sep: str = "|",
+                 num_partitions: int = 64):
+    """Per-target anchor-text aggregation (the classic link-graph
+    signal: what do OTHER pages call this one — used for retrieval
+    corpora and anchor-augmented pretraining). For every destination
+    node, concatenate the anchor texts of all inbound edges, ordered
+    by (src, anchor) for determinism. Returns
+    ``(dst_col, anchors, n_inbound)``.
+
+    ONE shuffle on ``hash(dst) % num_partitions`` (bounded bucket key,
+    functions/_blocks.py); each bucket block resolves ALL of its
+    destinations in one pass — lexsort (dst, src, anchor), segment
+    offsets, and a single Arrow ``ListArray`` + ``binary_join`` build
+    every concat at once. No per-destination Python."""
+    import pyarrow.compute as pc
+    from ._blocks import bucket_of, segment_starts
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        dst = batch.column(dst_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_pk", pa.array(bucket_of(dst, num_partitions), pa.int32()))
+
+    def concat_block(block: pd.DataFrame) -> pd.DataFrame:
+        dst = block[dst_col].to_numpy()
+        src = block[src_col].to_numpy()
+        txt = block[text_col].to_numpy()
+        order = np.lexsort((txt, src, dst))
+        dst, txt = dst[order], txt[order]
+        starts = segment_starts(dst)
+        counts = np.diff(np.append(starts, len(dst)))
+        offsets = np.concatenate([[0], np.cumsum(counts)]) \
+            .astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets),
+                                     pa.array(txt, pa.string())), sep)
+        return pa.table({
+            dst_col: pa.array(dst[starts], pa.int64()),
+            "anchors": joined,
+            "n_inbound": pa.array(counts.astype(np.int64), pa.int64()),
+        }).to_pandas()
+
+    return (edges.map_batches(add_pk, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(concat_block, batch_format="pandas"))

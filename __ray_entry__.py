@@ -1226,6 +1226,70 @@ def _q_per_source_cap(sf_dir: str):
     return per_key_cap(ds, key_col="source", id_col="doc_id", cap=20)
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance log-weights (functions/curation.py
+    dsir_logweight): target distribution = the 'en' slice, raw = the
+    whole corpus, unigram features with add-one smoothing, per-word
+    deltas in int micros (order-free → exact SQL oracle). Same
+    co-partitioned vocab shape as unigram_logprob — nothing
+    vocabulary-scale is broadcast or driver-held."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import dsir_logweight
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    return dsir_logweight(ds, target_lang="en")
+
+
+def _q_region_counts(sf_dir: str):
+    """Customers per region via BROADCAST dimension lookups
+    (functions/joins.py broadcast_lookup): nation and region are
+    KB-sized at any corpus scale, so the fact table never shuffles —
+    one ray.put dict, a vectorized gather per batch, then a salted
+    count on the 5 hot region keys."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import salted_count
+    from ksoup_ray.functions.joins import broadcast_lookup
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_regionkey"]) \
+        .take_all()
+    region = rd.read_parquet(f"{sf_dir}/region.parquet").take_all()
+    rname = {r["r_regionkey"]: r["r_name"] for r in region}
+    nat_to_region = {n["n_nationkey"]: rname[n["n_regionkey"]]
+                     for n in nation}
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    enriched = broadcast_lookup(cust, nat_to_region,
+                                src_col="c_nationkey",
+                                out_col="r_name")
+    out = salted_count(enriched, "r_name", salt=8)
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["r_name", "n_customers"])
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
+def _q_running_total(sf_dir: str):
+    """Per-user running total of event value in int cents
+    (functions/agg.py running_total) — the ordered-window primitive,
+    computed as a segmented prefix sum per bucket block (never a
+    per-user Python dispatch). Cents are exact, so the window sum is
+    association-order-free and hash-matches SQL."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import running_total
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "value"])
+    out = running_total(ds)
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("ts"), "ts",
+            pc.cast(batch.column("ts"), pa.int64()))
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1287,6 +1351,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts": _q_anchor_texts,
         "latest_event": _q_latest_event,
         "per_source_cap": _q_per_source_cap,
+        "dsir_weights": _q_dsir_weights,
+        "region_counts": _q_region_counts,
+        "running_total": _q_running_total,
     }
 
 
@@ -2180,5 +2247,54 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY source ORDER BY doc_id) AS rn
                   FROM documents)
             WHERE rn <= 20
+        """,
+        # DSIR with unigram features, add-one smoothing: per-word
+        # delta = round((ln p_en(w) - ln p_raw(w)) * 1e6) — same
+        # int-micro convention as unigram_logprob
+        "dsir_weights": """
+            WITH words AS (
+                SELECT doc_id, lang, unnest(string_split(text, ' '))
+                    AS w
+                FROM documents
+            ), vocab AS (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS cr,
+                       CAST(COUNT(*) FILTER (WHERE lang = 'en')
+                            AS BIGINT) AS ct
+                FROM words GROUP BY w
+            ), tot AS (
+                SELECT CAST(SUM(cr) AS DOUBLE) AS tr,
+                       CAST(SUM(ct) AS DOUBLE) AS tt,
+                       CAST(COUNT(*) AS DOUBLE) AS v
+                FROM vocab
+            ), delta AS (
+                SELECT w, CAST(ROUND(
+                           (ln((ct + 1.0) / (tt + v))
+                            - ln((cr + 1.0) / (tr + v)))
+                           * 1000000.0) AS BIGINT) AS lam
+                FROM vocab CROSS JOIN tot
+            ), tf AS (
+                SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM words GROUP BY doc_id, w
+            )
+            SELECT tf.doc_id,
+                   CAST(SUM(tf.tf * delta.lam) AS BIGINT)
+                       AS logweight_micros
+            FROM tf JOIN delta USING (w) GROUP BY tf.doc_id
+        """,
+        "region_counts": """
+            SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "running_total": """
+            SELECT user_id, event_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY events.ts, event_id)
+                       AS BIGINT) AS cum_cents
+            FROM events
         """,
     }

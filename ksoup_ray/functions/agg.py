@@ -273,3 +273,42 @@ def per_key_cap(ds, *, key_col: str = "source", id_col: str = "doc_id",
     return (ds.map_batches(add_pk, batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(cap_block, batch_format="pandas"))
+
+
+def running_total(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                  tie_col: str = "event_id", val_col: str = "value",
+                  num_partitions: int = 64):
+    """Per-key cumulative sum ordered by (ts, tie) — the running-total
+    window (``SUM(v) OVER (PARTITION BY key ORDER BY ts)``). Values
+    quantize to INT CENTS before accumulating, so the prefix sums are
+    order-of-association-free and exactly reproducible by the SQL
+    oracle (float window sums may re-associate in a segment tree).
+    Returns the input keys plus ``cum_cents``.
+
+    ONE shuffle on ``hash(key) % num_partitions`` (bounded bucket key,
+    functions/_blocks.py); each bucket block computes ALL of its keys'
+    prefix sums in one vectorized pass: sort (key, ts, tie), global
+    cumsum, subtract each segment's starting offset."""
+    import pandas as pd
+    from ._blocks import pk_column, start_of_segment
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_pk", pk_column(batch.column(key_col), num_partitions))
+
+    def prefix_block(block: pd.DataFrame) -> pd.DataFrame:
+        block = block.sort_values([key_col, ts_col, tie_col],
+                                  kind="mergesort")
+        keys = block[key_col].to_numpy()
+        cents = np.round(block[val_col].to_numpy(dtype=np.float64)
+                         * 100.0).astype(np.int64)
+        cs = np.cumsum(cents)
+        seg0 = start_of_segment(keys)
+        offset = cs[seg0] - cents[seg0]     # sum BEFORE each segment
+        out = block.drop(columns=["_pk", val_col])
+        out["cum_cents"] = cs - offset
+        return out
+
+    return (ds.map_batches(add_pk, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(prefix_block, batch_format="pandas"))

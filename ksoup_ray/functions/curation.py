@@ -491,3 +491,116 @@ def token_quantiles(ds, *, text_col: str = "text",
                 vals[np.searchsorted(cum, rank)])
         rows.append(row)
     return pd.DataFrame(rows)
+
+
+def dsir_logweight(ds, *, text_col: str = "text",
+                   lang_col: str = "lang", target_lang: str = "en",
+                   id_col: str = "doc_id", salt: int = 16,
+                   num_word_partitions: int = 32):
+    """DSIR-style importance log-weight (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"):
+    ``log w(x) = Σ_w tf(w,x) · (ln p_target(w) − ln p_raw(w))`` with
+    unigram features and add-one smoothing — here the target
+    distribution is the ``target_lang`` slice of the corpus and raw is
+    the whole corpus. Per-word deltas round to INT MICROS before the
+    sum, so the result is accumulation-order-free and the DuckDB
+    oracle reproduces it exactly.
+
+    Distributed shape: identical to :func:`unigram_logprob` (whose
+    docstring has the full scale argument) with a two-count vocabulary
+    — ONE counting pass emits (word, raw_partial, target_partial),
+    one native Sum groupby folds it, and the per-word delta table
+    co-partitions with doc term frequencies on the bounded
+    ``(word bucket, doc salt)`` key; each bucket block resolves all
+    its words in one factorize+gather kernel. Returns
+    ``(doc_id, logweight_micros int64)``.
+    """
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        is_t = (batch.column(lang_col).to_pandas() == target_lang) \
+            .to_numpy()
+        doc_idx, codes, vocab, _ = _explode_words(s)
+        cr = np.bincount(codes, minlength=len(vocab))
+        ct = np.bincount(codes[is_t[doc_idx]], minlength=len(vocab))
+        return pa.table({
+            "w": pa.array(vocab, pa.string()),
+            "pr": pa.array(cr, pa.int64()),
+            "pt": pa.array(ct, pa.int64()),
+        })
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("w").aggregate(Sum("pr", alias_name="cr"),
+                                      Sum("pt", alias_name="ct"))
+              .materialize())
+    total_raw = counts.sum("cr")
+    total_tgt = counts.sum("ct")
+    vocab_size = counts.count()
+
+    def _wpk(words: np.ndarray) -> np.ndarray:
+        h = pd.util.hash_array(np.asarray(words, dtype=object))
+        return (h % num_word_partitions).astype(np.int32)
+
+    def tag_deltas(batch: pa.Table) -> pa.Table:
+        # per-word λ = round((ln p_t − ln p_r)·1e6), replicated into
+        # every salt bucket (tiny rows: word + int64)
+        n = batch.num_rows
+        words = batch.column("w").to_numpy(zero_copy_only=False)
+        cr = batch.column("cr").cast(pa.int64()).to_numpy()
+        ct = batch.column("ct").cast(pa.int64()).to_numpy()
+        lam = np.round(
+            (np.log((ct + 1.0) / (total_tgt + vocab_size))
+             - np.log((cr + 1.0) / (total_raw + vocab_size)))
+            * 1_000_000.0).astype(np.int64)
+        return pa.table({
+            "w": pa.array(np.repeat(words, salt)),
+            "wpk": pa.array(np.repeat(_wpk(words), salt), pa.int32()),
+            "bkt": pa.array(np.tile(np.arange(salt, dtype=np.int32), n),
+                            pa.int32()),
+            id_col: pa.array(np.full(n * salt, -1, np.int64)),
+            "v": pa.array(np.repeat(lam, salt), pa.int64()),
+            "is_vocab": pa.array(np.ones(n * salt, np.int8)),
+        })
+
+    def doc_tf(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).to_numpy()
+        doc_idx, codes, vocab, _ = _explode_words(s)
+        v = np.int64(len(vocab))
+        key = doc_idx * v + codes
+        uk, tf = np.unique(key, return_counts=True)
+        doc_ids = ids[(uk // v).astype(np.intp)]
+        wcodes = (uk % v).astype(np.intp)
+        wpk_by_code = _wpk(np.asarray(vocab, object))
+        return pa.table({
+            "w": pa.array(np.asarray(vocab, object)[wcodes],
+                          pa.string()),
+            "wpk": pa.array(wpk_by_code[wcodes], pa.int32()),
+            "bkt": pa.array((doc_ids % salt).astype(np.int32),
+                            pa.int32()),
+            id_col: pa.array(doc_ids, pa.int64()),
+            "v": pa.array(tf, pa.int64()),
+            "is_vocab": pa.array(np.zeros(len(uk), np.int8)),
+        })
+
+    both = counts.map_batches(tag_deltas, batch_format="pyarrow") \
+        .union(ds.map_batches(doc_tf, batch_format="pyarrow"))
+
+    def contribs_block(block: pd.DataFrame) -> pd.DataFrame:
+        w = block["w"].to_numpy(dtype=object)
+        is_v = block["is_vocab"].to_numpy() == 1
+        v = block["v"].to_numpy(dtype=np.int64)
+        codes, uniques = pd.factorize(w)
+        lam = np.zeros(len(uniques), np.int64)
+        lam[codes[is_v]] = v[is_v]
+        dmask = ~is_v
+        return pd.DataFrame({
+            id_col: block[id_col].to_numpy(dtype=np.int64)[dmask],
+            "contrib": v[dmask] * lam[codes[dmask]],
+        })
+
+    return (both.groupby(["wpk", "bkt"])
+            .map_groups(contribs_block, batch_format="pandas")
+            .groupby(id_col)
+            .aggregate(Sum("contrib", alias_name="logweight_micros")))

@@ -193,3 +193,49 @@ def interval_join(left, intervals, *, key_col: str = "user_id",
 
     return both.groupby("_pk").map_groups(resolve_block,
                                           batch_format="pandas")
+
+
+def broadcast_lookup(ds, mapping: dict, *, src_col: str,
+                     out_col: str, default=None):
+    """Map-side dimension enrichment: replace a shuffle join against a
+    SMALL keyed table with one ``ray.put`` of the lookup dict and a
+    vectorized gather inside every batch — the broadcast-join pattern
+    the brief mandates for small sides (dimension tables like
+    nation/region stay KBs at any corpus scale; a shuffle join would
+    move the whole fact table instead). Integral keys gather through a
+    dense numpy array; anything else through a pandas map. Unmatched
+    keys get ``default``. Appends ``out_col`` to every row."""
+    import ray
+
+    map_ref = ray.put(dict(mapping))
+
+    class Enrich:
+        def __init__(self):
+            m = ray.get(map_ref)
+            keys = np.fromiter(m.keys(), count=len(m), dtype=np.int64) \
+                if m and all(isinstance(k, (int, np.integer))
+                             for k in m) else None
+            if keys is not None:
+                size = int(keys.max()) + 1
+                table = np.full(size, default, dtype=object)
+                table[keys] = list(m.values())
+                self.table, self.map = table, None
+            else:
+                self.table, self.map = None, m
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.table is not None:
+                idx = batch.column(src_col).cast(pa.int64()) \
+                    .to_numpy(zero_copy_only=False)
+                ok = (idx >= 0) & (idx < len(self.table))
+                vals = np.full(len(idx), default, dtype=object)
+                vals[ok] = self.table[idx[ok]]
+            else:
+                import pandas as pd
+                vals = pd.Series(
+                    batch.column(src_col).to_pandas()).map(self.map) \
+                    .where(lambda s: s.notna(), default).to_numpy()
+            return batch.append_column(out_col, pa.array(vals))
+
+    return ds.map_batches(Enrich, batch_format="pyarrow",
+                          concurrency=(1, 8))

@@ -98,3 +98,74 @@ def test_per_key_cap_keeps_lowest_ids_and_records_drops(ray_session):
     kept = {s: sorted(g["doc_id"]) for s, g in out.groupby("source")}
     assert kept == {"a": [0, 1, 2, 3], "b": [7, 8, 9]}
     assert read_cap_metrics().get("per_key_cap.dropped_rows", 0) >= 3
+
+
+def test_running_total_segmented_prefix_sum(ray_session):
+    from ksoup_ray.functions.agg import running_total
+
+    ts = pa.array(np.array([10, 20, 30, 5, 20], "datetime64[us]"))
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "ts": ts,
+        "value": pa.array([1.10, 2.25, 0.65, 10.0, 0.01],
+                          pa.float64()),
+    }))
+    out = running_total(ds, num_partitions=2).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert list(out["cum_cents"]) == [110, 335, 400, 1000, 1001]
+    assert "value" not in out.columns and "_pk" not in out.columns
+
+
+def test_broadcast_lookup_int_and_string_keys(ray_session):
+    from ksoup_ray.functions.joins import broadcast_lookup
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([0, 2, 7], pa.int64()),
+    }))
+    out = broadcast_lookup(ds, {0: "a", 2: "b"}, src_col="k",
+                           out_col="v", default="?").to_pandas() \
+        .sort_values("k")
+    assert list(out["v"]) == ["a", "b", "?"]
+
+    ds2 = rd.from_arrow(pa.table({
+        "k": pa.array(["x", "y"], pa.string()),
+    }))
+    out2 = broadcast_lookup(ds2, {"x": "ex"}, src_col="k",
+                            out_col="v", default=None).to_pandas() \
+        .sort_values("k")
+    assert list(out2["v"]) == ["ex", None]
+
+
+def test_dsir_logweight_matches_reference(ray_session):
+    """Per-doc DSIR log-weight equals the from-scratch computation
+    with the same add-one smoothing + int-micro rounding; en-like
+    docs score HIGHER than the off-target doc."""
+    import math
+    from collections import Counter
+    from ksoup_ray.functions.curation import dsir_logweight
+
+    rows = [(0, "the cat sat", "en"), (1, "the dog sat", "en"),
+            (2, "le chien dort", "fr")]
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string()),
+                  "lang": pa.array([r[2] for r in rows], pa.string())})
+    out = dsir_logweight(rd.from_arrow(t), target_lang="en",
+                         salt=2, num_word_partitions=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    cr, ct = Counter(), Counter()
+    for _, text, lang in rows:
+        for w in text.split(" "):
+            cr[w] += 1
+            if lang == "en":
+                ct[w] += 1
+    tr, tt, v = sum(cr.values()), sum(ct.values()), len(cr)
+    lam = {w: round((math.log((ct[w] + 1) / (tt + v))
+                     - math.log((cr[w] + 1) / (tr + v))) * 1e6)
+           for w in cr}
+    want = [sum(lam[w] for w in text.split(" "))
+            for _, text, _ in rows]
+    assert list(out["logweight_micros"]) == want
+    assert out.loc[0, "logweight_micros"] > out.loc[2,
+                                                    "logweight_micros"]

@@ -1290,6 +1290,45 @@ def _q_running_total(sf_dir: str):
     return out.map_batches(fmt, batch_format="pyarrow")
 
 
+def _q_tfidf_topk(sf_dir: str):
+    """Per-document top-3 tf-idf terms (functions/curation.py
+    tfidf_topk): keyword extraction with int-micro scores (exact SQL
+    oracle), idf table co-partitioned with doc term frequencies (the
+    unigram_logprob shape), final per-doc ranking as a segmented
+    per-block pass on a doc-bucket shuffle."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import tfidf_topk
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return tfidf_topk(ds, k=3)
+
+
+def _q_distinct_texts(sf_dir: str):
+    """Exact distributed distinct count (functions/sketch.py
+    distinct_count): per-batch DISTINCT partials, one groupby on the
+    value, scalar out. The exact companion to the HLL sketch."""
+    import ray.data as rd
+    from ksoup_ray.functions.sketch import distinct_count
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    return distinct_count(ds, "text")
+
+
+def _q_hll_distinct(sf_dir: str):
+    """HyperLogLog cardinality sketch (functions/sketch.py, p=12,
+    ~1.6% std error): per-batch register partials folded by ONE native
+    Max groupby over 4096 keys — network cost independent of
+    cardinality, the way a 100-TB pipeline counts distinct urls.
+    Deterministic fixed-key SipHash → reproducible estimate; pytest
+    pins it against the exact count (no SQL oracle — DuckDB cannot
+    replay SipHash), driver check is rows-only."""
+    import ray.data as rd
+    from ksoup_ray.functions.sketch import hll_distinct
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    return hll_distinct(ds, "text")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1354,6 +1393,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "region_counts": _q_region_counts,
         "running_total": _q_running_total,
+        "tfidf_topk": _q_tfidf_topk,
+        "distinct_texts": _q_distinct_texts,
+        "hll_distinct": _q_hll_distinct,
     }
 
 
@@ -2296,5 +2338,39 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY events.ts, event_id)
                        AS BIGINT) AS cum_cents
             FROM events
+        """,
+        # tf-idf with int-micro idf (round(ln(N/df)*1e6)), top-3 per
+        # doc, ties on the term ascending — same rounding convention
+        # as unigram_logprob/dsir_weights
+        "tfidf_topk": """
+            WITH words AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM words GROUP BY doc_id, w
+            ), df AS (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS df
+                FROM tf GROUP BY w
+            ), n AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+            ), scored AS (
+                SELECT tf.doc_id, tf.w,
+                       tf.tf * CAST(ROUND(ln(n.n / df.df) * 1000000.0)
+                                    AS BIGINT) AS s
+                FROM tf JOIN df USING (w) CROSS JOIN n
+            ), ranked AS (
+                SELECT doc_id, w, s, row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY s DESC, w) AS rn
+                FROM scored
+            )
+            SELECT doc_id, w AS term, s AS tfidf_micros,
+                   CAST(rn AS BIGINT) AS rank
+            FROM ranked WHERE rn <= 3
+        """,
+        "distinct_texts": """
+            SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct
+            FROM documents
         """,
     }

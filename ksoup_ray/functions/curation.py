@@ -604,3 +604,124 @@ def dsir_logweight(ds, *, text_col: str = "text",
             .map_groups(contribs_block, batch_format="pandas")
             .groupby(id_col)
             .aggregate(Sum("contrib", alias_name="logweight_micros")))
+
+
+def tfidf_topk(ds, *, text_col: str = "text", id_col: str = "doc_id",
+               k: int = 3, salt: int = 16,
+               num_word_partitions: int = 32,
+               num_doc_partitions: int = 64):
+    """Per-document top-``k`` terms by tf-idf — keyword extraction /
+    sparse doc representation. ``score = tf(w,d) · round(ln(N/df_w)
+    · 1e6)`` (int micros — order-free, exact SQL oracle); ties break
+    on the term ascending. Returns ``(doc_id, term, tfidf_micros,
+    rank 1-based)``.
+
+    Scale shape: (1) one counting pass folds per-batch DISTINCT
+    (doc, word) partials into the df table (native Sum groupby;
+    nothing vocabulary-scale on the driver); (2) the idf table
+    co-partitions with doc term frequencies on the bounded
+    ``(word bucket, doc salt)`` key exactly like
+    :func:`unigram_logprob` (hot stopwords salt across buckets);
+    (3) scored rows shuffle ONCE on ``hash(doc) % num_doc_partitions``
+    and each bucket block ranks ALL of its docs in one sorted
+    segmented pass. Python dispatch is O(partitions) everywhere."""
+    from ray.data.aggregate import Sum
+    from ._blocks import bucket_of, start_of_segment
+
+    n_docs = ds.count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        doc_idx, codes, vocab, _ = _explode_words(s)
+        v = np.int64(len(vocab))
+        uk = np.unique(doc_idx * v + codes)
+        wcodes = (uk % v).astype(np.intp)
+        cnt = np.bincount(wcodes, minlength=len(vocab))
+        return pa.table({
+            "w": pa.array(vocab, pa.string()),
+            "partial": pa.array(cnt, pa.int64()),
+        })
+
+    dfs = (ds.map_batches(df_partial, batch_format="pyarrow")
+           .groupby("w").aggregate(Sum("partial", alias_name="df"))
+           .materialize())
+
+    def _wpk(words: np.ndarray) -> np.ndarray:
+        h = pd.util.hash_array(np.asarray(words, dtype=object))
+        return (h % num_word_partitions).astype(np.int32)
+
+    def tag_idf(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        words = batch.column("w").to_numpy(zero_copy_only=False)
+        df = batch.column("df").cast(pa.int64()).to_numpy()
+        idf = np.round(np.log(float(n_docs) / df.astype(np.float64))
+                       * 1_000_000.0).astype(np.int64)
+        return pa.table({
+            "w": pa.array(np.repeat(words, salt)),
+            "wpk": pa.array(np.repeat(_wpk(words), salt), pa.int32()),
+            "bkt": pa.array(np.tile(np.arange(salt, dtype=np.int32), n),
+                            pa.int32()),
+            id_col: pa.array(np.full(n * salt, -1, np.int64)),
+            "v": pa.array(np.repeat(idf, salt), pa.int64()),
+            "is_vocab": pa.array(np.ones(n * salt, np.int8)),
+        })
+
+    def doc_tf(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).to_numpy()
+        doc_idx, codes, vocab, _ = _explode_words(s)
+        v = np.int64(len(vocab))
+        key = doc_idx * v + codes
+        uk, tf = np.unique(key, return_counts=True)
+        doc_ids = ids[(uk // v).astype(np.intp)]
+        wcodes = (uk % v).astype(np.intp)
+        wpk_by_code = _wpk(np.asarray(vocab, object))
+        return pa.table({
+            "w": pa.array(np.asarray(vocab, object)[wcodes],
+                          pa.string()),
+            "wpk": pa.array(wpk_by_code[wcodes], pa.int32()),
+            "bkt": pa.array((doc_ids % salt).astype(np.int32),
+                            pa.int32()),
+            id_col: pa.array(doc_ids, pa.int64()),
+            "v": pa.array(tf, pa.int64()),
+            "is_vocab": pa.array(np.zeros(len(uk), np.int8)),
+        })
+
+    both = dfs.map_batches(tag_idf, batch_format="pyarrow") \
+        .union(ds.map_batches(doc_tf, batch_format="pyarrow"))
+
+    def score_block(block: pd.DataFrame) -> pd.DataFrame:
+        w = block["w"].to_numpy(dtype=object)
+        is_v = block["is_vocab"].to_numpy() == 1
+        v = block["v"].to_numpy(dtype=np.int64)
+        codes, uniques = pd.factorize(w)
+        idf = np.zeros(len(uniques), np.int64)
+        idf[codes[is_v]] = v[is_v]
+        dmask = ~is_v
+        doc = block[id_col].to_numpy(dtype=np.int64)[dmask]
+        return pd.DataFrame({
+            id_col: doc,
+            "_dk": bucket_of(doc, num_doc_partitions),
+            "term": w[dmask],
+            "s": v[dmask] * idf[codes[dmask]],
+        })
+
+    scored = both.groupby(["wpk", "bkt"]).map_groups(
+        score_block, batch_format="pandas")
+
+    def topk_block(block: pd.DataFrame) -> pd.DataFrame:
+        block = block.sort_values([id_col, "s", "term"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+        doc = block[id_col].to_numpy()
+        rank = np.arange(len(doc)) - start_of_segment(doc)
+        keep = rank < k
+        return pd.DataFrame({
+            id_col: doc[keep],
+            "term": block["term"].to_numpy()[keep],
+            "tfidf_micros": block["s"].to_numpy()[keep],
+            "rank": (rank[keep] + 1).astype(np.int64),
+        })
+
+    return scored.groupby("_dk").map_groups(
+        topk_block, batch_format="pandas")

@@ -169,3 +169,52 @@ def test_dsir_logweight_matches_reference(ray_session):
     assert list(out["logweight_micros"]) == want
     assert out.loc[0, "logweight_micros"] > out.loc[2,
                                                     "logweight_micros"]
+
+
+def test_tfidf_topk_matches_reference(ray_session):
+    import math
+    from collections import Counter
+    from ksoup_ray.functions.curation import tfidf_topk
+
+    rows = [(0, "apple apple banana cherry"),
+            (1, "banana cherry cherry date"),
+            (2, "apple elderberry elderberry elderberry")]
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string())})
+    out = tfidf_topk(rd.from_arrow(t), k=2, salt=2,
+                     num_word_partitions=4, num_doc_partitions=2) \
+        .to_pandas().sort_values(["doc_id", "rank"]) \
+        .reset_index(drop=True)
+
+    df = Counter()
+    for _, text in rows:
+        for w in set(text.split(" ")):
+            df[w] += 1
+    n = float(len(rows))
+    want = []
+    for doc_id, text in rows:
+        tf = Counter(text.split(" "))
+        scored = sorted(
+            ((t_, tf[t_] * round(math.log(n / df[t_]) * 1e6))
+             for t_ in tf),
+            key=lambda x: (-x[1], x[0]))[:2]
+        for r, (term, s) in enumerate(scored, 1):
+            want.append((doc_id, term, s, r))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == want
+
+
+def test_hll_estimate_within_error_bound(ray_session):
+    """HLL p=12 (~1.6% std err): estimate of 20k distinct values lands
+    within 5% of exact; DETERMINISTIC — two runs agree bit-for-bit."""
+    from ksoup_ray.functions.sketch import distinct_count, hll_distinct
+
+    vals = [f"url-{i % 20000}" for i in range(50000)]
+    ds = rd.from_arrow(pa.table({"u": pa.array(vals, pa.string())}))
+    exact = distinct_count(ds, "u").column("n_distinct")[0].as_py()
+    assert exact == 20000
+    est1 = hll_distinct(ds, "u").column("estimate")[0].as_py()
+    est2 = hll_distinct(ds.repartition(7), "u") \
+        .column("estimate")[0].as_py()
+    assert est1 == est2                      # partition-independent
+    assert abs(est1 - exact) / exact < 0.05

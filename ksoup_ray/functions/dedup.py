@@ -869,9 +869,8 @@ def segment_dedup(ds, *, text_col: str = "text",
             .to_numpy(zero_copy_only=False)
         words = s.str.split(" ")                     # list per doc
         n_words = words.str.len().to_numpy().astype(np.int64)
-        flat = np.concatenate([np.asarray(w, dtype=object)
-                               for w in words]) if len(words) else \
-            np.empty(0, object)
+        flat = words.explode().to_numpy(dtype=object) \
+            if len(words) else np.empty(0, object)
         # segment id of every word, then join words per segment via
         # Arrow list offsets (no Python join loop)
         doc_rep = np.repeat(ids, n_words)

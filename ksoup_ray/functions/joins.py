@@ -215,7 +215,11 @@ def broadcast_lookup(ds, mapping: dict, *, src_col: str,
             keys = np.fromiter(m.keys(), count=len(m), dtype=np.int64) \
                 if m and all(isinstance(k, (int, np.integer))
                              for k in m) else None
-            if keys is not None:
+            # dense gather table only when the key space is actually
+            # dense — sparse huge keys (e.g. 64-bit hashes) fall back
+            # to the pandas map rather than allocating max(key) slots
+            if keys is not None and keys.min() >= 0 \
+                    and int(keys.max()) < max(1_000_000, 4 * len(m)):
                 size = int(keys.max()) + 1
                 table = np.full(size, default, dtype=object)
                 table[keys] = list(m.values())

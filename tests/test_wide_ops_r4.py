@@ -218,3 +218,16 @@ def test_hll_estimate_within_error_bound(ray_session):
         .column("estimate")[0].as_py()
     assert est1 == est2                      # partition-independent
     assert abs(est1 - exact) / exact < 0.05
+
+
+def test_broadcast_lookup_sparse_int_keys_no_dense_alloc(ray_session):
+    """64-bit-hash-like sparse keys must NOT allocate a max(key)-sized
+    gather table — the pandas-map fallback handles them."""
+    from ksoup_ray.functions.joins import broadcast_lookup
+
+    big = 2**61
+    ds = rd.from_arrow(pa.table({"k": pa.array([big, 5], pa.int64())}))
+    out = broadcast_lookup(ds, {big: "hit"}, src_col="k",
+                           out_col="v", default="miss").to_pandas() \
+        .sort_values("k")
+    assert list(out["v"]) == ["miss", "hit"]

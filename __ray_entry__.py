@@ -900,6 +900,27 @@ def _q_media_features(sf_dir: str):
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
+def _q_pdf_roundtrip(sf_dir: str):
+    """PDF/layout parse leg of the north star, value-checked END-TO-END:
+    word-wrap each document's text (8 words/line, 5 lines/page), render
+    a REAL multi-page FlateDecode PDF with the from-scratch writer
+    (engine/pdf.py), then parse it back with the from-scratch PDF
+    object/content-stream interpreter in an actor-pool stage. The
+    unwrapped extracted text must equal the source text byte-for-byte
+    and the page/line counts match their closed forms — so the object
+    scanner, zlib stream decode, page-tree walk and BT/ET text
+    interpreter are all on the hash path."""
+    import ray.data as rd
+    from ksoup_ray.functions.multimodal import PdfExtract, synth_pdf_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    pdfs = ds.map_batches(synth_pdf_batch, batch_format="pyarrow")
+    return pdfs.map_batches(PdfExtract, batch_format="pyarrow",
+                            fn_constructor_kwargs={"unwrap_lines": True},
+                            batch_size=64, concurrency=(1, 4))
+
+
 def _q_stream_first_paras(sf_dir: str):
     """StreamParser as a distributed stage: progressively parse each
     page and STOP after the first two <p> elements — the tokenizer
@@ -1373,6 +1394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_windows": _q_event_windows,
         "sanitize": _q_sanitize,
         "media_features": _q_media_features,
+        "pdf_roundtrip": _q_pdf_roundtrip,
         "stream_first_paras": _q_stream_first_paras,
         "cluster_assign": _q_cluster_assign,
         "kmeans": _q_kmeans,
@@ -2222,6 +2244,19 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
                    CASE doc_id % 3 WHEN 0 THEN 'ppm'
                         WHEN 1 THEN 'wav' ELSE 'mp4' END AS format
+            FROM documents
+        """,
+        "pdf_roundtrip": """
+            -- the PDF write->parse->extract loop must return the text
+            -- verbatim; page/line counts are closed-form in the word
+            -- count (8 words/line, 5 lines/page; empty text is one
+            -- empty line on one page)
+            SELECT doc_id,
+                   text AS pdf_text,
+                   CAST((((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))
+                           + 1) + 7) // 8 + 4) // 5 AS BIGINT) AS n_pages,
+                   CAST(((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))
+                          + 1) + 7) // 8 AS BIGINT) AS n_lines
             FROM documents
         """,
         # sub-document dedup replayed in SQL: unnest words, regroup

@@ -29,6 +29,7 @@ import pyarrow as pa
 
 from .codecs import (decode_bmp, decode_ppm, encode_ppm, encode_wav,
                      wav_duration_ms)
+from ..engine.pdf import extract_pdf_pages, write_text_pdf
 
 MEDIA_META = pa.struct([
     ("media_type", pa.string()),    # image | audio | video
@@ -185,6 +186,55 @@ class FrameSampler:
             "frame_idx": pa.array(frame_idx, pa.int32()),
             "frame": pa.array(frames, pa.binary()),
         })
+
+
+def synth_pdf_batch(batch: pa.Table, *, words_per_line: int = 8,
+                    lines_per_page: int = 5) -> pa.Table:
+    """Deterministic PDF payloads from the documents table: word-wrap
+    ``text`` (fixed words-per-line) and render with the from-scratch
+    writer (engine/pdf.py) — real multi-page FlateDecode PDFs whose
+    page count is closed-form in the word count, so the whole
+    write→parse→extract path is value-checkable by a SQL oracle."""
+    ids = batch.column("doc_id")
+    texts = batch.column("text").to_pylist()
+    pdfs: list[bytes] = []
+    for t in texts:
+        words = (t or "").split(" ")
+        wrapped = "\n".join(
+            " ".join(words[i:i + words_per_line])
+            for i in range(0, len(words), words_per_line))
+        pdfs.append(write_text_pdf(wrapped, lines_per_page=lines_per_page))
+    return pa.table({"doc_id": ids, "pdf": pa.array(pdfs, pa.binary())})
+
+
+class PdfExtract:
+    """Actor-pool stage: binary PDF column → extracted text + layout
+    counts. The PDF grammar tables / regexes compile once per actor
+    (module import), per-doc parse work happens in __call__ — the same
+    shape as the HTML ParseExtract stage."""
+
+    def __init__(self, pdf_col: str = "pdf", unwrap_lines: bool = False):
+        self.pdf_col = pdf_col
+        self.unwrap_lines = unwrap_lines
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.pdf_col).to_pylist()
+        texts: list[str] = []
+        n_pages: list[int] = []
+        n_lines: list[int] = []
+        for data in payloads:
+            pages = extract_pdf_pages(data or b"")
+            txt = "\n".join(p["text"] for p in pages)
+            if self.unwrap_lines:
+                txt = txt.replace("\n", " ")
+            texts.append(txt)
+            n_pages.append(len(pages))
+            n_lines.append(sum(len(p["lines"]) for p in pages))
+        out = batch.drop_columns([self.pdf_col])
+        out = out.append_column("pdf_text", pa.array(texts, pa.string()))
+        out = out.append_column("n_pages", pa.array(n_pages, pa.int64()))
+        out = out.append_column("n_lines", pa.array(n_lines, pa.int64()))
+        return out
 
 
 def _pixels(doc_id: int, n: int) -> np.ndarray:

@@ -386,6 +386,28 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(corpus, bench, ngram=3)
 
 
+def _q_decontaminate_bloom(sf_dir: str):
+    """Same contamination semantics as `decontaminate`, at the scale
+    where the exact shingle set is too big to broadcast: a packed Bloom
+    bitset (12 bits/key vs ~40 B/key for a Python set) prefilters each
+    corpus batch vectorized; only candidate (doc_id, gram) pairs enter
+    a distributed verify join that kills false positives — results are
+    EXACT, so the oracle is the same SQL as the exact path
+    (functions/curation.py decontaminate_bloom)."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+    from ksoup_ray.functions.curation import decontaminate_bloom
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    bench = ds.map_batches(
+        lambda b: b.filter(_pc.equal(b.column("source"), "src0")),
+        batch_format="pyarrow")
+    corpus = ds.map_batches(
+        lambda b: b.filter(_pc.not_equal(b.column("source"), "src0")),
+        batch_format="pyarrow")
+    return decontaminate_bloom(corpus, bench, ngram=3)
+
+
 def _q_ngram_topk(sf_dir: str):
     """Global boilerplate mining: top-20 word trigrams corpus-wide.
     Map-side value_counts combine -> one groupby(ngram) Sum ->
@@ -1371,6 +1393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q_quality,
         "gopher_quality": _q_gopher_quality,
         "decontaminate": _q_decontaminate,
+        "decontaminate_bloom": _q_decontaminate_bloom,
         "ngram_topk": _q_ngram_topk,
         "token_quantiles": _q_token_quantiles,
         "pack_sequences": _q_pack_sequences,
@@ -1667,6 +1690,23 @@ def oracle_sql() -> dict[str, str]:
             FROM wstats w LEFT JOIN bstats b USING (doc_id)
         """,
         "decontaminate": """
+            WITH ws AS (SELECT doc_id, source, string_split(text, ' ')
+                               AS w FROM documents),
+            sh AS (SELECT doc_id, source,
+                          array_to_string(w[i:i+2], ' ') AS g
+                   FROM ws,
+                   LATERAL unnest(generate_series(1, len(w)-2)) AS u(i)),
+            bset AS (SELECT DISTINCT g FROM sh WHERE source = 'src0')
+            SELECT d.doc_id,
+                   CAST(COALESCE(MAX(CASE WHEN s.g IN
+                            (SELECT g FROM bset) THEN 1 ELSE 0 END),
+                        0) AS BIGINT) AS contaminated
+            FROM documents d LEFT JOIN sh s ON s.doc_id = d.doc_id
+            WHERE d.source <> 'src0' GROUP BY d.doc_id
+        """,
+        # bloom prefilter + exact verify join == exact semantics, so
+        # the oracle is the SAME query as the exact path
+        "decontaminate_bloom": """
             WITH ws AS (SELECT doc_id, source, string_split(text, ' ')
                                AS w FROM documents),
             sh AS (SELECT doc_id, source,

@@ -173,6 +173,147 @@ def decontaminate(ds, benchmark_ds, *, text_col: str = "text",
                           concurrency=(1, 8), batch_format="pyarrow")
 
 
+_BLOOM_K1 = "bloomfilterkeyA!"          # 16-byte pd.util.hash_array keys
+_BLOOM_K2 = "bloomfilterkeyB!"
+
+
+def _bloom_positions(grams: np.ndarray, m_bits: int, n_hashes: int):
+    """(n_hashes, len(grams)) bit positions via double hashing —
+    pd.util.hash_array twice (vectorized C), then h1 + i*h2 mod m."""
+    h1 = pd.util.hash_array(grams, hash_key=_BLOOM_K1)
+    h2 = pd.util.hash_array(grams, hash_key=_BLOOM_K2) | np.uint64(1)
+    i = np.arange(n_hashes, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :])
+            % np.uint64(m_bits)).astype(np.int64)
+
+
+def decontaminate_bloom(ds, benchmark_ds, *, text_col: str = "text",
+                        id_col: str = "doc_id", ngram: int = 3,
+                        bits_per_key: int = 12, n_hashes: int = 7,
+                        num_partitions: int | None = None):
+    """Decontamination at the scale where the EXACT shingle set is too
+    big to broadcast: a packed Bloom bitset prefilters the corpus, then
+    only the (rare) candidate shingles are exactly verified with a
+    distributed semi-join — results are EXACT (identical to
+    ``decontaminate``; Bloom false positives are killed by the verify
+    join, and Bloom has no false negatives).
+
+    Scale shape: the broadcast side shrinks from ~40 B/shingle (Python
+    set) to ``bits_per_key``/8 bytes/shingle (packed uint8 bits,
+    zero-copy out of the object store per actor); the corpus side still
+    never shuffles — only candidate ``(doc_id, gram)`` pairs (bounded
+    by true hits + FP rate × corpus grams, with FP ≈ 0.6185^
+    (bits_per_key) ≈ 0.3 % at the default 12 bits/key) enter the
+    verify join against the benchmark shingle table.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    from .dedup import _join_ready
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 2)
+
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        _, grams = _ngram_strings(s, ngram)
+        return pa.table({"g": pa.array(pd.unique(grams), pa.string())})
+
+    bench = benchmark_ds.map_batches(bench_shingles,
+                                     batch_format="pyarrow").materialize()
+
+    # driver folds the benchmark's hashes into a packed bitset — O(bench)
+    # driver work, same budget class as decontaminate's set pull, but the
+    # SHIPPED artifact is bits_per_key/8 bytes per key instead of a set
+    h_parts: list[np.ndarray] = []
+    for b in bench.iter_batches(batch_format="pyarrow"):
+        g = b.column("g").to_numpy(zero_copy_only=False)
+        if len(g):
+            h_parts.append(pd.util.hash_array(g, hash_key=_BLOOM_K1))
+            h_parts.append(pd.util.hash_array(g, hash_key=_BLOOM_K2))
+    n_keys = sum(len(h) for h in h_parts) // 2 if h_parts else 0
+    m_bits = 1 << max(8, int(np.ceil(np.log2(max(1, n_keys)
+                                             * bits_per_key))))
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    for j in range(0, len(h_parts), 2):
+        h1, h2 = h_parts[j], h_parts[j + 1] | np.uint64(1)
+        for i in range(n_hashes):
+            pos = ((h1 + np.uint64(i) * h2)
+                   % np.uint64(m_bits)).astype(np.int64)
+            np.bitwise_or.at(bits, pos >> 3,
+                             np.left_shift(np.uint8(1),
+                                           (pos & 7).astype(np.uint8)))
+    bloom_ref = ray.put((bits, m_bits))
+
+    class BloomCandidates:
+        """Per-batch vectorized Bloom probe → candidate (id, gram) rows
+        only; clean documents produce zero output rows."""
+
+        def __init__(self, ref):
+            self.bits, self.m_bits = ray.get(ref)   # zero-copy buffer
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            s = batch.column(text_col).to_pandas().fillna("")
+            di, grams = _ngram_strings(s, ngram)
+            ids = batch.column(id_col).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            if len(grams) == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "g": pa.array([], pa.string())})
+            hit = np.ones(len(grams), dtype=bool)
+            h1 = pd.util.hash_array(grams, hash_key=_BLOOM_K1)
+            h2 = pd.util.hash_array(grams, hash_key=_BLOOM_K2) \
+                | np.uint64(1)
+            for i in range(n_hashes):
+                pos = ((h1 + np.uint64(i) * h2)
+                       % np.uint64(self.m_bits)).astype(np.int64)
+                hit &= (self.bits[pos >> 3]
+                        >> (pos & 7).astype(np.uint8)) & 1 > 0
+                if not hit.any():
+                    break
+            cand = pd.DataFrame({id_col: ids[di[hit]],
+                                 "g": grams[hit]}).drop_duplicates()
+            return pa.table({id_col: pa.array(cand[id_col], pa.int64()),
+                             "g": pa.array(cand["g"], pa.string())})
+
+    cands = ds.map_batches(BloomCandidates, fn_constructor_args=(bloom_ref,),
+                           concurrency=(1, 8), batch_format="pyarrow")
+
+    # exact verify: semi-join the tiny candidate set against the
+    # benchmark shingle table — kills Bloom false positives
+    verified = _join_ready(cands).join(
+        _join_ready(bench), join_type="inner",
+        num_partitions=num_partitions, on=("g",)) \
+        .groupby(id_col).aggregate(Count(alias_name="nhits"))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "contaminated": pa.array([], pa.int64())})
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "contaminated": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+
+    flagged = verified.map_batches(flag, batch_format="pyarrow")
+    ids_only = ds.map_batches(
+        lambda b: b.select([id_col]).set_column(
+            0, id_col, b.column(id_col).cast(pa.int64())),
+        batch_format="pyarrow")
+    joined = ids_only.join(_join_ready(flagged), join_type="left_outer",
+                           num_partitions=num_partitions, on=(id_col,))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        flagc = batch.column("contaminated")
+        return pa.table({
+            id_col: batch.column(id_col),
+            "contaminated": pc.coalesce(flagc, pa.scalar(0, pa.int64())),
+        })
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
 def ngram_topk(ds, *, text_col: str = "text", n: int = 3, k: int = 20):
     """Global top-``k`` most frequent word ``n``-grams (boilerplate
     mining). Map-side value_counts combine → one groupby(ngram) Sum →

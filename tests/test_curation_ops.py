@@ -212,6 +212,31 @@ def test_decontaminate_flags_shared_ngrams(ray_session):
     assert out[1] == 1 and out[2] == 0 and out[3] == 0
 
 
+def test_decontaminate_bloom_matches_exact(ray_session):
+    """Bloom-prefiltered path must be EXACT: false positives are killed
+    by the verify join, and Bloom has no false negatives — so results
+    equal the broadcast-set path on any input."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import decontaminate, decontaminate_bloom
+    rng = __import__("random").Random(7)
+    words = [f"w{i}" for i in range(40)]
+    bench = rd.from_items([
+        {"doc_id": 100 + i, "text": " ".join(rng.choices(words, k=12))}
+        for i in range(5)])
+    corpus = rd.from_items([
+        {"doc_id": i, "text": " ".join(rng.choices(words, k=15))}
+        for i in range(30)] + [{"doc_id": 99, "text": ""}])
+    exact = decontaminate(corpus, bench, ngram=3).to_pandas() \
+        .set_index("doc_id")["contaminated"].sort_index()
+    # tiny bitset (2 bits/key) forces a high FP rate so the verify
+    # join's FP-kill path is actually exercised
+    bloom = decontaminate_bloom(corpus, bench, ngram=3,
+                                bits_per_key=2, n_hashes=1).to_pandas() \
+        .set_index("doc_id")["contaminated"].sort_index()
+    assert exact.to_dict() == bloom.to_dict()
+    assert exact.sum() > 0            # test is vacuous if nothing hits
+
+
 def test_snapshot_diff_statuses(ray_session):
     import ray.data as rd
     from ksoup_ray.functions.snapshot import snapshot_diff

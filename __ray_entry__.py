@@ -386,6 +386,17 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(corpus, bench, ngram=3)
 
 
+def _q_main_content(sf_dir: str):
+    """Readability-style text-density main-content extraction — no tag
+    allowlist: link-dense blocks (the synth <nav> farm) score negative
+    and the article div wins, so the oracle distinguishes this from a
+    naive body.text() (which would include the nav anchor text).
+    (stages/readability.py; Readability/Boilerpipe-class algorithm.)"""
+    from ksoup_ray.stages.readability import extract_main_content
+    return extract_main_content(_pages(sf_dir), concurrency=(2, 8),
+                                batch_size=64)
+
+
 def _q_decontaminate_bloom(sf_dir: str):
     """Same contamination semantics as `decontaminate`, at the scale
     where the exact shingle set is too big to broadcast: a packed Bloom
@@ -1394,6 +1405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "decontaminate": _q_decontaminate,
         "decontaminate_bloom": _q_decontaminate_bloom,
+        "main_content": _q_main_content,
         "ngram_topk": _q_ngram_topk,
         "token_quantiles": _q_token_quantiles,
         "pack_sequences": _q_pack_sequences,
@@ -1703,6 +1715,14 @@ def oracle_sql() -> dict[str, str]:
                         0) AS BIGINT) AS contaminated
             FROM documents d LEFT JOIN sh s ON s.doc_id = d.doc_id
             WHERE d.source <> 'src0' GROUP BY d.doc_id
+        """,
+        # density scoring must land exactly on the content div: nav
+        # anchor text scores negative, so main_text == the text column
+        # (a naive body.text() would prepend the nav 'more k' anchors)
+        "main_content": f"""
+            SELECT {SYNTH_URL_SQL} AS url,
+                   text AS main_text
+            FROM documents
         """,
         # bloom prefilter + exact verify join == exact semantics, so
         # the oracle is the SAME query as the exact path

@@ -397,6 +397,17 @@ def _q_main_content(sf_dir: str):
                                 batch_size=64)
 
 
+def _q_inverted_index(sf_dir: str):
+    """Search-engine posting lists over the corpus: term -> (true df,
+    first-8 sorted doc ids). One hash shuffle on a bounded bucket key;
+    per-block vectorized merge (functions/index.py)."""
+    import ray.data as rd
+    from ksoup_ray.functions.index import inverted_index
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return inverted_index(ds, k=8)
+
+
 def _q_decontaminate_bloom(sf_dir: str):
     """Same contamination semantics as `decontaminate`, at the scale
     where the exact shingle set is too big to broadcast: a packed Bloom
@@ -1406,6 +1417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "main_content": _q_main_content,
+        "inverted_index": _q_inverted_index,
         "ngram_topk": _q_ngram_topk,
         "token_quantiles": _q_token_quantiles,
         "pack_sequences": _q_pack_sequences,
@@ -1723,6 +1735,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT {SYNTH_URL_SQL} AS url,
                    text AS main_text
             FROM documents
+        """,
+        # postings cap at k=8 smallest doc ids; df is the TRUE distinct
+        # doc count (list slice [1:8] is 1-based inclusive in DuckDB)
+        "inverted_index": """
+            WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents),
+            tok AS (SELECT DISTINCT doc_id, u.t AS term
+                    FROM ws, LATERAL unnest(w) AS u(t)
+                    WHERE u.t <> ''),
+            ag AS (SELECT term, COUNT(*) AS df,
+                          list(doc_id ORDER BY doc_id) AS ds
+                   FROM tok GROUP BY term)
+            SELECT term, CAST(df AS BIGINT) AS df,
+                   array_to_string(ds[1:8], ',') AS postings
+            FROM ag
         """,
         # bloom prefilter + exact verify join == exact semantics, so
         # the oracle is the SAME query as the exact path

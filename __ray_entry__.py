@@ -408,6 +408,50 @@ def _q_inverted_index(sf_dir: str):
     return inverted_index(ds, k=8)
 
 
+def _q_url_canonical(sf_dir: str):
+    """Crawl URL canonicalization (functions/urls.py): messy variants
+    (host case, default port, fragments, utm/gclid params) are derived
+    deterministically from doc_id, then normalized by the REAL
+    canonicalizer — the oracle is the closed-form canonical URL."""
+    import pandas as pd
+    import ray.data as rd
+    from ksoup_ray.functions.urls import canonicalize_urls
+    from ksoup_ray.sources.synth import BASE_URL
+
+    def mess(batch):
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = batch.column("lang").to_pandas().fillna("en")
+        path = "/" + langs + "/" + pd.Series(ids).astype(str).str.zfill(8)
+        v = ids % 5
+        base = BASE_URL + path
+        messy = base.copy()
+        messy[v == 1] = (BASE_URL.upper() + path + "#sec1")[v == 1]
+        messy[v == 2] = (base + "?utm_source=x&utm_campaign=y")[v == 2]
+        messy[v == 3] = (BASE_URL + ":443" + path
+                         + "?id=7&utm_medium=z")[v == 3]
+        messy[v == 4] = (base + "#frag")[v == 4]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "url": pa.array(messy.to_numpy(dtype=object), pa.string()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"]) \
+        .map_batches(mess, batch_format="pyarrow")
+    return canonicalize_urls(ds).select_columns(["doc_id", "url_canon"])
+
+
+def _q_chunk_windows(sf_dir: str):
+    """Overlapping context-window chunking (size=8, stride=4) — the
+    retrieval/long-doc training chunker (functions/packing.py
+    chunk_windows). Stateless, shuffle-free, fully vectorized."""
+    import ray.data as rd
+    from ksoup_ray.functions.packing import chunk_windows
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return chunk_windows(ds, size=8, stride=4)
+
+
 def _q_decontaminate_bloom(sf_dir: str):
     """Same contamination semantics as `decontaminate`, at the scale
     where the exact shingle set is too big to broadcast: a packed Bloom
@@ -1418,6 +1462,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_bloom": _q_decontaminate_bloom,
         "main_content": _q_main_content,
         "inverted_index": _q_inverted_index,
+        "url_canonical": _q_url_canonical,
+        "chunk_windows": _q_chunk_windows,
         "ngram_topk": _q_ngram_topk,
         "token_quantiles": _q_token_quantiles,
         "pack_sequences": _q_pack_sequences,
@@ -1734,6 +1780,31 @@ def oracle_sql() -> dict[str, str]:
         "main_content": f"""
             SELECT {SYNTH_URL_SQL} AS url,
                    text AS main_text
+            FROM documents
+        """,
+        # '' splits to [''] (1 token) in BOTH engines; slice is 1-based
+        # inclusive; window starts at j*stride while inside the doc
+        "chunk_windows": """
+            WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents),
+            n AS (SELECT doc_id, w, len(w) AS n FROM ws),
+            j AS (SELECT doc_id, w, n, u.j
+                  FROM n, LATERAL unnest(generate_series(0, (n-1)//4))
+                       AS u(j))
+            SELECT doc_id,
+                   CAST(j AS BIGINT) AS chunk_id,
+                   CAST(least(8, n - j*4) AS BIGINT) AS n_tokens,
+                   array_to_string(w[j*4+1 : least(j*4+8, n)], ' ')
+                       AS chunk_text
+            FROM j
+        """,
+        # messy variant (doc_id%5) -> canonical closed form: every rule
+        # (host case, :443, fragment, utm strip) must fire to match
+        "url_canonical": f"""
+            SELECT doc_id,
+                   {SYNTH_URL_SQL}
+                   || CASE WHEN doc_id % 5 = 3 THEN '?id=7' ELSE '' END
+                   AS url_canon
             FROM documents
         """,
         # postings cap at k=8 smallest doc ids; df is the TRUE distinct

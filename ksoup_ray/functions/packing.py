@@ -100,3 +100,57 @@ def _ranges(reps: np.ndarray) -> np.ndarray:
     out = np.arange(total, dtype=np.int64)
     starts = np.concatenate([[0], reps.cumsum()[:-1]])
     return out - np.repeat(starts, reps)
+
+
+def chunk_windows(ds, *, size: int = 8, stride: int = 4,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Sliding-window chunking: split each document's token stream into
+    overlapping windows of ``size`` tokens every ``stride`` tokens —
+    the context-window chunking step of retrieval / long-document
+    training pipelines (windows start at 0, stride, 2·stride, … while
+    the start is inside the document; the last window may be short).
+
+    Unlike ``pack_sequences`` (a GLOBAL ordered scan), chunking is
+    per-document: a stateless ``map_batches`` with no shuffle and no
+    driver state. The kernel is fully vectorized — one explode of the
+    word stream, window starts/lengths by arithmetic, ONE fancy gather
+    for every window's tokens, and a single ``binary_join`` renders
+    all chunk texts at once (never a per-window Python join).
+
+    Returns ``(id_col, chunk_id, n_tokens, chunk_text)``.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def chunk_batch(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        lists = s.str.split(" ")
+        n = lists.str.len().to_numpy(np.int64)       # >= 1 ('' -> [''])
+        if len(n) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "chunk_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string())})
+        w = lists.explode().to_numpy(dtype=object)   # doc-contiguous
+        d0 = np.concatenate([[0], n.cumsum()[:-1]])
+        nwin = (n - 1) // stride + 1
+        doc_rep = np.repeat(np.arange(len(n)), nwin)
+        win_j = _ranges(nwin)
+        starts = d0[doc_rep] + win_j * stride
+        lens = np.minimum(size, n[doc_rep] - win_j * stride)
+        idx = np.repeat(starts, lens) + _ranges(lens)
+        offsets = np.concatenate([[0], lens.cumsum()])
+        chunks = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                     pa.array(w[idx], pa.string())),
+            " ")
+        return pa.table({
+            id_col: pa.array(ids[doc_rep], pa.int64()),
+            "chunk_id": pa.array(win_j, pa.int64()),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "chunk_text": chunks,
+        })
+
+    return ds.map_batches(chunk_batch, batch_format="pyarrow")

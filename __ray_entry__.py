@@ -452,6 +452,42 @@ def _q_chunk_windows(sf_dir: str):
     return chunk_windows(ds, size=8, stride=4)
 
 
+def _q_funnel(sf_dir: str):
+    """Ordered funnel over the event stream: users completing
+    view -> click -> purchase in strict time order (min-time
+    semantics). One bounded-bucket shuffle (functions/agg.py
+    funnel_counts)."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import funnel_counts
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ds, steps=("view", "click", "purchase"))
+
+
+def _q_jsonl_roundtrip(sf_dir: str):
+    """JSONL shard source/sink — the de-facto webtext interchange
+    format: the documents table is written once (cached) as
+    newline-delimited JSON shards via the Dataset sink, read back with
+    ray.data.read_json (streaming, one task per shard), and
+    value-checked against the original table. Exercises type fidelity
+    (int64 ids/counts, unicode text) through the JSON boundary."""
+    import os
+    import ray.data as rd
+
+    cache = f"/tmp/ksoup_jsonl_corpus/{os.path.basename(sf_dir.rstrip('/'))}"
+    marker = os.path.join(cache, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(cache, exist_ok=True)
+        rd.read_parquet(f"{sf_dir}/documents.parquet") \
+            .repartition(8).write_json(cache)
+        with open(marker, "w") as f:
+            f.write("ok")
+    files = [os.path.join(cache, f) for f in sorted(os.listdir(cache))
+             if f.endswith(".json")]
+    return rd.read_json(files).select_columns(
+        ["doc_id", "text", "lang", "source", "n_chars"])
+
+
 def _q_decontaminate_bloom(sf_dir: str):
     """Same contamination semantics as `decontaminate`, at the scale
     where the exact shingle set is too big to broadcast: a packed Bloom
@@ -1464,6 +1500,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "url_canonical": _q_url_canonical,
         "chunk_windows": _q_chunk_windows,
+        "funnel": _q_funnel,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "ngram_topk": _q_ngram_topk,
         "token_quantiles": _q_token_quantiles,
         "pack_sequences": _q_pack_sequences,
@@ -1781,6 +1819,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT {SYNTH_URL_SQL} AS url,
                    text AS main_text
             FROM documents
+        """,
+        # identity: the JSONL boundary must preserve every column
+        "jsonl_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        # strict '>' cascade: step k's clock is the user's MIN step-k
+        # event time after their step-(k-1) completion
+        "funnel": """
+            WITH t1 AS (SELECT user_id, min(ts) AS ts FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            t2 AS (SELECT e.user_id, min(e.ts) AS ts
+                   FROM events e JOIN t1 ON e.user_id = t1.user_id
+                        AND e.ts > t1.ts
+                   WHERE e.event_type = 'click' GROUP BY e.user_id),
+            t3 AS (SELECT e.user_id, min(e.ts) AS ts
+                   FROM events e JOIN t2 ON e.user_id = t2.user_id
+                        AND e.ts > t2.ts
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT * FROM (VALUES
+                (CAST(1 AS BIGINT), 'view',
+                 (SELECT CAST(count(*) AS BIGINT) FROM t1)),
+                (CAST(2 AS BIGINT), 'click',
+                 (SELECT CAST(count(*) AS BIGINT) FROM t2)),
+                (CAST(3 AS BIGINT), 'purchase',
+                 (SELECT CAST(count(*) AS BIGINT) FROM t3)))
+                AS v(step, event_type, users)
         """,
         # '' splits to [''] (1 token) in BOTH engines; slice is 1-based
         # inclusive; window starts at j*stride while inside the doc

@@ -312,3 +312,78 @@ def running_total(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     return (ds.map_batches(add_pk, batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(prefix_block, batch_format="pandas"))
+
+
+def funnel_counts(ds, *, steps=("view", "click", "purchase"),
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  num_partitions: int = 64):
+    """Ordered funnel analysis: how many users completed each prefix of
+    ``steps`` in order — a user counts for step k when an event of type
+    ``steps[k]`` exists STRICTLY after their step k-1 completion time
+    (min-time semantics, the standard product-analytics funnel).
+
+    ONE shuffle on ``hash(user) % num_partitions`` (bounded bucket key,
+    ``_blocks.py`` discipline — a user's events land in one block);
+    each block resolves ALL its users per step in one vectorized pass:
+    sort by (user, ts), user segment ids, then per step a mask +
+    first-qualifying-row-per-segment via ``np.unique``. Per-block
+    partial counts fold in a tiny final groupby — driver state is
+    O(len(steps)).
+
+    Returns ``(step int64 1-based, event_type, users int64)``.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from ._blocks import pk_column
+
+    steps = list(steps)
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_pk", pk_column(batch.column(user_col), num_partitions))
+
+    def funnel_block(block: pd.DataFrame) -> pd.DataFrame:
+        block = block.sort_values([user_col, ts_col], kind="mergesort")
+        users = block[user_col].to_numpy()
+        ts = block[ts_col].to_numpy(dtype="datetime64[us]") \
+            .astype(np.int64)
+        types = block[type_col].to_numpy()
+        n = len(users)
+        counts = np.zeros(len(steps), np.int64)
+        if n:
+            seg = np.zeros(n, np.int64)            # per-row user index
+            seg[1:] = np.cumsum(users[1:] != users[:-1])
+            n_users = seg[-1] + 1
+            prev = np.full(n_users, -(2**62), np.int64)   # -inf
+            for k, ev in enumerate(steps):
+                ok = (types == ev) & (ts > prev[seg])
+                rows = np.flatnonzero(ok)
+                hit_users, first = np.unique(seg[rows],
+                                             return_index=True)
+                nxt = np.full(n_users, 2**62, np.int64)   # +inf: out
+                nxt[hit_users] = ts[rows[first]]
+                prev = nxt
+                counts[k] = len(hit_users)
+                if not len(hit_users):
+                    break
+        return pd.DataFrame({
+            "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+            type_col: steps,
+            "partial": counts,
+        })
+
+    out = (ds.map_batches(add_pk, batch_format="pyarrow")
+           .groupby("_pk")
+           .map_groups(funnel_block, batch_format="pandas")
+           .groupby(["step", type_col])
+           .aggregate(Sum("partial", alias_name="users")))
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "step": batch.column("step").cast(pa.int64()),
+            type_col: batch.column(type_col),
+            "users": batch.column("users").cast(pa.int64()),
+        })
+
+    return out.map_batches(cast, batch_format="pyarrow")

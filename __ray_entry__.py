@@ -1474,6 +1474,47 @@ def _q_hll_distinct(sf_dir: str):
     return hll_distinct(ds, "text")
 
 
+def _q_word_entropy(sf_dir: str):
+    """Per-document word-distribution Shannon entropy in integer
+    micro-nats (functions/textstats.word_entropy_batch) — a
+    redundancy/quality signal; pure per-batch numpy (explode +
+    factorize + unique), NO shuffle. Integer per-term rounding makes
+    the sum order-free, so the DuckDB oracle matches exactly."""
+    import ray.data as rd
+    from ksoup_ray.functions.textstats import word_entropy_batch
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(word_entropy_batch, batch_format="pyarrow")
+
+
+def _q_split_assign(sf_dir: str):
+    """Deterministic train/val/test split assignment from the md5
+    bucket of each doc_id (functions/splits.assign_splits): pure
+    per-batch, no shuffle, no RNG — a resumed or re-partitioned run
+    assigns every row identically, which is what makes hash splits
+    the standard at crawl scale. Oracle recomputes the same md5
+    bucket in SQL."""
+    import ray.data as rd
+    from ksoup_ray.functions.splits import assign_splits
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+    return assign_splits(ds, train_frac=0.8, val_frac=0.1)
+
+
+def _q_zscore_by_lang(sf_dir: str):
+    """Per-language z-score of document length
+    (functions/agg.grouped_zscore): moment partials combine map-side,
+    one bounded groupby (|langs| rows), moments broadcast in the
+    scoring closure — the corpus itself never shuffles. Population
+    std, int64 sums exact in double, same expression tree as the
+    oracle."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import grouped_zscore
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    return grouped_zscore(ds, key_col="lang", val_col="n_chars")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1549,6 +1590,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         "distinct_texts": _q_distinct_texts,
         "hll_distinct": _q_hll_distinct,
+        "word_entropy": _q_word_entropy,
+        "split_assign": _q_split_assign,
+        "zscore_by_lang": _q_zscore_by_lang,
     }
 
 
@@ -2629,5 +2673,53 @@ def oracle_sql() -> dict[str, str]:
         "distinct_texts": """
             SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct
             FROM documents
+        """,
+        # per-(doc,word) term rounded to integer micro-nats BEFORE the
+        # per-doc sum (order-free) — same expression tree as
+        # textstats.word_entropy_batch
+        "word_entropy": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS len
+                   FROM words GROUP BY doc_id),
+            cw AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS c
+                   FROM words GROUP BY doc_id, w)
+            SELECT c.doc_id,
+                   CAST(SUM(CAST(ROUND(c.c / d.len * ln(d.len / c.c)
+                                       * 1000000.0) AS BIGINT))
+                        AS BIGINT) AS entropy_micros
+            FROM cw c JOIN dl d USING (doc_id)
+            GROUP BY c.doc_id
+        """,
+        # same md5-bucket arithmetic as splits._md5_bucket_fraction:
+        # first 8 hex digits / 2^32, thresholds compared in double
+        "split_assign": """
+            WITH b AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 8) AS BIGINT)
+                       / 4294967296.0 AS bf
+              FROM documents)
+            SELECT doc_id,
+                   CAST(FLOOR(bf * 100) AS BIGINT) AS bucket_pct,
+                   CASE WHEN bf < 0.8 THEN 'train'
+                        WHEN bf < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
+        # population std; int64 sums are exact in double < 2^53, so
+        # the doubles match agg.grouped_zscore bit for bit
+        "zscore_by_lang": """
+            WITH m AS (
+              SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+                     CAST(SUM(n_chars) AS DOUBLE) AS s,
+                     CAST(SUM(n_chars * n_chars) AS DOUBLE) AS ss
+              FROM documents GROUP BY lang)
+            SELECT d.doc_id, d.lang,
+                   CAST(ROUND((d.n_chars - m.s / m.n)
+                              / sqrt((m.ss - m.s * m.s / m.n) / m.n)
+                              * 1000000.0) AS BIGINT) AS z_micros
+            FROM documents d JOIN m USING (lang)
         """,
     }

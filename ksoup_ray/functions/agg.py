@@ -26,6 +26,7 @@ import itertools
 import zlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 # per-worker-process batch counter: Ray reuses task workers, so each
@@ -387,3 +388,58 @@ def funnel_counts(ds, *, steps=("view", "click", "purchase"),
         })
 
     return out.map_batches(cast, batch_format="pyarrow")
+
+
+def grouped_zscore(ds, *, key_col: str = "lang",
+                   val_col: str = "n_chars", id_col: str = "doc_id"):
+    """Per-group standardization (z-score) of a numeric column — the
+    feature-normalization primitive (per-language length norms, per-
+    domain quality norms). Two passes, ZERO corpus shuffles:
+
+    pass A: per-batch combine to (key, n, sum, sumsq) int64 partials,
+    one groupby over a table bounded by |keys| x |batches|, driver
+    folds |keys| rows (4 langs — scalars, not data);
+    pass B: broadcast the |keys| moment rows in the closure, per-batch
+    vectorized ``round((v - s/n) / sqrt((ss - s*s/n)/n) * 1e6)`` —
+    population std, same expression tree as the DuckDB oracle, int64
+    sums are exact in double below 2^53 so both sides compute
+    identical doubles. Returns (id_col, key_col, z_micros)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pandas()
+        v = np.asarray(batch.column(val_col).to_pylist(),
+                       dtype=np.int64)
+        g = pd.DataFrame({"k": keys, "v": v, "vv": v * v}).groupby(
+            "k", sort=False).agg(n=("v", "size"), s=("v", "sum"),
+                                 ss=("vv", "sum")).reset_index()
+        return pa.table({key_col: pa.array(g["k"], pa.string()),
+                         "n": pa.array(g["n"], pa.int64()),
+                         "s": pa.array(g["s"], pa.int64()),
+                         "ss": pa.array(g["ss"], pa.int64())})
+
+    moments = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(key_col)
+               .aggregate(Sum("n", alias_name="n"),
+                          Sum("s", alias_name="s"),
+                          Sum("ss", alias_name="ss"))
+               .to_pandas())   # bounded: one row per key
+    mom = {r[key_col]: (float(r["n"]), float(r["s"]), float(r["ss"]))
+           for _, r in moments.iterrows()}
+
+    def score(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        v = np.asarray(batch.column(val_col).to_pylist(),
+                       dtype=np.float64)
+        n = np.array([mom[k][0] for k in keys])
+        s = np.array([mom[k][1] for k in keys])
+        ss = np.array([mom[k][2] for k in keys])
+        z = (v - s / n) / np.sqrt((ss - s * s / n) / n)
+        return pa.table({
+            id_col: batch.column(id_col),
+            key_col: batch.column(key_col),
+            "z_micros": pa.array(
+                np.round(z * 1_000_000.0).astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

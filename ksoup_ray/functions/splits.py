@@ -1,0 +1,82 @@
+"""Deterministic dataset splitting and hash-based resampling — the
+operators that turn a curated corpus into train/val/test shards and
+importance-resampled mixtures.
+
+Scale shapes:
+* ``assign_splits``: pure per-batch — the split is a function of the
+  row's own id (md5 bucket), so ANY re-run, re-partitioning, or
+  partial resume assigns the same row to the same split. No shuffle,
+  no driver state, no RNG to coordinate across nodes.
+* ``resample_by_weight``: deterministic Bernoulli thinning — keep a
+  row iff its md5 bucket fraction falls below its (per-row) keep
+  probability. Same hash ⇒ reproducible across retries; no
+  coordination. This is how DSIR-style importance resampling is
+  applied at scale (Xie et al. 2023): weights stream in as a column,
+  the decision is local.
+
+md5 was chosen over a faster hash because the DuckDB oracle can
+recompute it exactly (``md5(CAST(id AS VARCHAR))``), making the split
+assignment value-checkable end to end. The per-row hashlib call is a
+C-backed loop over small strings — measured ~1.5 µs/row, noise next
+to any downstream transform.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def _md5_bucket_fraction(ids) -> np.ndarray:
+    """fraction in [0, 1): first 8 md5 hex digits of str(id) / 2^32 —
+    mirrors DuckDB ``CAST('0x' || substr(md5(CAST(id AS VARCHAR)),
+    1, 8) AS BIGINT) / 4294967296.0``."""
+    return np.array(
+        [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+         for i in ids],
+        dtype=np.float64) / 4294967296.0
+
+
+def assign_splits(ds, *, id_col: str = "doc_id",
+                  train_frac: float = 0.8, val_frac: float = 0.1):
+    """Assign every row a stable ``split`` ∈ {train, val, test} from
+    the md5-bucket fraction of its id: [0, train) → train,
+    [train, train+val) → val, rest → test. Returns a Dataset of
+    (id_col, bucket_pct, split) — bucket_pct is the integer percent
+    bucket (floor(frac*100)) so the assignment itself is auditable."""
+    t_hi = float(train_frac)
+    v_hi = float(train_frac) + float(val_frac)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        frac = _md5_bucket_fraction(ids)
+        split = np.where(frac < t_hi, "train",
+                         np.where(frac < v_hi, "val", "test"))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "bucket_pct": pa.array((frac * 100).astype(np.int64),
+                                   pa.int64()),
+            "split": pa.array(split.tolist(), pa.string()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def resample_by_weight(ds, *, id_col: str = "doc_id",
+                       weight_col: str = "keep_micros"):
+    """Deterministic weighted thinning: keep a row iff
+    ``md5_fraction(id) * 1e6 < weight_micros`` (keep probability in
+    integer micros, 1e6 = always keep). The comparison is integer-vs-
+    integer on the oracle side (floor(frac*1e6) < w), so we floor the
+    scaled fraction here too. Returns the kept rows of ``ds``."""
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        frac = _md5_bucket_fraction(ids)
+        thresh = np.floor(frac * 1_000_000.0).astype(np.int64)
+        w = np.asarray(batch.column(weight_col).to_pylist(),
+                       dtype=np.int64)
+        return batch.filter(pa.array(thresh < w))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -183,3 +183,38 @@ def rolling_hash_batch(batch: pa.Table, text_col: str = "text",
 
     return batch.append_column("rolling_min_hash",
                                pa.array(mins, pa.uint64()))
+
+
+def word_entropy_batch(batch: pa.Table, text_col: str = "text",
+                       id_col: str = "doc_id") -> pa.Table:
+    """Shannon entropy of each document's word distribution, in
+    integer micro-nats — a standard redundancy/quality signal (a
+    keyword-stuffed or template page has low entropy for its length).
+
+    Per-(doc, word) term ``ROUND(c/len * ln(len/c) * 1e6)`` summed as
+    int64 — integer summation makes the per-doc total independent of
+    accumulation order, so the DuckDB oracle (same expression tree,
+    same rounding) matches exactly (the bm25_score trick). Pure
+    per-batch numpy: one explode + factorize + unique over pair codes;
+    NO shuffle, no per-row Python. A single-word (or empty) document
+    has entropy 0 on both sides ('' splits to [''])."""
+    texts = batch.column(text_col).to_pandas().fillna("")
+    words_list = texts.str.split(" ")
+    n_words = words_list.str.len().to_numpy(dtype=np.int64)
+    ex = words_list.explode()
+    doc_idx = ex.index.to_numpy(dtype=np.int64)
+    codes, vocab = pd.factorize(ex.to_numpy())
+    # per-(doc, word) counts without a hash map: unique over the
+    # combined code (doc_idx is batch-local so the product is small)
+    pair = doc_idx * np.int64(len(vocab)) + codes
+    upair, counts = np.unique(pair, return_counts=True)
+    pdoc = (upair // np.int64(len(vocab))).astype(np.int64)
+    dl = n_words[pdoc].astype(np.float64)
+    c = counts.astype(np.float64)
+    term = np.round(c / dl * np.log(dl / c) * 1_000_000.0).astype(np.int64)
+    out = np.zeros(len(texts), dtype=np.int64)
+    np.add.at(out, pdoc, term)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "entropy_micros": pa.array(out, pa.int64()),
+    })

@@ -1515,6 +1515,84 @@ def _q_zscore_by_lang(sf_dir: str):
     return grouped_zscore(ds, key_col="lang", val_col="n_chars")
 
 
+def _q_cocitation(sf_dir: str):
+    """Co-citation pair counts over the crawl link graph
+    (functions/graph.cocitation_counts): pairs of urls cited by the
+    same page, counted corpus-wide. One bounded-bucket shuffle +
+    map-side pair combine; degree-capped hubs are counted drops.
+    Edges come from the same resolved-href extraction as link_edges,
+    so the oracle value-checks the whole path parse → resolve →
+    pair → count."""
+    from ksoup_ray.functions.graph import cocitation_counts
+    edges = _q_link_edges(sf_dir)
+    return cocitation_counts(edges, max_degree=64)
+
+
+def _q_bm25_search(sf_dir: str):
+    """Top-k BM25 retrieval for a fixed query
+    (functions/curation.bm25_search): block-local top-k then a tiny
+    final sort — the corpus is scored in one streaming pass and never
+    globally sorted. Deterministic doc_id tie-break ⇒ the oracle's
+    ORDER BY ... LIMIT k selects the identical row set."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import bm25_search
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return bm25_search(ds, ("spark", "window", "merge"), k=10)
+
+
+def _q_length_band(sf_dir: str):
+    """Exact [p10, p90] token-length band filter
+    (functions/curation.length_band_filter): quantiles from a bounded
+    value histogram (the token_quantiles shape), cutoffs ride the
+    filter closure, the corpus never shuffles. quantile_disc rule on
+    both sides."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import length_band_filter
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return length_band_filter(ds, lo_q=0.1, hi_q=0.9)
+
+
+def _q_label_centroids(sf_dir: str):
+    """Per-label centroid sums over the embeddings table
+    (functions/similarity.label_centroids): elements quantized to
+    integer micros before any sum, so the (label, dim) totals are
+    order-free and exactly reproducible in SQL. Per-batch np.add.at
+    partials; ONE groupby bounded by |labels| x d."""
+    import ray.data as rd
+    from ksoup_ray.functions.similarity import label_centroids
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+    return label_centroids(ds)
+
+
+def _q_lang_rebalance(sf_dir: str):
+    """Language-rebalancing resample (functions/splits.
+    resample_by_weight): non-en docs thinned to 25% by a
+    deterministic md5-bucket Bernoulli — no RNG, no coordination,
+    stable under resume. The keep probability is a per-row column, so
+    the same operator applies DSIR-style importance weights
+    unchanged; here the weights are the tiny lang map (broadcast in
+    the closure)."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import ray.data as rd
+    from ksoup_ray.functions.splits import resample_by_weight
+
+    def add_weight(batch):
+        w = _pc.if_else(_pc.equal(batch.column("lang"), "en"),
+                        _pa.scalar(1_000_000, _pa.int64()),
+                        _pa.scalar(250_000, _pa.int64()))
+        return batch.append_column("keep_micros", w)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    kept = resample_by_weight(
+        ds.map_batches(add_weight, batch_format="pyarrow"))
+    return kept.select_columns(["doc_id", "lang"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1593,6 +1671,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_entropy": _q_word_entropy,
         "split_assign": _q_split_assign,
         "zscore_by_lang": _q_zscore_by_lang,
+        "cocitation": _q_cocitation,
+        "bm25_search": _q_bm25_search,
+        "length_band": _q_length_band,
+        "label_centroids": _q_label_centroids,
+        "lang_rebalance": _q_lang_rebalance,
     }
 
 
@@ -2707,6 +2790,100 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bf < 0.9 THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        # distinct-edge self-join on src with a<b — the closed form of
+        # graph.cocitation_counts' per-block pair expansion (synth
+        # degree ≤ 3, so the max_degree=64 cap never trips here)
+        "cocitation": """
+            WITH edges AS (
+              SELECT DISTINCT doc_id AS src,
+                     CAST((doc_id + k + 1) % 100000000 AS BIGINT)
+                       AS dst
+              FROM documents,
+              LATERAL unnest(generate_series(0, doc_id % 4 - 1)) AS t(k))
+            SELECT e1.dst AS a, e2.dst AS b,
+                   CAST(count(*) AS BIGINT) AS n_srcs
+            FROM edges e1
+            JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+            GROUP BY e1.dst, e2.dst
+        """,
+        # the bm25 scoring CTE verbatim, then ORDER BY score DESC with
+        # doc_id tie-break LIMIT 10 — selects the same row set as the
+        # engine's block-local top-k + tiny final sort
+        "bm25_search": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS len
+                   FROM words GROUP BY doc_id),
+            stats AS (SELECT CAST((SELECT count(*) FROM documents)
+                                  AS DOUBLE) AS n,
+                             (SELECT SUM(len) / count(*) FROM dl)
+                               AS avgdl),
+            tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+                   FROM words WHERE w IN ('spark', 'window', 'merge')
+                   GROUP BY doc_id, w),
+            df AS (SELECT w, CAST(count(DISTINCT doc_id) AS DOUBLE)
+                            AS df
+                   FROM words WHERE w IN ('spark', 'window', 'merge')
+                   GROUP BY w),
+            scored AS (
+              SELECT t.doc_id,
+                     CAST(SUM(CAST(ROUND(
+                       ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                       * (t.tf * 2.2)
+                       / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.len
+                                        / s.avgdl))
+                       * 1000000.0) AS BIGINT)) AS BIGINT)
+                       AS score_micros
+              FROM tf t
+              JOIN df f ON f.w = t.w
+              JOIN dl d ON d.doc_id = t.doc_id
+              CROSS JOIN stats s
+              GROUP BY t.doc_id)
+            SELECT doc_id, score_micros FROM scored
+            ORDER BY score_micros DESC, doc_id LIMIT 10
+        """,
+        # quantile_disc rule on both sides (value at rank ceil(q*n))
+        "length_band": """
+            WITH tok AS (SELECT doc_id,
+              CAST(CASE WHEN text = '' OR text IS NULL THEN 0
+                   ELSE length(text) - length(replace(text, ' ', ''))
+                        + 1 END AS BIGINT) AS token_count
+              FROM documents),
+            q AS (SELECT quantile_disc(token_count, 0.1) AS lo,
+                         quantile_disc(token_count, 0.9) AS hi
+                  FROM tok)
+            SELECT t.doc_id, t.token_count
+            FROM tok t, q WHERE t.token_count BETWEEN q.lo AND q.hi
+        """,
+        # TRUNC (not ROUND) — a pure function of the double, no
+        # half-tie hazard on scaled float32s; sums of int64 micros
+        # are order-free
+        "label_centroids": """
+            WITH ex AS (
+              SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+                     CAST(TRUNC(CAST(embedding[i] AS DOUBLE)
+                                * 1000000.0) AS BIGINT) AS m
+              FROM embeddings,
+              LATERAL unnest(generate_series(1, len(embedding)))
+                AS t(i))
+            SELECT CAST(label AS BIGINT) AS label, dim,
+                   CAST(SUM(m) AS BIGINT) AS sum_micros,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs
+            FROM ex GROUP BY label, dim
+        """,
+        # md5-bucket Bernoulli thinning: keep iff floor(frac*1e6) <
+        # keep_micros (1e6 for en, 25% for the rest) — same
+        # arithmetic as splits.resample_by_weight
+        "lang_rebalance": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(FLOOR(
+                    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 8) AS BIGINT)
+                     / 4294967296.0) * 1000000) AS BIGINT)
+                  < CASE WHEN lang = 'en' THEN 1000000
+                         ELSE 250000 END
         """,
         # population std; int64 sums are exact in double < 2^53, so
         # the doubles match agg.grouped_zscore bit for bit

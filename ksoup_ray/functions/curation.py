@@ -866,3 +866,84 @@ def tfidf_topk(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     return scored.groupby("_dk").map_groups(
         topk_block, batch_format="pandas")
+
+
+def bm25_search(ds, query_terms: tuple[str, ...], *, k: int = 10,
+                text_col: str = "text", id_col: str = "doc_id"):
+    """Top-``k`` retrieval for a fixed query: BM25-score the corpus
+    (``bm25_score`` — two streaming passes, integer-micro scores) and
+    keep the k best documents. The ranking never sorts the corpus:
+    each scored block reduces to its LOCAL top-k (``select_k_unstable``
+    — k rows per block), and only those k-per-block rows enter the
+    tiny final sort. Ties break on doc_id ascending, so the result
+    set is deterministic and the SQL oracle (ORDER BY score DESC,
+    doc_id LIMIT k) selects the identical rows."""
+    scored = bm25_score(ds, query_terms, text_col=text_col,
+                        id_col=id_col)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            batch, k, [("score_micros", "descending"),
+                       (id_col, "ascending")])
+        return batch.take(idx)
+
+    small = scored.map_batches(local_topk, batch_format="pyarrow")
+    return small.sort(["score_micros", id_col],
+                      descending=[True, False]).limit(k)
+
+
+def length_band_filter(ds, *, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       lo_q: float = 0.1, hi_q: float = 0.9):
+    """Keep documents whose whitespace-token count lies inside the
+    corpus's exact [lo_q, hi_q] quantile band — the standard
+    outlier-length curation filter (too-short fragments, too-long
+    concatenation artifacts). The quantiles are EXACT and come from a
+    value histogram (the ``token_quantiles`` shape): per-batch
+    (token_count, n) partials, one groupby bounded by |distinct
+    counts| (small integers at any corpus size), cumulative-count
+    read-off with the DuckDB ``quantile_disc`` rule (value at 1-based
+    rank ``ceil(q*n)``). The two scalar cutoffs ride the filter
+    closure; the corpus itself never shuffles. Returns the kept
+    (id_col, token_count) rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        spaces = pc.count_substring(text, " ")
+        nonempty = pc.and_(pc.is_valid(text), pc.not_equal(text, ""))
+        tc = pc.if_else(nonempty, pc.add(spaces, 1),
+                        pa.scalar(0, pa.int32())).cast(pa.int64())
+        t = pa.table({"token_count": tc})
+        g = t.group_by(["token_count"]).aggregate(
+            [("token_count", "count")])
+        return pa.table({
+            "token_count": g.column("token_count"),
+            "partial": g.column("token_count_count").cast(pa.int64()),
+        })
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("token_count")
+            .aggregate(Sum("partial", alias_name="n"))
+            .to_pandas().sort_values("token_count"))
+    vals = hist["token_count"].to_numpy()
+    cum = hist["n"].to_numpy().cumsum()
+    total = int(cum[-1])
+    lo = int(vals[np.searchsorted(
+        cum, max(1, int(np.ceil(lo_q * total))))])
+    hi = int(vals[np.searchsorted(
+        cum, max(1, int(np.ceil(hi_q * total))))])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        spaces = pc.count_substring(text, " ")
+        nonempty = pc.and_(pc.is_valid(text), pc.not_equal(text, ""))
+        tc = pc.if_else(nonempty, pc.add(spaces, 1),
+                        pa.scalar(0, pa.int32())).cast(pa.int64())
+        mask = pc.and_(pc.greater_equal(tc, pa.scalar(lo, pa.int64())),
+                       pc.less_equal(tc, pa.scalar(hi, pa.int64())))
+        out = pa.table({id_col: batch.column(id_col),
+                        "token_count": tc})
+        return out.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

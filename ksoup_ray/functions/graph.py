@@ -313,3 +313,84 @@ def anchor_texts(edges, *, dst_col: str = "dst", src_col: str = "src",
     return (edges.map_batches(add_pk, batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(concat_block, batch_format="pandas"))
+
+
+def cocitation_counts(edges, *, src_col: str = "src",
+                      dst_col: str = "dst", max_degree: int = 64,
+                      num_partitions: int = 32):
+    """Co-citation counts over a link graph: for every unordered
+    target pair (a < b) cited by the same source page, the number of
+    sources citing both — the classic related-pages / co-occurrence
+    primitive (Small 1973; used for link-based doc similarity).
+
+    Shuffle inventory: ONE hash shuffle of bare (src, dst) int pairs
+    on a BOUNDED ``_pk = hash(src) % num_partitions`` bucket
+    (functions/_blocks.py contract — O(num_partitions) Python
+    dispatches, never per source), then pair partials combine
+    map-side (np.unique per block) before the ONE final groupby over
+    (a, b). Pair EXPANSION is the quadratic step: a source with
+    degree d emits d(d-1)/2 pairs, so sources above ``max_degree``
+    are dropped whole and RECORDED via the cap-metrics actor
+    (``cocitation.max_degree_dropped_sources``) — at crawl scale a
+    10^5-link hub would emit 5·10^9 pairs; capping hubs is the
+    standard guard and it is counted, never silent. Duplicate
+    (src, dst) edges are collapsed before pairing (a page citing a
+    url twice is one citation). Returns (a, b, n_srcs)."""
+    from ray.data.aggregate import Sum
+
+    from ksoup_ray.functions._blocks import pk_column, segment_starts
+    from ksoup_ray.functions.metrics import record_drop
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_pk", pk_column(batch.column(src_col), num_partitions))
+
+    def pairs_block(block: pd.DataFrame) -> pd.DataFrame:
+        src = block[src_col].to_numpy(dtype=np.int64)
+        dst = block[dst_col].to_numpy(dtype=np.int64)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        # collapse duplicate (src, dst) edges (sorted → adjacent)
+        keep = np.ones(len(src), dtype=bool)
+        keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        src, dst = src[keep], dst[keep]
+        starts = segment_starts(src)
+        d = np.diff(np.append(starts, len(src)))
+        over = d > max_degree
+        if over.any():
+            # blocking so the count is visible as soon as the
+            # pipeline is consumed (only paid when the cap trips)
+            record_drop("cocitation.max_degree_dropped_sources",
+                        int(over.sum()))
+            row_keep = np.repeat(~over, d)
+            src, dst = src[row_keep], dst[row_keep]
+            starts = segment_starts(src)
+            d = np.diff(np.append(starts, len(src)))
+        n = len(src)
+        if n == 0:
+            return pd.DataFrame({"a": np.array([], np.int64),
+                                 "b": np.array([], np.int64),
+                                 "partial": np.array([], np.int64)})
+        # vectorized within-segment pair expansion: row r (local
+        # index i of a degree-d segment) is the FIRST element of
+        # (d - 1 - i) pairs; its partners are rows r+1 .. segment end
+        within = np.arange(n, dtype=np.int64) - np.repeat(starts, d)
+        first_counts = np.repeat(d, d) - 1 - within
+        a_row = np.repeat(np.arange(n, dtype=np.int64), first_counts)
+        cum = np.concatenate(([0], np.cumsum(first_counts)))
+        b_row = a_row + 1 + (np.arange(cum[-1], dtype=np.int64)
+                             - np.repeat(cum[:-1], first_counts))
+        a, b = dst[a_row], dst[b_row]
+        # map-side combine: one np.unique over packed pair codes
+        pair = pd.DataFrame({"a": a, "b": b})
+        g = pair.groupby(["a", "b"], sort=False).size().reset_index(
+            name="partial")
+        g["partial"] = g["partial"].astype(np.int64)
+        return g
+
+    return (edges.select_columns([src_col, dst_col])
+            .map_batches(add_pk, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(pairs_block, batch_format="pandas")
+            .groupby(["a", "b"])
+            .aggregate(Sum("partial", alias_name="n_srcs")))

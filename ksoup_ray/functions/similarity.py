@@ -572,3 +572,47 @@ def quantized_project(ds, components: np.ndarray, *, scale: int = 1000,
             comps_ref=comps_ref, scale=scale, vec_col=vec_col,
             id_col=id_col),
         batch_format="pyarrow", concurrency=concurrency)
+
+
+def label_centroids(ds, *, vec_col: str = "embedding",
+                    key_col: str = "label"):
+    """Per-group centroid SUMS over an embedding column — the
+    embedding-aggregation primitive (per-source/cluster mean vectors
+    for mixture balancing or cluster summaries). Exact at any scale:
+    every element is quantized to integer micros FIRST
+    (``trunc(float64(x) * 1e6)`` — a pure function of the value, no
+    round-half ties), so the per-(group, dim) int64 sums are
+    independent of accumulation order and the DuckDB oracle matches
+    bit for bit. The mean is ``sum_micros / n_vecs`` downstream —
+    kept as (sum, n) so the exact-integer contract survives.
+
+    Shuffle inventory: per-batch numpy ``np.add.at`` partials collapse
+    each batch to |batch labels| x d rows; ONE groupby over
+    (label, dim) — bounded by |labels| x d, never corpus-scale.
+    Returns (key_col, dim, sum_micros, n_vecs)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(
+            batch.column(vec_col).to_pylist(), dtype=np.float64)
+        labels = np.asarray(batch.column(key_col).to_pylist(),
+                            dtype=np.int64)
+        n, d = vecs.shape
+        micros = np.trunc(vecs * 1_000_000.0).astype(np.int64)
+        codes, uniq = pd.factorize(labels)
+        sums = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(sums, codes, micros)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(
+            np.int64)
+        return pa.table({
+            key_col: pa.array(np.repeat(uniq, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(uniq)), pa.int64()),
+            "partial_sum": pa.array(sums.ravel(), pa.int64()),
+            "partial_n": pa.array(np.repeat(counts, d), pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, "dim"])
+            .aggregate(Sum("partial_sum", alias_name="sum_micros"),
+                       Sum("partial_n", alias_name="n_vecs")))

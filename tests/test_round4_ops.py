@@ -1,0 +1,188 @@
+"""Round-4 operators: word entropy, hash splits, weighted resampling,
+grouped z-score, co-citation pairs, BM25 top-k search, length band
+filter, per-label centroids. Kernel differentials vs naive Python; the
+value-level gate is the driver's DuckDB oracles."""
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ksoup_ray.functions.textstats import word_entropy_batch
+
+
+def _naive_entropy_micros(text: str) -> int:
+    words = text.split(" ")
+    n = len(words)
+    from collections import Counter
+    total = 0
+    for c in Counter(words).values():
+        total += int(np.round(c / n * math.log(n / c) * 1_000_000.0))
+    return total
+
+
+def test_word_entropy_matches_naive():
+    texts = ["a b a b", "x", "", "one two three", "z z z z z",
+             "the the the cat sat on the mat"]
+    b = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = word_entropy_batch(b).to_pydict()
+    assert out["entropy_micros"] == [
+        _naive_entropy_micros(t) for t in texts]
+    # single-word and empty docs have zero entropy by convention
+    assert out["entropy_micros"][1] == 0
+    assert out["entropy_micros"][2] == 0
+
+
+def test_md5_bucket_fraction_matches_hashlib():
+    from ksoup_ray.functions.splits import _md5_bucket_fraction
+    ids = [0, 1, 42, 999999, -7]
+    frac = _md5_bucket_fraction(ids)
+    for i, f in zip(ids, frac):
+        want = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) \
+            / 4294967296.0
+        assert f == want
+    assert ((frac >= 0) & (frac < 1)).all()
+
+
+def test_assign_splits_stable_and_proportional(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.splits import assign_splits
+    ds = rd.from_items([{"doc_id": i} for i in range(2000)])
+    df = assign_splits(ds).to_pandas()
+    # deterministic: a second run assigns identically
+    df2 = assign_splits(
+        rd.from_items([{"doc_id": i} for i in range(2000)])).to_pandas()
+    m = df.set_index("doc_id")["split"]
+    m2 = df2.set_index("doc_id")["split"]
+    assert m.sort_index().equals(m2.sort_index())
+    frac = df["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.04
+    assert abs(frac["val"] - 0.1) < 0.03
+    assert abs(frac["test"] - 0.1) < 0.03
+
+
+def test_resample_by_weight_extremes(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.splits import resample_by_weight
+    rows = [{"doc_id": i,
+             "keep_micros": 1_000_000 if i % 2 == 0 else 0}
+            for i in range(500)]
+    kept = resample_by_weight(rd.from_items(rows)).to_pandas()
+    # prob 1.0 keeps everything, prob 0.0 keeps nothing
+    assert set(kept["doc_id"]) == set(range(0, 500, 2))
+
+
+def test_grouped_zscore_matches_numpy(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.agg import grouped_zscore
+    rng = np.random.RandomState(7)
+    langs = np.repeat(["en", "de", "fr"], 200)
+    vals = rng.randint(10, 5000, size=len(langs))
+    rows = [{"doc_id": i, "lang": l, "n_chars": int(v)}
+            for i, (l, v) in enumerate(zip(langs, vals))]
+    out = grouped_zscore(rd.from_items(rows)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    df = pd.DataFrame(rows)
+    for lang, grp in df.groupby("lang"):
+        v = grp["n_chars"].to_numpy(dtype=np.float64)
+        n, s, ss = float(len(v)), float(v.sum()), float((v * v).sum())
+        z = (v - s / n) / np.sqrt((ss - s * s / n) / n)
+        want = np.round(z * 1_000_000.0).astype(np.int64)
+        got = out.loc[grp["doc_id"], "z_micros"].to_numpy()
+        assert (got == want).all()
+    # z-scores within each group are standardized (mean ~0, std ~1)
+    zs = out["z_micros"].to_numpy() / 1e6
+    assert abs(zs.mean()) < 0.01
+
+
+def test_cocitation_matches_naive(ray_session):
+    import ray.data as rd
+    from itertools import combinations
+    from collections import Counter
+    from ksoup_ray.functions.graph import cocitation_counts
+    edges = [(0, 10), (0, 11), (0, 12), (1, 10), (1, 12),
+             (2, 10), (2, 10),        # duplicate edge collapses
+             (3, 11), (3, 12), (4, 99)]
+    want = Counter()
+    for s in set(e[0] for e in edges):
+        dsts = sorted(set(d for ss, d in edges if ss == s))
+        for a, b in combinations(dsts, 2):
+            want[(a, b)] += 1
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in edges])
+    out = cocitation_counts(ds, num_partitions=4).to_pandas()
+    got = {(r.a, r.b): r.n_srcs for r in out.itertuples()}
+    assert got == dict(want)
+
+
+def test_cocitation_degree_cap_drops_hubs(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.graph import cocitation_counts
+    from ksoup_ray.functions.metrics import (read_cap_metrics,
+                                             reset_cap_metrics)
+    reset_cap_metrics()
+    # a hub with degree 5 > cap 3 contributes nothing; the pair from
+    # the small source survives
+    edges = [{"src": 1, "dst": d} for d in range(5)] + \
+        [{"src": 2, "dst": 100}, {"src": 2, "dst": 101}]
+    out = cocitation_counts(rd.from_items(edges), max_degree=3,
+                            num_partitions=2).to_pandas()
+    assert len(out) == 1
+    assert (int(out.a[0]), int(out.b[0]), int(out.n_srcs[0])) == \
+        (100, 101, 1)
+    assert read_cap_metrics().get(
+        "cocitation.max_degree_dropped_sources") == 1
+
+
+def test_bm25_search_topk_subset_of_scores(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.curation import bm25_score, bm25_search
+    texts = [f"spark window {'pad ' * (i % 7)}merge doc {i}"
+             for i in range(60)] + ["no query terms here"] * 10
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ds = rd.from_items(rows)
+    all_scores = bm25_score(
+        rd.from_items(rows), ("spark", "merge")).to_pandas()
+    top = bm25_search(ds, ("spark", "merge"), k=5).to_pandas()
+    assert len(top) == 5
+    want = all_scores.sort_values(
+        ["score_micros", "doc_id"], ascending=[False, True]).head(5)
+    assert list(top["doc_id"]) == list(want["doc_id"])
+
+
+def test_length_band_filter_quantile_rule(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.curation import length_band_filter
+    rng = np.random.RandomState(3)
+    lens = rng.randint(1, 200, size=400)
+    rows = [{"doc_id": i, "text": " ".join(["w"] * int(n))}
+            for i, n in enumerate(lens)]
+    out = length_band_filter(rd.from_items(rows),
+                             lo_q=0.1, hi_q=0.9).to_pandas()
+    sv = np.sort(lens)
+    lo = sv[max(1, int(np.ceil(0.1 * len(sv)))) - 1]
+    hi = sv[max(1, int(np.ceil(0.9 * len(sv)))) - 1]
+    want = {i for i, n in enumerate(lens) if lo <= n <= hi}
+    assert set(out["doc_id"]) == want
+    assert (out["token_count"] >= lo).all()
+    assert (out["token_count"] <= hi).all()
+
+
+def test_label_centroids_matches_numpy(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.similarity import label_centroids
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(120, 8).astype(np.float32)
+    labels = rng.randint(0, 4, size=120)
+    rows = [{"label": int(l), "embedding": v.tolist()}
+            for l, v in zip(labels, vecs)]
+    out = label_centroids(rd.from_items(rows)).to_pandas()
+    micros = np.trunc(vecs.astype(np.float64) * 1e6).astype(np.int64)
+    for lab in range(4):
+        sums = micros[labels == lab].sum(axis=0)
+        n = int((labels == lab).sum())
+        sub = out[out["label"] == lab].sort_values("dim")
+        assert (sub["sum_micros"].to_numpy() == sums).all()
+        assert (sub["n_vecs"] == n).all()

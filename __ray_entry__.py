@@ -1593,6 +1593,87 @@ def _q_lang_rebalance(sf_dir: str):
     return kept.select_columns(["doc_id", "lang"])
 
 
+def _q_bigram_pmi(sf_dir: str):
+    """Collocation mining: PMI for the corpus's top-30 bigrams
+    (functions/curation.bigram_pmi). Two streaming passes — bigram
+    counts ride the one groupby shuffle as (gram, partial) pairs and
+    reduce to block-local top-k; only k rows + 2k targeted unigram
+    counts ever reach the driver."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import bigram_pmi
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    return bigram_pmi(ds, k=30)
+
+
+def _q_q3_shipping(sf_dir: str):
+    """TPC-H Q3-style shipping priority: one genuine LARGE-LARGE
+    distributed hash join (pre-aggregated lineitem revenue ⋈ filtered
+    orders on orderkey, partitions auto-sized to the cluster like
+    pipelines/curate.py), with the small dimension (BUILDING
+    customers) broadcast as a key set — never shuffled. Exact integer
+    cents x discount-pct arithmetic (the q1_pricing convention), so
+    the top-10 by revenue is value-exact."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ksoup_ray.pipelines.curate import _auto_partitions
+
+    cutoff = pd.Timestamp("1998-06-15")
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keys_arr = pa.array(sorted(cust.filter(
+        pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+        .column("c_custkey").to_pylist()), pa.int64())
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+
+    def filter_orders(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less(batch.column("o_orderdate"), pa.scalar(cutoff)))
+        mask = pc.is_in(batch.column("o_custkey"),
+                        value_set=keys_arr)
+        return batch.filter(mask).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    sel_orders = orders.map_batches(filter_orders,
+                                    batch_format="pyarrow")
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def revenue_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.greater(batch.column("l_shipdate"), pa.scalar(cutoff)))
+        df = batch.to_pandas()
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        pct = ((1 - df["l_discount"]) * 100).round().astype("int64")
+        df["revenue_e4"] = cents * pct
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            revenue_e4=("revenue_e4", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    revenue = (li.map_batches(revenue_partial, batch_format="pyarrow",
+                              batch_size=65536)
+               .groupby("l_orderkey")
+               .aggregate(Sum("revenue_e4", alias_name="revenue_e4")))
+
+    joined = revenue.join(sel_orders, join_type="inner",
+                          num_partitions=_auto_partitions(),
+                          on=("l_orderkey",), right_on=("o_orderkey",))
+    return (joined
+            .select_columns(["l_orderkey", "revenue_e4",
+                             "o_orderdate", "o_orderpriority"])
+            .sort(["revenue_e4", "l_orderkey"],
+                  descending=[True, False])
+            .limit(10))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1676,6 +1757,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_band": _q_length_band,
         "label_centroids": _q_label_centroids,
         "lang_rebalance": _q_lang_rebalance,
+        "bigram_pmi": _q_bigram_pmi,
+        "q3_shipping": _q_q3_shipping,
     }
 
 
@@ -2884,6 +2967,55 @@ def oracle_sql() -> dict[str, str]:
                      / 4294967296.0) * 1000000) AS BIGINT)
                   < CASE WHEN lang = 'en' THEN 1000000
                          ELSE 250000 END
+        """,
+        # PMI nesting ln((cab/nb) / ((ca/nw)*(cb/nw))) mirrored
+        # exactly by curation.bigram_pmi; top-k ties break on the
+        # bigram string
+        "bigram_pmi": """
+            WITH ws AS (SELECT string_split(text, ' ') AS w
+                        FROM documents),
+            tot AS (SELECT CAST(SUM(len(w)) AS DOUBLE) AS nw,
+                           CAST(SUM(len(w) - 1) AS DOUBLE) AS nb
+                    FROM ws),
+            uc AS (SELECT t, CAST(count(*) AS DOUBLE) AS c
+                   FROM (SELECT unnest(w) AS t FROM ws) GROUP BY t),
+            bc AS (SELECT w[i] AS a, w[i+1] AS b,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM ws,
+                   LATERAL unnest(generate_series(1, len(w) - 1))
+                     AS u(i)
+                   GROUP BY w[i], w[i+1]),
+            top AS (SELECT a, b, n FROM bc
+                    ORDER BY n DESC, a || ' ' || b LIMIT 30)
+            SELECT t.a || ' ' || t.b AS ngram, t.n,
+                   CAST(ROUND(ln((CAST(t.n AS DOUBLE) / tot.nb)
+                                 / ((ua.c / tot.nw)
+                                    * (ub.c / tot.nw)))
+                              * 1000000.0) AS BIGINT) AS pmi_micros
+            FROM top t
+            JOIN uc ua ON ua.t = t.a
+            JOIN uc ub ON ub.t = t.b
+            CROSS JOIN tot
+        """,
+        # q1_pricing money convention (cents x discount-pct int64)
+        "q3_shipping": """
+            WITH rev AS (
+              SELECT l_orderkey,
+                     SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * CAST(ROUND((1 - l_discount) * 100)
+                                AS BIGINT)) AS revenue_e4
+              FROM lineitem
+              WHERE l_shipdate > TIMESTAMP '1998-06-15'
+              GROUP BY l_orderkey)
+            SELECT r.l_orderkey,
+                   CAST(r.revenue_e4 AS BIGINT) AS revenue_e4,
+                   o.o_orderdate, o.o_orderpriority
+            FROM rev r
+            JOIN orders o ON o.o_orderkey = r.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-15'
+            ORDER BY revenue_e4 DESC, r.l_orderkey LIMIT 10
         """,
         # population std; int64 sums are exact in double < 2^53, so
         # the doubles match agg.grouped_zscore bit for bit

@@ -947,3 +947,90 @@ def length_band_filter(ds, *, text_col: str = "text",
         return out.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def bigram_pmi(ds, *, text_col: str = "text", k: int = 30):
+    """Pointwise mutual information for the corpus's top-``k`` word
+    bigrams — the standard collocation-mining signal (Church & Hanks
+    1990). Two streaming passes, driver state bounded by k:
+
+    pass A: bigram counts with map-side value_counts combine → ONE
+    groupby(bigram) Sum → block-local top-k → tiny final sort; only
+    the k winners reach the driver (the full bigram vocabulary rides
+    the shuffle as (gram, partial) pairs — the ngram_topk shape —
+    never the driver).
+    pass B: corpus totals (words, bigrams) and targeted unigram
+    counts for the ≤2k component words (broadcast in the closure,
+    the bm25 df-pass shape).
+
+    ``pmi_micros = round(ln((c_ab/N_b) / ((c_a/N_w) * (c_b/N_w))) *
+    1e6)`` with the exact expression nesting mirrored by the SQL
+    oracle. Ties in the top-k break on the bigram string. Returns a
+    k-row pandas DataFrame (ngram, n, pmi_micros)."""
+    from ray.data.aggregate import Sum
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        _, grams = _ngram_strings(s, 2)
+        vc = pd.Series(grams).value_counts()
+        return pa.table({
+            "ngram": pa.array(vc.index.to_numpy(dtype=object),
+                              pa.string()),
+            "partial": pa.array(vc.to_numpy(), pa.int64()),
+        })
+
+    totals = (ds.map_batches(bigram_partial, batch_format="pyarrow")
+              .groupby("ngram")
+              .aggregate(Sum("partial", alias_name="n")))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            batch, k, [("n", "descending"), ("ngram", "ascending")])
+        return batch.take(idx)
+
+    top = (totals.map_batches(local_topk, batch_format="pyarrow")
+           .sort(["n", "ngram"], descending=[True, False])
+           .limit(k).to_pandas())
+    words = sorted({w for g in top["ngram"] for w in g.split(" ")})
+    widx = {w: i for i, w in enumerate(words)}
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        doc_idx, codes, vocab, n_words = _explode_words(s)
+        vs = pd.Series(np.arange(len(vocab)), index=vocab)
+        counts = np.zeros(len(words), dtype=np.int64)
+        for w, i in widx.items():
+            code = vs.get(w, -1)
+            if code >= 0:
+                counts[i] = int((codes == code).sum())
+        return pa.table({
+            "n_words": pa.array([int(n_words.sum())], pa.int64()),
+            "n_bigrams": pa.array([int((n_words - 1).sum())],
+                                  pa.int64()),
+            "wc": pa.array([counts.tolist()], pa.list_(pa.int64())),
+        })
+
+    nw = 0
+    nb = 0
+    wc = np.zeros(len(words), dtype=np.int64)
+    for t in ds.map_batches(stats_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for i in range(t.num_rows):
+            nw += t.column("n_words")[i].as_py()
+            nb += t.column("n_bigrams")[i].as_py()
+            wc += np.array(t.column("wc")[i].as_py(), dtype=np.int64)
+
+    nw_f, nb_f = float(nw), float(nb)
+    a = np.array([widx[g.split(" ")[0]] for g in top["ngram"]])
+    b = np.array([widx[g.split(" ")[1]] for g in top["ngram"]])
+    cab = top["n"].to_numpy(dtype=np.float64)
+    ca = wc[a].astype(np.float64)
+    cb = wc[b].astype(np.float64)
+    # SAME nesting as the SQL oracle — parenthesization is part of
+    # the exactness contract
+    pmi = np.log((cab / nb_f) / ((ca / nw_f) * (cb / nw_f)))
+    return pd.DataFrame({
+        "ngram": top["ngram"],
+        "n": top["n"].astype(np.int64),
+        "pmi_micros": np.round(pmi * 1_000_000.0).astype(np.int64),
+    })

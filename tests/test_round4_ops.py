@@ -186,3 +186,46 @@ def test_label_centroids_matches_numpy(ray_session):
         sub = out[out["label"] == lab].sort_values("dim")
         assert (sub["sum_micros"].to_numpy() == sums).all()
         assert (sub["n_vecs"] == n).all()
+
+
+def test_bigram_pmi_matches_naive(ray_session):
+    import ray.data as rd
+    from collections import Counter
+    from ksoup_ray.functions.curation import bigram_pmi
+    texts = ["the quick fox", "the quick dog", "a quick fox jumps",
+             "the slow fox", "", "one"]
+    out = bigram_pmi(rd.from_items([{"text": t} for t in texts]),
+                     k=5)
+    words = [t.split(" ") for t in texts]
+    uni = Counter(w for ws in words for w in ws)
+    big = Counter(" ".join(p) for ws in words
+                  for p in zip(ws, ws[1:]))
+    nw = sum(uni.values())
+    nb = sum(big.values())
+    want = sorted(big.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(out["ngram"]) == [g for g, _ in want]
+    for g, n, pm in zip(out["ngram"], out["n"], out["pmi_micros"]):
+        a, b = g.split(" ")
+        expect = math.log((big[g] / nb)
+                          / ((uni[a] / nw) * (uni[b] / nw)))
+        assert pm == int(np.round(expect * 1e6))
+        assert n == big[g]
+
+
+def test_q3_shipping_matches_duckdb(ray_session):
+    import duckdb
+    import __ray_entry__ as entrymod
+    sf = "/root/testdata/sf0.001"
+    got = entrymod.queries()["q3_shipping"](sf).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(
+        entrymod.oracle_sql()["q3_shipping"]).df()
+    got = got.sort_values("l_orderkey").reset_index(drop=True)
+    want = want.sort_values("l_orderkey").reset_index(drop=True)
+    assert list(got["l_orderkey"]) == list(want["l_orderkey"])
+    assert list(got["revenue_e4"]) == list(want["revenue_e4"])
+    assert list(got["o_orderpriority"]) == \
+        list(want["o_orderpriority"])

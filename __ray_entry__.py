@@ -1674,6 +1674,43 @@ def _q_q3_shipping(sf_dir: str):
             .limit(10))
 
 
+def _q_span_stats(sf_dir: str):
+    """Repeated sliding-span statistics (functions/dedup.span_stats)
+    — the window-granularity form of exact substring dedup (Lee et
+    al. 2022). Only 128-bit span hashes + ids ride the ONE bucket
+    shuffle; per-block segment flags, then one native Sum groupby."""
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import span_stats
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return span_stats(ds, window=8, num_partitions=32)
+
+
+def _q_top_words_per_lang(sf_dir: str):
+    """Per-language top-10 words (functions/curation.
+    top_words_per_lang): map-side combine, one (lang, word) groupby,
+    lossless block-local per-lang pruning before the tiny driver
+    head(k)."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import top_words_per_lang
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+    return top_words_per_lang(ds, k=10)
+
+
+def _q_length_pct_rank(sf_dir: str):
+    """Exact PERCENT_RANK of every doc's token count WITHOUT a global
+    sort (functions/curation.length_pct_rank): bounded value
+    histogram folded once, cumulative counts broadcast, per-batch
+    searchsorted — the histogram-replaces-sort pattern for windowed
+    analytics at corpus scale."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import length_pct_rank
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return length_pct_rank(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1759,6 +1796,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_rebalance": _q_lang_rebalance,
         "bigram_pmi": _q_bigram_pmi,
         "q3_shipping": _q_q3_shipping,
+        "span_stats": _q_span_stats,
+        "top_words_per_lang": _q_top_words_per_lang,
+        "length_pct_rank": _q_length_pct_rank,
     }
 
 
@@ -2967,6 +3007,58 @@ def oracle_sql() -> dict[str, str]:
                      / 4294967296.0) * 1000000) AS BIGINT)
                   < CASE WHEN lang = 'en' THEN 1000000
                          ELSE 250000 END
+        """,
+        # per-lang row_number with (n DESC, word) tie-break — same
+        # rule as the engine's lossless block-local pruning
+        "top_words_per_lang": """
+            WITH words AS (SELECT lang,
+                                  unnest(string_split(text, ' '))
+                                    AS word
+                           FROM documents),
+            wc AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS n
+                   FROM words GROUP BY lang, word),
+            rk AS (SELECT lang, word, n,
+                          row_number() OVER (PARTITION BY lang
+                              ORDER BY n DESC, word) AS rn
+                   FROM wc)
+            SELECT lang, word, n FROM rk WHERE rn <= 10
+        """,
+        # RANK() min-rank - 1 = count below; both sides positive so
+        # DuckDB // == numpy floor division
+        "length_pct_rank": """
+            WITH tok AS (SELECT doc_id,
+              CAST(CASE WHEN text = '' OR text IS NULL THEN 0
+                   ELSE length(text) - length(replace(text, ' ', ''))
+                        + 1 END AS BIGINT) AS token_count
+              FROM documents)
+            SELECT doc_id, token_count,
+                   CAST((CAST(RANK() OVER (ORDER BY token_count)
+                              AS BIGINT) - 1) * 1000000
+                        // (SELECT count(*) - 1 FROM tok)
+                        AS BIGINT) AS pct_ppm
+            FROM tok
+        """,
+        # sliding 8-word spans; a span is repeated if it occurs >=2
+        # times anywhere in the corpus (including the same doc)
+        "span_stats": """
+            WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents),
+            win AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+                    FROM ws,
+                    LATERAL unnest(generate_series(1, len(w) - 7))
+                      AS u(i)),
+            cnt AS (SELECT g, count(*) AS c FROM win GROUP BY g),
+            nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                   FROM win GROUP BY doc_id),
+            rep AS (SELECT w2.doc_id, CAST(count(*) AS BIGINT) AS n
+                    FROM win w2 JOIN cnt ON cnt.g = w2.g
+                    WHERE cnt.c >= 2 GROUP BY w2.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(nw.n, 0) AS BIGINT) AS n_windows,
+                   CAST(COALESCE(rep.n, 0) AS BIGINT) AS n_repeated
+            FROM documents d
+            LEFT JOIN nw USING (doc_id)
+            LEFT JOIN rep USING (doc_id)
         """,
         # PMI nesting ln((cab/nb) / ((ca/nw)*(cb/nw))) mirrored
         # exactly by curation.bigram_pmi; top-k ties break on the

@@ -1034,3 +1034,97 @@ def bigram_pmi(ds, *, text_col: str = "text", k: int = 30):
         "n": top["n"].astype(np.int64),
         "pmi_micros": np.round(pmi * 1_000_000.0).astype(np.int64),
     })
+
+
+def top_words_per_lang(ds, *, text_col: str = "text",
+                       lang_col: str = "lang", k: int = 10):
+    """Per-language top-``k`` most frequent words — the grouped form
+    of ``ngram_topk`` (corpus diagnostics: per-lang stopword mix).
+    Map-side (lang, word) value_counts combine → ONE groupby Sum over
+    (lang, word) → block-local per-lang top-k (each pair's total
+    lives in exactly one post-groupby block, so per-block pruning is
+    lossless) → final per-lang head(k) over the tiny survivor set
+    (≤ k x |langs| x blocks rows). Ties break on the word string.
+    Returns a pandas DataFrame (lang, word, n)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            lang_col: batch.column(lang_col).to_pandas(),
+            "word": batch.column(text_col).to_pandas().fillna("")
+                    .str.split(" "),
+        }).explode("word")
+        g = df.groupby([lang_col, "word"], sort=False) \
+            .size().reset_index(name="partial")
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    totals = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([lang_col, "word"])
+              .aggregate(Sum("partial", alias_name="n")))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["n", "word"], ascending=[False, True])
+        return pa.Table.from_pandas(
+            df.groupby(lang_col, sort=False).head(k),
+            preserve_index=False)
+
+    small = totals.map_batches(local_topk,
+                               batch_format="pyarrow").to_pandas()
+    small = small.sort_values(["n", "word"], ascending=[False, True])
+    out = small.groupby(lang_col, sort=True).head(k)
+    return out.sort_values([lang_col, "n", "word"],
+                           ascending=[True, False, True]) \
+        .reset_index(drop=True)
+
+
+def length_pct_rank(ds, *, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Exact PERCENT_RANK of every document's token count WITHOUT a
+    global sort: the corpus-wide value histogram (bounded — token
+    counts are small integers at any scale) is folded once, its
+    cumulative counts broadcast in the scoring closure, and each
+    batch reads its ranks off with one ``searchsorted``. Matches SQL
+    ``PERCENT_RANK() OVER (ORDER BY token_count)`` = (min_rank - 1)
+    / (n - 1), emitted as exact integer ``pct_ppm = cnt_below * 1e6
+    // (n - 1)`` (both sides positive → floor == DuckDB ``//``).
+    Returns (id_col, token_count, pct_ppm)."""
+    from ray.data.aggregate import Sum
+
+    def tc_col(batch: pa.Table):
+        text = batch.column(text_col)
+        spaces = pc.count_substring(text, " ")
+        nonempty = pc.and_(pc.is_valid(text), pc.not_equal(text, ""))
+        return pc.if_else(nonempty, pc.add(spaces, 1),
+                          pa.scalar(0, pa.int32())).cast(pa.int64())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"token_count": tc_col(batch)})
+        g = t.group_by(["token_count"]).aggregate(
+            [("token_count", "count")])
+        return pa.table({
+            "token_count": g.column("token_count"),
+            "partial": g.column("token_count_count").cast(pa.int64()),
+        })
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("token_count")
+            .aggregate(Sum("partial", alias_name="n"))
+            .to_pandas().sort_values("token_count"))
+    vals = hist["token_count"].to_numpy(dtype=np.int64)
+    counts = hist["n"].to_numpy(dtype=np.int64)
+    below = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    total = int(counts.sum())
+
+    def score(batch: pa.Table) -> pa.Table:
+        tc = tc_col(batch).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vals, tc)
+        ppm = below[idx] * 1_000_000 // max(total - 1, 1)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "token_count": pa.array(tc, pa.int64()),
+            "pct_ppm": pa.array(ppm.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -958,3 +958,119 @@ def segment_dedup(ds, *, text_col: str = "text",
         flag_winners, batch_format="pandas")
     return flagged.groupby("_dk").map_groups(
         reassemble, batch_format="pandas")
+
+
+def span_stats(ds, *, text_col: str = "text", id_col: str = "doc_id",
+               window: int = 8, num_partitions: int = 64):
+    """Repeated-SPAN statistics — the sliding-window form of exact
+    substring dedup ("Deduplicating Training Data Makes Language
+    Models Better", Lee et al. 2022, the suffix-array criterion at
+    window granularity): for every document, how many of its
+    ``window``-word sliding spans occur anywhere else in the corpus
+    (including other positions of the SAME doc). Downstream filters
+    drop or trim docs with a high repeated fraction. Returns one row
+    per document: ``(id_col, n_windows, n_repeated)`` —
+    ``n_windows = max(len - window + 1, 0)`` and docs shorter than
+    ``window`` report (0, 0).
+
+    Scale shape — the only things that ever shuffle are 16-byte
+    hashes + int64 ids, never span text:
+      1. per batch: flat word array → strided fancy gather builds all
+         sliding spans with ONE Arrow ``binary_join`` (no Python
+         join loop); spans are keyed by a 128-bit hash (two
+         independent fixed-key SipHash-64 passes — the
+         ``segment_dedup`` collision argument: 64 bits would collide
+         at web scale, 128 will not); per-doc (doc, 0, n_windows)
+         base partials are emitted HERE so window-less docs still
+         appear in the output;
+      2. ONE hash shuffle on ``h1 % num_partitions`` (bounded bucket,
+         per-BLOCK kernel): a bucket holds every occurrence of its
+         hashes, so one sort + segment-length pass flags global
+         repeats; the block collapses to (doc, rep_partial) rows
+         before leaving;
+      3. ONE final native Sum groupby on doc_id folds base + repeat
+         partials.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ._blocks import bucket_of, segment_starts
+
+    def explode(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        words = s.str.split(" ")
+        n_words = words.str.len().to_numpy().astype(np.int64)
+        nwin = np.maximum(n_words - window + 1, 0)
+        # base rows get their OWN bucket range [P, 2P) spread by doc
+        # hash — a single shared bucket would collect one row per
+        # corpus document in one block
+        base = pa.table({
+            "_pk": pa.array(bucket_of(ids, num_partitions)
+                            + np.int32(num_partitions), pa.int32()),
+            id_col: pa.array(ids, pa.int64()),
+            "rep": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+            "nwin": pa.array(nwin, pa.int64()),
+        })
+        total = int(nwin.sum())
+        if total == 0:
+            return base
+        flat = words.explode().to_numpy(dtype=object)
+        doc_starts = np.cumsum(n_words) - n_words
+        # global flat index of every span start, then a strided gather
+        # (total x window) builds all spans in one shot — costs
+        # window x word bytes per batch, which is why span batches
+        # should stay modest (the caller's batch_size)
+        span_doc = np.repeat(ids, nwin)
+        span_start = np.repeat(doc_starts, nwin) + \
+            (np.arange(total, dtype=np.int64)
+             - np.repeat(np.cumsum(nwin) - nwin, nwin))
+        gather = (span_start[:, None]
+                  + np.arange(window, dtype=np.int64)).ravel()
+        offsets = (np.arange(total + 1, dtype=np.int64) * window) \
+            .astype(np.int32)
+        spans = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets),
+                                     pa.array(flat[gather],
+                                              pa.string())), " ")
+        sarr = spans.to_numpy(zero_copy_only=False)
+        h1 = pd.util.hash_array(sarr, hash_key=_H1_KEY) \
+            .astype(np.int64)
+        h2 = pd.util.hash_array(sarr, hash_key=_H2_KEY) \
+            .astype(np.int64)
+        occ = pa.table({
+            "_pk": pa.array(bucket_of(h1, num_partitions), pa.int32()),
+            id_col: pa.array(span_doc, pa.int64()),
+            "rep": pa.array(h1, pa.int64()),     # h1 in transit
+            "nwin": pa.array(h2, pa.int64()),    # h2 in transit
+        })
+        return pa.concat_tables([base, occ])
+
+    def flag_block(block: pd.DataFrame) -> pd.DataFrame:
+        pk = int(block["_pk"].iloc[0])
+        if pk >= num_partitions:
+            # base partials pass through: (doc, rep=0, n_windows)
+            return block[[id_col, "rep", "nwin"]]
+        h1 = block["rep"].to_numpy(dtype=np.int64)
+        h2 = block["nwin"].to_numpy(dtype=np.int64)
+        doc = block[id_col].to_numpy(dtype=np.int64)
+        order = np.lexsort((doc, h2, h1))
+        h1s, h2s, docs = h1[order], h2[order], doc[order]
+        key_change = np.ones(len(h1s), bool)
+        key_change[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        starts = np.flatnonzero(key_change)
+        lens = np.diff(np.append(starts, len(h1s)))
+        repeated = np.repeat(lens >= 2, lens)
+        g = pd.DataFrame({id_col: docs,
+                          "rep": repeated.astype(np.int64)}) \
+            .groupby(id_col, sort=False)["rep"].sum().reset_index()
+        g["nwin"] = np.int64(0)
+        return g[[id_col, "rep", "nwin"]]
+
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(flag_block, batch_format="pandas")
+            .groupby(id_col)
+            .aggregate(Sum("rep", alias_name="n_repeated"),
+                       Sum("nwin", alias_name="n_windows")))

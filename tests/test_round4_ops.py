@@ -229,3 +229,72 @@ def test_q3_shipping_matches_duckdb(ray_session):
     assert list(got["revenue_e4"]) == list(want["revenue_e4"])
     assert list(got["o_orderpriority"]) == \
         list(want["o_orderpriority"])
+
+
+def test_span_stats_matches_naive(ray_session):
+    import ray.data as rd
+    from collections import Counter
+    from ksoup_ray.functions.dedup import span_stats
+    W = 3
+    texts = [
+        "a b c d e",            # spans: abc bcd cde
+        "x y a b c d",          # shares 'a b c' and 'b c d'
+        "short",                # len < W -> (0, 0)
+        "r r r r",              # self-repeat: 'r r r' twice
+        "",
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    out = span_stats(rd.from_items(rows), window=W,
+                     num_partitions=4).to_pandas() \
+        .set_index("doc_id").sort_index()
+    spans = {i: [" ".join(t.split(" ")[j:j + W])
+                 for j in range(max(len(t.split(" ")) - W + 1, 0))]
+             for i, t in enumerate(texts)}
+    corpus = Counter(s for ss in spans.values() for s in ss)
+    for i, ss in spans.items():
+        assert out.loc[i, "n_windows"] == len(ss)
+        assert out.loc[i, "n_repeated"] == \
+            sum(1 for s in ss if corpus[s] >= 2)
+    assert out.loc[2, "n_windows"] == 0
+    assert out.loc[4, "n_windows"] == 0
+    assert out.loc[3, "n_repeated"] == 2
+
+
+def test_top_words_per_lang_matches_naive(ray_session):
+    import ray.data as rd
+    from collections import Counter
+    from ksoup_ray.functions.curation import top_words_per_lang
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(200):
+        lang = ["en", "de"][i % 2]
+        words = rng.choice(vocab, size=20,
+                           p=np.linspace(1, 3, 30) / np.linspace(
+                               1, 3, 30).sum())
+        rows.append({"lang": lang, "text": " ".join(words)})
+    out = top_words_per_lang(rd.from_items(rows), k=7)
+    for lang in ("en", "de"):
+        c = Counter(w for r in rows if r["lang"] == lang
+                    for w in r["text"].split(" "))
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:7]
+        sub = out[out["lang"] == lang]
+        assert list(zip(sub["word"], sub["n"])) == want
+
+
+def test_length_pct_rank_matches_rank_rule(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.curation import length_pct_rank
+    rng = np.random.RandomState(9)
+    lens = rng.randint(1, 40, size=300)
+    rows = [{"doc_id": i, "text": " ".join(["w"] * int(n))}
+            for i, n in enumerate(lens)]
+    out = length_pct_rank(rd.from_items(rows)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    n = len(lens)
+    for i in (0, 17, 123, 299):
+        below = int((lens < lens[i]).sum())
+        assert out.loc[i, "pct_ppm"] == below * 1_000_000 // (n - 1)
+    # extremes: the min has rank 0, the max is < 1.0 unless unique
+    assert out["pct_ppm"].min() == 0
+    assert out["pct_ppm"].max() <= 1_000_000

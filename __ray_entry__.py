@@ -1711,6 +1711,29 @@ def _q_length_pct_rank(sf_dir: str):
     return length_pct_rank(ds)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """EXACT >=1%-frequency words via Misra-Gries candidates + a
+    targeted verify pass (functions/sketch.heavy_hitters): bounded
+    candidate state, vectorized is_in verify, native Dataset.sum for
+    the grand total — identical to a full groupby with nothing
+    vocabulary-scale shuffled."""
+    import ray.data as rd
+    from ksoup_ray.functions.sketch import heavy_hitters
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    return heavy_hitters(ds, "text", phi=0.01, text_split=True)
+
+
+def _q_degree_hist(sf_dir: str):
+    """Out-degree distribution of the crawl link graph
+    (functions/graph.degree_histogram): id-only groupby(node), then a
+    bounded histogram combine over the degree VALUES — the power-law
+    diagnostic without ever collecting nodes."""
+    from ksoup_ray.functions.graph import degree_histogram
+    edges = _q_link_edges(sf_dir)
+    return degree_histogram(edges, node_col="src")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1799,6 +1822,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_stats": _q_span_stats,
         "top_words_per_lang": _q_top_words_per_lang,
         "length_pct_rank": _q_length_pct_rank,
+        "heavy_hitters": _q_heavy_hitters,
+        "degree_hist": _q_degree_hist,
     }
 
 
@@ -3007,6 +3032,31 @@ def oracle_sql() -> dict[str, str]:
                      / 4294967296.0) * 1000000) AS BIGINT)
                   < CASE WHEN lang = 'en' THEN 1000000
                          ELSE 250000 END
+        """,
+        # exact >= ceil(phi*N) frequency filter — identical result
+        # set to the engine's MG-candidates + verify construction
+        "heavy_hitters": """
+            WITH words AS (SELECT unnest(string_split(text, ' '))
+                             AS value
+                           FROM documents),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM words)
+            SELECT value, CAST(count(*) AS BIGINT) AS n
+            FROM words, tot
+            GROUP BY value, tot.n
+            HAVING count(*) >= CAST(CEIL(0.01 * tot.n) AS BIGINT)
+        """,
+        "degree_hist": """
+            WITH edges AS (
+              SELECT doc_id AS src,
+                     CAST((doc_id + k + 1) % 100000000 AS BIGINT)
+                       AS dst
+              FROM documents,
+              LATERAL unnest(generate_series(0, doc_id % 4 - 1))
+                AS t(k)),
+            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+                    FROM edges GROUP BY src)
+            SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY degree
         """,
         # per-lang row_number with (n DESC, word) tie-break — same
         # rule as the engine's lossless block-local pruning

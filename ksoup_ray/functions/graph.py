@@ -394,3 +394,39 @@ def cocitation_counts(edges, *, src_col: str = "src",
             .map_groups(pairs_block, batch_format="pandas")
             .groupby(["a", "b"])
             .aggregate(Sum("partial", alias_name="n_srcs")))
+
+
+def degree_histogram(edges, *, node_col: str = "src"):
+    """Degree distribution of a link graph — the first diagnostic a
+    crawl-graph pipeline runs (hub detection, power-law checks).
+    Two bounded aggregations: per-batch (node, partial) combine →
+    ONE groupby(node) Sum (id-only rows ride the shuffle) → per-batch
+    histogram partials over the degree VALUE (degrees are small
+    integers for almost all nodes; the distinct-degree set is tiny at
+    any scale) → one groupby(degree) Sum over a bounded table.
+    Returns (degree, n_nodes) for nodes with >= 1 edge."""
+    from ray.data.aggregate import Sum
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({node_col: batch.column(node_col)}) \
+            .group_by([node_col]).aggregate([(node_col, "count")])
+        return pa.table({
+            node_col: g.column(node_col),
+            "partial": g.column(f"{node_col}_count").cast(pa.int64()),
+        })
+
+    degrees = (edges.map_batches(node_partial, batch_format="pyarrow")
+               .groupby(node_col)
+               .aggregate(Sum("partial", alias_name="degree")))
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"degree": batch.column("degree")}) \
+            .group_by(["degree"]).aggregate([("degree", "count")])
+        return pa.table({
+            "degree": g.column("degree"),
+            "partial": g.column("degree_count").cast(pa.int64()),
+        })
+
+    return (degrees.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("degree")
+            .aggregate(Sum("partial", alias_name="n_nodes")))

@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def distinct_count(ds, col: str):
@@ -95,3 +96,83 @@ def hll_distinct(ds, col: str, *, p: int = 12):
         "registers": pa.array([m], pa.int64()),
         "p": pa.array([p], pa.int64()),
     })
+
+
+def heavy_hitters(ds, col: str, *, phi: float = 0.001,
+                  text_split: bool = False):
+    """EXACT frequency heavy hitters: every value (or word, with
+    ``text_split=True``) whose corpus frequency is >= ``phi`` of the
+    total count — via the Misra-Gries two-pass construction that
+    makes exact answers scale:
+
+    pass 1 (candidates): each batch keeps a Misra-Gries summary of
+    ~1/phi counters — the superset guarantee: any value with GLOBAL
+    frequency >= phi*N survives SOME batch summary (MG loses at most
+    phi*batch mass per batch, so a globally heavy value cannot be
+    cancelled in every batch). The driver unions candidate sets
+    (bounded by batches x 1/phi rows — corpus-independent).
+    pass 2 (verify): exact counts for the candidate set only — one
+    vectorized ``is_in`` + value_counts per batch, integer partials
+    folded on the driver (|candidates| ints); the grand total comes
+    from a native Dataset.sum over per-batch sizes (immune to
+    iter_batches re-blocking). The final ``count >= ceil(phi*N)``
+    filter yields results IDENTICAL to a full groupby — but nothing
+    vocabulary-scale ever shuffles or lands anywhere.
+
+    Returns a pandas DataFrame ``(value, n)`` sorted by
+    (n desc, value)."""
+    k = max(int(np.ceil(1.0 / phi)), 1)
+
+    def to_values(batch: pa.Table) -> np.ndarray:
+        s = batch.column(col).to_pandas().fillna("")
+        if text_split:
+            s = s.str.split(" ").explode()
+        return s.to_numpy(dtype=object)
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        vals = to_values(batch)
+        vc = pd.Series(vals).value_counts()
+        # batch Misra-Gries in one shot: keep the top-k counters and
+        # drop any tied with the (k+1)-th — survivors are exactly the
+        # values that could carry >= phi of this batch's mass
+        if len(vc) > k:
+            cut = vc.iloc[k]
+            vc = vc.iloc[:k]
+            vc = vc[vc > cut]
+        return pa.table({
+            "value": pa.array(vc.index.to_numpy(dtype=object),
+                              pa.string()),
+        })
+
+    cands: set = set()
+    for t in ds.map_batches(mg_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        cands.update(t.column("value").to_pylist())
+    cand_arr = pa.array(sorted(cands), pa.string())
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        vals = to_values(batch)
+        arr = pa.array(vals, pa.string())
+        mask = pc.is_in(arr, value_set=cand_arr)
+        hits = pd.Series(arr.filter(mask).to_pylist()).value_counts()
+        return pa.table({
+            "value": pa.array(hits.index.to_numpy(dtype=object),
+                              pa.string()),
+            "n": pa.array(hits.to_numpy(), pa.int64()),
+        })
+
+    counts: dict = {}
+    for t in ds.map_batches(exact_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for v, n in zip(t.column("value").to_pylist(),
+                        t.column("n").to_pylist()):
+            counts[v] = counts.get(v, 0) + n
+
+    grand_total = int(ds.map_batches(
+        lambda b: pa.table({"t": pa.array([len(to_values(b))],
+                                          pa.int64())}),
+        batch_format="pyarrow").sum("t"))
+    thresh = int(np.ceil(phi * grand_total))
+    out = [(v, n) for v, n in counts.items() if n >= thresh]
+    out.sort(key=lambda kv: (-kv[1], kv[0]))
+    return pd.DataFrame(out, columns=["value", "n"])

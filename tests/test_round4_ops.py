@@ -298,3 +298,39 @@ def test_length_pct_rank_matches_rank_rule(ray_session):
     # extremes: the min has rank 0, the max is < 1.0 unless unique
     assert out["pct_ppm"].min() == 0
     assert out["pct_ppm"].max() <= 1_000_000
+
+
+def test_heavy_hitters_exact_vs_full_count(ray_session):
+    import ray.data as rd
+    from collections import Counter
+    from ksoup_ray.functions.sketch import heavy_hitters
+    rng = np.random.RandomState(13)
+    # zipf-ish: a few hot words, a long tail
+    vocab = ["hot1", "hot2", "hot3"] + [f"tail{i}" for i in range(500)]
+    p = np.array([0.2, 0.12, 0.05] + [0.63 / 500] * 500)
+    texts = [" ".join(rng.choice(vocab, size=50, p=p / p.sum()))
+             for _ in range(100)]
+    out = heavy_hitters(rd.from_items([{"text": t} for t in texts]),
+                        "text", phi=0.04, text_split=True)
+    c = Counter(w for t in texts for w in t.split(" "))
+    total = sum(c.values())
+    thresh = int(np.ceil(0.04 * total))
+    want = sorted(((v, n) for v, n in c.items() if n >= thresh),
+                  key=lambda kv: (-kv[1], kv[0]))
+    assert list(zip(out["value"], out["n"])) == want
+    assert len(want) >= 2     # the test exercises a non-empty result
+
+
+def test_degree_histogram_matches_naive(ray_session):
+    import ray.data as rd
+    from collections import Counter
+    from ksoup_ray.functions.graph import degree_histogram
+    edges = [(1, 10), (1, 11), (2, 10), (3, 10), (3, 11), (3, 12),
+             (4, 99)]
+    deg = Counter(s for s, _ in edges)
+    want = Counter(deg.values())
+    out = degree_histogram(
+        rd.from_items([{"src": s, "dst": d} for s, d in edges])) \
+        .to_pandas()
+    got = dict(zip(out["degree"], out["n_nodes"]))
+    assert got == dict(want)

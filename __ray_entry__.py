@@ -787,6 +787,45 @@ def _q_fingerprint(sf_dir: str):
 _ANN_K = 10
 _ANN_NQ = 4
 _IVF_CELLS = 8
+
+# marker-word language-ID rule, shared by the `langid` oracle and the
+# `langid_confusion` cross-tab (kept a module constant so both oracles
+# stay literally the same prediction)
+_LANGID_SQL = """
+            WITH m(lang, w, pri) AS (VALUES
+              ('en','the',1),('en','and',1),('en','of',1),('en','to',1),
+              ('en','a',1),('en','in',1),('en','is',1),('en','it',1),
+              ('en','that',1),
+              ('de','der',2),('de','die',2),('de','das',2),('de','und',2),
+              ('de','ist',2),('de','nicht',2),('de','ein',2),('de','zu',2),
+              ('fr','le',3),('fr','la',3),('fr','les',3),('fr','et',3),
+              ('fr','est',3),('fr','un',3),('fr','une',3),('fr','que',3),
+              ('es','el',4),('es','la',4),('es','los',4),('es','y',4),
+              ('es','es',4),('es','un',4),('es','una',4),('es','que',4),
+              ('es','de',4)
+            ), words AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents
+            ), sc AS (
+              SELECT words.doc_id, m.lang, min(m.pri) AS pri,
+                     count(*) AS score
+              FROM words JOIN m ON words.w = m.w
+              GROUP BY words.doc_id, m.lang
+            ), best AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, pri ASC) AS rn
+              FROM sc
+            )
+            SELECT d.doc_id,
+                   CASE WHEN regexp_matches(d.text,
+                        '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]')
+                        THEN 'zh'
+                        WHEN b.lang IS NOT NULL THEN b.lang
+                        ELSE 'und' END AS pred_lang
+            FROM documents d
+            LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+"""
 _IVF_NPROBE = 2
 
 
@@ -1734,6 +1773,69 @@ def _q_degree_hist(sf_dir: str):
     return degree_histogram(edges, node_col="src")
 
 
+def _q_triangle_support(sf_dir: str):
+    """Per-closing-edge triangle counts over the crawl link graph
+    (functions/graph.triangle_support): oriented node-iterator —
+    wedges at the lowest node via the shared bounded-bucket pair
+    kernel, closed by a union + ONE (a, b) groupby (no hash-join
+    operator). The DuckDB oracle is the textbook 3-way self-join over
+    the reconstructed canonical edge set."""
+    from ksoup_ray.functions.graph import triangle_support
+    edges = _q_link_edges(sf_dir)
+    return triangle_support(edges)
+
+
+def _q_embed_quantize(sf_dir: str):
+    """Symmetric int8 quantization of the embeddings table
+    (functions/similarity.quantize_int8): per-batch float64 numpy
+    over the zero-copy matrix view, TRUNC semantics so DuckDB's
+    list_transform reproduces every code exactly. Zero shuffles."""
+    import ray.data as rd
+    from ksoup_ray.functions.similarity import quantize_int8
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return quantize_int8(ds)
+
+
+def _q_distinct_words(sf_dir: str):
+    """Exact per-language vocabulary size
+    (functions/curation.distinct_words_per_lang): local pair dedup →
+    one distinct-pair groupby → tiny per-lang Sum."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import distinct_words_per_lang
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+    return distinct_words_per_lang(ds)
+
+
+def _q_median_chars(sf_dir: str):
+    """Exact per-language lower median of n_chars
+    (functions/curation.grouped_median): bounded (lang × value)
+    histogram replaces any sort; ceil(N/2)-th smallest matches the
+    DuckDB row_number rule deterministically."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import grouped_median
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+    return grouped_median(ds, key_col="lang", val_col="n_chars")
+
+
+def _q_langid_confusion(sf_dir: str):
+    """Language-ID confusion matrix: the LangId actor pool
+    (functions/textstats.py) scores each doc, then a map-side-combined
+    cross-tab (functions/agg.crosstab_counts) counts (labeled lang ×
+    predicted lang) — the classifier-evaluation primitive. The oracle
+    reuses the langid SQL verbatim as a subquery."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import crosstab_counts
+    from ksoup_ray.functions.textstats import LangId
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    pred = ds.map_batches(LangId, batch_format="pyarrow",
+                          concurrency=(1, 4))
+    return crosstab_counts(pred, ["lang", "pred_lang"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1824,6 +1926,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_pct_rank": _q_length_pct_rank,
         "heavy_hitters": _q_heavy_hitters,
         "degree_hist": _q_degree_hist,
+        "triangle_support": _q_triangle_support,
+        "embed_quantize": _q_embed_quantize,
+        "distinct_words": _q_distinct_words,
+        "median_chars": _q_median_chars,
+        "langid_confusion": _q_langid_confusion,
     }
 
 
@@ -2625,40 +2732,14 @@ def oracle_sql() -> dict[str, str]:
                        AS simhash_hex
             FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
         """,
-        "langid": """
-            WITH m(lang, w, pri) AS (VALUES
-              ('en','the',1),('en','and',1),('en','of',1),('en','to',1),
-              ('en','a',1),('en','in',1),('en','is',1),('en','it',1),
-              ('en','that',1),
-              ('de','der',2),('de','die',2),('de','das',2),('de','und',2),
-              ('de','ist',2),('de','nicht',2),('de','ein',2),('de','zu',2),
-              ('fr','le',3),('fr','la',3),('fr','les',3),('fr','et',3),
-              ('fr','est',3),('fr','un',3),('fr','une',3),('fr','que',3),
-              ('es','el',4),('es','la',4),('es','los',4),('es','y',4),
-              ('es','es',4),('es','un',4),('es','una',4),('es','que',4),
-              ('es','de',4)
-            ), words AS (
-              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
-              FROM documents
-            ), sc AS (
-              SELECT words.doc_id, m.lang, min(m.pri) AS pri,
-                     count(*) AS score
-              FROM words JOIN m ON words.w = m.w
-              GROUP BY words.doc_id, m.lang
-            ), best AS (
-              SELECT doc_id, lang,
-                     row_number() OVER (PARTITION BY doc_id
-                         ORDER BY score DESC, pri ASC) AS rn
-              FROM sc
-            )
-            SELECT d.doc_id,
-                   CASE WHEN regexp_matches(d.text,
-                        '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]')
-                        THEN 'zh'
-                        WHEN b.lang IS NOT NULL THEN b.lang
-                        ELSE 'und' END AS pred_lang
-            FROM documents d
-            LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+        "langid": _LANGID_SQL,
+        # confusion matrix = the langid oracle as a subquery joined
+        # back to the labeled lang — same prediction rule, cross-tab
+        "langid_confusion": """
+            WITH pred AS (""" + _LANGID_SQL + """)
+            SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+            FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+            GROUP BY d.lang, p.pred_lang
         """,
         "ann_ivf": f"""
             WITH cents AS (
@@ -3057,6 +3138,68 @@ def oracle_sql() -> dict[str, str]:
                     FROM edges GROUP BY src)
             SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
             FROM deg GROUP BY degree
+        """,
+        # textbook 3-way self-join over the canonical (low→high) edge
+        # set: wedge (e1, e2) at lowest node, closed by e3 — each
+        # triangle counted once at its closing (mid, max) edge
+        "triangle_support": """
+            WITH e0 AS (
+              SELECT doc_id AS src,
+                     CAST((doc_id + k + 1) % 100000000 AS BIGINT)
+                       AS dst
+              FROM documents,
+              LATERAL unnest(generate_series(0, doc_id % 4 - 1))
+                AS t(k)),
+            e AS (SELECT DISTINCT least(src, dst) AS a,
+                         greatest(src, dst) AS b
+                  FROM e0 WHERE src <> dst)
+            SELECT e3.a, e3.b, CAST(count(*) AS BIGINT) AS n_tris
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+            GROUP BY e3.a, e3.b
+        """,
+        # same float64 expression nesting as the engine: upcast to
+        # DOUBLE, scale = 127/max|x| (0 for all-zero rows), TRUNC
+        "embed_quantize": """
+            WITH a AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                     list_max(list_transform(
+                         CAST(embedding AS DOUBLE[]),
+                         x -> abs(x))) AS amax
+              FROM embeddings)
+            SELECT vec_id,
+                   CAST(COALESCE(list_sum(list_transform(e,
+                        x -> abs(trunc(x * CASE WHEN amax > 0
+                                 THEN 127.0 / amax ELSE 0 END)))),
+                        0) AS BIGINT) AS l1_q,
+                   CAST(COALESCE(list_sum(list_transform(e,
+                        x -> CASE WHEN trunc(x * CASE WHEN amax > 0
+                                  THEN 127.0 / amax ELSE 0 END) <> 0
+                             THEN 1 ELSE 0 END)),
+                        0) AS BIGINT) AS nnz_q
+            FROM a
+        """,
+        "distinct_words": """
+            SELECT lang, CAST(count(DISTINCT w) AS BIGINT)
+                     AS n_distinct
+            FROM (SELECT lang,
+                         unnest(string_split(COALESCE(text, ''), ' '))
+                           AS w
+                  FROM documents)
+            GROUP BY lang
+        """,
+        # lower median = ceil(N/2)-th smallest — deterministic under
+        # ties, no interpolation hazard
+        "median_chars": """
+            WITH r AS (
+              SELECT lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS cnt
+              FROM documents)
+            SELECT lang, CAST(n_chars AS BIGINT) AS median_lo
+            FROM r WHERE rn = (cnt + 1) // 2
         """,
         # per-lang row_number with (n DESC, word) tie-break — same
         # rule as the engine's lossless block-local pruning

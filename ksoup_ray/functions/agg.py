@@ -443,3 +443,26 @@ def grouped_zscore(ds, *, key_col: str = "lang",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def crosstab_counts(ds, cols: list[str]):
+    """Exact contingency-table counts over a column tuple — the
+    confusion-matrix / cross-tab primitive (e.g. labeled lang ×
+    predicted lang for classifier evaluation). Map-side combine: each
+    batch collapses to its distinct tuples with partial counts (one
+    pandas groupby), then ONE groupby over the bounded tuple key —
+    rows crossing the shuffle are at most |distinct tuples| per batch,
+    never corpus-scale. Returns one row per observed tuple with an
+    int64 ``n``."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas()
+        g = df.groupby(cols, sort=False, dropna=False).size() \
+            .reset_index(name="partial")
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(cols)
+            .aggregate(Sum("partial", alias_name="n")))

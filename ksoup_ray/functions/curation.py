@@ -1128,3 +1128,83 @@ def length_pct_rank(ds, *, text_col: str = "text",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def distinct_words_per_lang(ds, *, text_col: str = "text",
+                            lang_col: str = "lang"):
+    """Exact per-language distinct-word (vocabulary-size) counts —
+    the corpus-diversity diagnostic. Canonical exact-distinct-per-
+    group shape: per-batch LOCAL (lang, word) dedup (one pandas
+    drop_duplicates — the map-side combine that makes the shuffle
+    proportional to the batch's distinct pairs, not its token count)
+    → ONE groupby over the distinct-pair key → per-block count
+    partials → a tiny groupby(lang) Sum. The word strings ride
+    exactly one shuffle, already deduplicated; nothing corpus-scale
+    lands on the driver. Returns (lang, n_distinct)."""
+    from ray.data.aggregate import Count, Sum
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([lang_col, text_col]).to_pandas()
+        w = df[text_col].fillna("").str.split(" ").explode()
+        pairs = pd.DataFrame({
+            "lang": df[lang_col].to_numpy(dtype=object)[
+                w.index.to_numpy()],
+            "word": w.to_numpy(dtype=object),
+        }).drop_duplicates()
+        return pa.table({
+            "lang": pa.array(pairs["lang"], pa.string()),
+            "word": pa.array(pairs["word"], pa.string()),
+        })
+
+    distinct_pairs = (ds.map_batches(pair_partial,
+                                     batch_format="pyarrow")
+                      .groupby(["lang", "word"])
+                      .aggregate(Count(alias_name="_c")))
+
+    def lang_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"lang": batch.column("lang")}) \
+            .group_by(["lang"]).aggregate([("lang", "count")])
+        return pa.table({
+            "lang": g.column("lang"),
+            "partial": g.column("lang_count").cast(pa.int64()),
+        })
+
+    return (distinct_pairs.map_batches(lang_partial,
+                                       batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("partial", alias_name="n_distinct")))
+
+
+def grouped_median(ds, *, key_col: str, val_col: str):
+    """Exact per-group LOWER median of an integer column with no sort
+    anywhere: map-side (key, value) partial counts → ONE groupby over
+    the bounded (key × distinct-value) histogram → per-key cumulative
+    scan over that bounded table (the only driver-side work). The
+    lower median is the ceil(N/2)-th smallest — a deterministic
+    element of the data, so the DuckDB row_number oracle matches
+    exactly with no interpolation hazard. Same
+    histogram-replaces-sort contract as ``length_pct_rank``: the
+    histogram is |keys| × |distinct values| rows, independent of the
+    corpus row count. Returns a pandas DataFrame (key, median_lo)
+    sorted by key."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, val_col]).to_pandas()
+        g = df.groupby([key_col, val_col], sort=False).size() \
+            .reset_index(name="partial")
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, val_col])
+            .aggregate(Sum("partial", alias_name="n"))
+            .to_pandas())
+    out = []
+    for key, grp in hist.groupby(key_col, sort=True):
+        grp = grp.sort_values(val_col)
+        target = (int(grp["n"].sum()) + 1) // 2
+        cum = grp["n"].cumsum()
+        med = int(grp.loc[cum >= target, val_col].iloc[0])
+        out.append((key, med))
+    return pd.DataFrame(out, columns=[key_col, "median_lo"])

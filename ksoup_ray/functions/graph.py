@@ -338,55 +338,16 @@ def cocitation_counts(edges, *, src_col: str = "src",
     url twice is one citation). Returns (a, b, n_srcs)."""
     from ray.data.aggregate import Sum
 
-    from ksoup_ray.functions._blocks import pk_column, segment_starts
-    from ksoup_ray.functions.metrics import record_drop
+    from ksoup_ray.functions._blocks import pk_column
 
     def add_pk(batch: pa.Table) -> pa.Table:
         return batch.append_column(
             "_pk", pk_column(batch.column(src_col), num_partitions))
 
     def pairs_block(block: pd.DataFrame) -> pd.DataFrame:
-        src = block[src_col].to_numpy(dtype=np.int64)
-        dst = block[dst_col].to_numpy(dtype=np.int64)
-        order = np.lexsort((dst, src))
-        src, dst = src[order], dst[order]
-        # collapse duplicate (src, dst) edges (sorted → adjacent)
-        keep = np.ones(len(src), dtype=bool)
-        keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
-        src, dst = src[keep], dst[keep]
-        starts = segment_starts(src)
-        d = np.diff(np.append(starts, len(src)))
-        over = d > max_degree
-        if over.any():
-            # blocking so the count is visible as soon as the
-            # pipeline is consumed (only paid when the cap trips)
-            record_drop("cocitation.max_degree_dropped_sources",
-                        int(over.sum()))
-            row_keep = np.repeat(~over, d)
-            src, dst = src[row_keep], dst[row_keep]
-            starts = segment_starts(src)
-            d = np.diff(np.append(starts, len(src)))
-        n = len(src)
-        if n == 0:
-            return pd.DataFrame({"a": np.array([], np.int64),
-                                 "b": np.array([], np.int64),
-                                 "partial": np.array([], np.int64)})
-        # vectorized within-segment pair expansion: row r (local
-        # index i of a degree-d segment) is the FIRST element of
-        # (d - 1 - i) pairs; its partners are rows r+1 .. segment end
-        within = np.arange(n, dtype=np.int64) - np.repeat(starts, d)
-        first_counts = np.repeat(d, d) - 1 - within
-        a_row = np.repeat(np.arange(n, dtype=np.int64), first_counts)
-        cum = np.concatenate(([0], np.cumsum(first_counts)))
-        b_row = a_row + 1 + (np.arange(cum[-1], dtype=np.int64)
-                             - np.repeat(cum[:-1], first_counts))
-        a, b = dst[a_row], dst[b_row]
-        # map-side combine: one np.unique over packed pair codes
-        pair = pd.DataFrame({"a": a, "b": b})
-        g = pair.groupby(["a", "b"], sort=False).size().reset_index(
-            name="partial")
-        g["partial"] = g["partial"].astype(np.int64)
-        return g
+        return _dst_pair_partials(
+            block, src_col, dst_col, max_degree,
+            "cocitation.max_degree_dropped_sources")
 
     return (edges.select_columns([src_col, dst_col])
             .map_batches(add_pk, batch_format="pyarrow")
@@ -394,6 +355,139 @@ def cocitation_counts(edges, *, src_col: str = "src",
             .map_groups(pairs_block, batch_format="pandas")
             .groupby(["a", "b"])
             .aggregate(Sum("partial", alias_name="n_srcs")))
+
+
+def _dst_pair_partials(block: pd.DataFrame, src_col: str, dst_col: str,
+                       max_degree: int, drop_metric: str) -> pd.DataFrame:
+    """Within-source unordered dst-pair partial counts for one
+    co-partitioned bucket block: sort, collapse duplicate (src, dst)
+    edges, drop (and RECORD) sources above ``max_degree``, then one
+    vectorized pair expansion + map-side combine. Shared kernel of
+    :func:`cocitation_counts` and :func:`triangle_support`."""
+    from ksoup_ray.functions._blocks import segment_starts
+    from ksoup_ray.functions.metrics import record_drop
+
+    src = block[src_col].to_numpy(dtype=np.int64)
+    dst = block[dst_col].to_numpy(dtype=np.int64)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    # collapse duplicate (src, dst) edges (sorted → adjacent)
+    keep = np.ones(len(src), dtype=bool)
+    keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+    src, dst = src[keep], dst[keep]
+    starts = segment_starts(src)
+    d = np.diff(np.append(starts, len(src)))
+    over = d > max_degree
+    if over.any():
+        # blocking so the count is visible as soon as the
+        # pipeline is consumed (only paid when the cap trips)
+        record_drop(drop_metric, int(over.sum()))
+        row_keep = np.repeat(~over, d)
+        src, dst = src[row_keep], dst[row_keep]
+        starts = segment_starts(src)
+        d = np.diff(np.append(starts, len(src)))
+    n = len(src)
+    if n == 0:
+        return pd.DataFrame({"a": np.array([], np.int64),
+                             "b": np.array([], np.int64),
+                             "partial": np.array([], np.int64)})
+    # vectorized within-segment pair expansion: row r (local
+    # index i of a degree-d segment) is the FIRST element of
+    # (d - 1 - i) pairs; its partners are rows r+1 .. segment end
+    within = np.arange(n, dtype=np.int64) - np.repeat(starts, d)
+    first_counts = np.repeat(d, d) - 1 - within
+    a_row = np.repeat(np.arange(n, dtype=np.int64), first_counts)
+    cum = np.concatenate(([0], np.cumsum(first_counts)))
+    b_row = a_row + 1 + (np.arange(cum[-1], dtype=np.int64)
+                         - np.repeat(cum[:-1], first_counts))
+    a, b = dst[a_row], dst[b_row]
+    # map-side combine: one np.unique over packed pair codes
+    pair = pd.DataFrame({"a": a, "b": b})
+    g = pair.groupby(["a", "b"], sort=False).size().reset_index(
+        name="partial")
+    g["partial"] = g["partial"].astype(np.int64)
+    return g
+
+
+def triangle_support(edges, *, src_col: str = "src",
+                     dst_col: str = "dst", max_degree: int = 64,
+                     num_partitions: int = 32):
+    """Triangle counts per CLOSING edge of the undirected link graph —
+    the spam-farm / community-density primitive (and the inner step of
+    k-truss decomposition). Edges are canonicalized low→high (self
+    loops dropped); a triangle {u < v < w} is found as the wedge
+    (v, w) at its LOWEST node u, closed iff (v, w) is itself an edge.
+    Output: (a, b, n_tris) for every edge (a, b) that closes at least
+    one triangle, with n_tris = |{u < a : (u,a), (u,b) ∈ E}| — the
+    classic oriented node-iterator, each triangle counted exactly
+    once (Schank & Wagner 2005).
+
+    Shuffle inventory: wedge generation rides ONE bounded-bucket
+    shuffle on ``pk(min-endpoint)`` (shared kernel with
+    :func:`cocitation_counts` — O(num_partitions) Python dispatches,
+    duplicate edges collapsed in-block, over-``max_degree`` hubs
+    dropped AND recorded); the close step is a union of wedge partials
+    with edge-marker rows + ONE (a, b) groupby — a join expressed as
+    an aggregation, so no hash-join operator (Ray 2.49 aggregator
+    deadlock guard, see module header)."""
+    from ray.data.aggregate import Max, Sum
+
+    from ksoup_ray.functions._blocks import pk_column
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(src_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        t = batch.column(dst_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = s != t
+        s, t = s[keep], t[keep]
+        return pa.table({"lo": pa.array(np.minimum(s, t), pa.int64()),
+                         "hi": pa.array(np.maximum(s, t), pa.int64())})
+
+    oriented = edges.select_columns([src_col, dst_col]) \
+        .map_batches(canon, batch_format="pyarrow")
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_pk", pk_column(batch.column("lo"), num_partitions))
+
+    def wedge_block(block: pd.DataFrame) -> pd.DataFrame:
+        out = _dst_pair_partials(
+            block, "lo", "hi", max_degree,
+            "triangle.max_degree_dropped_sources")
+        out["is_edge"] = np.zeros(len(out), np.int64)
+        return out
+
+    wedges = (oriented.map_batches(add_pk, batch_format="pyarrow")
+              .groupby("_pk")
+              .map_groups(wedge_block, batch_format="pandas"))
+
+    def markers(batch: pd.DataFrame) -> pd.DataFrame:
+        # local dedup only — the global Max collapses cross-batch dups
+        df = batch.drop_duplicates()
+        n = len(df)
+        # pandas blocks to match the wedge map_groups output type
+        return pd.DataFrame({
+            "a": df["lo"].to_numpy(np.int64),
+            "b": df["hi"].to_numpy(np.int64),
+            "partial": np.zeros(n, np.int64),
+            "is_edge": np.ones(n, np.int64),
+        })
+
+    marks = oriented.map_batches(markers, batch_format="pandas")
+
+    closed = (wedges.union(marks)
+              .groupby(["a", "b"])
+              .aggregate(Sum("partial", alias_name="n_tris"),
+                         Max("is_edge", alias_name="is_edge")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.and_(pc.equal(batch.column("is_edge"), 1),
+                       pc.greater(batch.column("n_tris"), 0))
+        return batch.filter(keep).select(["a", "b", "n_tris"])
+
+    return closed.map_batches(finish, batch_format="pyarrow")
 
 
 def degree_histogram(edges, *, node_col: str = "src"):

@@ -616,3 +616,38 @@ def label_centroids(ds, *, vec_col: str = "embedding",
             .groupby([key_col, "dim"])
             .aggregate(Sum("partial_sum", alias_name="sum_micros"),
                        Sum("partial_n", alias_name="n_vecs")))
+
+
+def quantize_int8(ds, *, vec_col: str = "embedding",
+                  id_col: str = "vec_id"):
+    """Per-row symmetric int8 quantization of an embedding column —
+    the storage/bandwidth step every large ANN index applies before
+    vectors land on disk (scale = 127 / max|x|, q_i = trunc(x_i *
+    scale)). Pure per-batch numpy over the zero-copy matrix view
+    (:func:`vecs_from_arrow`) — ZERO shuffles, no state.
+
+    Exactness contract: everything runs in float64 (float32 inputs
+    upcast exactly), TRUNC not ROUND (a pure function of the value —
+    no round-half ties), so the DuckDB oracle (``CAST(... AS
+    DOUBLE[])`` + ``list_transform`` with the same expression nesting)
+    reproduces every quantized value bit for bit. All-zero rows get
+    scale 0 (all-zero codes) rather than a divide-by-zero.
+
+    Returns (id_col, l1_q, nnz_q): the L1 norm and nonzero count of
+    each row's int8 codes — integer summaries that pin every element
+    of the quantized vector family without shipping d columns."""
+
+    def quant(batch: pa.Table) -> pa.Table:
+        m = vecs_from_arrow(batch.column(vec_col), np.float64)
+        amax = np.abs(m).max(axis=1) if m.size else np.zeros(len(m))
+        safe = np.where(amax > 0, amax, 1.0)
+        scale = np.where(amax > 0, 127.0 / safe, 0.0)
+        q = np.trunc(m * scale[:, None]).astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "l1_q": pa.array(np.abs(q).sum(axis=1), pa.int64()),
+            "nnz_q": pa.array((q != 0).sum(axis=1).astype(np.int64),
+                              pa.int64()),
+        })
+
+    return ds.map_batches(quant, batch_format="pyarrow")

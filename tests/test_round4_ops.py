@@ -334,3 +334,84 @@ def test_degree_histogram_matches_naive(ray_session):
         .to_pandas()
     got = dict(zip(out["degree"], out["n_nodes"]))
     assert got == dict(want)
+
+
+def test_triangle_support_matches_naive(ray_session):
+    import ray.data as rd
+    from collections import Counter
+    from itertools import combinations
+    from ksoup_ray.functions.graph import triangle_support
+    rng = np.random.RandomState(7)
+    edges = {(int(a), int(b)) for a, b in rng.randint(0, 20, (60, 2))}
+    undirected = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for a, b in undirected:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = Counter()
+    for u, v, w in combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            want[(v, w)] += 1          # closing (mid, max) edge
+    out = triangle_support(
+        rd.from_items([{"src": a, "dst": b} for a, b in edges])) \
+        .to_pandas()
+    got = {(int(r.a), int(r.b)): int(r.n_tris)
+           for r in out.itertuples()}
+    assert got == dict(want)
+    assert sum(want.values()) > 0      # the graph has triangles
+
+
+def test_quantize_int8_matches_numpy(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.similarity import quantize_int8
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, 8).astype(np.float32)
+    vecs[5] = 0.0                      # all-zero row → scale 0
+    items = [{"vec_id": i, "embedding": v.tolist()}
+             for i, v in enumerate(vecs)]
+    out = quantize_int8(rd.from_items(items)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    m = vecs.astype(np.float64)
+    amax = np.abs(m).max(axis=1)
+    scale = np.where(amax > 0, 127.0 / np.where(amax == 0, 1, amax),
+                     0.0)
+    q = np.trunc(m * scale[:, None]).astype(np.int64)
+    assert (out["l1_q"].to_numpy() == np.abs(q).sum(axis=1)).all()
+    assert (out["nnz_q"].to_numpy() == (q != 0).sum(axis=1)).all()
+    assert out.loc[5, "l1_q"] == 0 and out.loc[5, "nnz_q"] == 0
+    assert np.abs(q).max() <= 127      # codes actually fit int8
+
+
+def test_distinct_words_per_lang(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.curation import distinct_words_per_lang
+    rows = [{"lang": "en", "text": "a b a c"},
+            {"lang": "en", "text": "b d"},
+            {"lang": "de", "text": "x x y"},
+            {"lang": "de", "text": ""}]
+    out = distinct_words_per_lang(rd.from_items(rows)).to_pandas()
+    got = dict(zip(out["lang"], out["n_distinct"]))
+    # '' counts as a word of the empty doc (string_split semantics)
+    assert got == {"en": 4, "de": 3}
+
+
+def test_grouped_median_lower_rule(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.curation import grouped_median
+    rows = ([{"k": "a", "v": v} for v in [1, 3, 5, 7]]      # even: 3
+            + [{"k": "b", "v": v} for v in [10, 20, 30]]    # odd: 20
+            + [{"k": "c", "v": v} for v in [2, 2, 9]])      # ties: 2
+    out = grouped_median(rd.from_items(rows), key_col="k",
+                         val_col="v")
+    assert dict(zip(out["k"], out["median_lo"])) == \
+        {"a": 3, "b": 20, "c": 2}
+
+
+def test_crosstab_counts(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.agg import crosstab_counts
+    rows = [{"x": "a", "y": 1}, {"x": "a", "y": 1},
+            {"x": "a", "y": 2}, {"x": "b", "y": 1}]
+    out = crosstab_counts(rd.from_items(rows), ["x", "y"]).to_pandas()
+    got = {(r.x, int(r.y)): int(r.n) for r in out.itertuples()}
+    assert got == {("a", 1): 2, ("a", 2): 1, ("b", 1): 1}

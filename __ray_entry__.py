@@ -1836,6 +1836,188 @@ def _q_langid_confusion(sf_dir: str):
     return crosstab_counts(pred, ["lang", "pred_lang"])
 
 
+def _q_image_dhash(sf_dir: str):
+    """Image perceptual hashing (functions/multimodal.ImageDHash):
+    REAL PPM decode (functions/codecs.py) → integer luma → 8×9
+    nearest-neighbor → 64-bit dHash, the visual near-dup fingerprint.
+    Integer-exact end to end; pytest pins it against an independent
+    per-pixel reference. No SQL oracle — the hash is a function of the
+    decoded pixel payload, which SQL cannot decode (rows-only driver
+    check by design, like the iterative family)."""
+    import ray.data as rd
+    from ksoup_ray.functions.multimodal import (ImageDHash,
+                                                synth_media_batch)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    media = ds.map_batches(synth_media_batch, batch_format="pyarrow")
+    out = media.map_batches(ImageDHash, batch_format="pyarrow",
+                            batch_size=64, concurrency=(1, 2))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch.column("dhash_hex"))
+        batch = batch.filter(keep)
+        return pa.table({"media_id": batch.column("media_id"),
+                         "dhash_hex": batch.column("dhash_hex")})
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def _q_audio_stats(sf_dir: str):
+    """Audio signal features (functions/multimodal.AudioStats): REAL
+    PCM-WAV decode → integer sample count / zero-crossing count /
+    energy Σs². Pytest pins the values against direct numpy over the
+    same payloads; rows-only driver check (binary decode is not
+    SQL-expressible)."""
+    import ray.data as rd
+    from ksoup_ray.functions.multimodal import (AudioStats,
+                                                synth_media_batch)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    media = ds.map_batches(synth_media_batch, batch_format="pyarrow")
+    out = media.map_batches(AudioStats, batch_format="pyarrow",
+                            batch_size=64, concurrency=(1, 2))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch.column("n_samples"))
+        batch = batch.filter(keep)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "n_samples": batch.column("n_samples"),
+            "zero_crossings": batch.column("zero_crossings"),
+            "energy_sumsq": batch.column("energy_sumsq"),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def _q_retention_cohorts(sf_dir: str):
+    """Weekly retention cohorts over the event log
+    (functions/agg.retention_cohorts): local (user, week) dedup → ONE
+    bounded-bucket shuffle on hash(user) → per-block sorted segment
+    scan (cohort = per-user min week) → tiny (cohort, offset) Sum.
+    Exact integer epoch_us // week arithmetic on both sides."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import retention_cohorts
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return retention_cohorts(ds)
+
+
+def _q_q5_local_supplier(sf_dir: str):
+    """TPC-H Q5-style local-supplier volume: revenue per nation where
+    customer and supplier share a nation inside one region. The
+    Ray-Data-first join plan: the TINY dimensions (region→nation map,
+    supplier→nation map — orders of magnitude smaller than the fact
+    tables) ride along as broadcast lookups inside map_batches (the
+    q3_shipping convention); the ONE genuine large-large hash join is
+    filtered-orders ⋈ per-(order, supplier-nation) pre-aggregated
+    lineitem revenue, partitions auto-sized to the cluster. Exact
+    integer cents × discount-pct arithmetic (q1_pricing convention)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ksoup_ray.pipelines.curate import _auto_partitions
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    asia_key = region.filter(
+        pc.equal(region.column("r_name"), "ASIA")) \
+        .column("r_regionkey")[0].as_py()
+    nat = nation.filter(
+        pc.equal(nation.column("n_regionkey"), asia_key))
+    nat_keys = set(nat.column("n_nationkey").to_pylist())
+    nat_names = dict(zip(nat.column("n_nationkey").to_pylist(),
+                         nat.column("n_name").to_pylist()))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    supp_nat = {k: v for k, v in
+                zip(supp.column("s_suppkey").to_pylist(),
+                    supp.column("s_nationkey").to_pylist())
+                if v in nat_keys}
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cust_nat = {k: v for k, v in
+                zip(cust.column("c_custkey").to_pylist(),
+                    cust.column("c_nationkey").to_pylist())
+                if v in nat_keys}
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def order_nation(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.greater_equal(batch.column("o_orderdate"),
+                             pa.scalar(lo)),
+            pc.less(batch.column("o_orderdate"), pa.scalar(hi))))
+        keys = batch.column("o_custkey").to_pylist()
+        cn = np.array([cust_nat.get(k, -1) for k in keys], np.int64)
+        out = pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "c_nationkey": pa.array(cn, pa.int64()),
+        })
+        return out.filter(pc.greater_equal(out.column("c_nationkey"),
+                                           0))
+
+    sel_orders = orders.map_batches(order_nation,
+                                    batch_format="pyarrow")
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def revenue_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        sn = df["l_suppkey"].map(supp_nat)
+        df = df[sn.notna()]
+        df["s_nationkey"] = sn[sn.notna()].astype(np.int64)
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        pct = ((1 - df["l_discount"]) * 100).round().astype("int64")
+        df["revenue_e4"] = cents * pct
+        g = df.groupby(["l_orderkey", "s_nationkey"],
+                       as_index=False).agg(
+            revenue_e4=("revenue_e4", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    revenue = (li.map_batches(revenue_partial, batch_format="pyarrow",
+                              batch_size=65536)
+               .groupby(["l_orderkey", "s_nationkey"])
+               .aggregate(Sum("revenue_e4",
+                              alias_name="revenue_e4")))
+
+    joined = revenue.join(sel_orders, join_type="inner",
+                          num_partitions=_auto_partitions(),
+                          on=("l_orderkey",),
+                          right_on=("o_orderkey",))
+
+    def local_only(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("s_nationkey"),
+                                      batch.column("c_nationkey")))
+        names = [nat_names[k] for k in
+                 batch.column("s_nationkey").to_pylist()]
+        return pa.table({
+            "n_name": pa.array(names, pa.string()),
+            "revenue_e4": batch.column("revenue_e4"),
+        })
+
+    def name_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["n_name"]).aggregate(
+            [("revenue_e4", "sum")])
+        return pa.table({
+            "n_name": g.column("n_name"),
+            "partial": g.column("revenue_e4_sum").cast(pa.int64()),
+        })
+
+    return (joined.map_batches(local_only, batch_format="pyarrow")
+            .map_batches(name_partial, batch_format="pyarrow")
+            .groupby("n_name")
+            .aggregate(Sum("partial", alias_name="revenue_e4"))
+            .sort(["revenue_e4", "n_name"], descending=[True, False]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1931,6 +2113,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_words": _q_distinct_words,
         "median_chars": _q_median_chars,
         "langid_confusion": _q_langid_confusion,
+        "image_dhash": _q_image_dhash,
+        "audio_stats": _q_audio_stats,
+        "retention_cohorts": _q_retention_cohorts,
+        "q5_local_supplier": _q_q5_local_supplier,
     }
 
 
@@ -3188,6 +3374,42 @@ def oracle_sql() -> dict[str, str]:
                            AS w
                   FROM documents)
             GROUP BY lang
+        """,
+        # exact integer week arithmetic: epoch microseconds // week
+        "retention_cohorts": """
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 604800000000 AS wk
+              FROM events),
+            c AS (SELECT user_id, min(wk) AS cohort FROM uw
+                  GROUP BY user_id)
+            SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
+                   CAST(uw.wk - c.cohort AS BIGINT) AS offset_week,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM uw JOIN c ON uw.user_id = c.user_id
+            GROUP BY c.cohort, uw.wk - c.cohort
+        """,
+        # Q5 with the q1_pricing exact-cents convention; revenue kept
+        # as the int64 cents × pct sum so the sort is value-exact
+        "q5_local_supplier": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100)
+                                 AS BIGINT)
+                            * CAST(ROUND((1 - l.l_discount) * 100)
+                                   AS BIGINT)) AS BIGINT)
+                     AS revenue_e4
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE c.c_nationkey = s.s_nationkey
+              AND r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+            ORDER BY revenue_e4 DESC, n.n_name
         """,
         # lower median = ceil(N/2)-th smallest — deterministic under
         # ties, no interpolation hazard

@@ -466,3 +466,66 @@ def crosstab_counts(ds, cols: list[str]):
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(cols)
             .aggregate(Sum("partial", alias_name="n")))
+
+
+def retention_cohorts(ds, *, user_col: str = "user_id",
+                      ts_col: str = "ts", week_secs: int = 604800,
+                      num_partitions: int = 32):
+    """Cohort retention triangle over an event log: each user's cohort
+    is their FIRST active week; the output counts users active in
+    every (cohort_week, offset_week) cell — the standard engagement
+    report. All week arithmetic is exact integer microseconds
+    (epoch_us // week), so the DuckDB oracle matches bit for bit.
+
+    Shuffle inventory: per-batch local (user, week) dedup, then ONE
+    bounded-bucket shuffle on ``hash(user) % num_partitions``
+    (functions/_blocks.py — all of a user's weeks land in one block,
+    completing the dedup and making the per-user min a sorted segment
+    scan), then per-block (cohort, offset) partial counts → a tiny
+    final groupby over the bounded cohort × offset grid. No join, no
+    per-user Python dispatch. Returns (cohort_week, offset_week,
+    n_users)."""
+    from ray.data.aggregate import Sum
+
+    from ksoup_ray.functions._blocks import (bucket_of,
+                                             segment_starts)
+
+    week_us = week_secs * 1_000_000
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        users = batch.column(user_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        us = batch.column(ts_col).cast(
+            pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        weeks = us // week_us
+        df = pd.DataFrame({"user": users, "week": weeks}) \
+            .drop_duplicates()
+        df["_pk"] = bucket_of(df["user"].to_numpy(np.int64),
+                              num_partitions)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def cohort_block(block: pd.DataFrame) -> pd.DataFrame:
+        u = block["user"].to_numpy(np.int64)
+        w = block["week"].to_numpy(np.int64)
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        keep = np.ones(len(u), dtype=bool)           # global dedup
+        keep[1:] = (u[1:] != u[:-1]) | (w[1:] != w[:-1])
+        u, w = u[keep], w[keep]
+        starts = segment_starts(u)
+        d = np.diff(np.append(starts, len(u)))
+        cohort = np.repeat(w[starts], d)              # per-user min
+        g = pd.DataFrame({"cohort_week": cohort,
+                          "offset_week": w - cohort}) \
+            .groupby(["cohort_week", "offset_week"], sort=False) \
+            .size().reset_index(name="partial")
+        g["partial"] = g["partial"].astype(np.int64)
+        return g
+
+    return (ds.select_columns([user_col, ts_col])
+            .map_batches(pair_partial, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(cohort_block, batch_format="pandas")
+            .groupby(["cohort_week", "offset_week"])
+            .aggregate(Sum("partial", alias_name="n_users")))

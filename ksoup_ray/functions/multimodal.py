@@ -27,8 +27,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from .codecs import (decode_bmp, decode_ppm, encode_ppm, encode_wav,
-                     wav_duration_ms)
+from .codecs import (decode_bmp, decode_ppm, decode_wav, encode_ppm,
+                     encode_wav, wav_duration_ms)
 from ..engine.pdf import extract_pdf_pages, write_text_pdf
 
 MEDIA_META = pa.struct([
@@ -293,3 +293,98 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
         "media": pa.array(payloads, pa.binary()),
         "meta": pa.array(metas, MEDIA_META),
     })
+
+
+def _luma_int(img: np.ndarray) -> np.ndarray:
+    """Integer ITU-R 601 luma: (299 R + 587 G + 114 B) // 1000 —
+    exact integer arithmetic, no float rounding to disagree about."""
+    px = img.astype(np.int64)
+    return (299 * px[..., 0] + 587 * px[..., 1]
+            + 114 * px[..., 2]) // 1000
+
+
+def _resample_rect(img: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Nearest-neighbor resize to (rows, cols, ...) — pure index math
+    (the rectangular form of ``_resample_to``)."""
+    h, w = img.shape[:2]
+    ys = np.minimum((np.arange(rows) * h) // rows, h - 1)
+    xs = np.minimum((np.arange(cols) * w) // cols, w - 1)
+    return img[np.ix_(ys, xs)]
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash) of a decoded H×W×3 image: luma →
+    nearest-neighbor 8×9 → one bit per horizontally-adjacent pair
+    (left < right), row-major MSB-first. The standard perceptual
+    near-dup fingerprint for images (Krawetz 2013) — integer-exact,
+    so two workers can never disagree about a hash."""
+    small = _luma_int(_resample_rect(img, 8, 9))
+    bits = (small[:, 1:] < small[:, :-1]).ravel()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+class ImageDHash:
+    """Actor-pool stage: binary image column → 64-bit perceptual hash
+    (hex). REAL decode for the formats this container can handle
+    (PPM/BMP via functions/codecs.py); rows whose metadata is not an
+    image pass through with a NULL hash. Grouping equal/near dhashes
+    downstream is image near-dup — the visual analogue of simhash."""
+
+    def __init__(self, media_col: str = "media",
+                 meta_col: str = "meta"):
+        self.media_col = media_col
+        self.meta_col = meta_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.media_col).to_pylist()
+        metas = batch.column(self.meta_col).to_pylist()
+        hashes: list[str | None] = []
+        for data, meta in zip(payloads, metas):
+            if (meta or {}).get("media_type") != "image":
+                hashes.append(None)
+                continue
+            img = decode_image(data or b"")
+            hashes.append(format(dhash64(img), "016x"))
+        return batch.append_column("dhash_hex",
+                                   pa.array(hashes, pa.string()))
+
+
+class AudioStats:
+    """Actor-pool stage: PCM-WAV column → integer signal features —
+    sample count, zero-crossing count (signbit flips between adjacent
+    samples) and the int64 energy sum Σ s². All-integer outputs: two
+    runs (or the pytest reference) can never drift. Non-audio rows
+    pass through with NULLs."""
+
+    def __init__(self, media_col: str = "media",
+                 meta_col: str = "meta"):
+        self.media_col = media_col
+        self.meta_col = meta_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.media_col).to_pylist()
+        metas = batch.column(self.meta_col).to_pylist()
+        ns: list[int | None] = []
+        zcs: list[int | None] = []
+        sumsqs: list[int | None] = []
+        for data, meta in zip(payloads, metas):
+            if (meta or {}).get("media_type") != "audio":
+                ns.append(None)
+                zcs.append(None)
+                sumsqs.append(None)
+                continue
+            samples, _rate = decode_wav(data or b"")
+            s = samples.astype(np.int64)
+            ns.append(len(s))
+            zcs.append(int(np.count_nonzero(
+                np.signbit(s[:-1]) != np.signbit(s[1:]))))
+            sumsqs.append(int((s * s).sum()))
+        out = batch.append_column("n_samples",
+                                  pa.array(ns, pa.int64()))
+        out = out.append_column("zero_crossings",
+                                pa.array(zcs, pa.int64()))
+        return out.append_column("energy_sumsq",
+                                 pa.array(sumsqs, pa.int64()))

@@ -415,3 +415,103 @@ def test_crosstab_counts(ray_session):
     out = crosstab_counts(rd.from_items(rows), ["x", "y"]).to_pandas()
     got = {(r.x, int(r.y)): int(r.n) for r in out.itertuples()}
     assert got == {("a", 1): 2, ("a", 2): 1, ("b", 1): 1}
+
+
+def test_image_dhash_matches_naive(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.codecs import decode_ppm
+    from ksoup_ray.functions.multimodal import (ImageDHash,
+                                                synth_media_batch)
+
+    docs = pa.table({"doc_id": pa.array(list(range(30)), pa.int64()),
+                     "text": pa.array(["x"] * 30, pa.string())})
+    media = synth_media_batch(docs)
+
+    def naive_dhash(img):
+        # independent per-pixel reference: luma, NN 8x9, adjacent bits
+        h, w = img.shape[:2]
+        small = [[0] * 9 for _ in range(8)]
+        for r in range(8):
+            for c in range(9):
+                y = min(r * h // 8, h - 1)
+                x = min(c * w // 9, w - 1)
+                p = img[y, x]
+                small[r][c] = (299 * int(p[0]) + 587 * int(p[1])
+                               + 114 * int(p[2])) // 1000
+        out = 0
+        for r in range(8):
+            for c in range(8):
+                out = (out << 1) | int(small[r][c + 1] < small[r][c])
+        return format(out, "016x")
+
+    want = {}
+    for i in range(media.num_rows):
+        meta = media.column("meta")[i].as_py()
+        if meta["media_type"] == "image":
+            img = decode_ppm(media.column("media")[i].as_py())
+            want[media.column("media_id")[i].as_py()] = naive_dhash(img)
+
+    out = rd.from_arrow(media).map_batches(
+        ImageDHash, batch_format="pyarrow",
+        concurrency=(1, 2)).to_pandas()
+    got = {int(r.media_id): r.dhash_hex for r in out.itertuples()
+           if r.dhash_hex is not None}
+    assert got == want and len(want) == 10
+
+
+def test_audio_stats_matches_numpy(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.codecs import decode_wav
+    from ksoup_ray.functions.multimodal import (AudioStats,
+                                                synth_media_batch)
+
+    docs = pa.table({"doc_id": pa.array(list(range(30)), pa.int64()),
+                     "text": pa.array(["x"] * 30, pa.string())})
+    media = synth_media_batch(docs)
+    want = {}
+    for i in range(media.num_rows):
+        meta = media.column("meta")[i].as_py()
+        if meta["media_type"] == "audio":
+            s, rate = decode_wav(media.column("media")[i].as_py())
+            s64 = s.astype(np.int64)
+            want[media.column("media_id")[i].as_py()] = (
+                len(s64),
+                int(np.count_nonzero(np.signbit(s64[:-1])
+                                     != np.signbit(s64[1:]))),
+                int((s64 * s64).sum()))
+    out = rd.from_arrow(media).map_batches(
+        AudioStats, batch_format="pyarrow",
+        concurrency=(1, 2)).to_pandas()
+    got = {int(r.media_id): (int(r.n_samples), int(r.zero_crossings),
+                             int(r.energy_sumsq))
+           for r in out.itertuples() if not pd.isna(r.n_samples)}
+    assert got == want and len(want) == 10
+    # real signals have energy and crossings
+    assert all(v[2] > 0 for v in want.values())
+
+
+def test_retention_cohorts_matches_naive(ray_session):
+    import ray.data as rd
+    from collections import Counter
+    from ksoup_ray.functions.agg import retention_cohorts
+
+    rng = np.random.RandomState(11)
+    base = pd.Timestamp("2024-01-01").value // 1000   # us
+    rows = []
+    for _ in range(300):
+        u = int(rng.randint(0, 12))
+        ts_us = base + int(rng.randint(0, 6 * 604800)) * 1_000_000
+        rows.append({"user_id": u,
+                     "ts": pd.Timestamp(ts_us * 1000)})
+    df = pd.DataFrame(rows)
+    wk = df["ts"].astype("int64") // 1000 // (604800 * 1_000_000)
+    uw = pd.DataFrame({"u": df["user_id"], "w": wk}).drop_duplicates()
+    cohort = uw.groupby("u")["w"].transform("min")
+    want = Counter(zip(cohort, uw["w"] - cohort))
+    out = retention_cohorts(rd.from_pandas(df),
+                            num_partitions=4).to_pandas()
+    got = {(int(r.cohort_week), int(r.offset_week)): int(r.n_users)
+           for r in out.itertuples()}
+    assert got == dict(want)
+    # offset 0 cell count per cohort == new users that week
+    assert all(k[1] >= 0 for k in got)

@@ -2018,6 +2018,90 @@ def _q_q5_local_supplier(sf_dir: str):
             .sort(["revenue_e4", "n_name"], descending=[True, False]))
 
 
+def _q_extract_paragraphs(sf_dir: str):
+    """Paragraph-granularity extraction (stages/extract.ParagraphStage,
+    flat-map shape): parse the DOM, select `#content > p`, ONE ROW PER
+    PARAGRAPH with its document-order index, decoded text, and class
+    flag — the row granularity of paragraph-level curation. Oracle:
+    the synth corpus chunks text into 13-word paragraphs with class
+    an-info on every 5th, so the SQL reconstructs every row."""
+    from ksoup_ray.stages.extract import ParagraphStage
+    ds = _pages(sf_dir)
+    return ds.map_batches(ParagraphStage, batch_format="pyarrow",
+                          concurrency=(1, 4))
+
+
+def _q_para_dedup(sf_dir: str):
+    """Paragraph-level exact dedup across documents (the RefinedWeb /
+    CCNet line-dedup analogue at paragraph granularity): md5 every
+    extracted paragraph, keep the first occurrence by (doc_id,
+    para_idx), count copies. Map-side combine collapses each batch to
+    its distinct hashes; ONE groupby over the hash with native
+    Min/Sum — paragraph TEXT never rides the shuffle, only 32-char
+    hashes + one packed int64 keeper key."""
+    import hashlib
+    from ray.data.aggregate import Min, Sum
+
+    paras = _q_extract_paragraphs(sf_dir)
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        idxs = batch.column("para_idx").to_numpy(zero_copy_only=False)
+        texts = batch.column("para_text").to_pylist()
+        doc_ids = np.array([int(u.rsplit("/", 1)[1]) for u in urls],
+                           np.int64)
+        h = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+        df = pd.DataFrame({
+            "para_md5": h,
+            "keeper_key": doc_ids * 1_000_000 + idxs,
+        })
+        g = df.groupby("para_md5", as_index=False).agg(
+            keeper_key=("keeper_key", "min"),
+            partial=("keeper_key", "size"))
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (paras.map_batches(hash_partial, batch_format="pyarrow")
+           .groupby("para_md5")
+           .aggregate(Min("keeper_key", alias_name="keeper_key"),
+                      Sum("partial", alias_name="n_copies")))
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        kk = batch.column("keeper_key").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "para_md5": batch.column("para_md5"),
+            "keeper_doc_id": pa.array(kk // 1_000_000, pa.int64()),
+            "keeper_para_idx": pa.array(kk % 1_000_000, pa.int64()),
+            "n_copies": batch.column("n_copies"),
+        })
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def _q_csv_roundtrip(sf_dir: str):
+    """CSV shard source/sink: the documents table written once
+    (cached) as CSV shards via the Dataset sink, read back with
+    ray.data.read_csv (one task per shard), value-checked against the
+    original — quoting/escaping fidelity through the text boundary,
+    the jsonl_roundtrip pattern for the other interchange format."""
+    import os
+    import ray.data as rd
+
+    cache = (f"/tmp/ksoup_csv_corpus/"
+             f"{os.path.basename(sf_dir.rstrip('/'))}")
+    marker = os.path.join(cache, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(cache, exist_ok=True)
+        rd.read_parquet(f"{sf_dir}/documents.parquet") \
+            .repartition(8).write_csv(cache)
+        with open(marker, "w") as f:
+            f.write("ok")
+    files = [os.path.join(cache, f) for f in sorted(os.listdir(cache))
+             if f.endswith(".csv")]
+    return rd.read_csv(files).select_columns(
+        ["doc_id", "text", "lang", "source", "n_chars"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2117,6 +2201,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_stats": _q_audio_stats,
         "retention_cohorts": _q_retention_cohorts,
         "q5_local_supplier": _q_q5_local_supplier,
+        "extract_paragraphs": _q_extract_paragraphs,
+        "para_dedup": _q_para_dedup,
+        "csv_roundtrip": _q_csv_roundtrip,
     }
 
 
@@ -3374,6 +3461,48 @@ def oracle_sql() -> dict[str, str]:
                            AS w
                   FROM documents)
             GROUP BY lang
+        """,
+        # synth pages chunk text into 13-word <p> runs inside
+        # #content, class an-info on every 5th — reconstructed exactly
+        "extract_paragraphs": f"""
+            WITH w AS (
+              SELECT doc_id, lang,
+                     string_split(COALESCE(text, ''), ' ') AS ws
+              FROM documents),
+            x AS (
+              SELECT doc_id, lang, unnest(ws) AS word,
+                     generate_subscripts(ws, 1) AS i
+              FROM w)
+            SELECT {SYNTH_URL_SQL} AS url,
+                   CAST((i - 1) // 13 AS BIGINT) AS para_idx,
+                   string_agg(word, ' ' ORDER BY i) AS para_text,
+                   ((i - 1) // 13) % 5 = 0 AS is_aninfo
+            FROM x
+            GROUP BY doc_id, lang, (i - 1) // 13
+        """,
+        "para_dedup": """
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(COALESCE(text, ''), ' ') AS ws
+              FROM documents),
+            x AS (
+              SELECT doc_id, unnest(ws) AS word,
+                     generate_subscripts(ws, 1) AS i
+              FROM w),
+            p AS (
+              SELECT doc_id, (i - 1) // 13 AS pidx,
+                     string_agg(word, ' ' ORDER BY i) AS para
+              FROM x GROUP BY doc_id, (i - 1) // 13)
+            SELECT md5(para) AS para_md5,
+                   CAST(min(doc_id * 1000000 + pidx) // 1000000
+                        AS BIGINT) AS keeper_doc_id,
+                   CAST(min(doc_id * 1000000 + pidx) % 1000000
+                        AS BIGINT) AS keeper_para_idx,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM p GROUP BY para
+        """,
+        "csv_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         # exact integer week arithmetic: epoch microseconds // week
         "retention_cohorts": """

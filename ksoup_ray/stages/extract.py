@@ -274,3 +274,42 @@ class SelectStage:
             "first_match": pa.array(firsts, pa.string()),
         }
         return pa.table(out)
+
+
+class ParagraphStage:
+    """Paragraph-expansion stage (flat-map shape): per page, parse the
+    DOM, select the content paragraphs with the compiled query (once
+    per actor), and emit ONE OUTPUT ROW PER PARAGRAPH — the row
+    granularity every paragraph-level curation pipeline (line dedup,
+    per-paragraph quality filters, RefinedWeb-style repetition
+    removal) operates at. Output: (url, para_idx, para_text,
+    is_aninfo) — para order is document order; entity-encoded runs
+    decode through the tokenizer like any text."""
+
+    def __init__(self, query: str = "#content > p",
+                 flag_class: str = "an-info"):
+        self.eval = parse_query(query)
+        self.flag_class = flag_class
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls_in = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        urls: list[str] = []
+        idxs: list[int] = []
+        texts: list[str] = []
+        flags: list[bool] = []
+        for url, raw in zip(urls_in, htmls):
+            text, _ = decode_html(raw or b"")
+            doc = P.parse(text)
+            for i, el in enumerate(doc.select(self.eval)):
+                urls.append(url)
+                idxs.append(i)
+                texts.append(el.text())
+                flags.append(self.flag_class in
+                             (el.attr("class") or "").split())
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "para_idx": pa.array(idxs, pa.int64()),
+            "para_text": pa.array(texts, pa.string()),
+            "is_aninfo": pa.array(flags, pa.bool_()),
+        })

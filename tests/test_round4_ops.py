@@ -515,3 +515,24 @@ def test_retention_cohorts_matches_naive(ray_session):
     assert got == dict(want)
     # offset 0 cell count per cohort == new users that week
     assert all(k[1] >= 0 for k in got)
+
+
+def test_paragraph_stage_rows_and_flags(ray_session):
+    import ray.data as rd
+    from ksoup_ray.stages.extract import ParagraphStage
+    html = (b"<html><head><title>t</title></head><body>"
+            b'<nav><a href="/x">skip</a></nav>'
+            b'<div id="content">'
+            b'<p class="an-info">alpha &#98;eta</p>'
+            b"<p></p>"
+            b"<p>gamma delta</p>"
+            b"</div><p>outside</p></body></html>")
+    ds = rd.from_items([{"url": "https://s/en/00000042", "html": html}])
+    out = ds.map_batches(ParagraphStage, batch_format="pyarrow",
+                         concurrency=(1, 2)).to_pandas() \
+        .sort_values("para_idx").reset_index(drop=True)
+    # only #content > p children, document order, entities decoded
+    assert list(out["para_text"]) == ["alpha beta", "", "gamma delta"]
+    assert list(out["para_idx"]) == [0, 1, 2]
+    assert list(out["is_aninfo"]) == [True, False, False]
+    assert (out["url"] == "https://s/en/00000042").all()

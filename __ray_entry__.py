@@ -2102,6 +2102,42 @@ def _q_csv_roundtrip(sf_dir: str):
         ["doc_id", "text", "lang", "source", "n_chars"])
 
 
+def _q_rollup_counts(sf_dir: str):
+    """GROUP BY ROLLUP over (lang, source)
+    (functions/agg.rollup_counts): one distributed cross-tab, every
+    subtotal level derived from the bounded detail grid — mirrors
+    DuckDB ROLLUP + GROUPING() exactly."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import rollup_counts
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source"])
+    return rollup_counts(ds, ["lang", "source"])
+
+
+def _q_hash_sample(sf_dir: str):
+    """Exact-k deterministic per-language sample
+    (functions/splits.topk_hash_sample): k smallest md5 buckets per
+    lang — stable under re-runs/resume, lossless block-local pruning
+    before the bounded-key merge."""
+    import ray.data as rd
+    from ksoup_ray.functions.splits import topk_hash_sample
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "doc_id"])
+    return topk_hash_sample(ds, k=5)
+
+
+def _q_length_gini(sf_dir: str):
+    """Exact per-language Gini of doc lengths in floored ppm
+    (functions/curation.grouped_gini): bounded histogram replaces the
+    sort, rank-weighted sums folded per value run in Python ints —
+    overflow-free at any corpus size."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import grouped_gini
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+    return grouped_gini(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2204,6 +2240,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_paragraphs": _q_extract_paragraphs,
         "para_dedup": _q_para_dedup,
         "csv_roundtrip": _q_csv_roundtrip,
+        "rollup_counts": _q_rollup_counts,
+        "hash_sample": _q_hash_sample,
+        "length_gini": _q_length_gini,
     }
 
 
@@ -3503,6 +3542,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "csv_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "rollup_counts": """
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(GROUPING(lang, source) AS BIGINT)
+                     AS grouping_id
+            FROM documents GROUP BY ROLLUP(lang, source)
+        """,
+        "hash_sample": """
+            WITH h AS (
+              SELECT lang, doc_id,
+                     md5(CAST(doc_id AS VARCHAR)) AS hx
+              FROM documents),
+            r AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY hx, doc_id) AS rn
+              FROM h)
+            SELECT lang, doc_id, CAST(rn AS BIGINT) AS rank
+            FROM r WHERE rn <= 5
+        """,
+        # rank-weighted Gini; SUM() over BIGINT is HUGEINT in DuckDB
+        # so the 10^6 product and // stay exact, then CAST down
+        "length_gini": """
+            WITH r AS (
+              SELECT lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars) AS rn
+              FROM documents)
+            SELECT lang,
+                   CAST(1000000 * (2 * SUM(rn * n_chars)
+                                   - (count(*) + 1) * SUM(n_chars))
+                        // (count(*) * SUM(n_chars)) AS BIGINT)
+                     AS gini_ppm
+            FROM r GROUP BY lang
         """,
         # exact integer week arithmetic: epoch microseconds // week
         "retention_cohorts": """

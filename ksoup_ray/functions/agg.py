@@ -529,3 +529,33 @@ def retention_cohorts(ds, *, user_col: str = "user_id",
             .map_groups(cohort_block, batch_format="pandas")
             .groupby(["cohort_week", "offset_week"])
             .aggregate(Sum("partial", alias_name="n_users")))
+
+
+def rollup_counts(ds, cols: list[str]):
+    """GROUP BY ROLLUP counts over a low-cardinality column tuple —
+    detail rows plus every subtotal level up to the grand total (the
+    report/BI primitive). Distributed work is exactly ONE cross-tab
+    (:func:`crosstab_counts` — map-side combine, bounded-tuple
+    groupby); every rollup level is then derived from that bounded
+    detail grid on the driver (|tuples| rows, corpus-independent), so
+    no second shuffle. Rolled-up dimensions are NULL and
+    ``grouping_id`` carries the DuckDB GROUPING() bitmask (0 =
+    detail, …, 2^len(cols)-1 = grand total). Returns a pandas
+    DataFrame (cols…, n, grouping_id)."""
+    detail = crosstab_counts(ds, cols).to_pandas()
+    frames = []
+    for level in range(len(cols) + 1):
+        keep = cols[:len(cols) - level]
+        rolled = cols[len(cols) - level:]
+        if keep:
+            g = detail.groupby(keep, as_index=False, dropna=False) \
+                .agg(n=("n", "sum"))
+        else:
+            g = pd.DataFrame({"n": [int(detail["n"].sum())]})
+        for c in rolled:
+            g[c] = None
+        g["grouping_id"] = np.int64((1 << level) - 1)
+        frames.append(g[cols + ["n", "grouping_id"]])
+    out = pd.concat(frames, ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    return out

@@ -1208,3 +1208,48 @@ def grouped_median(ds, *, key_col: str, val_col: str):
         med = int(grp.loc[cum >= target, val_col].iloc[0])
         out.append((key, med))
     return pd.DataFrame(out, columns=[key_col, "median_lo"])
+
+
+def grouped_gini(ds, *, key_col: str = "lang",
+                 val_col: str = "n_chars"):
+    """Exact per-group Gini coefficient (in floored ppm) of an integer
+    column — the inequality diagnostic for corpus length balance —
+    with NO sort anywhere: the same bounded (key × distinct-value)
+    histogram as :func:`grouped_median`, then the rank-weighted sum
+    folded per value run (a run of c copies of v starting after rank
+    s contributes v·(c·s + c(c+1)/2)), all in arbitrary-precision
+    Python ints on the bounded table, so nothing overflows at any
+    corpus size. gini_ppm = 10^6·(2·Σrnᵢxᵢ − (n+1)·Σx) // (n·Σx) —
+    tie order cannot change the sum, so the DuckDB row_number oracle
+    matches exactly. Returns a pandas DataFrame (key, gini_ppm)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, val_col]).to_pandas()
+        g = df.groupby([key_col, val_col], sort=False).size() \
+            .reset_index(name="partial")
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, val_col])
+            .aggregate(Sum("partial", alias_name="n"))
+            .to_pandas())
+    out = []
+    for key, grp in hist.groupby(key_col, sort=True):
+        grp = grp.sort_values(val_col)
+        n_total = 0
+        s = 0
+        s1 = 0
+        for v, c in zip(grp[val_col], grp["n"]):
+            v, c = int(v), int(c)
+            s1 += v * (c * n_total + c * (c + 1) // 2)
+            n_total += c
+            s += v * c
+        if s == 0:
+            out.append((key, 0))
+            continue
+        num = 2 * s1 - (n_total + 1) * s
+        out.append((key, 1_000_000 * num // (n_total * s)))
+    return pd.DataFrame(out, columns=[key_col, "gini_ppm"]) \
+        .astype({"gini_ppm": np.int64})

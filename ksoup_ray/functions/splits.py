@@ -80,3 +80,37 @@ def resample_by_weight(ds, *, id_col: str = "doc_id",
         return batch.filter(pa.array(thresh < w))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def topk_hash_sample(ds, *, key_col: str = "lang",
+                     id_col: str = "doc_id", k: int = 5):
+    """EXACT-size deterministic per-group sample: the k rows with the
+    SMALLEST md5-bucket hex per group — a uniform without-replacement
+    sample whose membership is a pure function of the ids (stable
+    under re-runs, resumes and repartitioning; fraction-based
+    sampling can't promise an exact k). Two lossless stages: each
+    block prunes to its local per-group top-k (anything deeper can
+    never reach the global top-k), then one groupby over the BOUNDED
+    group key merges the survivors. Returns (key, id, rank) with
+    rank 1..k ordered by (md5hex, id) — matching the SQL row_number
+    rule exactly."""
+    import pandas as pd
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        hx = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        df = batch.select([key_col, id_col]).to_pandas()
+        df["hx"] = hx
+        df = df.sort_values(["hx", id_col]).groupby(
+            key_col, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge_topk(group: "pd.DataFrame") -> "pd.DataFrame":
+        g = group.sort_values(["hx", id_col]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[[key_col, id_col, "rank"]]
+
+    return (ds.select_columns([key_col, id_col])
+            .map_batches(local_topk, batch_format="pyarrow")
+            .groupby(key_col)
+            .map_groups(merge_topk, batch_format="pandas"))

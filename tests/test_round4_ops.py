@@ -536,3 +536,60 @@ def test_paragraph_stage_rows_and_flags(ray_session):
     assert list(out["para_idx"]) == [0, 1, 2]
     assert list(out["is_aninfo"]) == [True, False, False]
     assert (out["url"] == "https://s/en/00000042").all()
+
+
+def test_rollup_counts_levels(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.agg import rollup_counts
+    rows = [{"lang": "en", "source": "a"}, {"lang": "en", "source": "a"},
+            {"lang": "en", "source": "b"}, {"lang": "de", "source": "a"}]
+    out = rollup_counts(rd.from_items(rows), ["lang", "source"])
+    got = {(r.lang, r.source, int(r.grouping_id)): int(r.n)
+           for r in out.itertuples()}
+    assert got == {("en", "a", 0): 2, ("en", "b", 0): 1,
+                   ("de", "a", 0): 1,
+                   ("en", None, 1): 3, ("de", None, 1): 1,
+                   (None, None, 3): 4}
+
+
+def test_topk_hash_sample_exact_and_stable(ray_session):
+    import hashlib
+    import ray.data as rd
+    from ksoup_ray.functions.splits import topk_hash_sample
+    rows = [{"lang": l, "doc_id": i} for i, l in
+            enumerate(["en", "de"] * 40)]
+    out = topk_hash_sample(rd.from_items(rows), k=3).to_pandas()
+    for lang in ("en", "de"):
+        ids = [i for i, l in enumerate(["en", "de"] * 40) if l == lang]
+        want = sorted(ids, key=lambda i: (
+            hashlib.md5(str(i).encode()).hexdigest(), i))[:3]
+        sub = out[out["lang"] == lang].sort_values("rank")
+        assert list(sub["doc_id"]) == want
+        assert list(sub["rank"]) == [1, 2, 3]
+    # re-run → identical membership (pure function of ids)
+    out2 = topk_hash_sample(rd.from_items(rows), k=3).to_pandas()
+    a = out.sort_values(["lang", "rank"]).reset_index(drop=True)
+    b = out2.sort_values(["lang", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_grouped_gini_matches_definition(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.curation import grouped_gini
+    rng = np.random.RandomState(5)
+    rows = ([{"lang": "en", "n_chars": int(v)}
+             for v in rng.randint(1, 500, 60)]
+            + [{"lang": "de", "n_chars": 7} for _ in range(10)])
+    out = grouped_gini(rd.from_items(rows))
+    got = dict(zip(out["lang"], out["gini_ppm"]))
+
+    def ref_gini_ppm(vals):
+        xs = sorted(vals)
+        n = len(xs)
+        s = sum(xs)
+        s1 = sum((i + 1) * x for i, x in enumerate(xs))
+        return 1_000_000 * (2 * s1 - (n + 1) * s) // (n * s)
+
+    en = [r["n_chars"] for r in rows if r["lang"] == "en"]
+    assert got["en"] == ref_gini_ppm(en)
+    assert got["de"] == 0          # all-equal group → zero inequality

@@ -2138,6 +2138,115 @@ def _q_length_gini(sf_dir: str):
     return grouped_gini(ds)
 
 
+def _q_html_tables(sf_dir: str):
+    """Scrape-a-table (stages/extract.TableExtractStage): parse a
+    deterministic table page per doc and emit one row per CELL through
+    full Element.text() normalization (bold wrappers collapse, thead
+    row first). The oracle reconstructs every cell with
+    generate_series arithmetic."""
+    import ray.data as rd
+    from ksoup_ray.sources.synth import render_table_page
+    from ksoup_ray.stages.extract import TableExtractStage
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "html": pa.array([render_table_page(i) for i in ids],
+                             pa.string())})
+
+    pages = ds.map_batches(render, batch_format="pyarrow")
+    return pages.map_batches(TableExtractStage, batch_format="pyarrow",
+                             concurrency=(1, 4))
+
+
+def _q_form_fields(sf_dir: str):
+    """FormElement.form_data() as a distributed stage
+    (stages/extract.FormExtractStage): one row per SUBMITTED field in
+    submission order — disabled inputs skipped, checkbox only when
+    checked ('on'), select falls back to its first option, textarea
+    value = text. The oracle enumerates the same branch logic as flat
+    CASE/WHERE rows (field_idx shifts when the checkbox is absent)."""
+    import ray.data as rd
+    from ksoup_ray.sources.synth import render_form_page
+    from ksoup_ray.stages.extract import FormExtractStage
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "html": pa.array([render_form_page(i) for i in ids],
+                             pa.string())})
+
+    pages = ds.map_batches(render, batch_format="pyarrow")
+    return pages.map_batches(FormExtractStage, batch_format="pyarrow",
+                             concurrency=(1, 4))
+
+
+def _q_grouped_mode(sf_dir: str):
+    """Exact per-language mode of doc length
+    (functions/curation.grouped_mode): bounded histogram groupby,
+    driver argmax, ties toward the smallest value."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import grouped_mode
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+    return grouped_mode(ds)
+
+
+def _q_cov_qty_price(sf_dir: str):
+    """Exact per-returnflag covariance numerator between quantity
+    (whole units) and extended price (cents)
+    (functions/agg.grouped_cov): streaming sufficient statistics,
+    arbitrary-precision driver fold — order-free bit-exact vs the
+    DuckDB BIGINT oracle."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import grouped_cov
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_cov(ds, key_col="l_returnflag", x_col="l_quantity",
+                       y_col="l_extendedprice", x_scale=1, y_scale=100)
+
+
+def _q_source_langs(sf_dir: str):
+    """Ordered string_agg of DISTINCT langs per source
+    (functions/agg.group_string_agg): one cross-tab shuffle, ordered
+    concat on the bounded grid."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import group_string_agg
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "lang"])
+    return group_string_agg(ds, key_col="source", val_col="lang")
+
+
+def _q_stale_orders(sf_dir: str):
+    """Distributed ANTI join (functions/joins.anti_join): orders with
+    NO lineitem shipped on/after 1996-01-01 — right side collapses to
+    distinct keys map-side, one left-outer hash join + null filter."""
+    import datetime
+    import ray.data as rd
+    from ksoup_ray.functions.joins import anti_join
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+    cutoff = pa.scalar(datetime.datetime(1996, 1, 1),
+                       pa.timestamp("us"))
+    recent = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("l_shipdate"), cutoff)),
+        batch_format="pyarrow")
+    return anti_join(orders, recent, left_on="o_orderkey",
+                     right_on="l_orderkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2243,6 +2352,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_counts": _q_rollup_counts,
         "hash_sample": _q_hash_sample,
         "length_gini": _q_length_gini,
+        "html_tables": _q_html_tables,
+        "form_fields": _q_form_fields,
+        "grouped_mode": _q_grouped_mode,
+        "cov_qty_price": _q_cov_qty_price,
+        "source_langs": _q_source_langs,
+        "stale_orders": _q_stale_orders,
     }
 
 
@@ -3576,6 +3691,88 @@ def oracle_sql() -> dict[str, str]:
                         // (count(*) * SUM(n_chars)) AS BIGINT)
                      AS gini_ppm
             FROM r GROUP BY lang
+        """,
+        # cells reconstructed by series arithmetic; thead is row 0
+        "html_tables": """
+            WITH hdr AS (
+              SELECT d.doc_id, CAST(0 AS BIGINT) AS row_idx,
+                     CAST(c AS BIGINT) AS col_idx,
+                     'col' || c AS cell, TRUE AS is_header
+              FROM documents d, generate_series(0, 2) AS t(c)),
+            body AS (
+              SELECT d.doc_id, CAST(r + 1 AS BIGINT) AS row_idx,
+                     CAST(c AS BIGINT) AS col_idx,
+                     printf('d%d r%d c%d', d.doc_id, r, c) AS cell,
+                     FALSE AS is_header
+              FROM documents d, generate_series(0, 2) AS t(c),
+                   generate_series(0, 2) AS s(r)
+              WHERE r <= d.doc_id % 3)
+            SELECT * FROM hdr UNION ALL SELECT * FROM body
+        """,
+        # form_data branch logic as flat rows; field_idx shifts by 1
+        # after the checkbox on even ids (it submits only when checked)
+        "form_fields": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS b
+              FROM documents)
+            SELECT doc_id, CAST(0 AS BIGINT) AS field_idx,
+                   'q' AS field, 'q' || doc_id AS value FROM d
+            UNION ALL
+            SELECT doc_id, CAST(1 AS BIGINT), 'opt', 'on'
+            FROM d WHERE b = 1
+            UNION ALL
+            SELECT doc_id, CAST(1 + b AS BIGINT), 'tok',
+                   't' || (doc_id % 97) FROM d
+            UNION ALL
+            SELECT doc_id, CAST(2 + b AS BIGINT), 'pick',
+                   CASE WHEN doc_id % 3 = 0 THEN 'b' ELSE 'a' END
+            FROM d
+            UNION ALL
+            SELECT doc_id, CAST(3 + b AS BIGINT), 'note',
+                   'note ' || doc_id FROM d
+            UNION ALL
+            SELECT doc_id, CAST(4 + b AS BIGINT), 'go', 'Go' FROM d
+        """,
+        "grouped_mode": """
+            WITH c AS (
+              SELECT lang, n_chars, count(*) AS n
+              FROM documents GROUP BY lang, n_chars),
+            r AS (
+              SELECT lang, n_chars, n,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n DESC, n_chars)
+                       AS rn
+              FROM c)
+            SELECT lang, n_chars AS mode_val, CAST(n AS BIGINT) AS n
+            FROM r WHERE rn = 1
+        """,
+        # integer-scaled covariance numerator: SUM(BIGINT) is HUGEINT
+        # in DuckDB so the products stay exact, then CAST down
+        "cov_qty_price": """
+            WITH b AS (
+              SELECT l_returnflag AS flag,
+                     CAST(ROUND(l_quantity) AS BIGINT) AS q,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p
+              FROM lineitem)
+            SELECT flag AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) * SUM(q * p) - SUM(q) * SUM(p)
+                        AS BIGINT) AS cov_num
+            FROM b GROUP BY flag
+        """,
+        "source_langs": """
+            SELECT source,
+                   string_agg(DISTINCT lang, ',' ORDER BY lang)
+                     AS vals
+            FROM documents GROUP BY source
+        """,
+        "stale_orders": """
+            SELECT o_orderkey, o_custkey, o_orderstatus
+            FROM orders o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate >= TIMESTAMP '1996-01-01')
         """,
         # exact integer week arithmetic: epoch microseconds // week
         "retention_cohorts": """

@@ -559,3 +559,55 @@ def rollup_counts(ds, cols: list[str]):
     out = pd.concat(frames, ignore_index=True)
     out["n"] = out["n"].astype(np.int64)
     return out
+
+
+def grouped_cov(ds, *, key_col: str, x_col: str, y_col: str,
+                x_scale: int = 1, y_scale: int = 100):
+    """Exact per-group population-covariance NUMERATOR
+    ``n*sum(x*y) - sum(x)*sum(y)`` over integer-scaled columns (floats
+    are ROUNDed to x_scale/y_scale units per row BEFORE any sum, so
+    the result is order-free exact and matches a DuckDB BIGINT oracle
+    bit-for-bit). Streaming sufficient statistics: each batch
+    collapses to one (key, n, sx, sy, sxy) int64 row per key — rows
+    crossing to the driver are O(#batches x |keys|), payload-free —
+    and the fold runs in arbitrary-precision Python ints, so nothing
+    overflows at any corpus size (the final int64 cast raises loudly
+    if the true value doesn't fit the oracle's BIGINT either).
+    Returns a pandas DataFrame (key, n, cov_num)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, x_col, y_col]).to_pandas()
+        x = np.round(df[x_col].to_numpy() * x_scale).astype(np.int64)
+        y = np.round(df[y_col].to_numpy() * y_scale).astype(np.int64)
+        g = pd.DataFrame({key_col: df[key_col], "_x": x, "_y": y,
+                          "_xy": x * y, "_n": np.int64(1)}) \
+            .groupby(key_col, sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for key, grp in parts.groupby(key_col, sort=True):
+        n = int(grp["_n"].sum())
+        sx = sum(int(v) for v in grp["_x"])
+        sy = sum(int(v) for v in grp["_y"])
+        sxy = sum(int(v) for v in grp["_xy"])
+        out.append((key, n, n * sxy - sx * sy))
+    return pd.DataFrame(out, columns=[key_col, "n", "cov_num"]) \
+        .astype({"n": np.int64, "cov_num": np.int64})
+
+
+def group_string_agg(ds, cols=None, *, key_col: str = "source",
+                     val_col: str = "lang", sep: str = ","):
+    """Deterministic ``string_agg(DISTINCT val ORDER BY val)`` per
+    bounded-cardinality group — the report/export primitive. One
+    distributed cross-tab (:func:`crosstab_counts`) collapses the
+    corpus to the bounded (key x value) grid; the ordered join runs on
+    that grid on the driver, so value strings never ride a
+    corpus-scale shuffle and concatenation order is a pure function of
+    the values (matching the SQL ORDER BY rule exactly). Returns a
+    pandas DataFrame (key, vals)."""
+    grid = crosstab_counts(ds, [key_col, val_col]).to_pandas()
+    out = (grid.sort_values([key_col, val_col])
+           .groupby(key_col, sort=True)[val_col]
+           .agg(lambda s: sep.join(s))
+           .reset_index(name="vals"))
+    return out

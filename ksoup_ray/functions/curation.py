@@ -1253,3 +1253,33 @@ def grouped_gini(ds, *, key_col: str = "lang",
         out.append((key, 1_000_000 * num // (n_total * s)))
     return pd.DataFrame(out, columns=[key_col, "gini_ppm"]) \
         .astype({"gini_ppm": np.int64})
+
+
+def grouped_mode(ds, *, key_col: str = "lang",
+                 val_col: str = "n_chars"):
+    """Exact per-group mode of an integer column (ties broken toward
+    the SMALLEST value, mirroring a deterministic row_number oracle).
+    Same scale shape as :func:`grouped_median`: one map-side-combined
+    groupby over the bounded (key x distinct-value) histogram; the
+    argmax runs on that bounded table on the driver — no corpus sort,
+    no per-key Python dispatch. Returns (key, mode_val, n)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, val_col]).to_pandas()
+        g = df.groupby([key_col, val_col], sort=False).size() \
+            .reset_index(name="partial")
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, val_col])
+            .aggregate(Sum("partial", alias_name="n"))
+            .to_pandas())
+    top = (hist.sort_values([key_col, "n", val_col],
+                            ascending=[True, False, True])
+           .groupby(key_col, sort=True).head(1)
+           .reset_index(drop=True))
+    out = top.rename(columns={val_col: "mode_val"})
+    out["n"] = out["n"].astype(np.int64)
+    return out[[key_col, "mode_val", "n"]]

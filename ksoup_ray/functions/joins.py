@@ -243,3 +243,39 @@ def broadcast_lookup(ds, mapping: dict, *, src_col: str,
 
     return ds.map_batches(Enrich, batch_format="pyarrow",
                           concurrency=(1, 8))
+
+
+def anti_join(left, right, *, left_on: str, right_on: str,
+              num_partitions: int = 16):
+    """Distributed ANTI join: rows of ``left`` whose ``left_on`` key
+    never appears in ``right[right_on]``. Ray 2.49 has no native anti
+    join, so: (1) the right side collapses to DISTINCT keys via a
+    map-side-combined groupby (per-batch dedup first, so only unique
+    keys per batch ride the shuffle), (2) one left-outer hash join
+    against that key-only marker table, (3) a null filter drops the
+    matches. Only (key, bool) crosses on the small side; left payloads
+    shuffle once — the same shape as pipelines/curate._anti_join,
+    exposed as a first-class operator with key-name mapping."""
+    import pyarrow.compute as pc
+
+    def distinct_keys(batch: pa.Table) -> pa.Table:
+        keys = pc.unique(batch.column(right_on))
+        return pa.table({"_aj_key": keys.cast(pa.int64()),
+                         "_aj_hit": pa.array([True] * len(keys))})
+
+    from ray.data.aggregate import Count
+    marker = (right.select_columns([right_on])
+              .map_batches(distinct_keys, batch_format="pyarrow")
+              .groupby("_aj_key").aggregate(Count(alias_name="_aj_n"))
+              .map_batches(lambda b: pa.table({
+                  "_aj_key": b.column("_aj_key"),
+                  "_aj_hit": pa.array([True] * b.num_rows)}),
+                  batch_format="pyarrow"))
+    joined = left.join(marker, join_type="left_outer",
+                       num_partitions=num_partitions,
+                       on=(left_on,), right_on=("_aj_key",))
+    return joined.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("_aj_hit")))
+        .drop_columns([c for c in ("_aj_hit", "_aj_key")
+                       if c in b.column_names]),
+        batch_format="pyarrow")

@@ -196,6 +196,50 @@ def render_page(doc_id: int, text: str, lang: str,
     return url_for(doc_id, lang), raw, expected_text
 
 
+def render_table_page(doc_id: int) -> str:
+    """Deterministic table-bearing page for the scrape-a-table oracle:
+    one ``<table>`` with caption, a ``<thead>`` header row of 3 ``th``
+    cells, and ``doc_id % 3 + 1`` body rows of 3 ``td`` cells; cells
+    where (row+col) is even are ``<b>``-wrapped so ``Element.text()``
+    inline normalization is exercised. Query-local synth — NOT part of
+    :func:`render_page`, so corpus bytes (and SYNTH_VERSION caches)
+    are untouched."""
+    n_rows = doc_id % 3 + 1
+    head = "".join(f"<th>col{c}</th>" for c in range(3))
+    body = "".join(
+        "<tr>" + "".join(
+            (f"<td><b>d{doc_id} r{r} c{c}</b></td>" if (r + c) % 2 == 0
+             else f"<td>d{doc_id} r{r} c{c}</td>")
+            for c in range(3)) + "</tr>"
+        for r in range(n_rows))
+    return (f'<html><body><table id="t1"><caption>Doc {doc_id}</caption>'
+            f"<thead><tr>{head}</tr></thead><tbody>{body}</tbody>"
+            "</table></body></html>")
+
+
+def render_form_page(doc_id: int) -> str:
+    """Deterministic form-bearing page for the form_data() oracle —
+    every FormElement.form_data branch is hit somewhere in the corpus:
+    text input with value, checkbox (checked only on even ids, value
+    defaults to 'on'), hidden input, a DISABLED input (must be
+    skipped), a select whose second option is selected on id%3==0
+    (first-option fallback otherwise), a textarea (value = text), and
+    a named submit input. Query-local synth; corpus bytes untouched."""
+    checked = " checked" if doc_id % 2 == 0 else ""
+    selected = " selected" if doc_id % 3 == 0 else ""
+    return (
+        '<html><body><form action="/submit">'
+        f'<input type="text" name="q" value="q{doc_id}">'
+        f'<input type="checkbox" name="opt"{checked}>'
+        f'<input type="hidden" name="tok" value="t{doc_id % 97}">'
+        '<input type="text" name="skip" disabled value="x">'
+        '<select name="pick"><option value="a">A</option>'
+        f'<option value="b"{selected}>B</option></select>'
+        f'<textarea name="note">note {doc_id}</textarea>'
+        '<input type="submit" name="go" value="Go">'
+        "</form></body></html>")
+
+
 def render_batch(batch: pa.Table, pad_mix: bool = False,
                  pad_scale: int = 1) -> pa.Table:
     """documents-table batch → CC-page batch (Arrow in / Arrow out).

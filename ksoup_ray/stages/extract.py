@@ -313,3 +313,79 @@ class ParagraphStage:
             "para_text": pa.array(texts, pa.string()),
             "is_aninfo": pa.array(flags, pa.bool_()),
         })
+
+
+class TableExtractStage:
+    """Classic scrape-a-table operator (the single most common jsoup
+    recipe: ``doc.select("tr")`` then walk cells — reference
+    Element.kt select/children/text surface): per page, emit one
+    output row per table CELL as (doc_id, row_idx, col_idx, cell,
+    is_header) — row order is document order (thead first), cell text
+    through full ``Element.text()`` normalization (bold wrappers
+    collapse). Actor-pool stage: the selector compiles once per actor;
+    html arrives as a string column (query-local synth)."""
+
+    def __init__(self):
+        self.tr = parse_query("tr")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids: list[int] = []
+        row_idx: list[int] = []
+        col_idx: list[int] = []
+        cells: list[str] = []
+        is_hdr: list[bool] = []
+        for did, html in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("html").to_pylist()):
+            doc = P.parse(html or "")
+            for ri, tr in enumerate(doc.select(self.tr)):
+                cs = [ch for ch in tr.children()
+                      if ch.normal_name() in ("td", "th")]
+                for ci, cell in enumerate(cs):
+                    doc_ids.append(did)
+                    row_idx.append(ri)
+                    col_idx.append(ci)
+                    cells.append(cell.text())
+                    is_hdr.append(cell.normal_name() == "th")
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "row_idx": pa.array(row_idx, pa.int64()),
+            "col_idx": pa.array(col_idx, pa.int64()),
+            "cell": pa.array(cells, pa.string()),
+            "is_header": pa.array(is_hdr, pa.bool_()),
+        })
+
+
+class FormExtractStage:
+    """Form scraping through ``FormElement.form_data()`` (dom.py:2272,
+    jsoup formData semantics: disabled/unnamed skipped, checkbox only
+    when checked defaulting 'on', select emits selected options with
+    first-option fallback, textarea value = text): per page, one
+    output row per submitted field as (doc_id, field_idx, field,
+    value) in submission order. Actor-pool stage; selector compiled
+    once per actor."""
+
+    def __init__(self):
+        self.form = parse_query("form")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids: list[int] = []
+        idxs: list[int] = []
+        fields: list[str] = []
+        values: list[str] = []
+        for did, html in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("html").to_pylist()):
+            doc = P.parse(html or "")
+            forms = doc.select(self.form)
+            if not forms:
+                continue
+            for i, (name, val) in enumerate(forms[0].form_data()):
+                doc_ids.append(did)
+                idxs.append(i)
+                fields.append(name)
+                values.append(val)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "field_idx": pa.array(idxs, pa.int64()),
+            "field": pa.array(fields, pa.string()),
+            "value": pa.array(values, pa.string()),
+        })

@@ -593,3 +593,91 @@ def test_grouped_gini_matches_definition(ray_session):
     en = [r["n_chars"] for r in rows if r["lang"] == "en"]
     assert got["en"] == ref_gini_ppm(en)
     assert got["de"] == 0          # all-equal group → zero inequality
+
+
+def test_table_extract_cells(ray_session):
+    import ray.data as rd
+    from ksoup_ray.sources.synth import render_table_page
+    from ksoup_ray.stages.extract import TableExtractStage
+    ds = rd.from_items([{"doc_id": 5, "html": render_table_page(5)}])
+    out = ds.map_batches(TableExtractStage, batch_format="pyarrow",
+                         concurrency=1).to_pandas()
+    # doc 5: 1 header row + 5%3+1 = 3 body rows, 3 cols each
+    assert len(out) == 12
+    hdr = out[out["is_header"]]
+    assert list(hdr["cell"]) == ["col0", "col1", "col2"]
+    assert (hdr["row_idx"] == 0).all()
+    body = out[~out["is_header"]].sort_values(["row_idx", "col_idx"])
+    assert body.iloc[0]["cell"] == "d5 r0 c0"      # <b>-wrapped cell
+    assert body.iloc[-1]["cell"] == "d5 r2 c2"
+    assert list(body["row_idx"].unique()) == [1, 2, 3]
+
+
+def test_form_extract_branches(ray_session):
+    import ray.data as rd
+    from ksoup_ray.sources.synth import render_form_page
+    from ksoup_ray.stages.extract import FormExtractStage
+    ds = rd.from_items([{"doc_id": d, "html": render_form_page(d)}
+                        for d in (6, 7)])
+    out = ds.map_batches(FormExtractStage, batch_format="pyarrow",
+                         concurrency=1).to_pandas()
+    d6 = out[out["doc_id"] == 6].sort_values("field_idx")
+    # even id: checkbox submits 'on'; %3==0: second option selected
+    assert list(zip(d6["field"], d6["value"])) == [
+        ("q", "q6"), ("opt", "on"), ("tok", "t6"), ("pick", "b"),
+        ("note", "note 6"), ("go", "Go")]
+    d7 = out[out["doc_id"] == 7].sort_values("field_idx")
+    # odd id: checkbox unchecked (absent), select falls back to 'a';
+    # the disabled 'skip' input never appears
+    assert list(zip(d7["field"], d7["value"])) == [
+        ("q", "q7"), ("tok", "t7"), ("pick", "a"),
+        ("note", "note 7"), ("go", "Go")]
+    assert "skip" not in set(out["field"])
+
+
+def test_grouped_mode_tie_break(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.curation import grouped_mode
+    rows = ([{"lang": "en", "n_chars": 9}] * 3
+            + [{"lang": "en", "n_chars": 4}] * 3     # tie -> smaller
+            + [{"lang": "en", "n_chars": 100}]
+            + [{"lang": "de", "n_chars": 2}] * 2
+            + [{"lang": "de", "n_chars": 50}])
+    out = grouped_mode(rd.from_items(rows))
+    got = {r.lang: (int(r.mode_val), int(r.n)) for r in out.itertuples()}
+    assert got == {"en": (4, 3), "de": (2, 2)}
+
+
+def test_grouped_cov_exact(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.agg import grouped_cov
+    rows = [{"k": "a", "x": 2.0, "y": 1.25}, {"k": "a", "x": 3.0, "y": 0.75},
+            {"k": "a", "x": 5.0, "y": 2.00}, {"k": "b", "x": 1.0, "y": 9.99}]
+    out = grouped_cov(rd.from_items(rows), key_col="k", x_col="x",
+                      y_col="y", x_scale=1, y_scale=100)
+    got = {r.k: (int(r.n), int(r.cov_num)) for r in out.itertuples()}
+    # a: q=(2,3,5) p=(125,75,200); n*sum(qp)-sum(q)*sum(p)
+    qp = 2 * 125 + 3 * 75 + 5 * 200
+    assert got["a"] == (3, 3 * qp - 10 * 400)
+    assert got["b"] == (1, 0)
+
+
+def test_group_string_agg_ordered(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.agg import group_string_agg
+    rows = [{"source": "s1", "lang": "zh"}, {"source": "s1", "lang": "en"},
+            {"source": "s1", "lang": "en"}, {"source": "s2", "lang": "de"}]
+    out = group_string_agg(rd.from_items(rows))
+    got = dict(zip(out["source"], out["vals"]))
+    assert got == {"s1": "en,zh", "s2": "de"}
+
+
+def test_anti_join_drops_matches(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.joins import anti_join
+    left = rd.from_items([{"k": i, "v": f"v{i}"} for i in range(10)])
+    right = rd.from_items([{"rk": i} for i in (1, 3, 3, 5, 7, 9, 42)])
+    out = anti_join(left, right, left_on="k", right_on="rk",
+                    num_partitions=2).to_pandas()
+    assert sorted(out["k"]) == [0, 2, 4, 6, 8]
+    assert sorted(out.columns) == ["k", "v"]

@@ -2247,6 +2247,92 @@ def _q_stale_orders(sf_dir: str):
                      right_on="l_orderkey")
 
 
+def _q_json_props(sf_dir: str):
+    """Vectorized JSON field extraction (functions/jsonx.py): pull
+    int field $.k out of the events props payload via polars'
+    Rust-native json_path_match — no per-row Python loads loop;
+    DuckDB json_extract parity on nulls."""
+    import ray.data as rd
+    from ksoup_ray.functions.jsonx import json_int_field
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "props"])
+    return json_int_field(ds, col="props", path="$.k", out_col="k",
+                          keep=["event_id"])
+
+
+def _q_sitemap_urls(sf_dir: str):
+    """Sitemap XML round-trip through the XmlTreeBuilder as a
+    distributed stage: render one sitemap per source (bounded group
+    count), parse it back with Ksoup.parse-xml semantics, explode to
+    one row per <url> entry. Proves the XML parse path at pipeline
+    level (engine/xmlbuilder.py; reference Ksoup.kt parse(xml))."""
+    import ray.data as rd
+    from ksoup_ray.engine import parser as KP
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "source"])
+
+    def render(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id")
+        entries = "".join(
+            f"<url><loc>https://synth.invalid/{l}/{d:08d}</loc>"
+            f"<lastmod>day{d % 30}</lastmod></url>"
+            for d, l in zip(g["doc_id"], g["lang"]))
+        xml = f'<?xml version="1.0"?><urlset>{entries}</urlset>'
+        return pd.DataFrame({"source": [g["source"].iloc[0]],
+                             "xml": [xml]})
+
+    maps = ds.groupby("source").map_groups(render,
+                                           batch_format="pandas")
+
+    def parse(batch: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        locs: list[str] = []
+        mods: list[str] = []
+        for s, xml in zip(batch.column("source").to_pylist(),
+                          batch.column("xml").to_pylist()):
+            doc = KP.parse_xml(xml)
+            for u in doc.select("url"):
+                srcs.append(s)
+                locs.append(u.select_first("loc").text())
+                mods.append(u.select_first("lastmod").text())
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "loc": pa.array(locs, pa.string()),
+                         "lastmod": pa.array(mods, pa.string())})
+
+    return maps.map_batches(parse, batch_format="pyarrow")
+
+
+def _q_event_pivot(sf_dir: str):
+    """PIVOT events to a per-user feature row
+    (functions/agg.pivot_counts): fixed wide count columns per event
+    type, map-side-combined partials, one groupby."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import pivot_counts
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return pivot_counts(
+        ds, key_col="user_id", cat_col="event_type",
+        categories=["click", "error", "purchase", "signup", "view"])
+
+
+def _q_users_both(sf_dir: str):
+    """Distributed set INTERSECTION: users with BOTH a click and a
+    purchase — the same one-shuffle pivot (functions/agg.pivot_counts)
+    filtered on both counts positive; no second shuffle, no
+    driver-side sets."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import pivot_counts
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    wide = pivot_counts(ds, key_col="user_id", cat_col="event_type",
+                        categories=["click", "purchase"])
+    return wide.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater(b.column("n_click"), 0),
+            pc.greater(b.column("n_purchase"), 0))),
+        batch_format="pyarrow").select_columns(["user_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2358,6 +2444,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cov_qty_price": _q_cov_qty_price,
         "source_langs": _q_source_langs,
         "stale_orders": _q_stale_orders,
+        "json_props": _q_json_props,
+        "sitemap_urls": _q_sitemap_urls,
+        "event_pivot": _q_event_pivot,
+        "users_both": _q_users_both,
     }
 
 
@@ -3773,6 +3863,39 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM lineitem l
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_shipdate >= TIMESTAMP '1996-01-01')
+        """,
+        "json_props": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "sitemap_urls": """
+            SELECT source,
+                   'https://synth.invalid/' || lang || '/' ||
+                     lpad(CAST(doc_id AS VARCHAR), 8, '0') AS loc,
+                   'day' || (doc_id % 30) AS lastmod
+            FROM documents
+        """,
+        "event_pivot": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1
+                       ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1
+                       ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                       ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1
+                       ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1
+                       ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "users_both": """
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'click'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase'
         """,
         # exact integer week arithmetic: epoch microseconds // week
         "retention_cohorts": """

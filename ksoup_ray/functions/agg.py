@@ -611,3 +611,36 @@ def group_string_agg(ds, cols=None, *, key_col: str = "source",
            .agg(lambda s: sep.join(s))
            .reset_index(name="vals"))
     return out
+
+
+def pivot_counts(ds, *, key_col: str, cat_col: str,
+                 categories: list[str]):
+    """PIVOT a categorical column into FIXED wide count columns
+    ``n_<cat>`` per key (the feature-table primitive: one row per
+    entity, one column per event type). The category list must be
+    given explicitly — schema is static, never data-dependent, so the
+    plan stays one pass. Map-side combine: each batch collapses to one
+    wide partial row per key it contains (vectorized pandas crosstab),
+    then ONE groupby on the key sums the partials — shuffle payload is
+    |categories| int64s per (key, batch), never raw events. Keys may
+    be corpus-scale (groupby's hash shuffle handles that); category
+    count must be small. Returns a Dataset (key, n_<cat>...)."""
+    from ray.data.aggregate import Sum
+
+    cols = [f"n_{c}" for c in categories]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, cat_col]).to_pandas()
+        ct = pd.crosstab(df[key_col], df[cat_col])
+        out = pd.DataFrame(index=ct.index)
+        for c, name in zip(categories, cols):
+            if c in ct.columns:
+                out[name] = ct[c].astype(np.int64)
+            else:
+                out[name] = np.int64(0)
+        return pa.Table.from_pandas(out.reset_index(),
+                                    preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key_col)
+            .aggregate(*[Sum(c, alias_name=c) for c in cols]))

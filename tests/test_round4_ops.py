@@ -681,3 +681,41 @@ def test_anti_join_drops_matches(ray_session):
                     num_partitions=2).to_pandas()
     assert sorted(out["k"]) == [0, 2, 4, 6, 8]
     assert sorted(out.columns) == ["k", "v"]
+
+
+def test_json_int_field_nulls(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.jsonx import json_int_field
+    rows = [{"event_id": 1, "props": '{"k": 87}'},
+            {"event_id": 2, "props": '{"k": 0}'},
+            {"event_id": 3, "props": "not json"},
+            {"event_id": 4, "props": '{"other": 1}'}]
+    out = json_int_field(rd.from_items(rows), col="props", path="$.k",
+                         out_col="k", keep=["event_id"]).to_pandas()
+    got = dict(zip(out["event_id"], out["k"]))
+    assert got[1] == 87 and got[2] == 0
+    assert pd.isna(got[3]) and pd.isna(got[4])
+
+
+def test_pivot_counts_fixed_schema(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.agg import pivot_counts
+    rows = [{"u": 1, "t": "a"}, {"u": 1, "t": "a"}, {"u": 1, "t": "b"},
+            {"u": 2, "t": "b"}]
+    out = pivot_counts(rd.from_items(rows), key_col="u", cat_col="t",
+                       categories=["a", "b", "c"]).to_pandas()
+    out = out.set_index("u").sort_index()
+    # 'c' never occurs but the column must exist (static schema)
+    assert list(out.columns) == ["n_a", "n_b", "n_c"]
+    assert list(out.loc[1]) == [2, 1, 0]
+    assert list(out.loc[2]) == [0, 1, 0]
+
+
+def test_sitemap_urls_roundtrip(ray_session):
+    import __ray_entry__ as entrymod
+    out = entrymod.queries()["sitemap_urls"]("/root/testdata/sf0.001")
+    df = out.to_pandas()
+    assert len(df) == 500
+    row = df[df["loc"].str.endswith("/00000042")].iloc[0]
+    assert row["lastmod"] == "day12"          # 42 % 30
+    assert row["loc"].startswith("https://synth.invalid/")

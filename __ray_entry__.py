@@ -2333,6 +2333,29 @@ def _q_users_both(sf_dir: str):
         batch_format="pyarrow").select_columns(["user_id"])
 
 
+def _q_microdata(sf_dir: str):
+    """schema.org microdata extraction
+    (stages/extract.MicrodataStage): one row per itemprop in document
+    order; <time> values come from the datetime ATTRIBUTE (the
+    attribute-vs-text rule the oracle checks on even ids only)."""
+    import ray.data as rd
+    from ksoup_ray.sources.synth import render_microdata_page
+    from ksoup_ray.stages.extract import MicrodataStage
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "html": pa.array([render_microdata_page(i) for i in ids],
+                             pa.string())})
+
+    pages = ds.map_batches(render, batch_format="pyarrow")
+    return pages.map_batches(MicrodataStage, batch_format="pyarrow",
+                             concurrency=(1, 4))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2448,6 +2471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_urls": _q_sitemap_urls,
         "event_pivot": _q_event_pivot,
         "users_both": _q_users_both,
+        "microdata": _q_microdata,
     }
 
 
@@ -3896,6 +3920,19 @@ def oracle_sql() -> dict[str, str]:
             INTERSECT
             SELECT DISTINCT user_id FROM events
             WHERE event_type = 'purchase'
+        """,
+        "microdata": """
+            SELECT doc_id, 'headline' AS prop,
+                   'Doc ' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                     AS value
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'author', 'Author ' || (doc_id % 50)
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'datePublished',
+                   printf('2024-10-%02d', doc_id % 28 + 1)
+            FROM documents WHERE doc_id % 2 = 0
         """,
         # exact integer week arithmetic: epoch microseconds // week
         "retention_cohorts": """

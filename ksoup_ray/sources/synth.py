@@ -296,3 +296,20 @@ def cc_pages(sf_dir: str, pad_mix: bool = False, columns=None):
                          columns=["doc_id", "text", "lang"])
     return ds.map_batches(lambda b: render_batch(b, pad_mix=pad_mix),
                           batch_format="pyarrow", batch_size=256)
+
+
+def render_microdata_page(doc_id: int) -> str:
+    """Deterministic schema.org-microdata page (itemscope/itemprop —
+    the classic jsoup structured-extraction recipe): headline + author
+    on every page, a <time itemprop=datePublished datetime=...> only
+    on even ids (value comes from the attribute, not the text).
+    Query-local synth; corpus bytes untouched."""
+    time_el = (f'<time itemprop="datePublished" '
+               f'datetime="2024-10-{doc_id % 28 + 1:02d}">x</time>'
+               if doc_id % 2 == 0 else "")
+    return (
+        '<html><body>'
+        '<div itemscope itemtype="https://schema.org/Article">'
+        f'<h1 itemprop="headline">Doc {doc_id:08d}</h1>'
+        f'<span itemprop="author">Author {doc_id % 50}</span>'
+        f"{time_el}</div></body></html>")

@@ -389,3 +389,33 @@ class FormExtractStage:
             "field": pa.array(fields, pa.string()),
             "value": pa.array(values, pa.string()),
         })
+
+
+class MicrodataStage:
+    """schema.org microdata extraction (select('[itemprop]') + per-tag
+    value rule: <time> reads its datetime ATTRIBUTE, everything else
+    Element.text() — jsoup's recommended recipe for structured data):
+    one output row per (doc_id, prop, value) in document order.
+    Actor-pool stage; attribute selector compiled once per actor."""
+
+    def __init__(self):
+        self.props = parse_query("[itemprop]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids: list[int] = []
+        props: list[str] = []
+        values: list[str] = []
+        for did, html in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("html").to_pylist()):
+            doc = P.parse(html or "")
+            for el in doc.select(self.props):
+                doc_ids.append(did)
+                props.append(el.attr("itemprop"))
+                values.append(el.attr("datetime")
+                              if el.normal_name() == "time"
+                              else el.text())
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "prop": pa.array(props, pa.string()),
+            "value": pa.array(values, pa.string()),
+        })

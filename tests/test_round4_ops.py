@@ -719,3 +719,21 @@ def test_sitemap_urls_roundtrip(ray_session):
     row = df[df["loc"].str.endswith("/00000042")].iloc[0]
     assert row["lastmod"] == "day12"          # 42 % 30
     assert row["loc"].startswith("https://synth.invalid/")
+
+
+def test_microdata_attribute_rule(ray_session):
+    import ray.data as rd
+    from ksoup_ray.sources.synth import render_microdata_page
+    from ksoup_ray.stages.extract import MicrodataStage
+    ds = rd.from_items([{"doc_id": d, "html": render_microdata_page(d)}
+                        for d in (4, 5)])
+    out = ds.map_batches(MicrodataStage, batch_format="pyarrow",
+                         concurrency=1).to_pandas()
+    d4 = dict(zip(out[out["doc_id"] == 4]["prop"],
+                  out[out["doc_id"] == 4]["value"]))
+    # <time> reads its datetime attribute, not its text ('x')
+    assert d4 == {"headline": "Doc 00000004", "author": "Author 4",
+                  "datePublished": "2024-10-05"}
+    d5 = dict(zip(out[out["doc_id"] == 5]["prop"],
+                  out[out["doc_id"] == 5]["value"]))
+    assert d5 == {"headline": "Doc 00000005", "author": "Author 5"}

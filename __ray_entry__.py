@@ -2356,6 +2356,18 @@ def _q_microdata(sf_dir: str):
                              concurrency=(1, 4))
 
 
+def _q_event_gaps(sf_dir: str):
+    """Per-user LAG inter-arrival deltas in exact integer microseconds
+    (functions/agg.lag_gaps): one bounded-bucket shuffle, per-block
+    vectorized diff with segment guards; each user's first event is
+    excluded (LAG null)."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import lag_gaps
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    return lag_gaps(ds, num_partitions=32)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2472,6 +2484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_pivot": _q_event_pivot,
         "users_both": _q_users_both,
         "microdata": _q_microdata,
+        "event_gaps": _q_event_gaps,
     }
 
 
@@ -3920,6 +3933,16 @@ def oracle_sql() -> dict[str, str]:
             INTERSECT
             SELECT DISTINCT user_id FROM events
             WHERE event_type = 'purchase'
+        """,
+        "event_gaps": """
+            WITH g AS (
+              SELECT event_id, user_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS gap_us
+              FROM events)
+            SELECT event_id, user_id, CAST(gap_us AS BIGINT) AS gap_us
+            FROM g WHERE gap_us IS NOT NULL
         """,
         "microdata": """
             SELECT doc_id, 'headline' AS prop,

@@ -644,3 +644,43 @@ def pivot_counts(ds, *, key_col: str, cat_col: str,
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(key_col)
             .aggregate(*[Sum(c, alias_name=c) for c in cols]))
+
+
+def lag_gaps(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+             tie_col: str = "event_id", num_partitions: int = 64):
+    """Per-key LAG delta — ``ts - LAG(ts) OVER (PARTITION BY key ORDER
+    BY ts, tie)`` in exact integer microseconds, each key's first row
+    excluded (LAG is null there). The inter-arrival-time primitive
+    behind bot detection and session features. Same one-shuffle shape
+    as :func:`running_total`: bucket on ``hash(key) % num_partitions``
+    (functions/_blocks.py), then each bucket block computes ALL of its
+    keys' deltas in one vectorized pass — sort (key, ts, tie), one
+    global diff, segment-start rows dropped so deltas never leak
+    across keys. Returns (tie, key, gap_us)."""
+    import pandas as pd
+    from ._blocks import pk_column, start_of_segment
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_pk", pk_column(batch.column(key_col), num_partitions))
+
+    def gap_block(block: pd.DataFrame) -> pd.DataFrame:
+        block = block.sort_values([key_col, ts_col, tie_col],
+                                  kind="mergesort")
+        ts_us = block[ts_col].to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        keys = block[key_col].to_numpy()
+        gap = np.zeros(len(block), np.int64)
+        gap[1:] = ts_us[1:] - ts_us[:-1]
+        seg0 = start_of_segment(keys)
+        is_first = seg0 == np.arange(len(block))
+        out = pd.DataFrame({
+            tie_col: block[tie_col].to_numpy(),
+            key_col: keys,
+            "gap_us": gap,
+        })
+        return out[~is_first]
+
+    return (ds.map_batches(add_pk, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(gap_block, batch_format="pandas"))

@@ -737,3 +737,22 @@ def test_microdata_attribute_rule(ray_session):
     d5 = dict(zip(out[out["doc_id"] == 5]["prop"],
                   out[out["doc_id"] == 5]["value"]))
     assert d5 == {"headline": "Doc 00000005", "author": "Author 5"}
+
+
+def test_lag_gaps_matches_pandas(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.agg import lag_gaps
+    rng = np.random.RandomState(9)
+    rows = [{"event_id": i, "user_id": int(rng.randint(0, 7)),
+             "ts": pd.Timestamp("2024-01-01")
+             + pd.Timedelta(microseconds=int(rng.randint(0, 10**9)))}
+            for i in range(300)]
+    out = lag_gaps(rd.from_items(rows), num_partitions=4).to_pandas()
+    df = pd.DataFrame(rows).sort_values(["user_id", "ts", "event_id"])
+    us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    want = df.assign(_us=us)
+    want["gap"] = want.groupby("user_id")["_us"].diff()
+    want = want.dropna(subset=["gap"])
+    got = out.set_index("event_id")["gap_us"].sort_index()
+    exp = want.set_index("event_id")["gap"].astype(np.int64).sort_index()
+    assert got.equals(exp)

@@ -2368,6 +2368,176 @@ def _q_event_gaps(sf_dir: str):
     return lag_gaps(ds, num_partitions=32)
 
 
+def _q_ohlc_hourly(sf_dir: str):
+    """Per-(user, hour) OPEN/HIGH/LOW/CLOSE bars
+    (functions/agg.ohlc_bars): the time-series downsampling
+    primitive; per-row ROUND(value*1e6) micros so every bar value is
+    an exact int64, (ts, event_id) ordering so duplicate timestamps
+    are deterministic. One bounded-bucket shuffle + segmented
+    reduceat kernel — never per-key dispatch."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import ohlc_bars
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "value"])
+    return ohlc_bars(ds, num_partitions=32)
+
+
+def _q_monthly_revenue(sf_dir: str):
+    """Calendar-month revenue rollup: vectorized Arrow year/month
+    extraction + exact int64 cents, ONE partial-combining groupby
+    (q1_pricing's cents convention over the date dimension)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        cents = np.round(batch.column("o_totalprice")
+                         .to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        return pa.table({
+            "o_year": pc.cast(pc.year(d), pa.int64()),
+            "o_month": pc.cast(pc.month(d), pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    return (ds.map_batches(keyed, batch_format="pyarrow")
+            .groupby(["o_year", "o_month"])
+            .aggregate(Sum("cents", alias_name="revenue_cents"),
+                       Count(alias_name="n_orders")))
+
+
+def _q_length_histogram(sf_dir: str):
+    """Fixed-width document-length histogram (256-char bins): exact
+    integer bin arithmetic, per-batch combine, one bounded groupby —
+    the corpus-profiling first look."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["n_chars"])
+
+    def binned(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_chars")
+        return pa.table({
+            "bin": pc.divide(n, pa.scalar(256, pa.int64())),
+            "n_chars": n,
+        })
+
+    return (ds.map_batches(binned, batch_format="pyarrow")
+            .groupby("bin")
+            .aggregate(Count(alias_name="n"),
+                       Sum("n_chars", alias_name="total_chars")))
+
+
+def _q_cube_counts(sf_dir: str):
+    """GROUP BY CUBE over (lang, source)
+    (functions/agg.cube_counts): one distributed cross-tab, all 2^k
+    grouping sets derived from the bounded grid — mirrors DuckDB
+    CUBE + GROUPING() bitmask exactly."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import cube_counts
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source"])
+    return cube_counts(ds, ["lang", "source"])
+
+
+def _q_group_checksum(sf_dir: str):
+    """Per-language order-free content checksum
+    (functions/agg.group_xor_checksum): bit_xor of 60-bit md5
+    prefixes + counts — the cross-engine partition-verification
+    primitive (equal iff both engines saw the same row multiset)."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import group_xor_checksum
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+    return group_xor_checksum(ds, key_col="lang", text_col="text")
+
+
+def _q_ntile_bands(sf_dir: str):
+    """Sort-free NTILE(4) per language over (n_chars, doc_id)
+    (functions/agg.ntile_by_group): equi-depth quartile banding with
+    NO per-group global sort — one bounded cross-tab gives each
+    (lang, n_chars)'s below-count, one co-partitioned block kernel
+    ranks ties by doc_id; DuckDB's first-r-tiles-get-one-extra rule
+    reproduced closed-form."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import ntile_by_group
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    return ntile_by_group(ds, key_col="lang", val_col="n_chars",
+                          tie_col="doc_id", n_tiles=4,
+                          num_partitions=32)
+
+
+def _q_mutual_links(sf_dir: str):
+    """Reciprocal-link pairs over crawl edges + a backlink feed
+    (functions/graph.mutual_edges): parsed <a href> edges, plus the
+    reversed edge for every doc_id%5==0 source (modelling an external
+    backlink table), packed into canonical int64 pair keys — one
+    bounded groupby finds every pair present in BOTH directions."""
+    from ksoup_ray.functions.graph import mutual_edges
+    edges = _q_link_edges(sf_dir)
+
+    def with_backlinks(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        back = batch.filter(
+            _pc.equal(_pc.subtract(
+                batch.column("src"),
+                _pc.multiply(_pc.divide(batch.column("src"),
+                                        pa.scalar(5, pa.int64())),
+                             pa.scalar(5, pa.int64()))), 0))
+        rev = pa.table({"src": back.column("dst"),
+                        "dst": back.column("src")})
+        return pa.concat_tables([batch, rev])
+
+    return mutual_edges(
+        edges.map_batches(with_backlinks, batch_format="pyarrow"))
+
+
+def _q_regex_density(sf_dir: str):
+    """Per-document RE2 match counts (textstats.regex_count_batch):
+    Arrow count_substring_regex, zero-copy, no shuffle — semantics
+    identical to DuckDB regexp_extract_all length."""
+    import ray.data as rd
+    from ksoup_ray.functions.textstats import regex_count_batch
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(regex_count_batch, batch_format="pyarrow")
+
+
+def _q_lineitem_melt(sf_dir: str):
+    """UNPIVOT lineitem measures to long form
+    (functions/agg.melt_measures): pure map-side reshape — four
+    stacked column slices per batch, exact int64 micros, no
+    shuffle."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import melt_measures
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"])
+    return melt_measures(
+        ds, id_cols=["l_orderkey", "l_linenumber"],
+        measure_cols=["l_quantity", "l_extendedprice", "l_discount",
+                      "l_tax"])
+
+
+def _q_fuzzy_neardup(sf_dir: str):
+    """Prefix-blocked Levenshtein near-duplicate pairs
+    (functions/dedup.fuzzy_neardup_pairs): exact-match on the first
+    6 chars blocks candidates; chars 7–24 scored by BATCHED
+    vectorized edit-distance DP (324 numpy steps for the whole pair
+    set, never per-pair Python); dist ≤ 6 survives. The typo-dedup
+    primitive MinHash misses."""
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import fuzzy_neardup_pairs
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return fuzzy_neardup_pairs(ds, num_partitions=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2485,6 +2655,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_both": _q_users_both,
         "microdata": _q_microdata,
         "event_gaps": _q_event_gaps,
+        "ohlc_hourly": _q_ohlc_hourly,
+        "monthly_revenue": _q_monthly_revenue,
+        "length_histogram": _q_length_histogram,
+        "cube_counts": _q_cube_counts,
+        "group_checksum": _q_group_checksum,
+        "ntile_bands": _q_ntile_bands,
+        "mutual_links": _q_mutual_links,
+        "regex_density": _q_regex_density,
+        "lineitem_melt": _q_lineitem_melt,
+        "fuzzy_neardup": _q_fuzzy_neardup,
     }
 
 
@@ -4119,5 +4299,125 @@ def oracle_sql() -> dict[str, str]:
                               / sqrt((m.ss - m.s * m.s / m.n) / m.n)
                               * 1000000.0) AS BIGINT) AS z_micros
             FROM documents d JOIN m USING (lang)
+        """,
+        # per-row ROUND(value*1e6) BEFORE selection (order-free exact);
+        # (ts, event_id) ordering makes duplicate timestamps
+        # deterministic on both sides
+        "ohlc_hourly": """
+            WITH e AS (
+              SELECT user_id,
+                     epoch_us(ts) // 3600000000 AS bucket,
+                     epoch_us(ts) AS tus, event_id,
+                     CAST(ROUND(value * 1e6) AS BIGINT) AS v
+              FROM events),
+            r AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY user_id, bucket
+                                        ORDER BY tus, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id, bucket)
+                       AS cnt
+              FROM e)
+            SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+                   CAST(max(CASE WHEN rn = 1 THEN v END) AS BIGINT)
+                     AS open_e6,
+                   CAST(max(v) AS BIGINT) AS high_e6,
+                   CAST(min(v) AS BIGINT) AS low_e6,
+                   CAST(max(CASE WHEN rn = cnt THEN v END) AS BIGINT)
+                     AS close_e6,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM r GROUP BY user_id, bucket
+        """,
+        "monthly_revenue": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                     AS o_year,
+                   CAST(EXTRACT(month FROM o_orderdate) AS BIGINT)
+                     AS o_month,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1, 2
+        """,
+        "length_histogram": """
+            SELECT CAST(n_chars // 256 AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY 1
+        """,
+        "cube_counts": """
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(GROUPING(lang, source) AS BIGINT)
+                     AS grouping_id
+            FROM documents GROUP BY CUBE (lang, source)
+        """,
+        # 15 hex digits = 60 bits: inside signed BIGINT on both sides
+        "group_checksum": """
+            SELECT lang,
+                   CAST(bit_xor(CAST('0x' || substr(md5(text), 1, 15)
+                                     AS BIGINT)) AS BIGINT)
+                     AS checksum,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang
+        """,
+        "ntile_bands": """
+            SELECT doc_id, lang, n_chars,
+                   CAST(NTILE(4) OVER (PARTITION BY lang
+                                       ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS tile
+            FROM documents
+        """,
+        # crawl edges + reversed backlink-feed edges (src%5==0);
+        # a pair present in both directions is reciprocal
+        "mutual_links": """
+            WITH e0 AS (
+              SELECT doc_id AS src,
+                     CAST((doc_id + k + 1) % 100000000 AS BIGINT)
+                       AS dst
+              FROM documents,
+              LATERAL unnest(generate_series(0, doc_id % 4 - 1)) AS t(k)
+            ), e AS (
+              SELECT src, dst FROM e0
+              UNION ALL
+              SELECT dst, src FROM e0 WHERE src % 5 = 0
+            )
+            SELECT CAST(LEAST(src, dst) AS BIGINT) AS a,
+                   CAST(GREATEST(src, dst) AS BIGINT) AS b
+            FROM e WHERE src <> dst
+            GROUP BY 1, 2 HAVING count(*) = 2
+        """,
+        "regex_density": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[aeiou]{2,}'))
+                        AS BIGINT) AS n_matches
+            FROM documents
+        """,
+        "lineitem_melt": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                   CAST(ROUND(l_quantity * 1e6) AS BIGINT) AS value_e6
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   CAST(ROUND(l_extendedprice * 1e6) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   CAST(ROUND(l_discount * 1e6) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax',
+                   CAST(ROUND(l_tax * 1e6) AS BIGINT)
+            FROM lineitem
+        """,
+        # blocking (exact first-6-chars match) is part of the operator
+        # definition and mirrored here verbatim
+        "fuzzy_neardup": """
+            WITH t AS (
+              SELECT doc_id, substr(text, 1, 6) AS blk,
+                     substr(text, 7, 18) AS suf
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.suf, b.suf) AS BIGINT) AS dist
+            FROM t a JOIN t b ON a.blk = b.blk
+                             AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.suf, b.suf) <= 6
         """,
     }

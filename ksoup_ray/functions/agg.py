@@ -684,3 +684,236 @@ def lag_gaps(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     return (ds.map_batches(add_pk, batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(gap_block, batch_format="pandas"))
+
+
+def cube_counts(ds, cols: list[str]):
+    """GROUP BY CUBE counts over a low-cardinality column tuple —
+    every subset of the dimensions gets its subtotal (the OLAP-cube
+    primitive; superset of :func:`rollup_counts`). Distributed work is
+    still exactly ONE cross-tab (:func:`crosstab_counts`); all 2^k
+    grouping sets are derived from that bounded detail grid on the
+    driver, so no second shuffle and no extra corpus pass per level.
+    Rolled-up dimensions are NULL and ``grouping_id`` carries the
+    DuckDB GROUPING() bitmask (first column = most significant bit;
+    0 = detail, 2^k-1 = grand total). Returns a pandas DataFrame
+    (cols…, n, grouping_id)."""
+    detail = crosstab_counts(ds, cols).to_pandas()
+    k = len(cols)
+    frames = []
+    for mask in range(1 << k):
+        rolled = [cols[i] for i in range(k) if mask & (1 << (k - 1 - i))]
+        keep = [c for c in cols if c not in rolled]
+        if keep:
+            g = detail.groupby(keep, as_index=False, dropna=False) \
+                .agg(n=("n", "sum"))
+        else:
+            g = pd.DataFrame({"n": [int(detail["n"].sum())]})
+        for c in rolled:
+            g[c] = None
+        g["grouping_id"] = np.int64(mask)
+        frames.append(g[cols + ["n", "grouping_id"]])
+    out = pd.concat(frames, ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+def ohlc_bars(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+              tie_col: str = "event_id", val_col: str = "value",
+              bucket_us: int = 3_600_000_000, val_scale: int = 10**6,
+              num_partitions: int = 64):
+    """Per-(key, time-bucket) OPEN/HIGH/LOW/CLOSE bars — first/max/
+    min/last of a value within each bucket, ordered by (ts, tie) so
+    the result is deterministic under duplicate timestamps. The
+    time-series downsampling primitive (metrics rollups, per-user
+    rate features). Values are ROUNDed to ``val_scale`` units per row
+    BEFORE selection so every output is an exact int64 matching the
+    SQL oracle. Same one-shuffle shape as :func:`lag_gaps`: bucket on
+    ``hash(key) % num_partitions``, then each bucket block resolves
+    ALL of its (key, bucket) bars in one vectorized pass — sort +
+    segment boundaries + ``np.{maximum,minimum}.reduceat``. Returns
+    (key, bucket, open/high/low/close ``*_e6``, n)."""
+    from ._blocks import pk_column
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_pk", pk_column(batch.column(key_col), num_partitions))
+
+    def bars_block(block: pd.DataFrame) -> pd.DataFrame:
+        ts_us = block[ts_col].to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        block = block.assign(
+            _bkt=ts_us // bucket_us,
+            _v=np.round(block[val_col].to_numpy() * val_scale)
+            .astype(np.int64))
+        block = block.sort_values([key_col, "_bkt", ts_col, tie_col],
+                                  kind="mergesort")
+        keys = block[key_col].to_numpy()
+        bkt = block["_bkt"].to_numpy()
+        v = block["_v"].to_numpy()
+        n = len(block)
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = (keys[1:] != keys[:-1]) | (bkt[1:] != bkt[:-1])
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n)
+        return pd.DataFrame({
+            key_col: keys[starts],
+            "bucket": bkt[starts],
+            "open_e6": v[starts],
+            "high_e6": np.maximum.reduceat(v, starts),
+            "low_e6": np.minimum.reduceat(v, starts),
+            "close_e6": v[ends - 1],
+            "n": (ends - starts).astype(np.int64),
+        })
+
+    return (ds.map_batches(add_pk, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(bars_block, batch_format="pandas"))
+
+
+def melt_measures(ds, *, id_cols: list[str], measure_cols: list[str],
+                  scale: int = 10**6, name_col: str = "measure",
+                  value_col: str = "value_e6"):
+    """UNPIVOT — wide measure columns to long (id…, measure, value)
+    rows, the inverse of :func:`pivot_counts` and the standard
+    normalization step before generic per-measure aggregation. Pure
+    map-side reshape: each batch emits ``len(measure_cols)`` stacked
+    column slices via one Arrow concat — no shuffle, no Python per
+    row. Float measures are ROUNDed to ``scale`` units so the long
+    value column is exact int64. Measure order within a row follows
+    ``measure_cols`` (DuckDB UNPIVOT emits the ON list in order)."""
+    def melt(batch: pa.Table) -> pa.Table:
+        pieces = []
+        for m in measure_cols:
+            vals = np.round(batch.column(m).to_numpy(
+                zero_copy_only=False) * scale).astype(np.int64)
+            cols = {c: batch.column(c) for c in id_cols}
+            cols[name_col] = pa.array([m] * batch.num_rows,
+                                      pa.string())
+            cols[value_col] = pa.array(vals, pa.int64())
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def group_xor_checksum(ds, *, key_col: str, text_col: str):
+    """Order-free per-group content checksum: ``bit_xor`` of a 60-bit
+    md5 prefix of each row's text, plus the row count — the
+    partition-verification primitive (two runs / two engines produce
+    equal checksums iff they saw the same multiset of rows, at any
+    shuffle order). XOR is associative+commutative, so each batch
+    collapses to one partial (key, xor, n) row per key it contains
+    (sorted-segment ``np.bitwise_xor.reduceat``) and the driver folds
+    the bounded partial grid — shuffle payload is O(keys × batches).
+    60 bits (15 hex digits) keeps the value inside a signed BIGINT so
+    the DuckDB oracle is ``bit_xor(CAST('0x' || substr(md5(t),1,15)
+    AS BIGINT))``. Returns a pandas DataFrame (key, checksum, n)."""
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, text_col]).to_pandas()
+        h = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(t.encode()).digest()[:8], "big") >> 4
+             for t in df[text_col]),
+            np.int64, len(df))
+        order = np.argsort(df[key_col].to_numpy(), kind="mergesort")
+        keys = df[key_col].to_numpy()[order]
+        from ._blocks import start_of_segment
+        seg0 = start_of_segment(keys)
+        starts = np.unique(seg0)
+        return pa.table({
+            key_col: pa.array(keys[starts]),
+            "_x": pa.array(np.bitwise_xor.reduceat(h[order], starts),
+                           pa.int64()),
+            "_n": pa.array(
+                np.append(starts[1:], len(keys)) - starts, pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for key, grp in parts.groupby(key_col, sort=True):
+        out.append((key, int(np.bitwise_xor.reduce(
+            grp["_x"].to_numpy())), int(grp["_n"].sum())))
+    return pd.DataFrame(out, columns=[key_col, "checksum", "n"]) \
+        .astype({"checksum": np.int64, "n": np.int64})
+
+
+def ntile_by_group(ds, *, key_col: str, val_col: str, tie_col: str,
+                   n_tiles: int = 4, num_partitions: int = 32):
+    """SORT-FREE ``NTILE(n) OVER (PARTITION BY key ORDER BY val,
+    tie)`` — equi-depth banding per group without a global per-group
+    sort (per-group sorts are the classic skew bottleneck when one
+    group holds most of the corpus). Two-phase:
+
+    1. ONE bounded cross-tab over (key, val) gives each distinct
+       value's count; the driver derives, per (key, val), the count
+       of strictly-smaller values (``below``) and each key's total —
+       a grid of |keys × distinct vals| rows, corpus-independent for
+       discrete vals — and broadcasts it once via ``ray.put``.
+    2. ONE shuffle co-locates equal (key, val) rows (bucket on
+       ``hash(val)``), and each block ranks its rows WITHIN each
+       (key, val) segment by ``tie`` (vectorized argsort + segment
+       offsets). row_number = below + within-rank; the NTILE bucket
+       is then closed-form: with q = n//t, r = n%t, the first r
+       tiles take q+1 rows (exactly DuckDB's rule).
+
+    Returns (tie, key, val, tile). Assumes ``val`` is discrete-ish
+    (lengths, scores in fixed units); continuous vals should be
+    quantized first or the grid degenerates to one row per row."""
+    import ray
+    from ._blocks import pk_column
+
+    grid = crosstab_counts(ds.select_columns([key_col, val_col]),
+                           [key_col, val_col]).to_pandas()
+    grid = grid.sort_values([key_col, val_col], kind="mergesort")
+    csum = grid.groupby(key_col, sort=False)["n"].cumsum()
+    grid["below"] = (csum - grid["n"]).astype(np.int64)
+    totals = grid.groupby(key_col, sort=False)["n"].sum()
+    below_ref = ray.put({
+        (k, v): int(b) for k, v, b in
+        zip(grid[key_col], grid[val_col], grid["below"])})
+    total_ref = ray.put({k: int(t) for k, t in totals.items()})
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_pk", pk_column(batch.column(val_col), num_partitions))
+
+    def tile_block(block: pd.DataFrame) -> pd.DataFrame:
+        below = ray.get(below_ref)
+        total = ray.get(total_ref)
+        block = block.sort_values([key_col, val_col, tie_col],
+                                  kind="mergesort")
+        keys = block[key_col].to_numpy()
+        vals = block[val_col].to_numpy()
+        n = len(block)
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = (keys[1:] != keys[:-1]) | (vals[1:] != vals[:-1])
+        seg_start = np.maximum.accumulate(
+            np.where(first, np.arange(n), 0))
+        within = np.arange(n) - seg_start
+        b = np.fromiter((below[(k, v)] for k, v in
+                         zip(keys[first], vals[first])),
+                        np.int64, int(first.sum()))
+        rn = b[np.cumsum(first) - 1] + within + 1
+        tot = np.fromiter((total[k] for k in keys[first]),
+                          np.int64, int(first.sum()))[
+            np.cumsum(first) - 1]
+        q, r = tot // n_tiles, tot % n_tiles
+        cut = r * (q + 1)
+        tile = np.where(
+            rn <= cut,
+            (rn - 1) // np.maximum(q + 1, 1) + 1,
+            r + np.where(q > 0, (rn - cut - 1) // np.maximum(q, 1),
+                         0) + 1)
+        return pd.DataFrame({
+            tie_col: block[tie_col].to_numpy(),
+            key_col: keys, val_col: vals,
+            "tile": tile.astype(np.int64),
+        })
+
+    return (ds.map_batches(add_pk, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(tile_block, batch_format="pandas"))

@@ -1074,3 +1074,119 @@ def span_stats(ds, *, text_col: str = "text", id_col: str = "doc_id",
             .groupby(id_col)
             .aggregate(Sum("rep", alias_name="n_repeated"),
                        Sum("nwin", alias_name="n_windows")))
+
+
+# ---------------------------------------------------------------------------
+# prefix-blocked Levenshtein near-duplicates
+
+def batched_levenshtein(a: "pd.Series | list[str]",
+                        b: "pd.Series | list[str]",
+                        max_chars: int = 64) -> np.ndarray:
+    """Exact Levenshtein distances for N string PAIRS at once — the
+    classic O(la×lb) DP run as ~la×lb vectorized numpy steps over the
+    whole pair batch instead of N independent Python DPs (unit
+    insert/delete/substitute costs, no transposition — the same
+    definition as DuckDB's ``levenshtein``). Strings are padded into
+    [N, L] uint8 matrices; variable lengths are handled by snapshotting
+    each pair's answer at DP row == len(a). Intended for SHORT keys
+    (titles, url tails): cost grows with max_chars², so callers
+    truncate first."""
+    enc_a = [s.encode("utf-8")[:max_chars] for s in a]
+    enc_b = [s.encode("utf-8")[:max_chars] for s in b]
+    n = len(enc_a)
+    la = np.fromiter((len(s) for s in enc_a), np.int64, n)
+    lb = np.fromiter((len(s) for s in enc_b), np.int64, n)
+    la_max, lb_max = (int(la.max()) if n else 0,
+                      int(lb.max()) if n else 0)
+    A = np.zeros((n, la_max), np.uint8)
+    B = np.zeros((n, lb_max), np.uint8)
+    for i, s in enumerate(enc_a):
+        A[i, :len(s)] = np.frombuffer(s, np.uint8)
+    for i, s in enumerate(enc_b):
+        B[i, :len(s)] = np.frombuffer(s, np.uint8)
+    prev = np.broadcast_to(np.arange(lb_max + 1, dtype=np.int32),
+                           (n, lb_max + 1)).copy()
+    ans = np.where(la == 0, lb, 0).astype(np.int64)
+    rows = np.arange(n)
+    for i in range(1, la_max + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = A[:, i - 1]
+        for j in range(1, lb_max + 1):
+            cost = (ai != B[:, j - 1]).astype(np.int32)
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost)
+        done = la == i
+        if done.any():
+            ans[done] = cur[rows[done], lb[done]]
+        prev = cur
+    return ans
+
+
+def fuzzy_neardup_pairs(ds, *, id_col: str = "doc_id",
+                        text_col: str = "text", block_chars: int = 6,
+                        key_chars: int = 18, max_dist: int = 6,
+                        max_bucket: int = 2000,
+                        num_partitions: int = 32):
+    """Prefix-blocked fuzzy (edit-distance) near-duplicate pairs — the
+    title/citation-dedup primitive that exact and MinHash dedup both
+    miss (single-character typos). Blocking: two rows are candidates
+    iff their first ``block_chars`` chars match EXACTLY; the next
+    ``key_chars`` chars are then compared with batched Levenshtein and
+    pairs with distance ≤ ``max_dist`` survive. One shuffle on
+    ``hash(block) % num_partitions`` (bounded bucket key), then each
+    block self-merges its prefix groups (the pairs_in_partition
+    pattern) and scores ALL its pairs in one :func:`batched_levenshtein`
+    call — no per-pair Python DP. Buckets larger than ``max_bucket``
+    are capped with a recorded drop (never silent). Partitioning
+    assumption: candidate blocks must fit a worker (true when the
+    prefix is selective; widen ``block_chars`` for skewed corpora).
+    Returns (id_a, id_b, dist) with id_a < id_b."""
+    import pyarrow.compute as pc
+
+    from ._blocks import pk_column
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col)
+        blk = pc.utf8_slice_codeunits(txt, 0, block_chars)
+        suf = pc.utf8_slice_codeunits(txt, block_chars,
+                                      block_chars + key_chars)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "_blk": blk, "_suf": suf,
+            "_pk": pk_column(blk, num_partitions),
+        })
+
+    def pairs_block(group: pd.DataFrame) -> pd.DataFrame:
+        df = group[[id_col, "_blk", "_suf"]]
+        sizes = df.groupby("_blk")[id_col].transform("size")
+        big = sizes > max_bucket
+        if big.any():
+            n_before = len(df)
+            n_capped = df.loc[big, "_blk"].nunique()
+            df = df.sort_values(id_col).groupby(
+                "_blk", as_index=False).head(max_bucket)
+            from .metrics import record_drop
+            record_drop("fuzzy_neardup.capped_blocks", n_capped)
+            record_drop("fuzzy_neardup.dropped_rows",
+                        n_before - len(df))
+        m = df.merge(df, on="_blk")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        if not len(m):
+            return pd.DataFrame({"id_a": np.empty(0, np.int64),
+                                 "id_b": np.empty(0, np.int64),
+                                 "dist": np.empty(0, np.int64)})
+        d = batched_levenshtein(m["_suf_x"].tolist(),
+                                m["_suf_y"].tolist(),
+                                max_chars=key_chars)
+        keep = d <= max_dist
+        return pd.DataFrame({
+            "id_a": m[f"{id_col}_x"].to_numpy()[keep],
+            "id_b": m[f"{id_col}_y"].to_numpy()[keep],
+            "dist": d[keep],
+        })
+
+    return (ds.map_batches(keyed, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(pairs_block, batch_format="pandas"))

@@ -524,3 +524,50 @@ def degree_histogram(edges, *, node_col: str = "src"):
     return (degrees.map_batches(hist_partial, batch_format="pyarrow")
             .groupby("degree")
             .aggregate(Sum("partial", alias_name="n_nodes")))
+
+
+def mutual_edges(edges, *, src_col: str = "src",
+                 dst_col: str = "dst", node_cap: int = 10**8):
+    """Reciprocal-link detection: the (a, b) pairs where BOTH a→b and
+    b→a exist — the mutual-follow / bidirectional-citation primitive
+    (reciprocity is the standard crawl-graph spam signal). One
+    vectorized pass packs each edge into a canonical int64 key
+    ``min*node_cap + max`` (node ids must be < ``node_cap``; the
+    product stays inside int64 for caps up to ~3e9), then ONE bounded
+    groupby counts each unordered pair's directions. Assumes the edge
+    list is direction-deduplicated (each (src,dst) at most once — true
+    for parsed <a href> sets per page); count == 2 then means both
+    directions. Self-loops are dropped. Returns (a, b) with a < b."""
+    from ray.data.aggregate import Sum
+
+    def canon_partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(src_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = batch.column(dst_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        packed = lo * node_cap + hi
+        g = pa.table({"pair": pa.array(packed, pa.int64())}) \
+            .group_by(["pair"]).aggregate([("pair", "count")])
+        return pa.table({
+            "pair": g.column("pair"),
+            "partial": g.column("pair_count").cast(pa.int64()),
+        })
+
+    counts = (edges.map_batches(canon_partial, batch_format="pyarrow")
+              .groupby("pair")
+              .aggregate(Sum("partial", alias_name="n_dir")))
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        both = batch.filter(pc.equal(batch.column("n_dir"), 2))
+        packed = both.column("pair").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": pa.array(packed // node_cap, pa.int64()),
+            "b": pa.array(packed % node_cap, pa.int64()),
+        })
+
+    return counts.map_batches(unpack, batch_format="pyarrow")

@@ -218,3 +218,19 @@ def word_entropy_batch(batch: pa.Table, text_col: str = "text",
         id_col: batch.column(id_col),
         "entropy_micros": pa.array(out, pa.int64()),
     })
+
+
+def regex_count_batch(batch: pa.Table, *, pattern: str = "[aeiou]{2,}",
+                      text_col: str = "text",
+                      out_col: str = "n_matches") -> pa.Table:
+    """Per-document count of non-overlapping RE2 matches — the
+    pattern-density feature (PII density, leftover markup, vowel-run
+    language signals). Stays entirely in Arrow: ``count_substring_regex``
+    is re2 leftmost, continue-after-match — the same global-match
+    semantics as DuckDB's ``regexp_extract_all``, so the count is
+    oracle-exact. No shuffle, no Python per row."""
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        out_col: pc.cast(pc.count_substring_regex(
+            batch.column(text_col), pattern), pa.int64()),
+    })

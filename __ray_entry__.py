@@ -2538,6 +2538,91 @@ def _q_fuzzy_neardup(sf_dir: str):
     return fuzzy_neardup_pairs(ds, num_partitions=16)
 
 
+def _q_orders_heavy(sf_dir: str):
+    """SEMI join (SQL EXISTS): orders having at least one lineitem
+    with quantity > 45 (functions/joins.semi_join) — right side
+    collapses to distinct keys map-side, one inner hash join against
+    the key-only marker, no right payload ever ships. Price emitted
+    as exact cents."""
+    import ray.data as rd
+    from ksoup_ray.functions.joins import semi_join
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    items = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_quantity"])
+    heavy = items.map_batches(
+        lambda b: b.filter(pc.greater(b.column("l_quantity"), 45.0))
+        .select(["l_orderkey"]), batch_format="pyarrow")
+    out = semi_join(orders, heavy, left_on="o_orderkey",
+                    right_on="l_orderkey")
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.round(batch.column("o_totalprice")
+                     .to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "cents": pa.array(c, pa.int64()),
+        })
+
+    return out.map_batches(cents, batch_format="pyarrow")
+
+
+def _q_rolling_value_sum(sf_dir: str):
+    """Bounded window frame — SUM(value) OVER (PARTITION BY user
+    ORDER BY ts, event_id ROWS 3 PRECEDING..CURRENT)
+    (functions/agg.window_frame_sum): per-row int micros, segment-
+    clamped cumulative-sum kernel per co-partitioned block."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import window_frame_sum
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "value"])
+    return window_frame_sum(ds, num_partitions=32)
+
+
+def _q_longest_docs(sf_dir: str):
+    """Per-(lang, source) ARGMAX row (functions/agg.grouped_argmax):
+    the longest document per stratum, ties toward the smallest
+    doc_id — one best row per key per batch rides the fold, never
+    the corpus."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import grouped_argmax
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "source",
+                                  "n_chars"])
+    return grouped_argmax(ds, key_cols=["lang", "source"],
+                          val_col="n_chars", id_col="doc_id")
+
+
+def _q_bfs_2hop(sf_dir: str):
+    """Broadcast BFS seed expansion (functions/graph.bfs_frontier):
+    min-hop labels within 2 hops of the doc_id%97==0 seed set over
+    parsed crawl edges. The id-only edge list is materialized ONCE so
+    the per-hop membership filters never re-run the HTML parse."""
+    from ksoup_ray.functions.graph import bfs_frontier
+    edges = _q_link_edges(sf_dir).materialize()
+    import pyarrow.parquet as pq
+    ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"]).column("doc_id")
+    seeds = [i for i in ids.to_pylist() if i % 97 == 0]
+    return bfs_frontier(edges, seeds, max_hops=2)
+
+
+def _q_bpe_pairs(sf_dir: str):
+    """First BPE-training iteration (functions/curation.
+    bpe_pair_counts): top-20 adjacent in-word character pairs — each
+    batch ships one fixed 64Ki histogram (map-side combine to
+    constant size), driver ranks (count desc, pair asc)."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import bpe_pair_counts
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    return bpe_pair_counts(ds, k=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2665,6 +2750,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_density": _q_regex_density,
         "lineitem_melt": _q_lineitem_melt,
         "fuzzy_neardup": _q_fuzzy_neardup,
+        "orders_heavy": _q_orders_heavy,
+        "rolling_value_sum": _q_rolling_value_sum,
+        "longest_docs": _q_longest_docs,
+        "bfs_2hop": _q_bfs_2hop,
+        "bpe_pairs": _q_bpe_pairs,
     }
 
 
@@ -4419,5 +4509,74 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.blk = b.blk
                              AND a.doc_id < b.doc_id
             WHERE levenshtein(a.suf, b.suf) <= 6
+        """,
+        "orders_heavy": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 WHERE l_quantity > 45)
+        """,
+        # window SUM over BIGINT widens to HUGEINT in DuckDB: CAST
+        "rolling_value_sum": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS tus,
+                     CAST(ROUND(value * 1e6) AS BIGINT) AS v
+              FROM events)
+            SELECT event_id, user_id,
+                   CAST(SUM(v) OVER w AS BIGINT) AS frame_sum_e6,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_in
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "longest_docs": """
+            WITH r AS (
+              SELECT lang, source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang, source
+                                        ORDER BY n_chars DESC,
+                                                 doc_id) AS rn
+              FROM documents)
+            SELECT lang, source, doc_id, n_chars FROM r WHERE rn = 1
+        """,
+        # min-hop labels: unrolled 2-round BFS over the synth edge
+        # convention from doc_id%97==0 seeds
+        "bfs_2hop": """
+            WITH e AS (
+              SELECT doc_id AS src,
+                     CAST((doc_id + k + 1) % 100000000 AS BIGINT)
+                       AS dst
+              FROM documents,
+              LATERAL unnest(generate_series(0, doc_id % 4 - 1)) AS t(k)
+            ), s0 AS (
+              SELECT doc_id AS node FROM documents
+              WHERE doc_id % 97 = 0
+            ), h1 AS (
+              SELECT DISTINCT e.dst AS node FROM e
+              JOIN s0 ON e.src = s0.node
+              WHERE e.dst NOT IN (SELECT node FROM s0)
+            ), h2 AS (
+              SELECT DISTINCT e.dst AS node FROM e
+              JOIN h1 ON e.src = h1.node
+              WHERE e.dst NOT IN (SELECT node FROM s0)
+                AND e.dst NOT IN (SELECT node FROM h1)
+            )
+            SELECT node, CAST(0 AS BIGINT) AS hop FROM s0
+            UNION ALL SELECT node, 1 FROM h1
+            UNION ALL SELECT node, 2 FROM h2
+        """,
+        "bpe_pairs": """
+            WITH w AS (
+              SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents
+            ), p AS (
+              SELECT substr(w, i, 2) AS pair
+              FROM w, LATERAL unnest(
+                generate_series(1, len(w) - 1)) AS t(i)
+              WHERE len(w) >= 2
+            )
+            SELECT pair, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY pair
+            ORDER BY n DESC, pair LIMIT 20
         """,
     }

@@ -917,3 +917,74 @@ def ntile_by_group(ds, *, key_col: str, val_col: str, tie_col: str,
     return (ds.map_batches(add_pk, batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(tile_block, batch_format="pandas"))
+
+
+def window_frame_sum(ds, *, key_col: str = "user_id",
+                     ts_col: str = "ts", tie_col: str = "event_id",
+                     val_col: str = "value", preceding: int = 3,
+                     val_scale: int = 10**6,
+                     num_partitions: int = 64):
+    """Bounded window-frame aggregate: ``SUM(v) OVER (PARTITION BY key
+    ORDER BY ts, tie ROWS BETWEEN preceding PRECEDING AND CURRENT
+    ROW)`` — the rolling-feature primitive (recent-activity signals).
+    Values are ROUNDed to ``val_scale`` units per row so the window
+    sums are exact int64. One bounded-bucket shuffle, then each block
+    computes ALL keys' frames in one vectorized pass: per-segment
+    cumulative sums, frame = csum[i] − csum[lo-1] with the frame start
+    clamped to the segment start (shorter frames at each key's head,
+    exactly the SQL rule). Returns (tie, key, frame_sum_e6, n_in)."""
+    from ._blocks import pk_column, start_of_segment
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_pk", pk_column(batch.column(key_col), num_partitions))
+
+    def frame_block(block: pd.DataFrame) -> pd.DataFrame:
+        block = block.sort_values([key_col, ts_col, tie_col],
+                                  kind="mergesort")
+        keys = block[key_col].to_numpy()
+        v = np.round(block[val_col].to_numpy() * val_scale) \
+            .astype(np.int64)
+        n = len(block)
+        idx = np.arange(n)
+        seg0 = start_of_segment(keys)
+        lo = np.maximum(seg0, idx - preceding)
+        csum = np.concatenate(([0], np.cumsum(v)))
+        return pd.DataFrame({
+            tie_col: block[tie_col].to_numpy(),
+            key_col: keys,
+            "frame_sum_e6": csum[idx + 1] - csum[lo],
+            "n_in": (idx - lo + 1).astype(np.int64),
+        })
+
+    return (ds.map_batches(add_pk, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(frame_block, batch_format="pandas"))
+
+
+def grouped_argmax(ds, *, key_cols: list[str], val_col: str,
+                   id_col: str):
+    """Exact per-group ARGMAX row: the id with the LARGEST value,
+    ties broken toward the SMALLEST id — the representative-document
+    primitive (longest doc per stratum, best score per query). Pure
+    map-side combine: each batch keeps one best (key…, id, val) row
+    per key it contains (one vectorized lexsort + first-of-segment
+    mask), and the driver folds the bounded partial grid with the
+    same rule — group keys must be bounded (strata), ids/values never
+    are. Returns a pandas DataFrame (key…, id, val)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(key_cols + [id_col, val_col]).to_pandas()
+        df = df.sort_values(key_cols + [val_col, id_col],
+                            ascending=[True] * len(key_cols)
+                            + [False, True], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.drop_duplicates(key_cols, keep="first"),
+            preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        key_cols + [val_col, id_col],
+        ascending=[True] * len(key_cols) + [False, True],
+        kind="mergesort")
+    return parts.drop_duplicates(key_cols, keep="first") \
+        .reset_index(drop=True)

@@ -1283,3 +1283,45 @@ def grouped_mode(ds, *, key_col: str = "lang",
     out = top.rename(columns={val_col: "mode_val"})
     out["n"] = out["n"].astype(np.int64)
     return out[[key_col, "mode_val", "n"]]
+
+
+def bpe_pair_counts(ds, *, text_col: str = "text", k: int = 20):
+    """First BPE-training iteration statistic: global counts of
+    adjacent CHARACTER pairs within words, top-``k`` by (count desc,
+    pair asc) — the merge-candidate table a byte-pair-encoding
+    tokenizer trainer computes each round. Fully vectorized and
+    sketch-shaped: each batch views its text as one uint8 byte array,
+    masks the pairs that touch a space (so pairs never span word
+    boundaries — identical to per-word adjacent pairs for
+    single-space-separated ASCII text), packs survivors into
+    ``a*256+b`` codes and bincounts them into a FIXED 64Ki-slot
+    histogram. Batches ship one bounded histogram each (map-side
+    combine to constant size — nothing corpus-scale moves); the
+    driver folds and ranks. Returns a pandas DataFrame (pair, n)."""
+    SPACE = 32
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        joined = " ".join(batch.column(text_col).to_pylist())
+        s = np.frombuffer(joined.encode("utf-8"), np.uint8)
+        if len(s) < 2:
+            counts = np.zeros(65536, np.int64)
+        else:
+            a, b = s[:-1], s[1:]
+            mask = (a != SPACE) & (b != SPACE)
+            codes = (a[mask].astype(np.int32) << 8) | b[mask]
+            counts = np.bincount(codes, minlength=65536) \
+                .astype(np.int64)
+        nz = np.flatnonzero(counts)
+        return pa.table({"code": pa.array(nz.astype(np.int64)),
+                         "partial": pa.array(counts[nz], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    folded = (ds.map_batches(hist_partial, batch_format="pyarrow")
+              .groupby("code")
+              .aggregate(Sum("partial", alias_name="n"))).to_pandas()
+    folded["pair"] = [chr(c >> 8) + chr(c & 0xFF)
+                      for c in folded["code"]]
+    out = folded.sort_values(["n", "pair"],
+                             ascending=[False, True]).head(k)
+    return out[["pair", "n"]].astype({"n": np.int64}) \
+        .reset_index(drop=True)

@@ -571,3 +571,47 @@ def mutual_edges(edges, *, src_col: str = "src",
         })
 
     return counts.map_batches(unpack, batch_format="pyarrow")
+
+
+def bfs_frontier(edges, seeds, *, max_hops: int = 2,
+                 src_col: str = "src", dst_col: str = "dst"):
+    """Broadcast BFS: min-hop labels for every node within
+    ``max_hops`` of the seed set — the crawl-frontier / seed-expansion
+    primitive. Each round broadcasts the CURRENT frontier once
+    (``ray.put`` of a frozenset) and streams the full edge list
+    through one vectorized membership filter (``np.isin`` against the
+    sorted frontier array); newly reached dsts are deduplicated
+    map-side (per-batch ``unique``) before the tiny driver fold.
+    Partitioning assumption (documented per the custom-operator
+    rule): the VISITED set must fit the driver/worker heap — true for
+    seed expansions (|seeds| × mean-degree^hops bounded); full-graph
+    reachability should use the join-based rounds of
+    :func:`_pagerank_impl` instead. Returns a pandas DataFrame
+    (node, hop), hop = min #edges from any seed."""
+    import ray
+
+    visited = {int(s): 0 for s in seeds}
+    frontier = sorted(visited)
+    for hop in range(1, max_hops + 1):
+        if not frontier:
+            break
+        f_ref = ray.put(np.asarray(frontier, np.int64))
+
+        def reached(batch: pa.Table, _f=f_ref) -> pa.Table:
+            fr = ray.get(_f)
+            s = batch.column(src_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            d = batch.column(dst_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            hit = d[np.isin(s, fr, assume_unique=False)]
+            return pa.table({"node": pa.array(np.unique(hit),
+                                              pa.int64())})
+
+        new = edges.map_batches(reached, batch_format="pyarrow") \
+            .to_pandas()["node"].unique()
+        frontier = sorted(int(n) for n in new if n not in visited)
+        for n in frontier:
+            visited[n] = hop
+    out = pd.DataFrame(sorted(visited.items()),
+                       columns=["node", "hop"])
+    return out.astype({"node": np.int64, "hop": np.int64})

@@ -279,3 +279,39 @@ def anti_join(left, right, *, left_on: str, right_on: str,
         .drop_columns([c for c in ("_aj_hit", "_aj_key")
                        if c in b.column_names]),
         batch_format="pyarrow")
+
+
+def semi_join(left, right, *, left_on: str, right_on: str,
+              num_partitions: int = 16):
+    """Distributed SEMI join (SQL EXISTS): rows of ``left`` whose
+    ``left_on`` key appears at least once in ``right[right_on]`` —
+    each left row at most once, no right payload. Same shape as
+    :func:`anti_join` (Ray 2.49 has no native semi join): the right
+    side collapses to DISTINCT keys map-side (only unique keys per
+    batch ride the shuffle), one inner hash join against the key-only
+    marker keeps exactly the matching left rows, and the marker
+    column is dropped. Left payloads shuffle once; the right side
+    never ships values."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    def distinct_keys(batch: pa.Table) -> pa.Table:
+        keys = pc.unique(batch.column(right_on))
+        return pa.table({"_sj_key": keys.cast(pa.int64())})
+
+    marker = (right.select_columns([right_on])
+              .map_batches(distinct_keys, batch_format="pyarrow")
+              .groupby("_sj_key").aggregate(Count(alias_name="_sj_n"))
+              .map_batches(lambda b: b.select(["_sj_key"]),
+                           batch_format="pyarrow")
+              # coalesce schema-less empty aggregate blocks before the
+              # hash join (same Ray 2.49 guard as dedup._join_ready)
+              .repartition(4))
+    joined = left.join(marker, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=(left_on,), right_on=("_sj_key",))
+    return joined.map_batches(
+        lambda b: b.drop_columns(
+            [c for c in ("_sj_key",) if c in b.column_names]),
+        batch_format="pyarrow")

@@ -191,3 +191,75 @@ def test_regex_count_batch_re2_semantics():
     out = regex_count_batch(batch)
     # non-overlapping: "aaaa" is ONE match of [aeiou]{2,}
     assert out.column("n_matches").to_pylist() == [3, 0, 1]
+
+
+def test_semi_join_keeps_matches_once(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.joins import semi_join
+
+    left = rd.from_items([{"k": 1, "v": "a"}, {"k": 2, "v": "b"},
+                          {"k": 3, "v": "c"}])
+    # key 1 appears TWICE on the right: left row must appear ONCE
+    right = rd.from_items([{"r": 1}, {"r": 1}, {"r": 9}])
+    out = semi_join(left, right, left_on="k", right_on="r",
+                    num_partitions=2).to_pandas()
+    assert sorted(out["k"]) == [1]
+    assert list(out.columns) == ["k", "v"]
+
+
+def test_window_frame_sum_clamps_at_segment_head(ray_session):
+    import datetime as dt
+    import ray.data as rd
+    from ksoup_ray.functions.agg import window_frame_sum
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [{"event_id": i, "user_id": 1,
+             "ts": t0 + dt.timedelta(seconds=i), "value": float(v)}
+            for i, v in enumerate([1, 2, 3, 4, 5, 6])] \
+        + [{"event_id": 100, "user_id": 2, "ts": t0, "value": 10.0}]
+    out = window_frame_sum(rd.from_items(rows).repartition(3),
+                           preceding=3, num_partitions=2) \
+        .to_pandas().set_index("event_id")
+    # user 1, row i: sum of up to 4 trailing values
+    assert int(out.loc[0, "frame_sum_e6"]) == 1_000_000
+    assert int(out.loc[2, "frame_sum_e6"]) == 6_000_000   # 1+2+3
+    assert int(out.loc[3, "frame_sum_e6"]) == 10_000_000  # 1+2+3+4
+    assert int(out.loc[5, "frame_sum_e6"]) == 18_000_000  # 3+4+5+6
+    assert int(out.loc[5, "n_in"]) == 4
+    # user 2's single row never sees user 1's values
+    assert int(out.loc[100, "frame_sum_e6"]) == 10_000_000
+    assert int(out.loc[100, "n_in"]) == 1
+
+
+def test_grouped_argmax_tie_breaks_small_id(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.agg import grouped_argmax
+
+    rows = [{"g": "a", "id": 5, "v": 10}, {"g": "a", "id": 2, "v": 10},
+            {"g": "a", "id": 1, "v": 3}, {"g": "b", "id": 9, "v": 1}]
+    out = grouped_argmax(rd.from_items(rows).repartition(3),
+                         key_cols=["g"], val_col="v", id_col="id") \
+        .set_index("g")
+    assert int(out.loc["a", "id"]) == 2   # tie at v=10 -> smaller id
+    assert int(out.loc["b", "id"]) == 9
+
+
+def test_bfs_frontier_min_hop_labels(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.graph import bfs_frontier
+
+    # 1 -> 2 -> 3 -> 4; 2 -> 1 (back edge); seed {1}
+    edges = rd.from_items([{"src": 1, "dst": 2}, {"src": 2, "dst": 3},
+                           {"src": 3, "dst": 4}, {"src": 2, "dst": 1}])
+    out = bfs_frontier(edges, [1], max_hops=2).set_index("node")["hop"]
+    assert dict(out) == {1: 0, 2: 1, 3: 2}  # 4 is 3 hops: excluded
+
+
+def test_bpe_pair_counts_in_word_only(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.curation import bpe_pair_counts
+
+    # "ab ab cd" -> pairs: ab x2, cd x1; "bc" never (spans the space)
+    rows = [{"text": "ab ab"}, {"text": "cd"}]
+    out = bpe_pair_counts(rd.from_items(rows).repartition(2), k=10)
+    assert list(map(tuple, out.to_numpy())) == [("ab", 2), ("cd", 1)]

@@ -2623,6 +2623,56 @@ def _q_bpe_pairs(sf_dir: str):
     return bpe_pair_counts(ds, k=20)
 
 
+def _q_dedup_reps(sf_dir: str):
+    """Cluster-representative selection — the step AFTER near-dup
+    clustering: per connected component, keep the best document
+    (longest, ties to smallest id). Composed: LSH → verified pairs →
+    components (the dedup_components pipeline) → id-only hash join to
+    fetch n_chars → functions/agg.argmax_per_key (component keys are
+    corpus-scale, so the winner is picked by a bounded-bucket block
+    kernel, never a driver fold)."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import argmax_per_key
+    from ksoup_ray.pipelines.curate import _auto_partitions
+    comp = _q_dedup_components(sf_dir)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    joined = comp.join(docs, join_type="inner",
+                       num_partitions=_auto_partitions(),
+                       on=("node_id",), right_on=("doc_id",))
+    best = argmax_per_key(joined, key_col="component_id",
+                          val_col="n_chars", id_col="node_id",
+                          num_partitions=32)
+    return best.map_batches(
+        lambda b: b.rename_columns(["component_id", "rep_id",
+                                    "n_chars"]),
+        batch_format="pyarrow")
+
+
+def _q_length_quartiles(sf_dir: str):
+    """Exact per-language discrete quartiles
+    (functions/curation.grouped_quantiles): ceil(q·N)-th smallest via
+    ONE bounded (lang × n_chars) histogram — no sort anywhere, no
+    interpolation hazard."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import grouped_quantiles
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+    return grouped_quantiles(ds, key_col="lang", val_col="n_chars")
+
+
+def _q_window_uniques(sf_dir: str):
+    """Distinct users per (event_type, tumbling hour)
+    (functions/agg.windowed_distinct): exact two-stage distinct —
+    map-side triple dedup, one triple groupby, one bounded count
+    groupby; only id-sized rows ride either shuffle."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import windowed_distinct
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "user_id"])
+    return windowed_distinct(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2755,6 +2805,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_docs": _q_longest_docs,
         "bfs_2hop": _q_bfs_2hop,
         "bpe_pairs": _q_bpe_pairs,
+        "dedup_reps": _q_dedup_reps,
+        "length_quartiles": _q_length_quartiles,
+        "window_uniques": _q_window_uniques,
     }
 
 
@@ -4578,5 +4631,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT pair, CAST(count(*) AS BIGINT) AS n
             FROM p GROUP BY pair
             ORDER BY n DESC, pair LIMIT 20
+        """,
+        # components closure (same as dedup_components) + per-cluster
+        # best row: longest doc, ties to smallest id
+        "dedup_reps": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+            edges AS (
+              SELECT ia AS n, ib AS m FROM pairs
+              UNION SELECT ib, ia FROM pairs
+              UNION SELECT ia, ia FROM pairs
+              UNION SELECT ib, ib FROM pairs
+            ),
+            reach(n, m) AS (
+              SELECT n, m FROM edges
+              UNION
+              SELECT r.n, e.m FROM reach r JOIN edges e ON r.m = e.n
+            ),
+            comp AS (
+              SELECT n AS node_id, MIN(m) AS component_id
+              FROM reach GROUP BY n
+            ),
+            j AS (
+              SELECT c.component_id, c.node_id, d.n_chars,
+                     row_number() OVER (PARTITION BY c.component_id
+                                        ORDER BY d.n_chars DESC,
+                                                 c.node_id) AS rn
+              FROM comp c JOIN documents d ON c.node_id = d.doc_id)
+            SELECT component_id, node_id AS rep_id,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM j WHERE rn = 1
+        """,
+        # discrete quantile = ceil(q*N)-th smallest, a real element
+        "length_quartiles": """
+            WITH r AS (
+              SELECT lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS cnt
+              FROM documents)
+            SELECT lang,
+                   CAST(max(CASE WHEN rn = GREATEST(1,
+                       CAST(ceil(cnt * 0.25) AS BIGINT))
+                       THEN n_chars END) AS BIGINT) AS q25,
+                   CAST(max(CASE WHEN rn = GREATEST(1,
+                       CAST(ceil(cnt * 0.5) AS BIGINT))
+                       THEN n_chars END) AS BIGINT) AS q50,
+                   CAST(max(CASE WHEN rn = GREATEST(1,
+                       CAST(ceil(cnt * 0.75) AS BIGINT))
+                       THEN n_chars END) AS BIGINT) AS q75
+            FROM r GROUP BY lang
+        """,
+        "window_uniques": """
+            SELECT event_type,
+                   CAST((epoch_us(ts) // 3600000000) * 3600000000
+                        AS BIGINT) AS window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1, 2
         """,
     }

@@ -988,3 +988,74 @@ def grouped_argmax(ds, *, key_cols: list[str], val_col: str,
         kind="mergesort")
     return parts.drop_duplicates(key_cols, keep="first") \
         .reset_index(drop=True)
+
+
+def argmax_per_key(ds, *, key_col: str, val_col: str, id_col: str,
+                   num_partitions: int = 64):
+    """Per-key ARGMAX row for UNBOUNDED key domains (components,
+    users, hosts) — the scale-safe sibling of :func:`grouped_argmax`
+    (whose driver fold assumes bounded strata). Two-step: map-side
+    combine keeps one best (key, id, val) row per key PER BATCH, then
+    ONE bounded-bucket shuffle (``hash(key) % num_partitions``)
+    co-locates each key's partials and a segmented block kernel picks
+    the winner — largest value, ties toward the SMALLEST id; Python
+    dispatches O(num_partitions) times, never per key. Returns a
+    Dataset (key, id, val)."""
+    from ._blocks import pk_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, id_col, val_col]).to_pandas()
+        df = df.sort_values([key_col, val_col, id_col],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        df = df.drop_duplicates(key_col, keep="first")
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        return t.append_column(
+            "_pk", pk_column(t.column(key_col), num_partitions))
+
+    def best_block(block: pd.DataFrame) -> pd.DataFrame:
+        block = block.sort_values([key_col, val_col, id_col],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+        return block.drop_duplicates(key_col, keep="first") \
+            [[key_col, id_col, val_col]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(best_block, batch_format="pandas"))
+
+
+def windowed_distinct(ds, *, key_col: str = "event_type",
+                      ts_col: str = "ts", user_col: str = "user_id",
+                      window_us: int = 3_600_000_000):
+    """Distinct-entity count per (key, tumbling window) — the
+    unique-users-per-hour primitive. Exact two-stage distinct: each
+    batch collapses to its distinct (key, window, user) triples
+    (map-side dedup), ONE groupby over the triple finishes the global
+    dedup, and a second bounded groupby over (key, window) counts —
+    both shuffles carry id-only rows, and the triple domain
+    (keys × windows × users-active-in-window) is the output's own
+    size, never the raw event count. Returns (key, window_start µs,
+    n_users)."""
+    from ray.data.aggregate import Count
+
+    def triples(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy()
+        t = pa.table({
+            key_col: batch.column(key_col),
+            "window_start": pa.array((ts // window_us) * window_us,
+                                     pa.int64()),
+            user_col: batch.column(user_col),
+        })
+        return t.group_by([key_col, "window_start", user_col]) \
+            .aggregate([])
+
+    return (ds.map_batches(triples, batch_format="pyarrow")
+            .groupby([key_col, "window_start", user_col])
+            .count()
+            .map_batches(lambda b: b.select(
+                [key_col, "window_start", user_col]),
+                batch_format="pyarrow")
+            .groupby([key_col, "window_start"])
+            .aggregate(Count(alias_name="n_users")))

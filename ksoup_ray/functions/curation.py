@@ -1325,3 +1325,44 @@ def bpe_pair_counts(ds, *, text_col: str = "text", k: int = 20):
                              ascending=[False, True]).head(k)
     return out[["pair", "n"]].astype({"n": np.int64}) \
         .reset_index(drop=True)
+
+
+def grouped_quantiles(ds, *, key_col: str, val_col: str,
+                      qs: tuple[float, ...] = (0.25, 0.5, 0.75)):
+    """Exact per-group DISCRETE quantiles of an integer column with no
+    sort anywhere — same histogram-replaces-sort contract as
+    :func:`grouped_median`, generalized to a quantile list. The
+    q-quantile is the ceil(q·N)-th smallest element (a real element
+    of the data, no interpolation), so the DuckDB row_number oracle
+    matches bit-for-bit. One bounded (key × distinct-value) histogram
+    rides the shuffle; the per-key cumulative scan over that bounded
+    grid is the only driver-side work. Returns a pandas DataFrame
+    (key, q<pct>…) sorted by key."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, val_col]).to_pandas()
+        g = df.groupby([key_col, val_col], sort=False).size() \
+            .reset_index(name="partial")
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, val_col])
+            .aggregate(Sum("partial", alias_name="n"))
+            .to_pandas())
+    cols = [f"q{int(round(q * 100))}" for q in qs]
+    out = []
+    for key, grp in hist.groupby(key_col, sort=True):
+        grp = grp.sort_values(val_col)
+        total = int(grp["n"].sum())
+        cum = grp["n"].cumsum()
+        row = [key]
+        for q in qs:
+            target = max(1, math.ceil(q * total))
+            row.append(int(grp.loc[cum >= target, val_col].iloc[0]))
+        out.append(tuple(row))
+    df = pd.DataFrame(out, columns=[key_col] + cols)
+    return df.astype({c: np.int64 for c in cols})

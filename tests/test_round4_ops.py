@@ -263,3 +263,58 @@ def test_bpe_pair_counts_in_word_only(ray_session):
     rows = [{"text": "ab ab"}, {"text": "cd"}]
     out = bpe_pair_counts(rd.from_items(rows).repartition(2), k=10)
     assert list(map(tuple, out.to_numpy())) == [("ab", 2), ("cd", 1)]
+
+
+def test_argmax_per_key_unbounded_keys(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.agg import argmax_per_key
+
+    rows = [{"k": 10, "id": 1, "v": 5}, {"k": 10, "id": 7, "v": 9},
+            {"k": 10, "id": 3, "v": 9},   # tie at 9 -> id 3 wins
+            {"k": 20, "id": 4, "v": 0}]
+    out = argmax_per_key(rd.from_items(rows).repartition(3),
+                         key_col="k", val_col="v", id_col="id",
+                         num_partitions=4) \
+        .to_pandas().set_index("k").sort_index()
+    assert int(out.loc[10, "id"]) == 3 and int(out.loc[10, "v"]) == 9
+    assert int(out.loc[20, "id"]) == 4
+
+
+def test_grouped_quantiles_discrete_rule(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.curation import grouped_quantiles
+
+    # g=a has 4 values [1,2,3,4]: ceil(.25*4)=1st -> 1,
+    # ceil(.5*4)=2nd -> 2, ceil(.75*4)=3rd -> 3
+    rows = [{"g": "a", "v": v} for v in (4, 1, 3, 2)] \
+        + [{"g": "b", "v": 7}]
+    out = grouped_quantiles(rd.from_items(rows).repartition(2),
+                            key_col="g", val_col="v").set_index("g")
+    assert (int(out.loc["a", "q25"]), int(out.loc["a", "q50"]),
+            int(out.loc["a", "q75"])) == (1, 2, 3)
+    assert (int(out.loc["b", "q25"]), int(out.loc["b", "q50"]),
+            int(out.loc["b", "q75"])) == (7, 7, 7)
+
+
+def test_windowed_distinct_counts_users_once(ray_session):
+    import datetime as dt
+    import ray.data as rd
+    from ksoup_ray.functions.agg import windowed_distinct
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1 clicks twice in hour 0: counts once
+        {"event_type": "click", "user_id": 1, "ts": t0},
+        {"event_type": "click", "user_id": 1,
+         "ts": t0 + dt.timedelta(minutes=30)},
+        {"event_type": "click", "user_id": 2, "ts": t0},
+        # same user next hour: counts again there
+        {"event_type": "click", "user_id": 1,
+         "ts": t0 + dt.timedelta(hours=1)},
+        {"event_type": "view", "user_id": 1, "ts": t0},
+    ]
+    out = windowed_distinct(rd.from_items(rows).repartition(3)) \
+        .to_pandas().sort_values(["event_type", "window_start"]) \
+        .reset_index(drop=True)
+    assert list(out["n_users"]) == [2, 1, 1]
+    assert list(out["event_type"]) == ["click", "click", "view"]

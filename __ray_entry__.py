@@ -2673,6 +2673,50 @@ def _q_window_uniques(sf_dir: str):
     return windowed_distinct(ds)
 
 
+def _outline_pages(sf_dir: str):
+    import ray.data as rd
+    from ksoup_ray.sources.synth import render_outline_page
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "html": pa.array([render_outline_page(i) for i in ids],
+                             pa.string())})
+
+    return ds.map_batches(render, batch_format="pyarrow")
+
+
+def _q_headings_outline(sf_dir: str):
+    """Heading outline scrape (stages/extract.OutlineStage): one row
+    per h1/h2/h3 in document order with position, level, text — the
+    jsoup table-of-contents recipe, value-checked closed-form."""
+    from ksoup_ray.stages.extract import OutlineStage
+    return _outline_pages(sf_dir).map_batches(
+        OutlineStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def _q_img_alt_audit(sf_dir: str):
+    """Image alt-text accessibility audit (stages/extract.
+    ImgAuditStage): per doc, total <img> count and how many lack the
+    alt ATTRIBUTE (presence test, alt=\"\" counts as present)."""
+    from ksoup_ray.stages.extract import ImgAuditStage
+    return _outline_pages(sf_dir).map_batches(
+        ImgAuditStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def _q_meta_robots(sf_dir: str):
+    """Crawl-directive flags (stages/extract.MetaRobotsStage):
+    meta[name=robots] presence + noindex/nofollow token scan — the
+    indexability sweep a crawl pipeline runs before training-data
+    selection."""
+    from ksoup_ray.stages.extract import MetaRobotsStage
+    return _outline_pages(sf_dir).map_batches(
+        MetaRobotsStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2808,6 +2852,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_reps": _q_dedup_reps,
         "length_quartiles": _q_length_quartiles,
         "window_uniques": _q_window_uniques,
+        "headings_outline": _q_headings_outline,
+        "img_alt_audit": _q_img_alt_audit,
+        "meta_robots": _q_meta_robots,
     }
 
 
@@ -4687,5 +4734,42 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS window_start,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1, 2
+        """,
+        # closed-form outline of the synth page: h1, doc_id%3+1 h2s,
+        # an h3 on even ids (sources/synth.render_outline_page)
+        "headings_outline": """
+            SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+                   CAST(1 AS BIGINT) AS level,
+                   'T' || doc_id AS text
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(k + 1 AS BIGINT), 2,
+                   'S' || doc_id || '.' || k
+            FROM documents,
+            LATERAL unnest(generate_series(0, doc_id % 3)) AS t(k)
+            UNION ALL
+            SELECT doc_id, CAST(doc_id % 3 + 2 AS BIGINT), 3,
+                   'D' || doc_id
+            FROM documents WHERE doc_id % 2 = 0
+        """,
+        # doc_id%4 images; alt omitted when (doc_id+j)%3==0
+        "img_alt_audit": """
+            SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS n_imgs,
+                   CAST((SELECT count(*) FROM unnest(
+                       generate_series(0, doc_id % 4 - 1)) AS t(j)
+                       WHERE (doc_id + j) % 3 = 0) AS BIGINT)
+                     AS n_missing_alt
+            FROM documents
+        """,
+        # meta robots present when doc_id%3<2; noindex,nofollow at 0
+        "meta_robots": """
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 3 < 2 THEN 1 ELSE 0 END
+                        AS BIGINT) AS has_meta,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS noindex,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS nofollow
+            FROM documents
         """,
     }

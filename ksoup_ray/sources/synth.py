@@ -313,3 +313,28 @@ def render_microdata_page(doc_id: int) -> str:
         f'<h1 itemprop="headline">Doc {doc_id:08d}</h1>'
         f'<span itemprop="author">Author {doc_id % 50}</span>'
         f"{time_el}</div></body></html>")
+
+
+def render_outline_page(doc_id: int) -> str:
+    """Deterministic heading/image/meta-robots page for the classic
+    jsoup audit recipes (outline scrape, alt-text audit, robots
+    flags). Closed-form: h1 'T<id>'; doc_id%3+1 h2 sections
+    'S<id>.<j>'; an h3 'D<id>' on even ids; doc_id%4 images whose alt
+    is OMITTED when (doc_id+j)%3==0; a <meta name=robots> only when
+    doc_id%3<2 ('noindex,nofollow' at 0, 'index,follow' at 1).
+    Query-local synth; corpus bytes untouched."""
+    meta = ""
+    if doc_id % 3 == 0:
+        meta = '<meta name="robots" content="noindex,nofollow">'
+    elif doc_id % 3 == 1:
+        meta = '<meta name="robots" content="index,follow">'
+    h2s = "".join(f"<h2>S{doc_id}.{j}</h2>"
+                  for j in range(doc_id % 3 + 1))
+    h3 = f"<h3>D{doc_id}</h3>" if doc_id % 2 == 0 else ""
+    imgs = "".join(
+        f'<img src="/img/{doc_id}/{j}"'
+        + ("" if (doc_id + j) % 3 == 0 else f' alt="A{doc_id}.{j}"')
+        + ">"
+        for j in range(doc_id % 4))
+    return (f"<html><head>{meta}<title>x</title></head>"
+            f"<body><h1>T{doc_id}</h1>{h2s}{h3}{imgs}</body></html>")

@@ -419,3 +419,94 @@ class MicrodataStage:
             "prop": pa.array(props, pa.string()),
             "value": pa.array(values, pa.string()),
         })
+
+
+class OutlineStage:
+    """Document heading outline (select('h1, h2, h3') in document
+    order — the table-of-contents scrape): one row per heading with
+    its position, level and text. Actor-pool stage; the multi-tag OR
+    selector is compiled once per actor."""
+
+    def __init__(self):
+        self.headings = parse_query("h1, h2, h3")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids: list[int] = []
+        pos: list[int] = []
+        levels: list[int] = []
+        texts: list[str] = []
+        for did, html in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("html").to_pylist()):
+            doc = P.parse(html or "")
+            for i, el in enumerate(doc.select(self.headings)):
+                doc_ids.append(did)
+                pos.append(i)
+                levels.append(int(el.normal_name()[1]))
+                texts.append(el.text())
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "level": pa.array(levels, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+
+
+class ImgAuditStage:
+    """Image accessibility audit (select('img') + hasAttr('alt') —
+    the classic jsoup alt-text sweep): per document, total images and
+    how many lack an alt attribute. Attribute PRESENCE, not value —
+    alt=\"\" counts as present."""
+
+    def __init__(self):
+        self.imgs = parse_query("img")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids: list[int] = []
+        n_imgs: list[int] = []
+        n_missing: list[int] = []
+        for did, html in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("html").to_pylist()):
+            doc = P.parse(html or "")
+            els = doc.select(self.imgs)
+            doc_ids.append(did)
+            n_imgs.append(len(els))
+            n_missing.append(sum(1 for el in els
+                                 if not el.has_attr("alt")))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_imgs": pa.array(n_imgs, pa.int64()),
+            "n_missing_alt": pa.array(n_missing, pa.int64()),
+        })
+
+
+class MetaRobotsStage:
+    """Crawl-directive extraction (select('meta[name=robots]') +
+    content token scan): per document, whether the tag exists and its
+    noindex/nofollow flags as 0/1 ints (int, not bool, for oracle
+    hash parity)."""
+
+    def __init__(self):
+        self.meta = parse_query("meta[name=robots]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids: list[int] = []
+        has_meta: list[int] = []
+        noindex: list[int] = []
+        nofollow: list[int] = []
+        for did, html in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("html").to_pylist()):
+            doc = P.parse(html or "")
+            el = doc.select_first(self.meta)
+            tokens = ([t.strip() for t in
+                       el.attr("content").lower().split(",")]
+                      if el is not None else [])
+            doc_ids.append(did)
+            has_meta.append(int(el is not None))
+            noindex.append(int("noindex" in tokens))
+            nofollow.append(int("nofollow" in tokens))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "has_meta": pa.array(has_meta, pa.int64()),
+            "noindex": pa.array(noindex, pa.int64()),
+            "nofollow": pa.array(nofollow, pa.int64()),
+        })

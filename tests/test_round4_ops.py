@@ -318,3 +318,32 @@ def test_windowed_distinct_counts_users_once(ray_session):
         .reset_index(drop=True)
     assert list(out["n_users"]) == [2, 1, 1]
     assert list(out["event_type"]) == ["click", "click", "view"]
+
+
+def test_outline_and_audit_stages_direct():
+    from ksoup_ray.stages.extract import (ImgAuditStage,
+                                          MetaRobotsStage,
+                                          OutlineStage)
+
+    html = ('<html><head>'
+            '<meta name="robots" content=" NOINDEX , other ">'
+            '</head><body><h1>A</h1><h2>B</h2><div><h3>C</h3></div>'
+            '<img src="x"><img src="y" alt=""><img src="z" alt="t">'
+            '</body></html>')
+    batch = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "html": pa.array([html], pa.string())})
+    out = OutlineStage()(batch)
+    assert out.column("level").to_pylist() == [1, 2, 3]
+    assert out.column("text").to_pylist() == ["A", "B", "C"]
+    assert out.column("pos").to_pylist() == [0, 1, 2]
+
+    audit = ImgAuditStage()(batch)
+    # alt="" counts as PRESENT: only the first img is missing
+    assert audit.column("n_imgs").to_pylist() == [3]
+    assert audit.column("n_missing_alt").to_pylist() == [1]
+
+    robots = MetaRobotsStage()(batch)
+    # case-insensitive, whitespace-tolerant token scan; nofollow absent
+    assert robots.column("has_meta").to_pylist() == [1]
+    assert robots.column("noindex").to_pylist() == [1]
+    assert robots.column("nofollow").to_pylist() == [0]

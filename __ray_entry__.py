@@ -2717,6 +2717,75 @@ def _q_meta_robots(sf_dir: str):
         MetaRobotsStage, batch_format="pyarrow", concurrency=(1, 4))
 
 
+def _q_median_interp(sf_dir: str):
+    """Interpolated (PERCENTILE_CONT) per-language median, kept
+    EXACT: report v_lo + v_hi (the two middle elements; equal when N
+    is odd) so 2×median = v_lo + v_hi with no float division —
+    DuckDB's quantile_cont(0.5)*2 matches bit-for-bit for integer
+    inputs. Same bounded-histogram machinery as grouped_quantiles."""
+    import math
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["lang", "n_chars"]).to_pandas()
+        g = df.groupby(["lang", "n_chars"], sort=False).size() \
+            .reset_index(name="partial")
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "n_chars"])
+            .aggregate(Sum("partial", alias_name="n"))
+            .to_pandas())
+    out = []
+    for lang, grp in hist.groupby("lang", sort=True):
+        grp = grp.sort_values("n_chars")
+        total = int(grp["n"].sum())
+        cum = grp["n"].cumsum()
+        # 0-indexed middle positions (N-1)//2 and N//2
+        lo = int(grp.loc[cum >= (total - 1) // 2 + 1,
+                         "n_chars"].iloc[0])
+        hi = int(grp.loc[cum >= total // 2 + 1, "n_chars"].iloc[0])
+        out.append((lang, lo + hi))
+    return pd.DataFrame(out, columns=["lang", "median_x2"]) \
+        .astype({"median_x2": np.int64})
+
+
+def _q_emb_stats(sf_dir: str):
+    """Per-vector list-column statistics (dim, min, max, L1 norm in
+    exact trunc-micros) — the embedding-hygiene sweep (NaN/dim
+    audits) as pure Arrow list kernels: one flatten + offset-segmented
+    numpy reduceat per batch, no shuffle, no Python per row."""
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        offsets = np.asarray(col.offsets)[:-1].astype(np.int64)
+        dim = pc.cast(pc.list_value_length(col), pa.int64())
+        # trunc-micros per element BEFORE the segmented sums (the
+        # scaled-float32 TRUNC convention — no half-tie hazard)
+        e6 = np.trunc(flat.astype(np.float64) * 10**6).astype(np.int64)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "dim": dim,
+            "min_e6": pa.array(np.minimum.reduceat(e6, offsets),
+                               pa.int64()),
+            "max_e6": pa.array(np.maximum.reduceat(e6, offsets),
+                               pa.int64()),
+            "l1_e6": pa.array(np.add.reduceat(np.abs(e6), offsets),
+                              pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2855,6 +2924,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "headings_outline": _q_headings_outline,
         "img_alt_audit": _q_img_alt_audit,
         "meta_robots": _q_meta_robots,
+        "median_interp": _q_median_interp,
+        "emb_stats": _q_emb_stats,
     }
 
 
@@ -4771,5 +4842,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
                         AS BIGINT) AS nofollow
             FROM documents
+        """,
+        # PERCENTILE_CONT kept exact: 2*median = v_lo + v_hi (integer)
+        "median_interp": """
+            SELECT lang,
+                   CAST(quantile_cont(n_chars, 0.5) * 2 AS BIGINT)
+                     AS median_x2
+            FROM documents GROUP BY lang
+        """,
+        # per-element TRUNC micros BEFORE the per-vector aggregates;
+        # abs AFTER trunc (mirrors the numpy kernel exactly)
+        "emb_stats": """
+            WITH v AS (
+              SELECT vec_id,
+                     CAST(TRUNC(CAST(x AS DOUBLE) * 1000000)
+                          AS BIGINT) AS v
+              FROM embeddings, LATERAL unnest(embedding) AS t(x)),
+            d AS (
+              SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim
+              FROM embeddings)
+            SELECT d.vec_id, d.dim,
+                   CAST(min(v.v) AS BIGINT) AS min_e6,
+                   CAST(max(v.v) AS BIGINT) AS max_e6,
+                   CAST(sum(abs(v.v)) AS BIGINT) AS l1_e6
+            FROM d JOIN v ON d.vec_id = v.vec_id
+            GROUP BY d.vec_id, d.dim
         """,
     }

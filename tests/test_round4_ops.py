@@ -347,3 +347,39 @@ def test_outline_and_audit_stages_direct():
     assert robots.column("has_meta").to_pylist() == [1]
     assert robots.column("noindex").to_pylist() == [1]
     assert robots.column("nofollow").to_pylist() == [0]
+
+
+def test_median_interp_matches_percentile_cont(ray_session):
+    import duckdb
+
+    import __ray_entry__ as m
+
+    got = m.queries()["median_interp"]("/root/testdata/sf0.001") \
+        .sort_values("lang").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.001/documents.parquet'")
+    want = con.sql(
+        "SELECT lang, CAST(quantile_cont(n_chars, 0.5) * 2 AS BIGINT)"
+        " AS median_x2 FROM documents GROUP BY lang ORDER BY lang"
+    ).df()
+    assert list(got["median_x2"]) == list(want["median_x2"])
+
+
+def test_emb_stats_trunc_and_segments(ray_session):
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as m
+
+    out = m.queries()["emb_stats"]("/root/testdata/sf0.001") \
+        .to_pandas().set_index("vec_id")
+    row = pq.read_table("/root/testdata/sf0.001/embeddings.parquet") \
+        .slice(0, 1).to_pylist()[0]
+    vec = row["embedding"]
+    want = np.trunc(np.asarray(vec, np.float64) * 10**6) \
+        .astype(np.int64)
+    got = out.loc[row["vec_id"]]
+    assert int(got["dim"]) == len(vec)
+    assert int(got["min_e6"]) == want.min()
+    assert int(got["max_e6"]) == want.max()
+    assert int(got["l1_e6"]) == np.abs(want).sum()

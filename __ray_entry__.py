@@ -2786,6 +2786,69 @@ def _q_emb_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def _q_hash_features(sf_dir: str):
+    """Hashing-trick featurization (the sklearn HashingVectorizer /
+    Vowpal-Wabbit primitive): per document, word counts folded into a
+    FIXED 64-bucket space via md5 — long-form (doc_id, bucket, n)
+    output, schema static at any vocabulary size. Per batch: one
+    pandas split+explode, md5 on the batch's UNIQUE words only
+    (vocabulary-sized, not token-sized), vectorized bucket map +
+    groupby. No shuffle — doc-local counts."""
+    import hashlib
+
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        df = batch.select(["doc_id", "text"]).to_pandas()
+        words = df["text"].str.split(" ")
+        long = df[["doc_id"]].join(words.rename("w")).explode("w")
+        long = long[long["w"].astype(str).str.len() > 0]
+        uniq = long["w"].unique()
+        bucket_of = {
+            w: int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 64
+            for w in uniq}
+        long["bucket"] = long["w"].map(bucket_of).astype(np.int64)
+        out = long.groupby(["doc_id", "bucket"], sort=False) \
+            .size().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(featurize, batch_format="pyarrow")
+
+
+def _q_length_outliers(sf_dir: str):
+    """Per-group 1.5σ outlier filter — the anomaly-screening step a
+    curation pipeline runs after normalization: keep docs whose
+    per-language length z-score magnitude exceeds 1.5 (in the exact
+    int-micro convention of zscore_by_lang, so the filter boundary is
+    bit-identical on both sides). Composes grouped_zscore (broadcast
+    moments, zero corpus shuffles) with one vectorized filter."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import grouped_zscore
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    scored = grouped_zscore(ds, key_col="lang", val_col="n_chars")
+    return scored.map_batches(
+        lambda b: b.filter(pc.greater(
+            pc.abs(b.column("z_micros")), 1_500_000)),
+        batch_format="pyarrow")
+
+
+def _q_dense_ranks(sf_dir: str):
+    """Per-language DENSE_RANK of document length
+    (functions/agg.grouped_dense_rank): 1 + count of smaller distinct
+    values, read off the bounded cross-tab grid broadcast once — no
+    per-group sort, no corpus shuffle."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import grouped_dense_rank
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    return grouped_dense_rank(ds, key_col="lang", val_col="n_chars",
+                              id_col="doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2901,6 +2964,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_urls": _q_sitemap_urls,
         "event_pivot": _q_event_pivot,
         "users_both": _q_users_both,
+        "hash_features": _q_hash_features,
+        "length_outliers": _q_length_outliers,
+        "dense_ranks": _q_dense_ranks,
         "microdata": _q_microdata,
         "event_gaps": _q_event_gaps,
         "ohlc_hourly": _q_ohlc_hourly,
@@ -4867,5 +4933,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(abs(v.v)) AS BIGINT) AS l1_e6
             FROM d JOIN v ON d.vec_id = v.vec_id
             GROUP BY d.vec_id, d.dim
+        """,
+        # md5-substr bucket convention (same as hash_sample) mod 64
+        "hash_features": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents
+            ), b AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)
+                       % 64 AS bucket
+              FROM w WHERE w <> ''
+            )
+            SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY doc_id, bucket
+        """,
+        # zscore_by_lang's exact expression tree + the 1.5σ filter
+        "length_outliers": """
+            WITH m AS (
+              SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+                     CAST(SUM(n_chars) AS DOUBLE) AS s,
+                     CAST(SUM(n_chars * n_chars) AS DOUBLE) AS ss
+              FROM documents GROUP BY lang)
+            SELECT d.doc_id, d.lang,
+                   CAST(ROUND((d.n_chars - m.s / m.n)
+                              / sqrt((m.ss - m.s * m.s / m.n) / m.n)
+                              * 1000000.0) AS BIGINT) AS z_micros
+            FROM documents d JOIN m USING (lang)
+            WHERE abs(CAST(ROUND((d.n_chars - m.s / m.n)
+                           / sqrt((m.ss - m.s * m.s / m.n) / m.n)
+                           * 1000000.0) AS BIGINT)) > 1500000
+        """,
+        "dense_ranks": """
+            SELECT doc_id, lang, n_chars,
+                   CAST(DENSE_RANK() OVER (PARTITION BY lang
+                                           ORDER BY n_chars)
+                        AS BIGINT) AS dense_rank
+            FROM documents
         """,
     }

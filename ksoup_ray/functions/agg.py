@@ -1059,3 +1059,40 @@ def windowed_distinct(ds, *, key_col: str = "event_type",
                 batch_format="pyarrow")
             .groupby([key_col, "window_start"])
             .aggregate(Count(alias_name="n_users")))
+
+
+def grouped_dense_rank(ds, *, key_col: str, val_col: str,
+                       id_col: str):
+    """``DENSE_RANK() OVER (PARTITION BY key ORDER BY val)`` with NO
+    per-group sort: the dense rank of a value is 1 + the count of
+    strictly-smaller DISTINCT values in its group, which falls out of
+    the same bounded (key × distinct-value) cross-tab that powers
+    :func:`ntile_by_group` — one distributed cross-tab, a per-key
+    cumcount on that bounded grid, one ``ray.put`` broadcast, then a
+    per-batch vectorized gather. The corpus itself never shuffles.
+    Assumes a discrete-ish value domain (lengths, scores in fixed
+    units). Returns (id, key, val, dense_rank)."""
+    import ray
+
+    grid = crosstab_counts(ds.select_columns([key_col, val_col]),
+                           [key_col, val_col]).to_pandas()
+    grid = grid.sort_values([key_col, val_col], kind="mergesort")
+    grid["rank"] = grid.groupby(key_col, sort=False).cumcount() + 1
+    rank_ref = ray.put({
+        (k, v): int(r) for k, v, r in
+        zip(grid[key_col], grid[val_col], grid["rank"])})
+
+    def score(batch: pa.Table) -> pa.Table:
+        ranks = ray.get(rank_ref)
+        keys = batch.column(key_col).to_pylist()
+        vals = batch.column(val_col).to_numpy(zero_copy_only=False)
+        r = np.fromiter((ranks[(k, v)] for k, v in zip(keys, vals)),
+                        np.int64, len(keys))
+        return pa.table({
+            id_col: batch.column(id_col),
+            key_col: batch.column(key_col),
+            val_col: batch.column(val_col),
+            "dense_rank": pa.array(r, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -383,3 +383,46 @@ def test_emb_stats_trunc_and_segments(ray_session):
     assert int(got["min_e6"]) == want.min()
     assert int(got["max_e6"]) == want.max()
     assert int(got["l1_e6"]) == np.abs(want).sum()
+
+
+def test_grouped_dense_rank_skips_no_numbers(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.agg import grouped_dense_rank
+
+    rows = [{"id": 1, "g": "a", "v": 10}, {"id": 2, "g": "a", "v": 10},
+            {"id": 3, "g": "a", "v": 30}, {"id": 4, "g": "b", "v": 99}]
+    out = grouped_dense_rank(rd.from_items(rows).repartition(2),
+                             key_col="g", val_col="v", id_col="id") \
+        .to_pandas().set_index("id")["dense_rank"]
+    # dense: ties share a rank and the next distinct value is rank+1
+    assert list(out.loc[[1, 2, 3, 4]]) == [1, 1, 2, 1]
+
+
+def test_batched_levenshtein_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ksoup_ray.functions.dedup import batched_levenshtein
+
+    def ref(a, b):
+        la, lb = len(a), len(b)
+        dp = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, lb + 1):
+                cur = min(dp[j] + 1, dp[j - 1] + 1,
+                          prev + (a[i - 1] != b[j - 1]))
+                prev, dp[j] = dp[j], cur
+        return dp[lb]
+
+    pair = st.tuples(st.text("abcdef", max_size=12),
+                     st.text("abcdef", max_size=12))
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(pair, min_size=1, max_size=20))
+    def check(pairs):
+        got = batched_levenshtein([a for a, _ in pairs],
+                                  [b for _, b in pairs])
+        assert list(got) == [ref(a, b) for a, b in pairs]
+
+    check()

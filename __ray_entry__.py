@@ -2849,6 +2849,49 @@ def _q_dense_ranks(sf_dir: str):
                               id_col="doc_id")
 
 
+def _q_page2_docs(sf_dir: str):
+    """Keyset-free pagination — global ORDER BY (n_chars DESC,
+    doc_id) LIMIT 10 OFFSET 10, i.e. result page 2: each block keeps
+    only its own top-20 (lossless — a global top-20 row is a top-20
+    row of its block), the driver merges the tiny survivors and
+    slices rows 10..19. No global sort of the corpus; the shuffle
+    carries ≤ 20 × blocks id-rows."""
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            batch, k=min(20, batch.num_rows),
+            sort_keys=[("n_chars", "descending"),
+                       ("doc_id", "ascending")])
+        return batch.take(idx)
+
+    parts = ds.map_batches(local_top,
+                           batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["n_chars", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort")
+    return parts.iloc[10:20].reset_index(drop=True)
+
+
+def _q_revenue_share(sf_dir: str):
+    """Percent-of-total window (SUM / SUM() OVER ()) in exact integer
+    parts-per-million: monthly revenue cents over one bounded
+    groupby, grand total folded on the driver (|months| rows), share
+    = cents*1e6 // total with the same floor division on both
+    sides."""
+    total_e6 = 10**6
+    monthly = _q_monthly_revenue(sf_dir).to_pandas()
+    total = int(monthly["revenue_cents"].sum())
+    monthly["share_ppm"] = (
+        monthly["revenue_cents"].astype(object) * total_e6 // total
+    ).astype(np.int64)
+    out = monthly[["o_year", "o_month", "revenue_cents",
+                   "share_ppm"]]
+    return out.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2967,6 +3010,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_features": _q_hash_features,
         "length_outliers": _q_length_outliers,
         "dense_ranks": _q_dense_ranks,
+        "page2_docs": _q_page2_docs,
+        "revenue_share": _q_revenue_share,
         "microdata": _q_microdata,
         "event_gaps": _q_event_gaps,
         "ohlc_hourly": _q_ohlc_hourly,
@@ -4971,5 +5016,27 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY n_chars)
                         AS BIGINT) AS dense_rank
             FROM documents
+        """,
+        "page2_docs": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id
+            LIMIT 10 OFFSET 10
+        """,
+        # exact ppm share: floor division on both sides
+        "revenue_share": """
+            WITH m AS (
+              SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                       AS o_year,
+                     CAST(EXTRACT(month FROM o_orderdate) AS BIGINT)
+                       AS o_month,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                   AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+              FROM orders GROUP BY 1, 2)
+            SELECT o_year, o_month, revenue_cents,
+                   CAST(revenue_cents * 1000000 //
+                        (SELECT SUM(revenue_cents) FROM m)
+                        AS BIGINT) AS share_ppm
+            FROM m
         """,
     }

@@ -2892,6 +2892,73 @@ def _q_revenue_share(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_regex_extract(sf_dir: str):
+    """First-match capture-group extraction (Arrow
+    ``pc.extract_regex`` — RE2 leftmost first match, same as DuckDB
+    ``regexp_extract``): per doc, the first vowel run and a matched
+    flag; Arrow's no-match null is mapped to '' to mirror DuckDB's
+    empty-string convention. Zero-copy, no shuffle."""
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("text"),
+                             pattern="(?P<m>[aeiou]{2,})")
+        run = pc.fill_null(pc.struct_field(m, "m"), "")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "first_run": run,
+            "matched": pc.cast(pc.not_equal(run, ""), pa.int64()),
+        })
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def _q_drift_union(sf_dir: str):
+    """Schema-drift-tolerant union — the multi-generation crawl-shard
+    reality: shard A carries (doc_id, text, lang), shard B the same
+    data REORDERED plus an extra crawl_ts column. Both are written to
+    a fresh scratch dir, read back independently, normalized to the
+    common column set AT THE READ (select_columns before union — Ray
+    requires congruent schemas, and at 100 TB you normalize per shard
+    generation, never rewrite old shards), then unioned. Oracle: the
+    union must reproduce documents(doc_id, lang) exactly."""
+    import tempfile
+
+    import ray.data as rd
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    root = tempfile.mkdtemp(prefix="ksoup_drift_")
+
+    def even(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.equal(
+            pc.bit_wise_and(batch.column("doc_id"),
+                            pa.scalar(1, pa.int64())), 0))
+        return keep.select(["doc_id", "text", "lang"])
+
+    def odd(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.equal(
+            pc.bit_wise_and(batch.column("doc_id"),
+                            pa.scalar(1, pa.int64())), 1))
+        return pa.table({
+            "lang": keep.column("lang"),
+            "crawl_ts": pc.multiply(keep.column("doc_id"),
+                                    pa.scalar(1000, pa.int64())),
+            "doc_id": keep.column("doc_id"),
+            "text": keep.column("text"),
+        })
+
+    base.map_batches(even, batch_format="pyarrow") \
+        .write_parquet(f"{root}/gen_a")
+    base.map_batches(odd, batch_format="pyarrow") \
+        .write_parquet(f"{root}/gen_b")
+    a = rd.read_parquet(f"{root}/gen_a", columns=["doc_id", "lang"])
+    b = rd.read_parquet(f"{root}/gen_b", columns=["doc_id", "lang"])
+    return a.select_columns(["doc_id", "lang"]) \
+        .union(b.select_columns(["doc_id", "lang"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -3011,6 +3078,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_outliers": _q_length_outliers,
         "dense_ranks": _q_dense_ranks,
         "page2_docs": _q_page2_docs,
+        "regex_extract": _q_regex_extract,
+        "drift_union": _q_drift_union,
         "revenue_share": _q_revenue_share,
         "microdata": _q_microdata,
         "event_gaps": _q_event_gaps,
@@ -5021,6 +5090,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             ORDER BY n_chars DESC, doc_id
             LIMIT 10 OFFSET 10
+        """,
+        "regex_extract": """
+            SELECT doc_id,
+                   regexp_extract(text, '([aeiou]{2,})', 1)
+                     AS first_run,
+                   CAST(regexp_extract(text, '([aeiou]{2,})', 1)
+                        <> '' AS BIGINT) AS matched
+            FROM documents
+        """,
+        "drift_union": """
+            SELECT doc_id, lang FROM documents
         """,
         # exact ppm share: floor division on both sides
         "revenue_share": """

@@ -1190,3 +1190,40 @@ def fuzzy_neardup_pairs(ds, *, id_col: str = "doc_id",
     return (ds.map_batches(keyed, batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(pairs_block, batch_format="pandas"))
+
+
+def exact_drop_ids(ds, text_col: str = "text",
+                   key_col: str = "doc_id",
+                   num_partitions: int = 32):
+    """DROP-SET formulation of exact dedup: the ids that are NOT the
+    lowest-key copy of their text — zero joins, one bounded-bucket
+    shuffle of (md5, id) rows. Bucket on ``hash(md5) %
+    num_partitions`` co-locates every copy of a text, then a
+    segmented block kernel (sort by (md5, id), non-first-of-segment
+    mask) emits the losers. Lets a curation pipeline apply exact AND
+    near-dup drops in ONE payload anti-join instead of a keeper
+    payload join per stage — at corpus scale the payload shuffle is
+    the cost, so halving payload passes matters more than the extra
+    id-only scan. Complements (not replaces) :func:`exact_dedup`,
+    which returns the kept rows directly."""
+    from ._blocks import pk_column
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        t = add_md5(batch, text_col).select(["content_md5", key_col])
+        return t.append_column(
+            "_pk", pk_column(t.column("content_md5"), num_partitions))
+
+    def losers_block(block: pd.DataFrame) -> pd.DataFrame:
+        block = block.sort_values(["content_md5", key_col],
+                                  kind="mergesort")
+        md5s = block["content_md5"].to_numpy()
+        first = np.empty(len(block), bool)
+        if len(block):
+            first[0] = True
+            first[1:] = md5s[1:] != md5s[:-1]
+        return pd.DataFrame(
+            {key_col: block[key_col].to_numpy()[~first]})
+
+    return (ds.map_batches(keyed, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(losers_block, batch_format="pandas"))

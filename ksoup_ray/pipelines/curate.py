@@ -3,14 +3,16 @@ actually runs — exact dedup → verified MinHash-LSH near-dup drop →
 language filter → token-length bounds — as ONE lazy Ray Data pipeline.
 
 Shuffle inventory (nothing corpus-scale on the driver):
-1. exact dedup: groupby on (md5, id) + one id hash-join (payloads never
-   ride the dedup shuffle) — ``functions/dedup.exact_dedup``;
+1. exact-dup DROP SET: one bounded (md5, id) bucket shuffle, zero
+   joins — ``functions/dedup.exact_drop_ids``;
 2. near-dup DROP SET over the full corpus: bands shuffle ids only,
    verification joins texts for candidate pairs only —
    ``functions/dedup.minhash_lsh_dedup``;
-3. the drop set applies as an ANTI-JOIN (left-outer on id + null
-   filter — Ray 2.49 has no native anti join), so survivors stream
-   through without materialization;
+3. BOTH drop sets union into ONE ANTI-JOIN (left-outer on id + null
+   filter — Ray 2.49 has no native anti join), so the document
+   payloads ride exactly one join; duplicate ids across the two drop
+   sets are harmless (they only multiply rows that the null filter
+   discards);
 4. token counting and the lang/length filters are pure Arrow kernels
    inside ``map_batches`` — no shuffle.
 
@@ -19,6 +21,9 @@ over survivors): an exact duplicate's near-dups are near-dups of its
 keeper too (identical text ⇒ identical shingle set), so the surviving
 set is the same either way and the two drop sets can be computed
 concurrently — one scan each instead of a serialized two-pass.
+(Until round-4 session 8 the exact stage returned KEPT rows via a
+keeper payload join; the drop-set formulation removed that second
+payload shuffle — at 100 TB the payload pass is the cost.)
 """
 
 from __future__ import annotations
@@ -26,7 +31,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.dedup import exact_dedup, minhash_lsh_dedup
+from ..functions.dedup import exact_drop_ids, minhash_lsh_dedup
 
 
 def _anti_join(ds, drop_ids, id_col: str, num_partitions: int = 8):
@@ -63,8 +68,9 @@ def curate_to_parquet(ds, out_dir: str, *, num_partitions: int = 64,
 def _auto_partitions() -> int:
     """Join partition count sized to the cluster.
 
-    This DAG runs ~4 hash-shuffle joins CONCURRENTLY (exact-dedup keep
-    join, the two LSH-verify joins, the anti-join); Ray 2.49 reserves
+    This DAG runs ~3 hash-shuffle joins CONCURRENTLY (the two
+    LSH-verify joins and the anti-join; the exact stage is join-free
+    since the drop-set rewrite); Ray 2.49 reserves
     ``min(1, cpus/2/num_partitions)`` CPU per aggregator actor per
     join, so a fixed partition count deadlocks when the concurrent
     joins' aggregator pools exceed the cluster (observed: np=8 hangs
@@ -95,13 +101,24 @@ def curate_documents(ds, *, id_col: str = "doc_id",
     """
     if num_partitions is None:
         num_partitions = _auto_partitions()
-    kept = exact_dedup(ds, text_col=text_col, key_col=id_col,
-                       num_partitions=num_partitions)
+    # DROP-SET formulation (round-4 session 8): exact dedup as a
+    # join-free loser list (functions/dedup.exact_drop_ids — one
+    # bounded (md5, id) shuffle) unioned with the near-dup drop set,
+    # so the document payloads ride exactly ONE join (the anti-join
+    # below) instead of two (the old keeper join + anti-join). Same
+    # survivor set: a row survives iff it is in neither drop set.
+    exact_dropped = exact_drop_ids(ds, text_col=text_col,
+                                   key_col=id_col,
+                                   num_partitions=num_partitions)
     near_dropped = minhash_lsh_dedup(
         ds, num_hashes=num_hashes, num_bands=num_bands,
         shingle_size=shingle_size, text_col=text_col, id_col=id_col,
         threshold=near_threshold, num_partitions=num_partitions)
-    survivors = _anti_join(kept, near_dropped, id_col,
+    drops = exact_dropped.select_columns([id_col]).union(
+        near_dropped.map_batches(
+            lambda b: pa.table({id_col: b.column(0).cast(pa.int64())}),
+            batch_format="pyarrow"))
+    survivors = _anti_join(ds, drops, id_col,
                            num_partitions=num_partitions)
 
     lang_set = set(langs)

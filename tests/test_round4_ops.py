@@ -426,3 +426,15 @@ def test_batched_levenshtein_property():
         assert list(got) == [ref(a, b) for a, b in pairs]
 
     check()
+
+
+def test_exact_drop_ids_losers_only(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import exact_drop_ids
+
+    rows = [{"doc_id": 3, "text": "aaa"}, {"doc_id": 1, "text": "aaa"},
+            {"doc_id": 2, "text": "bbb"}, {"doc_id": 9, "text": "aaa"}]
+    out = exact_drop_ids(rd.from_items(rows).repartition(3),
+                         num_partitions=4).to_pandas()
+    # keep lowest id per text: 1 (aaa), 2 (bbb); losers = 3, 9
+    assert sorted(out["doc_id"]) == [3, 9]

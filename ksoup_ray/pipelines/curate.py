@@ -41,7 +41,10 @@ def _anti_join(ds, drop_ids, id_col: str, num_partitions: int = 8):
     marked = drop_ids.map_batches(
         lambda b: pa.table({"_drop_id": b.column(0).cast(pa.int64()),
                             "_dropped": pa.array([True] * b.num_rows)}),
-        batch_format="pyarrow")
+        batch_format="pyarrow") \
+        .repartition(4)  # coalesce schema-less empty blocks (the
+    # Ray 2.49 guard of functions/dedup._join_ready) — map_groups
+    # sources emit them on small inputs and the Arrow join dies
     joined = ds.join(marked, join_type="left_outer",
                      num_partitions=num_partitions,
                      on=(id_col,), right_on=("_drop_id",))

@@ -2959,6 +2959,62 @@ def _q_drift_union(sf_dir: str):
         .union(b.select_columns(["doc_id", "lang"]))
 
 
+def _q_q6_forecast(sf_dir: str):
+    """TPC-H Q6 revenue-change forecast — the predicate-pushdown
+    showcase: the date/discount/quantity filters are passed to
+    ``read_parquet`` as a pyarrow dataset expression, so row groups
+    that can't match never leave storage (the brief's prune-at-the-
+    read rule); the surviving rows reduce to one exact-integer sum
+    (cents × discount-bp per row, then one global fold)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    f = ((pads.field("l_shipdate") >= pa.scalar(
+        np.datetime64("1996-01-01", "us")))
+        & (pads.field("l_shipdate") < pa.scalar(
+            np.datetime64("1997-01-01", "us")))
+        & (pads.field("l_discount") >= 0.05)
+        & (pads.field("l_discount") <= 0.07)
+        & (pads.field("l_quantity") < 24.0))
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"], filter=f)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch.column("l_extendedprice")
+                         .to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        bp = np.round(batch.column("l_discount")
+                      .to_numpy(zero_copy_only=False)
+                      * 100).astype(np.int64)
+        return pa.table({"partial": pa.array([int((cents * bp).sum())],
+                                             pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .to_pandas()
+    return pd.DataFrame({
+        "revenue_e4": [np.int64(parts["partial"].sum())]})
+
+
+def _q_events_heatmap(sf_dir: str):
+    """Calendar heatmap counts — events per (ISO weekday, hour):
+    vectorized Arrow temporal kernels + the one bounded cross-tab
+    (168 cells max at any corpus size)."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import crosstab_counts
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def parts(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        return pa.table({
+            "dow": pc.cast(pc.day_of_week(ts), pa.int64()),
+            "hour": pc.cast(pc.hour(ts), pa.int64()),
+        })
+
+    return crosstab_counts(ds.map_batches(parts,
+                                          batch_format="pyarrow"),
+                           ["dow", "hour"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -3080,6 +3136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page2_docs": _q_page2_docs,
         "regex_extract": _q_regex_extract,
         "drift_union": _q_drift_union,
+        "q6_forecast": _q_q6_forecast,
+        "events_heatmap": _q_events_heatmap,
         "revenue_share": _q_revenue_share,
         "microdata": _q_microdata,
         "event_gaps": _q_event_gaps,
@@ -5101,6 +5159,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "drift_union": """
             SELECT doc_id, lang FROM documents
+        """,
+        # same float literals both sides; exact cents x basis points
+        "q6_forecast": """
+            SELECT CAST(SUM(
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+                     CAST(ROUND(l_discount * 100) AS BIGINT))
+                   AS BIGINT) AS revenue_e4
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        # isodow-1 == Arrow day_of_week (Monday=0)
+        "events_heatmap": """
+            SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
         """,
         # exact ppm share: floor division on both sides
         "revenue_share": """

@@ -3015,6 +3015,64 @@ def _q_events_heatmap(sf_dir: str):
                            ["dow", "hour"])
 
 
+def _q_q19_disjunctive(sf_dir: str):
+    """TPC-H Q19-style disjunctive-predicate join: revenue over
+    lineitem × part where EITHER of two (brand, size-range,
+    quantity-range) conjunctions holds. The part side is a dimension
+    table at any scale, so it broadcasts once (``ray.put`` of two
+    dense partkey→attr arrays) and every lineitem batch evaluates the
+    OR-of-ANDs as one vectorized boolean expression — ZERO shuffles;
+    the fact table is read once with pruned columns. Exact
+    cents×(100−discount-bp) revenue convention."""
+    import ray
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part.column("p_partkey").to_numpy()
+    cap = int(pk.max()) + 1
+    brand = np.zeros(cap, np.int32)
+    size = np.zeros(cap, np.int32)
+    bmap = {"Brand#1": 1, "Brand#2": 2}
+    brand[pk] = [bmap.get(b, 0)
+                 for b in part.column("p_brand").to_pylist()]
+    size[pk] = part.column("p_size").to_numpy()
+    dim_ref = ray.put((brand, size))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b, s = ray.get(dim_ref)
+        keys = batch.column("l_partkey").to_numpy()
+        qty = batch.column("l_quantity").to_numpy()
+        pb, ps = b[keys], s[keys]
+        m1 = (pb == 1) & (ps >= 1) & (ps <= 15) \
+            & (qty >= 1) & (qty <= 20)
+        m2 = (pb == 2) & (ps >= 10) & (ps <= 30) \
+            & (qty >= 10) & (qty <= 30)
+        m = m1 | m2
+        cents = np.round(batch.column("l_extendedprice")
+                         .to_numpy(zero_copy_only=False)[m]
+                         * 100).astype(np.int64)
+        keep_bp = 100 - np.round(
+            batch.column("l_discount")
+            .to_numpy(zero_copy_only=False)[m] * 100).astype(np.int64)
+        return pa.table({
+            "partial": pa.array([int((cents * keep_bp).sum())],
+                                pa.int64()),
+            "n": pa.array([int(m.sum())], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "revenue_e4": [np.int64(parts["partial"].sum())],
+        "n_items": [np.int64(parts["n"].sum())]})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -3138,6 +3196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_union": _q_drift_union,
         "q6_forecast": _q_q6_forecast,
         "events_heatmap": _q_events_heatmap,
+        "q19_disjunctive": _q_q19_disjunctive,
         "revenue_share": _q_revenue_share,
         "microdata": _q_microdata,
         "event_gaps": _q_event_gaps,
@@ -5171,6 +5230,20 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "q19_disjunctive": """
+            SELECT CAST(SUM(
+                     CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) *
+                     (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                   ) AS BIGINT) AS revenue_e4,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1'
+                   AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 20)
+               OR (p.p_brand = 'Brand#2'
+                   AND p.p_size BETWEEN 10 AND 30
+                   AND l.l_quantity BETWEEN 10 AND 30)
         """,
         # isodow-1 == Arrow day_of_week (Monday=0)
         "events_heatmap": """

@@ -3073,6 +3073,25 @@ def _q_q19_disjunctive(sf_dir: str):
         "n_items": [np.int64(parts["n"].sum())]})
 
 
+_CATALOG_TABLES = ("region", "nation", "customer", "supplier",
+                   "part", "orders", "lineitem", "events",
+                   "documents", "embeddings")
+
+
+def _q_catalog_audit(sf_dir: str):
+    """Metadata-only catalog audit — row and column counts for every
+    table from Parquet FOOTERS alone (``pq.read_metadata``): zero data
+    bytes leave storage, the audit cost is O(files), not O(corpus).
+    The first thing a 100 TB job runs to sanity-check its inputs."""
+    import pyarrow.parquet as pq
+    rows = []
+    for t in _CATALOG_TABLES:
+        md = pq.read_metadata(f"{sf_dir}/{t}.parquet")
+        rows.append((t, md.num_rows, md.num_columns))
+    out = pd.DataFrame(rows, columns=["tbl", "n_rows", "n_cols"])
+    return out.astype({"n_rows": np.int64, "n_cols": np.int64})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -3197,6 +3216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast": _q_q6_forecast,
         "events_heatmap": _q_events_heatmap,
         "q19_disjunctive": _q_q19_disjunctive,
+        "catalog_audit": _q_catalog_audit,
         "revenue_share": _q_revenue_share,
         "microdata": _q_microdata,
         "event_gaps": _q_event_gaps,
@@ -5244,6 +5264,19 @@ def oracle_sql() -> dict[str, str]:
                OR (p.p_brand = 'Brand#2'
                    AND p.p_size BETWEEN 10 AND 30
                    AND l.l_quantity BETWEEN 10 AND 30)
+        """,
+        "catalog_audit": """
+            SELECT 'region' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(2 AS BIGINT) AS n_cols FROM region
+            UNION ALL SELECT 'nation', count(*), 3 FROM nation
+            UNION ALL SELECT 'customer', count(*), 5 FROM customer
+            UNION ALL SELECT 'supplier', count(*), 4 FROM supplier
+            UNION ALL SELECT 'part', count(*), 6 FROM part
+            UNION ALL SELECT 'orders', count(*), 6 FROM orders
+            UNION ALL SELECT 'lineitem', count(*), 11 FROM lineitem
+            UNION ALL SELECT 'events', count(*), 6 FROM events
+            UNION ALL SELECT 'documents', count(*), 5 FROM documents
+            UNION ALL SELECT 'embeddings', count(*), 3 FROM embeddings
         """,
         # isodow-1 == Arrow day_of_week (Monday=0)
         "events_heatmap": """

@@ -1,0 +1,129 @@
+"""Randomized DuckDB parity for the sort-free window kernels: seeded
+random frames (duplicates, ties, skewed groups) run through the Ray
+operators AND the equivalent DuckDB window SQL — the results must
+match row-for-row. Complements the fixed-corpus oracle sweep with
+adversarial shapes (heavy ties, singleton groups, one giant group)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def _frame(seed: int, n: int = 400) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        # few groups, one dominant -> exercises skew
+        "g": rng.choice(["a", "b", "c"], size=n,
+                        p=[0.7, 0.2, 0.1]),
+        # tiny value domain -> heavy ties
+        "v": rng.randint(0, 12, size=n).astype(np.int64),
+    })
+
+
+def test_ntile_matches_duckdb_on_random_frames(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.agg import ntile_by_group
+
+    for seed in (1, 7):
+        df = _frame(seed)
+        got = ntile_by_group(
+            rd.from_pandas(df).repartition(5), key_col="g",
+            val_col="v", tie_col="id", n_tiles=4,
+            num_partitions=3).to_pandas() \
+            .sort_values("id").reset_index(drop=True)
+        want = duckdb.sql(
+            "SELECT id, g, v, CAST(NTILE(4) OVER (PARTITION BY g "
+            "ORDER BY v, id) AS BIGINT) AS tile FROM df ORDER BY id"
+        ).df()
+        assert list(got["tile"]) == list(want["tile"]), seed
+
+
+def test_dense_rank_matches_duckdb_on_random_frames(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.agg import grouped_dense_rank
+
+    for seed in (2, 9):
+        df = _frame(seed)
+        got = grouped_dense_rank(
+            rd.from_pandas(df).repartition(4), key_col="g",
+            val_col="v", id_col="id").to_pandas() \
+            .sort_values("id").reset_index(drop=True)
+        want = duckdb.sql(
+            "SELECT id, CAST(DENSE_RANK() OVER (PARTITION BY g "
+            "ORDER BY v) AS BIGINT) AS r FROM df ORDER BY id").df()
+        assert list(got["dense_rank"]) == list(want["r"]), seed
+
+
+def test_window_frame_sum_matches_duckdb_on_random_frames(
+        ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.agg import window_frame_sum
+
+    for seed in (3,):
+        rng = np.random.RandomState(seed)
+        n = 300
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 9, size=n).astype(np.int64),
+            # duplicate timestamps on purpose: tie-break on event_id
+            "ts": pd.to_datetime(
+                rng.randint(0, 50, size=n), unit="s"),
+            "value": rng.randint(-5, 6, size=n).astype(float),
+        })
+        got = window_frame_sum(
+            rd.from_pandas(df).repartition(4), preceding=3,
+            num_partitions=4).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        want = duckdb.sql("""
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+                              CAST(ROUND(value*1e6) AS BIGINT) AS v
+                       FROM df)
+            SELECT event_id, CAST(SUM(v) OVER w AS BIGINT) AS s,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS c
+            FROM e WINDOW w AS (PARTITION BY user_id
+                ORDER BY tus, event_id
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id""").df()
+        assert list(got["frame_sum_e6"]) == list(want["s"]), seed
+        assert list(got["n_in"]) == list(want["c"]), seed
+
+
+def test_ohlc_matches_duckdb_on_random_frames(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.agg import ohlc_bars
+
+    rng = np.random.RandomState(11)
+    n = 300
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 5, size=n).astype(np.int64),
+        "ts": pd.to_datetime(
+            rng.randint(0, 3 * 3600, size=n), unit="s"),
+        "value": rng.randint(-100, 100, size=n) / 4.0,
+    })
+    got = ohlc_bars(rd.from_pandas(df).repartition(4),
+                    num_partitions=3).to_pandas() \
+        .sort_values(["user_id", "bucket"]).reset_index(drop=True)
+    want = duckdb.sql("""
+        WITH e AS (SELECT user_id,
+                          epoch_us(ts) // 3600000000 AS bucket,
+                          epoch_us(ts) AS tus, event_id,
+                          CAST(ROUND(value*1e6) AS BIGINT) AS v
+                   FROM df),
+        r AS (SELECT *, row_number() OVER (PARTITION BY user_id,
+                  bucket ORDER BY tus, event_id) AS rn,
+                  count(*) OVER (PARTITION BY user_id, bucket) AS cnt
+              FROM e)
+        SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+               CAST(max(CASE WHEN rn = 1 THEN v END) AS BIGINT)
+                 AS open_e6,
+               CAST(max(v) AS BIGINT) AS high_e6,
+               CAST(min(v) AS BIGINT) AS low_e6,
+               CAST(max(CASE WHEN rn = cnt THEN v END) AS BIGINT)
+                 AS close_e6,
+               CAST(count(*) AS BIGINT) AS n
+        FROM r GROUP BY user_id, bucket
+        ORDER BY user_id, bucket""").df()
+    for col in ("open_e6", "high_e6", "low_e6", "close_e6", "n"):
+        assert list(got[col]) == list(want[col]), col

@@ -3092,6 +3092,76 @@ def _q_catalog_audit(sf_dir: str):
     return out.astype({"n_rows": np.int64, "n_cols": np.int64})
 
 
+def _q_winsorize_lengths(sf_dir: str):
+    """Per-group winsorization — clip each document's length at its
+    language's P90 (the outlier-capping step before length-sensitive
+    training statistics). Composes grouped_quantiles' exact
+    ceil(q·N)-rule P90 (one bounded histogram) broadcast into a
+    vectorized per-batch LEAST — the corpus never shuffles."""
+    import ray
+
+    import ray.data as rd
+    from ksoup_ray.functions.curation import grouped_quantiles
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    q90 = grouped_quantiles(ds, key_col="lang", val_col="n_chars",
+                            qs=(0.9,))
+    cap_ref = ray.put(dict(zip(q90["lang"], q90["q90"].astype(int))))
+
+    def clip(batch: pa.Table) -> pa.Table:
+        caps = ray.get(cap_ref)
+        langs = batch.column("lang").to_pylist()
+        cap = np.fromiter((caps[l] for l in langs), np.int64,
+                          len(langs))
+        n = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "n_clipped": pa.array(np.minimum(n, cap), pa.int64()),
+        })
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def _q_cumulative_users(sf_dir: str):
+    """Cumulative user-growth curve: per day, how many users appear
+    for the FIRST time and the running total — the adoption-curve
+    primitive. One id-only groupby (per-user min event time), one
+    bounded per-day histogram, a driver cumsum over |days| rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.timestamp("us")) \
+            .cast(pa.int64())
+        return pa.table({"user_id": batch.column("user_id"),
+                         "t": us})
+
+    first = (ds.map_batches(keyed, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("t", alias_name="t0")))
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        day = pc.divide(batch.column("t0"),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        t = pa.table({"day": day})
+        g = t.group_by(["day"]).aggregate([("day", "count")])
+        return pa.table({
+            "day": g.column("day"),
+            "partial": g.column("day_count").cast(pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+    per_day = (first.map_batches(day_partial, batch_format="pyarrow")
+               .groupby("day")
+               .aggregate(Sum("partial", alias_name="n_new"))
+               .to_pandas().sort_values("day"))
+    per_day["n_cum"] = per_day["n_new"].cumsum().astype(np.int64)
+    per_day["n_new"] = per_day["n_new"].astype(np.int64)
+    return per_day.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -3217,6 +3287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heatmap": _q_events_heatmap,
         "q19_disjunctive": _q_q19_disjunctive,
         "catalog_audit": _q_catalog_audit,
+        "winsorize_lengths": _q_winsorize_lengths,
+        "cumulative_users": _q_cumulative_users,
         "revenue_share": _q_revenue_share,
         "microdata": _q_microdata,
         "event_gaps": _q_event_gaps,
@@ -5277,6 +5349,37 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'events', count(*), 6 FROM events
             UNION ALL SELECT 'documents', count(*), 5 FROM documents
             UNION ALL SELECT 'embeddings', count(*), 3 FROM embeddings
+        """,
+        # P90 = ceil(0.9*N)-th smallest (grouped_quantiles rule)
+        "winsorize_lengths": """
+            WITH r AS (
+              SELECT lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS cnt
+              FROM documents),
+            q AS (
+              SELECT lang, max(CASE WHEN rn = GREATEST(1,
+                         CAST(ceil(cnt * 0.9) AS BIGINT))
+                         THEN n_chars END) AS p90
+              FROM r GROUP BY lang)
+            SELECT d.doc_id, d.lang,
+                   CAST(LEAST(d.n_chars, q.p90) AS BIGINT)
+                     AS n_clipped
+            FROM documents d JOIN q USING (lang)
+        """,
+        "cumulative_users": """
+            WITH f AS (
+              SELECT user_id, min(epoch_us(ts)) // 86400000000 AS day
+              FROM events GROUP BY user_id),
+            d AS (
+              SELECT CAST(day AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS n_new
+              FROM f GROUP BY day)
+            SELECT day, n_new,
+                   CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT)
+                     AS n_cum
+            FROM d
         """,
         # isodow-1 == Arrow day_of_week (Monday=0)
         "events_heatmap": """

@@ -127,3 +127,35 @@ def test_ohlc_matches_duckdb_on_random_frames(ray_session):
         ORDER BY user_id, bucket""").df()
     for col in ("open_e6", "high_e6", "low_e6", "close_e6", "n"):
         assert list(got[col]) == list(want[col]), col
+
+
+def test_fuzzy_neardup_matches_duckdb_on_random_strings(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import fuzzy_neardup_pairs
+
+    rng = np.random.RandomState(21)
+    # forced shared 6-char prefixes (3 blocks) + random suffixes of
+    # varying length -> real candidate pairs, ties, zero-distance
+    # pairs, and sub-24-char texts (the short-suffix path)
+    alph = list("abXY ")
+    prefixes = ["blockA", "blockB", "zz  q "]
+    texts = [rng.choice(prefixes)
+             + "".join(rng.choice(alph, size=rng.randint(0, 24)))
+             for _ in range(120)]
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64),
+                       "text": texts})
+    got = fuzzy_neardup_pairs(
+        rd.from_pandas(df).repartition(5), max_dist=4,
+        num_partitions=4).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    want = duckdb.sql("""
+        WITH t AS (SELECT doc_id, substr(text, 1, 6) AS blk,
+                          substr(text, 7, 18) AS suf FROM df)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.suf, b.suf) AS BIGINT) AS dist
+        FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.suf, b.suf) <= 4
+        ORDER BY id_a, id_b""").df()
+    assert len(got) == len(want) and len(want) > 0
+    for col in ("id_a", "id_b", "dist"):
+        assert list(got[col]) == list(want[col]), col

@@ -3162,6 +3162,19 @@ def _q_cumulative_users(sf_dir: str):
     return per_day.reset_index(drop=True)
 
 
+def _q_bigram_logprob(sf_dir: str):
+    """Joint bigram corpus-LM score (functions/curation.
+    bigram_logprob): the order-sensitive LM signal — same
+    co-partitioned vocab shape as unigram_logprob with the (larger)
+    bigram vocabulary; per-gram int-micro contributions, order-free
+    sums, exact SQL parity."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import bigram_logprob
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return bigram_logprob(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -3197,6 +3210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "bm25": _q_bm25,
         "unigram_logprob": _q_unigram_logprob,
+        "bigram_logprob": _q_bigram_logprob,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "curate": _q_curate,
@@ -5349,6 +5363,25 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'events', count(*), 6 FROM events
             UNION ALL SELECT 'documents', count(*), 5 FROM documents
             UNION ALL SELECT 'embeddings', count(*), 3 FROM embeddings
+        """,
+        "bigram_logprob": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents),
+            bg AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+              FROM w, LATERAL unnest(
+                generate_series(1, len(ws) - 1)) AS t(i)),
+            cnt AS (SELECT g, count(*) AS c FROM bg GROUP BY g),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM bg),
+            tf AS (SELECT doc_id, g, count(*) AS tf FROM bg
+                   GROUP BY doc_id, g)
+            SELECT tf.doc_id,
+                   CAST(SUM(tf.tf * CAST(ROUND(
+                       ln(cnt.c / tot.t) * 1000000.0) AS BIGINT))
+                     AS BIGINT) AS logprob_micros
+            FROM tf JOIN cnt USING (g) CROSS JOIN tot
+            GROUP BY tf.doc_id
         """,
         # P90 = ceil(0.9*N)-th smallest (grouped_quantiles rule)
         "winsorize_lengths": """

@@ -426,9 +426,33 @@ def bm25_score(ds, query_terms: tuple[str, ...], *,
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def _explode_bigrams(texts: pd.Series):
+    """Factorized word-BIGRAM stream, same contract as
+    :func:`_explode_words`: (doc_index, gram_code, vocab, n_grams).
+    Bigram = consecutive word pair joined with one space — identical
+    to the DuckDB ``ws[i] || ' ' || ws[i+1]`` convention; documents
+    with fewer than two words emit nothing."""
+    words_list = texts.str.split(" ")
+    ex = words_list.explode()
+    doc_idx = ex.index.to_numpy(dtype=np.int64)
+    ws = ex.to_numpy(dtype=object)
+    if len(ws) < 2:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, object), np.zeros(len(texts), np.int64))
+    same_doc = doc_idx[1:] == doc_idx[:-1]
+    grams = (pd.Series(ws[:-1]) + " " + pd.Series(ws[1:])) \
+        .to_numpy(dtype=object)[same_doc]
+    g_doc = doc_idx[:-1][same_doc]
+    codes, vocab = pd.factorize(grams)
+    n_grams = np.maximum(words_list.str.len()
+                         .to_numpy(dtype=np.int64) - 1, 0)
+    return g_doc, codes.astype(np.int64), np.asarray(vocab), n_grams
+
+
 def unigram_logprob(ds, *, text_col: str = "text",
                     id_col: str = "doc_id", salt: int = 16,
-                    num_word_partitions: int = 32):
+                    num_word_partitions: int = 32,
+                    explode_fn=None):
     """Corpus-LM quality score: per-document unigram log-likelihood
     (Σ tf(w) · ln P(w)) in integer micros — the CCNet-style "how
     typical of the corpus is this document" signal.
@@ -457,9 +481,12 @@ def unigram_logprob(ds, *, text_col: str = "text",
     """
     from ray.data.aggregate import Sum
 
+    if explode_fn is None:
+        explode_fn = _explode_words
+
     def count_partial(batch: pa.Table) -> pa.Table:
         s = batch.column(text_col).to_pandas().fillna("")
-        _, codes, vocab, _ = _explode_words(s)
+        _, codes, vocab, _ = explode_fn(s)
         return pa.table({
             "w": pa.array(vocab, pa.string()),
             "partial": pa.array(np.bincount(codes,
@@ -496,7 +523,7 @@ def unigram_logprob(ds, *, text_col: str = "text",
     def doc_tf(batch: pa.Table) -> pa.Table:
         s = batch.column(text_col).to_pandas().fillna("")
         ids = batch.column(id_col).to_numpy()
-        doc_idx, codes, vocab, _ = _explode_words(s)
+        doc_idx, codes, vocab, _ = explode_fn(s)
         v = np.int64(len(vocab))
         key = doc_idx * v + codes
         uk, tf = np.unique(key, return_counts=True)
@@ -542,6 +569,21 @@ def unigram_logprob(ds, *, text_col: str = "text",
             .map_groups(contribs_block, batch_format="pandas")
             .groupby(id_col)
             .aggregate(Sum("contrib", alias_name="logprob_micros")))
+
+
+def bigram_logprob(ds, *, text_col: str = "text",
+                   id_col: str = "doc_id", salt: int = 16,
+                   num_word_partitions: int = 32):
+    """Joint word-BIGRAM corpus-LM score — Σ tf(b) · ln P(b) in int
+    micros: the order-sensitive companion of :func:`unigram_logprob`
+    (word-salad that matches unigram statistics but scrambles order
+    scores low). Same co-partitioned vocab machinery (the bigram
+    vocabulary is larger still, so broadcasting is even less an
+    option); documents with fewer than two words emit no row."""
+    return unigram_logprob(ds, text_col=text_col, id_col=id_col,
+                           salt=salt,
+                           num_word_partitions=num_word_partitions,
+                           explode_fn=_explode_bigrams)
 
 
 # PII patterns chosen to behave IDENTICALLY in Python `re` and DuckDB
@@ -707,7 +749,7 @@ def dsir_logweight(ds, *, text_col: str = "text",
     def doc_tf(batch: pa.Table) -> pa.Table:
         s = batch.column(text_col).to_pandas().fillna("")
         ids = batch.column(id_col).to_numpy()
-        doc_idx, codes, vocab, _ = _explode_words(s)
+        doc_idx, codes, vocab, _ = explode_fn(s)
         v = np.int64(len(vocab))
         key = doc_idx * v + codes
         uk, tf = np.unique(key, return_counts=True)
@@ -810,7 +852,7 @@ def tfidf_topk(ds, *, text_col: str = "text", id_col: str = "doc_id",
     def doc_tf(batch: pa.Table) -> pa.Table:
         s = batch.column(text_col).to_pandas().fillna("")
         ids = batch.column(id_col).to_numpy()
-        doc_idx, codes, vocab, _ = _explode_words(s)
+        doc_idx, codes, vocab, _ = explode_fn(s)
         v = np.int64(len(vocab))
         key = doc_idx * v + codes
         uk, tf = np.unique(key, return_counts=True)

@@ -438,3 +438,15 @@ def test_exact_drop_ids_losers_only(ray_session):
                          num_partitions=4).to_pandas()
     # keep lowest id per text: 1 (aaa), 2 (bbb); losers = 3, 9
     assert sorted(out["doc_id"]) == [3, 9]
+
+
+def test_explode_bigrams_contract():
+    from ksoup_ray.functions.curation import _explode_bigrams
+
+    s = pd.Series(["a b c", "x", "", "p q"])
+    doc_idx, codes, vocab, n_grams = _explode_bigrams(s)
+    grams = [vocab[c] for c in codes]
+    assert list(doc_idx) == [0, 0, 3]
+    assert grams == ["a b", "b c", "p q"]
+    # single-word and empty docs emit nothing; counts floor at 0
+    assert list(n_grams) == [2, 0, 0, 1]

@@ -749,7 +749,7 @@ def dsir_logweight(ds, *, text_col: str = "text",
     def doc_tf(batch: pa.Table) -> pa.Table:
         s = batch.column(text_col).to_pandas().fillna("")
         ids = batch.column(id_col).to_numpy()
-        doc_idx, codes, vocab, _ = explode_fn(s)
+        doc_idx, codes, vocab, _ = _explode_words(s)
         v = np.int64(len(vocab))
         key = doc_idx * v + codes
         uk, tf = np.unique(key, return_counts=True)
@@ -852,7 +852,7 @@ def tfidf_topk(ds, *, text_col: str = "text", id_col: str = "doc_id",
     def doc_tf(batch: pa.Table) -> pa.Table:
         s = batch.column(text_col).to_pandas().fillna("")
         ids = batch.column(id_col).to_numpy()
-        doc_idx, codes, vocab, _ = explode_fn(s)
+        doc_idx, codes, vocab, _ = _explode_words(s)
         v = np.int64(len(vocab))
         key = doc_idx * v + codes
         uk, tf = np.unique(key, return_counts=True)

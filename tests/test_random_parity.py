@@ -159,3 +159,44 @@ def test_fuzzy_neardup_matches_duckdb_on_random_strings(ray_session):
     assert len(got) == len(want) and len(want) > 0
     for col in ("id_a", "id_b", "dist"):
         assert list(got[col]) == list(want[col]), col
+
+
+def test_asof_join_matches_duckdb_on_random_frames(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.joins import asof_join
+
+    rng = np.random.RandomState(17)
+    nl, nr = 250, 120
+    ldf = pd.DataFrame({
+        "event_id": np.arange(nl, dtype=np.int64),
+        "user_id": rng.randint(0, 8, size=nl).astype(np.int64),
+        # duplicate LEFT timestamps are fine (each left row matches
+        # independently); some keys have no right rows at all
+        "ts": pd.to_datetime(rng.randint(0, 1000, size=nl), unit="s"),
+    })
+    # unique (key, ts) on the right — the operator's documented
+    # input convention (matches DuckDB ASOF determinism)
+    pairs = set()
+    while len(pairs) < nr:
+        pairs.add((int(rng.randint(0, 6)),
+                   int(rng.randint(0, 1000))))
+    rk, rt = zip(*sorted(pairs))
+    rdf = pd.DataFrame({
+        "event_id": np.arange(1000, 1000 + nr, dtype=np.int64),
+        "user_id": np.asarray(rk, np.int64),
+        "ts": pd.to_datetime(np.asarray(rt), unit="s"),
+        "value": rng.randint(-50, 50, size=nr).astype(float),
+    })
+    got = asof_join(rd.from_pandas(ldf).repartition(4),
+                    rd.from_pandas(rdf).repartition(3),
+                    num_partitions=4).to_pandas() \
+        .sort_values("left_row_id").reset_index(drop=True)
+    want = duckdb.sql("""
+        SELECT l.event_id AS left_row_id,
+               COALESCE(r.event_id, -1) AS matched_id,
+               COALESCE(r.value, 0.0) AS matched_val
+        FROM ldf l ASOF LEFT JOIN rdf r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY left_row_id""").df()
+    assert list(got["matched_id"]) == list(want["matched_id"])
+    assert list(got["matched_val"]) == list(want["matched_val"])

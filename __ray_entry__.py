@@ -3175,6 +3175,37 @@ def _q_bigram_logprob(sf_dir: str):
     return bigram_logprob(ds)
 
 
+def _q_prep_report(sf_dir: str):
+    """End-to-end training-data prep report — the number a data lead
+    actually signs off on: CURATED survivors (exact dedup → verified
+    near-dup drop → lang/token filters, pipelines/curate) are
+    assigned their md5 train/val/test split and reduced to per-split
+    document and token budgets. One lazy DAG: the curation pipeline's
+    single payload anti-join plus one bounded 3-row groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    from ksoup_ray.functions.splits import _md5_bucket_fraction
+    from ksoup_ray.pipelines.curate import curate_documents
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    survivors = curate_documents(ds)
+
+    def tag_split(batch: pa.Table) -> pa.Table:
+        bf = _md5_bucket_fraction(
+            batch.column("doc_id").to_pylist())
+        split = np.where(bf < 0.8, "train",
+                         np.where(bf < 0.9, "val", "test"))
+        return pa.table({
+            "split": pa.array(split, pa.string()),
+            "token_count": batch.column("token_count"),
+        })
+
+    return (survivors.map_batches(tag_split, batch_format="pyarrow")
+            .groupby("split")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("token_count", alias_name="total_tokens")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -3301,6 +3332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heatmap": _q_events_heatmap,
         "q19_disjunctive": _q_q19_disjunctive,
         "catalog_audit": _q_catalog_audit,
+        "prep_report": _q_prep_report,
         "winsorize_lengths": _q_winsorize_lengths,
         "cumulative_users": _q_cumulative_users,
         "revenue_share": _q_revenue_share,
@@ -3848,6 +3880,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id IS NULL
               AND t.lang = 'en'
               AND t.token_count BETWEEN 20 AND 90
+        """,
+        "prep_report": f"""
+            WITH keepers AS (
+              SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+            ), pairs AS ({_JACCARD_PAIRS_SQL}),
+            near_dropped AS (SELECT DISTINCT ib AS doc_id FROM pairs),
+            tok AS (
+              SELECT doc_id, lang,
+                     CAST(CASE WHEN text = '' OR text IS NULL THEN 0
+                          ELSE length(text)
+                               - length(replace(text, ' ', '')) + 1
+                          END AS BIGINT) AS token_count
+              FROM documents
+            ), surv AS (
+              SELECT t.doc_id, t.token_count
+              FROM tok t
+              JOIN keepers k ON k.doc_id = t.doc_id
+              LEFT JOIN near_dropped d ON d.doc_id = t.doc_id
+              WHERE d.doc_id IS NULL
+                AND t.lang = 'en'
+                AND t.token_count BETWEEN 20 AND 90
+            ), sp AS (
+              SELECT CAST('0x' || substr(
+                       md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       / 4294967296.0 AS bf,
+                     token_count
+              FROM surv
+            )
+            SELECT CASE WHEN bf < 0.8 THEN 'train'
+                        WHEN bf < 0.9 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(token_count) AS BIGINT) AS total_tokens
+            FROM sp GROUP BY 1
         """,
         "xml_roundtrip": """
             SELECT doc_id, text AS xml_text FROM documents

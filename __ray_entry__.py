@@ -3206,6 +3206,53 @@ def _q_prep_report(sf_dir: str):
                        Sum("token_count", alias_name="total_tokens")))
 
 
+def _q_first_occurrence(sf_dir: str):
+    """First-occurrence offset of a literal substring per document
+    (Arrow ``pc.find_substring`` — byte-vectorized two-way search, -1
+    when absent, mirroring DuckDB ``strpos - 1``). The
+    snippet-anchoring primitive. No shuffle."""
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def find(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "idx_data": pc.cast(pc.find_substring(
+                batch.column("text"), "data"), pa.int64()),
+            "idx_join": pc.cast(pc.find_substring(
+                batch.column("text"), "join"), pa.int64()),
+        })
+
+    return ds.map_batches(find, batch_format="pyarrow")
+
+
+def _q_word_len_hist(sf_dir: str):
+    """Corpus-wide word-length histogram — the tokenizer-sizing
+    diagnostic. Each batch collapses to a bounded (length, count)
+    partial via one explode + bincount; ONE groupby over the tiny
+    length domain finishes."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column("text").to_pandas().fillna("")
+        lens = s.str.split(" ").explode().str.len() \
+            .to_numpy(dtype=np.int64)
+        counts = np.bincount(lens)
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            "wlen": pa.array(nz.astype(np.int64)),
+            "partial": pa.array(counts[nz], pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("wlen")
+            .aggregate(Sum("partial", alias_name="n")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -3333,6 +3380,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive": _q_q19_disjunctive,
         "catalog_audit": _q_catalog_audit,
         "prep_report": _q_prep_report,
+        "first_occurrence": _q_first_occurrence,
+        "word_len_hist": _q_word_len_hist,
         "winsorize_lengths": _q_winsorize_lengths,
         "cumulative_users": _q_cumulative_users,
         "revenue_share": _q_revenue_share,
@@ -3914,6 +3963,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(SUM(token_count) AS BIGINT) AS total_tokens
             FROM sp GROUP BY 1
+        """,
+        "first_occurrence": """
+            SELECT doc_id,
+                   CAST(strpos(text, 'data') - 1 AS BIGINT)
+                     AS idx_data,
+                   CAST(strpos(text, 'join') - 1 AS BIGINT)
+                     AS idx_join
+            FROM documents
+        """,
+        "word_len_hist": """
+            WITH w AS (
+              SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents)
+            SELECT CAST(length(w) AS BIGINT) AS wlen,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM w GROUP BY 1
         """,
         "xml_roundtrip": """
             SELECT doc_id, text AS xml_text FROM documents

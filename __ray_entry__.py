@@ -3253,6 +3253,53 @@ def _q_word_len_hist(sf_dir: str):
             .aggregate(Sum("partial", alias_name="n")))
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Cross-snapshot incremental dedup over a SHARDED MUTABLE INDEX
+    (state/index.py — the brief's raw-Ray-actors case): snapshot A
+    (even docs) registers fingerprints into N index actors; snapshot
+    B (odd docs, with every doc_id%5==1 row carrying the PREVIOUS
+    doc's text — known overlap) streams through a vectorized
+    membership filter, then the join-free drop-set kernel picks
+    min-id winners within B. Test-harness note: B's overlap rewrite
+    is query-local synthesis (a ray.put dict of the few replaced
+    texts); the operator under test is state/index.incremental_dedup."""
+    import ray
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ksoup_ray.state.index import incremental_dedup
+
+    full = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ids = full.column("doc_id").to_numpy()
+    texts = full.column("text").to_pylist()
+    by_id = dict(zip(ids.tolist(), texts))
+    repl = {int(i): by_id[int(i) - 1] for i in ids
+            if i % 2 == 1 and i % 5 == 1 and int(i) - 1 in by_id}
+    repl_ref = ray.put(repl)
+
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    prev = base.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(
+            b.column("doc_id"), pa.scalar(1, pa.int64())), 0)),
+        batch_format="pyarrow")
+
+    def make_new(batch: pa.Table) -> pa.Table:
+        rep = ray.get(repl_ref)
+        keep = batch.filter(pc.equal(pc.bit_wise_and(
+            batch.column("doc_id"), pa.scalar(1, pa.int64())), 1))
+        ids = keep.column("doc_id").to_pylist()
+        txt = keep.column("text").to_pylist()
+        txt = [rep.get(i, t) for i, t in zip(ids, txt)]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(txt, pa.string())})
+
+    new = base.map_batches(make_new, batch_format="pyarrow")
+    return incremental_dedup(prev, new, n_shards=4,
+                             num_partitions=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -3381,6 +3428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "catalog_audit": _q_catalog_audit,
         "prep_report": _q_prep_report,
         "first_occurrence": _q_first_occurrence,
+        "incremental_dedup": _q_incremental_dedup,
         "word_len_hist": _q_word_len_hist,
         "winsorize_lengths": _q_winsorize_lengths,
         "cumulative_users": _q_cumulative_users,
@@ -3979,6 +4027,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(length(w) AS BIGINT) AS wlen,
                    CAST(count(*) AS BIGINT) AS n
             FROM w GROUP BY 1
+        """,
+        "incremental_dedup": """
+            WITH a AS (
+              SELECT text FROM documents WHERE doc_id % 2 = 0
+            ), b AS (
+              SELECT d.doc_id,
+                     CASE WHEN d.doc_id % 5 = 1 THEN p.text
+                          ELSE d.text END AS text
+              FROM documents d
+              LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
+              WHERE d.doc_id % 2 = 1
+            ), keep AS (
+              SELECT doc_id, text FROM b
+              WHERE text NOT IN (SELECT text FROM a)
+            ), winners AS (
+              SELECT min(doc_id) AS doc_id FROM keep GROUP BY text
+            )
+            SELECT k.doc_id, k.text
+            FROM keep k JOIN winners w ON k.doc_id = w.doc_id
         """,
         "xml_roundtrip": """
             SELECT doc_id, text AS xml_text FROM documents

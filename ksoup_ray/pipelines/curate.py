@@ -38,13 +38,22 @@ def _anti_join(ds, drop_ids, id_col: str, num_partitions: int = 8):
     """ds rows whose id_col is NOT in drop_ids (a tiny id-only table).
     Left-outer join + null filter (no native anti join in Ray 2.49);
     only the id marker column rides the shuffle on the drop side."""
+    import ray.data as rd
     marked = drop_ids.map_batches(
         lambda b: pa.table({"_drop_id": b.column(0).cast(pa.int64()),
                             "_dropped": pa.array([True] * b.num_rows)}),
-        batch_format="pyarrow") \
-        .repartition(4)  # coalesce schema-less empty blocks (the
-    # Ray 2.49 guard of functions/dedup._join_ready) — map_groups
-    # sources emit them on small inputs and the Arrow join dies
+        batch_format="pyarrow")
+    # Ray 2.49 guard: map_groups sources emit schema-LESS empty blocks
+    # and the hash join dies when a right-side partition sees no
+    # schema at all — which a zero-duplicate drop set guarantees
+    # (repartition can't restore a schema no block carries, and a
+    # 0-row seed doesn't flow through the shuffle). Seed ONE sentinel
+    # row whose key (-1) can never match a real nonnegative id: it
+    # carries the schema through the shuffle and joins to nothing.
+    seed = rd.from_arrow(pa.table({
+        "_drop_id": pa.array([-1], pa.int64()),
+        "_dropped": pa.array([True], pa.bool_())}))
+    marked = marked.union(seed).repartition(4)
     joined = ds.join(marked, join_type="left_outer",
                      num_partitions=num_partitions,
                      on=(id_col,), right_on=("_drop_id",))

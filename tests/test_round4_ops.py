@@ -450,3 +450,28 @@ def test_explode_bigrams_contract():
     assert grams == ["a b", "b c", "p q"]
     # single-word and empty docs emit nothing; counts floor at 0
     assert list(n_grams) == [2, 0, 0, 1]
+
+
+def test_sharded_index_membership_and_incremental(ray_session):
+    import ray.data as rd
+    from ksoup_ray.state.index import ShardedIndex, incremental_dedup
+
+    idx = ShardedIndex(n_shards=3)
+    idx.add_texts(["aaa", "bbb"])
+    idx.add_texts(["ccc"])
+    got = idx.contains_texts(["aaa", "zzz", "ccc", "bbb"])
+    assert list(got) == [True, False, True, True]
+    assert idx.total_size() == 3
+
+    prev = rd.from_items([{"doc_id": 0, "text": "old1"},
+                          {"doc_id": 2, "text": "old2"}])
+    # doc 5 repeats snapshot-A content; docs 7/9 duplicate each
+    # other within B -> min-id 7 wins
+    new = rd.from_items([{"doc_id": 5, "text": "old2"},
+                         {"doc_id": 7, "text": "fresh"},
+                         {"doc_id": 9, "text": "fresh"},
+                         {"doc_id": 11, "text": "alone"}])
+    out = incremental_dedup(prev.repartition(2), new.repartition(3),
+                            n_shards=2, num_partitions=4) \
+        .to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [7, 11]

@@ -200,3 +200,102 @@ def test_asof_join_matches_duckdb_on_random_frames(ray_session):
         ORDER BY left_row_id""").df()
     assert list(got["matched_id"]) == list(want["matched_id"])
     assert list(got["matched_val"]) == list(want["matched_val"])
+
+
+def test_sessionize_matches_duckdb_on_random_frames(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.agg import sessionize
+
+    rng = np.random.RandomState(23)
+    n = 300
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 7, size=n).astype(np.int64),
+        # seconds drawn so some gaps straddle the 1800 s boundary;
+        # duplicate timestamps per user occur
+        "ts": pd.to_datetime(np.sort(
+            rng.randint(0, 30_000, size=n)), unit="s"),
+    })
+    got = sessionize(rd.from_pandas(df).repartition(4),
+                     gap_seconds=1800, num_partitions=4) \
+        .to_pandas() \
+        .sort_values(["user_id", "session_start"]) \
+        .reset_index(drop=True)
+    want = duckdb.sql("""
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        OR lag(ts) OVER w IS NULL THEN 1 ELSE 0
+                   END AS new_session
+            FROM df WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), tagged AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM ordered)
+        SELECT user_id,
+               CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start,
+               CAST(epoch_us(MAX(ts)) AS BIGINT) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM tagged GROUP BY user_id, session_id
+        ORDER BY user_id, session_start""").df()
+    # sessionize returns timestamps; the oracle compares in epoch µs
+    for col in ("session_start", "session_end"):
+        got[col] = got[col].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+    got = got.sort_values(["user_id", "session_start"]) \
+        .reset_index(drop=True)
+    assert len(got) == len(want)
+    for col in ("user_id", "session_start", "session_end",
+                "n_events"):
+        assert list(got[col]) == list(want[col]), col
+
+
+def test_interval_join_matches_duckdb_on_random_frames(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.joins import interval_join
+
+    rng = np.random.RandomState(29)
+    # non-overlapping intervals per key (the operator's contract):
+    # carve each key's timeline into alternating in/out stretches
+    rows = []
+    iid = 0
+    for key in range(5):
+        t = 0
+        while t < 5000:
+            length = int(rng.randint(100, 600))
+            if rng.rand() < 0.6:
+                rows.append({"user_id": key,
+                             "session_start": pd.Timestamp(
+                                 t, unit="s"),
+                             "session_end": pd.Timestamp(
+                                 t + length, unit="s")})
+                iid += 1
+            t += length + int(rng.randint(1, 400))
+    intervals = pd.DataFrame(rows)
+    nl = 250
+    ldf = pd.DataFrame({
+        "event_id": np.arange(nl, dtype=np.int64),
+        "user_id": rng.randint(0, 6, size=nl).astype(np.int64),
+        "ts": pd.to_datetime(rng.randint(0, 6000, size=nl),
+                             unit="s"),
+    })
+    got = interval_join(rd.from_pandas(ldf).repartition(3),
+                        rd.from_pandas(intervals).repartition(2),
+                        num_partitions=4).to_pandas() \
+        .sort_values("left_row_id").reset_index(drop=True)
+    want = duckdb.sql("""
+        SELECT l.event_id AS left_row_id,
+               COALESCE(CAST(epoch_us(i.session_start) AS BIGINT), -1)
+                 AS interval_start_us,
+               COALESCE(CAST(epoch_us(i.session_end) AS BIGINT), -1)
+                 AS interval_end_us
+        FROM ldf l LEFT JOIN intervals i
+          ON l.user_id = i.user_id
+         AND l.ts BETWEEN i.session_start AND i.session_end
+        ORDER BY left_row_id""").df()
+    assert len(got) == len(want)
+    assert list(got["interval_start_us"]) \
+        == list(want["interval_start_us"])
+    assert list(got["interval_end_us"]) \
+        == list(want["interval_end_us"])

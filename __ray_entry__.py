@@ -3300,6 +3300,128 @@ def _q_incremental_dedup(sf_dir: str):
                              num_partitions=16)
 
 
+def _q_minmax_scale(sf_dir: str):
+    """Per-group MIN-MAX normalization to [0, 1e6] in exact integer
+    arithmetic — the bounded-feature companion of zscore_by_lang:
+    scaled = (x - min) * 1e6 // (max - min), floor division on both
+    sides. Group extrema come from ONE bounded groupby (Min/Max of
+    int64), broadcast in the scoring closure; the corpus never
+    shuffles."""
+    import ray
+
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    ext = ds.groupby("lang").aggregate(
+        Min("n_chars", alias_name="lo"),
+        Max("n_chars", alias_name="hi")).to_pandas()
+    ext_ref = ray.put({
+        r["lang"]: (int(r["lo"]), int(r["hi"]))
+        for _, r in ext.iterrows()})
+
+    def scale(batch: pa.Table) -> pa.Table:
+        m = ray.get(ext_ref)
+        langs = batch.column("lang").to_pylist()
+        lo = np.fromiter((m[l][0] for l in langs), np.int64,
+                         len(langs))
+        hi = np.fromiter((m[l][1] for l in langs), np.int64,
+                         len(langs))
+        x = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        span = np.maximum(hi - lo, 1)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "scaled_ppm": pa.array((x - lo) * 10**6 // span,
+                                   pa.int64()),
+        })
+
+    return ds.map_batches(scale, batch_format="pyarrow")
+
+
+def _q_event_transitions(sf_dir: str):
+    """Behavioral Markov transitions: global counts of (previous
+    event_type → event_type) per user stream ordered by (ts,
+    event_id) — the session-model training statistic. Same
+    one-bucket-shuffle segmented shape as lag_gaps, then each block's
+    transitions collapse to a bounded (from, to) partial and ONE tiny
+    cross-tab groupby finishes."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ksoup_ray.functions._blocks import pk_column
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_pk", pk_column(batch.column("user_id"), 32))
+
+    def trans_block(block: pd.DataFrame) -> pd.DataFrame:
+        block = block.sort_values(["user_id", "ts", "event_id"],
+                                  kind="mergesort")
+        users = block["user_id"].to_numpy()
+        types = block["event_type"].to_numpy(dtype=object)
+        same = users[1:] == users[:-1]
+        g = pd.DataFrame({
+            "from_type": types[:-1][same],
+            "to_type": types[1:][same],
+        }).groupby(["from_type", "to_type"], sort=False) \
+            .size().reset_index(name="partial")
+        g["partial"] = g["partial"].astype(np.int64)
+        return g
+
+    return (ds.map_batches(add_pk, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(trans_block, batch_format="pandas")
+            .groupby(["from_type", "to_type"])
+            .aggregate(Sum("partial", alias_name="n")))
+
+
+def _q_time_to_purchase(sf_dir: str):
+    """Time-to-first-purchase per user in exact integer microseconds
+    (first purchase ts − first event ts; users who never purchase are
+    excluded) — the conversion-latency metric. Map-side partials
+    carry two int64 minima per (user, batch) (missing purchase =
+    int64 max sentinel), ONE groupby(Min, Min) folds them, a final
+    vectorized filter drops the sentinels."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    SENT = np.iinfo(np.int64).max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        tus = df["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "t_all": tus,
+            "t_buy": np.where(
+                (df["event_type"] == "purchase").to_numpy(),
+                tus, SENT),
+        })
+        g = df.groupby("user_id", sort=False).min().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    folded = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("user_id")
+              .aggregate(Min("t_all", alias_name="t_all"),
+                         Min("t_buy", alias_name="t_buy")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.not_equal(batch.column("t_buy"),
+                                         pa.scalar(SENT, pa.int64())))
+        return pa.table({
+            "user_id": keep.column("user_id"),
+            "delta_us": pc.subtract(keep.column("t_buy"),
+                                    keep.column("t_all")),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -3429,6 +3551,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prep_report": _q_prep_report,
         "first_occurrence": _q_first_occurrence,
         "incremental_dedup": _q_incremental_dedup,
+        "minmax_scale": _q_minmax_scale,
+        "event_transitions": _q_event_transitions,
+        "time_to_purchase": _q_time_to_purchase,
         "word_len_hist": _q_word_len_hist,
         "winsorize_lengths": _q_winsorize_lengths,
         "cumulative_users": _q_cumulative_users,
@@ -4046,6 +4171,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT k.doc_id, k.text
             FROM keep k JOIN winners w ON k.doc_id = w.doc_id
+        """,
+        "minmax_scale": """
+            WITH m AS (
+              SELECT lang, CAST(min(n_chars) AS BIGINT) AS lo,
+                     CAST(max(n_chars) AS BIGINT) AS hi
+              FROM documents GROUP BY lang)
+            SELECT d.doc_id, d.lang,
+                   CAST((d.n_chars - m.lo) * 1000000
+                        // GREATEST(m.hi - m.lo, 1) AS BIGINT)
+                     AS scaled_ppm
+            FROM documents d JOIN m USING (lang)
+        """,
+        "event_transitions": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_type
+              FROM events)
+            SELECT prev_type AS from_type, event_type AS to_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "time_to_purchase": """
+            WITH m AS (
+              SELECT user_id,
+                     min(epoch_us(ts)) AS t_all,
+                     min(CASE WHEN event_type = 'purchase'
+                              THEN epoch_us(ts) END) AS t_buy
+              FROM events GROUP BY user_id)
+            SELECT user_id,
+                   CAST(t_buy - t_all AS BIGINT) AS delta_us
+            FROM m WHERE t_buy IS NOT NULL
         """,
         "xml_roundtrip": """
             SELECT doc_id, text AS xml_text FROM documents

@@ -3422,6 +3422,34 @@ def _q_time_to_purchase(sf_dir: str):
     return folded.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_sessions_per_user_hist(sf_dir: str):
+    """Engagement distribution: histogram of session counts per user
+    — composes the sessionize kernel (one bounded bucket shuffle)
+    with two bounded aggregations (sessions → per-user count →
+    count-of-counts). The DAU/engagement-tiering primitive."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    from ksoup_ray.functions.agg import sessionize
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    sessions = sessionize(ds, num_partitions=32)
+    per_user = sessions.groupby("user_id").aggregate(
+        Count(alias_name="n_sessions"))
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"n_sessions": batch.column("n_sessions")}) \
+            .group_by(["n_sessions"]) \
+            .aggregate([("n_sessions", "count")])
+        return pa.table({
+            "n_sessions": g.column("n_sessions"),
+            "partial": g.column("n_sessions_count").cast(pa.int64()),
+        })
+
+    return (per_user.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("n_sessions")
+            .aggregate(Sum("partial", alias_name="n_users")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -3554,6 +3582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minmax_scale": _q_minmax_scale,
         "event_transitions": _q_event_transitions,
         "time_to_purchase": _q_time_to_purchase,
+        "sessions_per_user_hist": _q_sessions_per_user_hist,
         "word_len_hist": _q_word_len_hist,
         "winsorize_lengths": _q_winsorize_lengths,
         "cumulative_users": _q_cumulative_users,
@@ -4205,6 +4234,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    CAST(t_buy - t_all AS BIGINT) AS delta_us
             FROM m WHERE t_buy IS NOT NULL
+        """,
+        "sessions_per_user_hist": """
+            WITH ordered AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER w
+                                 > INTERVAL 30 MINUTE
+                            OR lag(ts) OVER w IS NULL THEN 1 ELSE 0
+                       END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), per_user AS (
+                SELECT user_id,
+                       CAST(SUM(new_session) AS BIGINT) AS n_sessions
+                FROM ordered GROUP BY user_id
+            )
+            SELECT n_sessions, CAST(count(*) AS BIGINT) AS n_users
+            FROM per_user GROUP BY n_sessions
         """,
         "xml_roundtrip": """
             SELECT doc_id, text AS xml_text FROM documents

@@ -3450,6 +3450,49 @@ def _q_sessions_per_user_hist(sf_dir: str):
             .aggregate(Sum("partial", alias_name="n_users")))
 
 
+def _q_mom_change(sf_dir: str):
+    """Month-over-month revenue delta — LAG over the calendar series:
+    the distributed work is the one bounded monthly groupby
+    (_q_monthly_revenue); the |months|-row LAG runs on the driver in
+    exact cents. First month is excluded (LAG null), matching the
+    SQL."""
+    monthly = _q_monthly_revenue(sf_dir).to_pandas() \
+        .sort_values(["o_year", "o_month"]).reset_index(drop=True)
+    prev = monthly["revenue_cents"].shift(1)
+    out = monthly.assign(
+        delta_cents=(monthly["revenue_cents"] - prev)).iloc[1:]
+    out = out[["o_year", "o_month", "revenue_cents", "delta_cents"]]
+    return out.astype({"delta_cents": np.int64}) \
+        .reset_index(drop=True)
+
+
+def _q_doc_vocab_richness(sf_dir: str):
+    """Per-document vocabulary richness — distinct words and the
+    type/token ratio in exact integer ppm (distinct·1e6 // total):
+    the lexical-diversity quality signal. Doc-local: one explode +
+    per-doc nunique per batch, no shuffle."""
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def richness(batch: pa.Table) -> pa.Table:
+        df = batch.select(["doc_id", "text"]).to_pandas()
+        words = df["text"].fillna("").str.split(" ")
+        total = words.str.len().to_numpy(dtype=np.int64)
+        long = df[["doc_id"]].join(words.rename("w")).explode("w")
+        nuniq = long.groupby("doc_id", sort=False)["w"].nunique() \
+            .reindex(df["doc_id"]).to_numpy(dtype=np.int64)
+        ttr = nuniq * 10**6 // np.maximum(total, 1)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_distinct": pa.array(nuniq, pa.int64()),
+            "n_words": pa.array(total, pa.int64()),
+            "ttr_ppm": pa.array(ttr, pa.int64()),
+        })
+
+    return ds.map_batches(richness, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -3583,6 +3626,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "time_to_purchase": _q_time_to_purchase,
         "sessions_per_user_hist": _q_sessions_per_user_hist,
+        "mom_change": _q_mom_change,
+        "doc_vocab_richness": _q_doc_vocab_richness,
         "word_len_hist": _q_word_len_hist,
         "winsorize_lengths": _q_winsorize_lengths,
         "cumulative_users": _q_cumulative_users,
@@ -4251,6 +4296,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n_sessions, CAST(count(*) AS BIGINT) AS n_users
             FROM per_user GROUP BY n_sessions
+        """,
+        "mom_change": """
+            WITH m AS (
+              SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                       AS o_year,
+                     CAST(EXTRACT(month FROM o_orderdate) AS BIGINT)
+                       AS o_month,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                   AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+              FROM orders GROUP BY 1, 2),
+            d AS (
+              SELECT o_year, o_month, revenue_cents,
+                     revenue_cents - lag(revenue_cents) OVER (
+                       ORDER BY o_year, o_month) AS delta
+              FROM m)
+            SELECT o_year, o_month, revenue_cents,
+                   CAST(delta AS BIGINT) AS delta_cents
+            FROM d WHERE delta IS NOT NULL
+        """,
+        "doc_vocab_richness": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     CAST(count(DISTINCT w) AS BIGINT) AS n_distinct,
+                     CAST(count(*) AS BIGINT) AS n_words
+              FROM w GROUP BY doc_id)
+            SELECT doc_id, n_distinct, n_words,
+                   CAST(n_distinct * 1000000
+                        // GREATEST(n_words, 1) AS BIGINT) AS ttr_ppm
+            FROM s
         """,
         "xml_roundtrip": """
             SELECT doc_id, text AS xml_text FROM documents

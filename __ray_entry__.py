@@ -62,6 +62,39 @@ def _extracted(sf_dir: str):
                           concurrency=(2, 8), batch_size=64)
 
 
+def _corr_matrix_sql() -> str:
+    """Mirror of functions/agg.corr_pairs over lineitem: HUGEINT
+    sufficient statistics (the squared-cents sums overflow BIGINT at
+    sf>=0.01), then the SAME float nesting as the Python fold —
+    num/den product first, *1e6 last."""
+    cols = [("l_quantity", "ROUND(l_quantity)"),
+            ("l_extendedprice", "ROUND(l_extendedprice * 100)"),
+            ("l_discount", "ROUND(l_discount * 10000)"),
+            ("l_tax", "ROUND(l_tax * 10000)")]
+    sums = ["COUNT(*) AS n"]
+    for i, (_, e) in enumerate(cols):
+        h = f"CAST({e} AS HUGEINT)"
+        sums.append(f"SUM({h}) AS s{i}")
+        sums.append(f"SUM({h} * {h}) AS q{i}")
+    pairs = [(i, j) for i in range(len(cols))
+             for j in range(i + 1, len(cols))]
+    for i, j in pairs:
+        hi = f"CAST({cols[i][1]} AS HUGEINT)"
+        hj = f"CAST({cols[j][1]} AS HUGEINT)"
+        sums.append(f"SUM({hi} * {hj}) AS p{i}_{j}")
+    sel = []
+    for i, j in pairs:
+        sel.append(
+            f"SELECT '{cols[i][0]}' AS x_col, "
+            f"'{cols[j][0]}' AS y_col, CAST(n AS BIGINT) AS n, "
+            f"CAST(ROUND(CAST(n * p{i}_{j} - s{i} * s{j} AS DOUBLE)"
+            f" / (sqrt(CAST(n * q{i} - s{i} * s{i} AS DOUBLE))"
+            f" * sqrt(CAST(n * q{j} - s{j} * s{j} AS DOUBLE)))"
+            f" * 1000000.0) AS BIGINT) AS corr_micros FROM s")
+    return ("WITH s AS (SELECT " + ", ".join(sums)
+            + " FROM lineitem) " + " UNION ALL ".join(sel))
+
+
 def entry() -> Any:
     """Flagship: synth CC pages from sf0.001 → ParseExtract actor pool."""
     ds = _extracted("/root/testdata/sf0.001")
@@ -3493,6 +3526,380 @@ def _q_doc_vocab_richness(sf_dir: str):
     return ds.map_batches(richness, batch_format="pyarrow")
 
 
+def _q_q4_priority(sf_dir: str):
+    """TPC-H Q4-style order-priority check: how many orders in a
+    half-year window had at least one line shipped >90 days after the
+    order date. The EXISTS semijoin is algebrized as an AGGREGATE —
+    ``EXISTS(shipdate > cutoff)`` ⟺ ``MAX(shipdate) > cutoff`` — so
+    lineitem collapses map-side to one (orderkey, max_ship) row per
+    key before the ONE large-large hash join; dates ride as int64
+    epoch-micros so every comparison is exact integer math. Output is
+    5 bounded rows (one per priority)."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+    from ksoup_ray.pipelines.curate import _auto_partitions
+
+    lo = pd.Timestamp("1996-07-01").value // 1000
+    hi = pd.Timestamp("1997-01-01").value // 1000
+    lag_us = 90 * 86400 * 1_000_000
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def filter_orders(batch: pa.Table) -> pa.Table:
+        date_us = batch.column("o_orderdate").cast(pa.int64())
+        batch = batch.append_column("o_date_us", date_us)
+        mask = pc.and_(pc.greater_equal(date_us, lo),
+                       pc.less(date_us, hi))
+        return batch.filter(mask).select(
+            ["o_orderkey", "o_date_us", "o_orderpriority"])
+
+    sel_orders = orders.map_batches(filter_orders,
+                                    batch_format="pyarrow")
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def ship_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_orderkey": batch.column("l_orderkey").to_numpy(),
+            "ship_us": batch.column("l_shipdate").cast(pa.int64())
+            .to_numpy()})
+        g = df.groupby("l_orderkey", as_index=False)["ship_us"].max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    max_ship = (li.map_batches(ship_partial, batch_format="pyarrow",
+                               batch_size=65536)
+                .groupby("l_orderkey")
+                .aggregate(Max("ship_us", alias_name="ship_us")))
+
+    joined = max_ship.join(sel_orders, join_type="inner",
+                           num_partitions=_auto_partitions(),
+                           on=("l_orderkey",),
+                           right_on=("o_orderkey",))
+
+    def late_partial(batch: pa.Table) -> pa.Table:
+        late = pc.greater(batch.column("ship_us"),
+                          pc.add(batch.column("o_date_us"),
+                                 pa.scalar(lag_us, pa.int64())))
+        df = pd.DataFrame({
+            "o_orderpriority":
+                batch.column("o_orderpriority").to_pylist(),
+            "order_count": late.to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        g = df.groupby("o_orderpriority", as_index=False).sum()
+        return pa.Table.from_pandas(g[g["order_count"] > 0],
+                                    preserve_index=False)
+
+    counted = (joined.map_batches(late_partial, batch_format="pyarrow")
+               .groupby("o_orderpriority")
+               .aggregate(Sum("order_count",
+                              alias_name="order_count")))
+    return counted.sort("o_orderpriority")
+
+
+def _q_q10_returns(sf_dir: str):
+    """TPC-H Q10-style returned-item report: revenue lost to 'R'
+    returns per customer in a quarter, top 20. Lineitem collapses
+    map-side to exact (orderkey, revenue_e4) partials, ONE large-large
+    hash join maps orderkey→custkey, a second bounded groupby folds to
+    per-customer revenue, and the customer/nation DIMENSIONS broadcast
+    once as a custkey→(name, nation) lookup (``ray.put``) — they never
+    shuffle. Top-20 via sort on the already-tiny aggregate."""
+    import ray
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ksoup_ray.pipelines.curate import _auto_partitions
+
+    lo = pd.Timestamp("1996-01-01").value // 1000
+    hi = pd.Timestamp("1996-04-01").value // 1000
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name",
+                                  "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation.column("n_nationkey").to_pylist(),
+                    nation.column("n_name").to_pylist()))
+    dim_ref = ray.put({
+        int(k): (nm, nmap[nk]) for k, nm, nk in
+        zip(cust.column("c_custkey").to_pylist(),
+            cust.column("c_name").to_pylist(),
+            cust.column("c_nationkey").to_pylist())})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"])
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.equal(batch.column("l_returnflag"), "R"))
+        cents = np.round(batch.column("l_extendedprice")
+                         .to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        keep = 100 - np.round(batch.column("l_discount")
+                              .to_numpy(zero_copy_only=False)
+                              * 100).astype(np.int64)
+        df = pd.DataFrame({
+            "l_orderkey": batch.column("l_orderkey").to_numpy(),
+            "revenue_e4": cents * keep})
+        g = df.groupby("l_orderkey", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    revenue = (li.map_batches(rev_partial, batch_format="pyarrow",
+                              batch_size=65536)
+               .groupby("l_orderkey")
+               .aggregate(Sum("revenue_e4", alias_name="revenue_e4")))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def filter_orders(batch: pa.Table) -> pa.Table:
+        date_us = batch.column("o_orderdate").cast(pa.int64())
+        mask = pc.and_(pc.greater_equal(date_us, lo),
+                       pc.less(date_us, hi))
+        return batch.filter(mask).select(["o_orderkey", "o_custkey"])
+
+    sel_orders = orders.map_batches(filter_orders,
+                                    batch_format="pyarrow")
+
+    joined = revenue.join(sel_orders, join_type="inner",
+                          num_partitions=_auto_partitions(),
+                          on=("l_orderkey",),
+                          right_on=("o_orderkey",))
+    per_cust = (joined.groupby("o_custkey")
+                .aggregate(Sum("revenue_e4",
+                               alias_name="revenue_e4")))
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        dims = ray.get(dim_ref)
+        keys = batch.column("o_custkey").to_pylist()
+        names, nations = zip(*(dims[int(k)] for k in keys)) \
+            if keys else ((), ())
+        return pa.table({
+            "c_custkey": batch.column("o_custkey").cast(pa.int64()),
+            "c_name": pa.array(list(names), pa.string()),
+            "n_name": pa.array(list(nations), pa.string()),
+            "revenue_e4": batch.column("revenue_e4"),
+        })
+
+    return (per_cust.map_batches(enrich, batch_format="pyarrow")
+            .sort(["revenue_e4", "c_custkey"],
+                  descending=[True, False])
+            .limit(20))
+
+
+def _q_q12_priority_mix(sf_dir: str):
+    """TPC-H Q12-style shipping/priority cross-check: per return
+    flag, how many 1997-shipped lines belong to critical
+    (URGENT/HIGH) vs other orders. Lineitem pre-aggregates map-side
+    to (orderkey, flag, n_lines) — the join shuffle carries counts,
+    never raw lines — then ONE large-large hash join attaches the
+    order priority and a conditional partial sum folds to the bounded
+    3-row answer."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ksoup_ray.pipelines.curate import _auto_partitions
+
+    lo = pd.Timestamp("1997-01-01").value // 1000
+    hi = pd.Timestamp("1998-01-01").value // 1000
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag",
+                                  "l_shipdate"])
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        ship_us = batch.column("l_shipdate").cast(pa.int64())
+        mask = pc.and_(pc.greater_equal(ship_us, lo),
+                       pc.less(ship_us, hi))
+        batch = batch.filter(mask)
+        df = pd.DataFrame({
+            "l_orderkey": batch.column("l_orderkey").to_numpy(),
+            "l_returnflag": batch.column("l_returnflag").to_pylist(),
+            "n_lines": np.int64(1)})
+        g = df.groupby(["l_orderkey", "l_returnflag"],
+                       as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    lines = li.map_batches(line_partial, batch_format="pyarrow",
+                           batch_size=65536)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey",
+                                      "o_orderpriority"])
+    joined = lines.join(orders, join_type="inner",
+                        num_partitions=_auto_partitions(),
+                        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def mix_partial(batch: pa.Table) -> pa.Table:
+        prio = batch.column("o_orderpriority")
+        high = pc.is_in(prio, value_set=pa.array(
+            ["1-URGENT", "2-HIGH"])).to_numpy(zero_copy_only=False)
+        n = batch.column("n_lines").to_numpy()
+        df = pd.DataFrame({
+            "l_returnflag": batch.column("l_returnflag").to_pylist(),
+            "high_lines": np.where(high, n, 0).astype(np.int64),
+            "low_lines": np.where(high, 0, n).astype(np.int64)})
+        g = df.groupby("l_returnflag", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (joined.map_batches(mix_partial, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("high_lines", alias_name="high_lines"),
+                       Sum("low_lines", alias_name="low_lines"))
+            .sort("l_returnflag"))
+
+
+def _q_q14_promo_share(sf_dir: str):
+    """TPC-H Q14-style promo-revenue split for one month: part is a
+    DIMENSION, so the PROMO partkey set broadcasts once as a dense
+    bool array (``ray.put``) and every lineitem batch folds to a
+    single (promo_e4, total_e4) exact-integer partial — ZERO shuffles,
+    the month's answer is one driver fold over O(#batches) rows."""
+    import ray
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    lo = pd.Timestamp("1997-09-01").value // 1000
+    hi = pd.Timestamp("1997-10-01").value // 1000
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = part.column("p_partkey").to_numpy()
+    promo = np.zeros(int(pk.max()) + 1, bool)
+    promo[pk] = np.asarray(part.column("p_type").to_pylist()) \
+        == "PROMO"
+    promo_ref = ray.put(promo)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship_us = batch.column("l_shipdate").cast(pa.int64())
+        mask = pc.and_(pc.greater_equal(ship_us, lo),
+                       pc.less(ship_us, hi))
+        batch = batch.filter(mask)
+        cents = np.round(batch.column("l_extendedprice")
+                         .to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        keep = 100 - np.round(batch.column("l_discount")
+                              .to_numpy(zero_copy_only=False)
+                              * 100).astype(np.int64)
+        rev = cents * keep
+        is_promo = ray.get(promo_ref)[
+            batch.column("l_partkey").to_numpy()]
+        return pa.table({
+            "promo_e4": pa.array([int(rev[is_promo].sum())],
+                                 pa.int64()),
+            "total_e4": pa.array([int(rev.sum())], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "promo_revenue_e4": [np.int64(parts["promo_e4"].sum())],
+        "total_revenue_e4": [np.int64(parts["total_e4"].sum())]})
+
+
+def _q_q18_big_orders(sf_dir: str):
+    """TPC-H Q18-style large-volume orders: orders whose total line
+    quantity exceeds 150 units, with customer names, top 20 by
+    volume. The HAVING filter runs on the exact integer-unit groupby
+    BEFORE any join — only qualifying keys (a tiny fraction) enter
+    the hash join with orders — and customer broadcasts as a
+    custkey→name map."""
+    import ray
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ksoup_ray.pipelines.curate import _auto_partitions
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    name_ref = ray.put(dict(
+        zip(cust.column("c_custkey").to_pylist(),
+            cust.column("c_name").to_pylist())))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_orderkey": batch.column("l_orderkey").to_numpy(),
+            "sum_qty": np.round(batch.column("l_quantity")
+                                .to_numpy(zero_copy_only=False))
+            .astype(np.int64)})
+        g = df.groupby("l_orderkey", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    big = (li.map_batches(qty_partial, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby("l_orderkey")
+           .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+           .filter(lambda r: r["sum_qty"] > 150))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_totalprice"])
+    joined = big.join(orders, join_type="inner",
+                      num_partitions=_auto_partitions(),
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        names = ray.get(name_ref)
+        total_cents = np.round(batch.column("o_totalprice")
+                               .to_numpy(zero_copy_only=False)
+                               * 100).astype(np.int64)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "sum_qty": batch.column("sum_qty"),
+            "o_orderdate": batch.column("o_orderdate"),
+            "total_cents": pa.array(total_cents, pa.int64()),
+            "c_name": pa.array(
+                [names[int(k)] for k in
+                 batch.column("o_custkey").to_pylist()],
+                pa.string())})
+
+    return (joined.map_batches(finish, batch_format="pyarrow")
+            .sort(["sum_qty", "l_orderkey"], descending=[True, False])
+            .limit(20))
+
+
+def _q_corr_matrix(sf_dir: str):
+    """Pairwise Pearson correlations across four lineitem measures in
+    ONE streaming pass (functions/agg.corr_pairs): per-row integer
+    scaling, one partial-moment row per batch, arbitrary-precision
+    driver fold, SQL-mirrored float nesting → exact micros."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import corr_pairs
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount",
+                 "l_tax"])
+    return corr_pairs(ds, {"l_quantity": 1, "l_extendedprice": 100,
+                           "l_discount": 10000, "l_tax": 10000})
+
+
+def _q_pareto_front(sf_dir: str):
+    """2-D skyline over lineitem (quantity ↑, price ↑)
+    (functions/agg.pareto_front): each batch prunes to its local
+    frontier, only candidate points reach the driver, one final merge
+    — the canonical local-prune/global-merge reduction."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import pareto_front
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_extendedprice"])
+    return pareto_front(ds, x_col="l_quantity",
+                        y_col="l_extendedprice", y_scale=100)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -3618,6 +4025,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast": _q_q6_forecast,
         "events_heatmap": _q_events_heatmap,
         "q19_disjunctive": _q_q19_disjunctive,
+        "q4_priority": _q_q4_priority,
+        "q10_returns": _q_q10_returns,
+        "q12_priority_mix": _q_q12_priority_mix,
+        "q14_promo_share": _q_q14_promo_share,
+        "q18_big_orders": _q_q18_big_orders,
+        "corr_matrix": _q_corr_matrix,
+        "pareto_front": _q_pareto_front,
         "catalog_audit": _q_catalog_audit,
         "prep_report": _q_prep_report,
         "first_occurrence": _q_first_occurrence,
@@ -5918,5 +6332,107 @@ def oracle_sql() -> dict[str, str]:
                         (SELECT SUM(revenue_cents) FROM m)
                         AS BIGINT) AS share_ppm
             FROM m
+        """,
+        # EXISTS(shipdate > orderdate+90d) algebrized as MAX() on both
+        # sides; all comparisons on int64 epoch-micros
+        "q4_priority": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o.o_orderkey
+                            AND l_shipdate > o.o_orderdate
+                                + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        # q1_pricing money convention; (revenue DESC, custkey) makes
+        # the limit-20 cut deterministic on both sides
+        "q10_returns": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100)
+                                 AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_e4 DESC, c.c_custkey LIMIT 20
+        """,
+        "q12_priority_mix": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_lines,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_lines
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q14_promo_share": """
+            SELECT
+              CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(ROUND(l_extendedprice * 100)
+                                 AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100)
+                                          AS BIGINT))
+                       ELSE 0 END) AS BIGINT) AS promo_revenue_e4,
+              CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100)
+                                     AS BIGINT)))
+                   AS BIGINT) AS total_revenue_e4
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l_shipdate < TIMESTAMP '1997-10-01'
+        """,
+        # HAVING on exact integer units BEFORE the join, same as the
+        # Ray plan; (sum_qty DESC, orderkey) pins the limit-20 cut
+        "q18_big_orders": """
+            WITH t AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT))
+                          AS BIGINT) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 150)
+            SELECT t.l_orderkey, t.sum_qty, o.o_orderdate,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       AS total_cents,
+                   c.c_name
+            FROM t
+            JOIN orders o ON o.o_orderkey = t.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY t.sum_qty DESC, t.l_orderkey LIMIT 20
+        """,
+        "corr_matrix": _corr_matrix_sql(),
+        # skyline = per-x max, then strict running-max from high x
+        # down (exactly agg.pareto_front's frontier rule)
+        "pareto_front": """
+            WITH p AS (
+              SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         AS y_scaled
+              FROM lineitem),
+            m AS (SELECT x, MAX(y_scaled) AS y_scaled
+                  FROM p GROUP BY x),
+            w AS (SELECT x, y_scaled,
+                         MAX(y_scaled) OVER (ORDER BY x DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS best
+                  FROM m)
+            SELECT x, y_scaled FROM w
+            WHERE best IS NULL OR y_scaled > best
         """,
     }

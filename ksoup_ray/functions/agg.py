@@ -1096,3 +1096,112 @@ def grouped_dense_rank(ds, *, key_col: str, val_col: str,
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def corr_pairs(ds, cols_scales: dict[str, int], *,
+               round_to: int = 1_000_000):
+    """Exact-reproducible pairwise Pearson correlations over k numeric
+    columns in ONE streaming pass (the feature-audit primitive before
+    training: "which raw signals are redundant?").
+
+    Every column is integer-scaled per row FIRST (``round(x*scale)``),
+    so all sufficient statistics — n, sum(xi), sum(xi*xj) for every
+    pair — are order-free exact integer sums; each batch collapses to
+    a single partial row (map-side combine, 1 + k + k(k+1)/2 int64s),
+    and the fold runs in arbitrary-precision Python ints on the driver
+    (O(#batches) rows, payload-free). The final correlation is formed
+    with the SAME expression nesting the DuckDB oracle uses —
+    float(num) / (sqrt(float(n*sxx-sx²)) * sqrt(float(n*syy-sy²))) —
+    so ROUND(corr*1e6) matches the SQL micros bit for bit (both sides
+    do one round-to-nearest int→double conversion per term).
+
+    Returns a pandas DataFrame (x_col, y_col, n, corr_micros) with one
+    row per unordered pair, sorted by (x_col, y_col).
+    """
+    import math
+
+    cols = list(cols_scales)
+    pairs = [(i, j) for i in range(len(cols))
+             for j in range(i + 1, len(cols))]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arrs = [np.round(batch.column(c).to_numpy(zero_copy_only=False)
+                         * s).astype(np.int64)
+                for c, s in cols_scales.items()]
+        out = {"_n": pa.array([batch.num_rows], pa.int64())}
+        for i, c in enumerate(cols):
+            out[f"_s{i}"] = pa.array([int(arrs[i].sum())], pa.int64())
+            # object dtype keeps the squared sums exact past int64
+            out[f"_q{i}"] = pa.array(
+                [str(int((arrs[i].astype(object) ** 2).sum()))])
+        for i, j in pairs:
+            out[f"_p{i}_{j}"] = pa.array(
+                [str(int((arrs[i].astype(object)
+                          * arrs[j].astype(object)).sum()))])
+        return pa.table(out)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["_n"].sum())
+    s = [sum(int(v) for v in parts[f"_s{i}"])
+         for i in range(len(cols))]
+    q = [sum(int(v) for v in parts[f"_q{i}"])
+         for i in range(len(cols))]
+    p = {(i, j): sum(int(v) for v in parts[f"_p{i}_{j}"])
+         for i, j in pairs}
+
+    rows = []
+    for i, j in pairs:
+        num = n * p[(i, j)] - s[i] * s[j]
+        den = (math.sqrt(float(n * q[i] - s[i] * s[i]))
+               * math.sqrt(float(n * q[j] - s[j] * s[j])))
+        micros = int(np.round(float(num) / den * round_to)) \
+            if den > 0 else 0
+        rows.append((cols[i], cols[j], n, micros))
+    rows.sort()
+    return pd.DataFrame(rows, columns=["x_col", "y_col", "n",
+                                       "corr_micros"]) \
+        .astype({"n": np.int64, "corr_micros": np.int64})
+
+
+def pareto_front(ds, *, x_col: str, y_col: str, y_scale: int = 100):
+    """2-D skyline (Pareto frontier, maximize both axes) — the
+    local-prune-then-global-merge pattern: every batch reduces to its
+    OWN frontier (at most |distinct x| points, typically a handful),
+    only those candidate points reach the driver, and one final
+    frontier pass over the tiny merged set gives the global answer.
+    Nothing corpus-scale ever moves — at 100 TB the driver sees
+    O(#batches × frontier-size) rows.
+
+    A point survives iff its y is strictly greater than every y at a
+    strictly larger x (per-x max first, so ties on x collapse). y is
+    integer-scaled per row (order-free exact). Returns a pandas
+    DataFrame (x, y_scaled) sorted by x ascending.
+    """
+    def _frontier(x: np.ndarray, y: np.ndarray):
+        # per-x max, then strict running-max filter from high x down
+        order = np.argsort(x, kind="mergesort")
+        x, y = x[order], y[order]
+        ux, idx = np.unique(x, return_index=True)
+        ymax = np.maximum.reduceat(y, idx)
+        keep = np.empty(len(ux), bool)
+        best = np.iinfo(np.int64).min
+        for k in range(len(ux) - 1, -1, -1):
+            keep[k] = ymax[k] > best
+            if ymax[k] > best:
+                best = ymax[k]
+        return ux[keep], ymax[keep]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.round(batch.column(x_col)
+                     .to_numpy(zero_copy_only=False)).astype(np.int64)
+        y = np.round(batch.column(y_col)
+                     .to_numpy(zero_copy_only=False)
+                     * y_scale).astype(np.int64)
+        fx, fy = _frontier(x, y)
+        return pa.table({"x": pa.array(fx, pa.int64()),
+                         "y_scaled": pa.array(fy, pa.int64())})
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    fx, fy = _frontier(cand["x"].to_numpy(), cand["y_scaled"].to_numpy())
+    return pd.DataFrame({"x": fx, "y_scaled": fy}) \
+        .astype({"x": np.int64, "y_scaled": np.int64})

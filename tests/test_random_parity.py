@@ -299,3 +299,133 @@ def test_interval_join_matches_duckdb_on_random_frames(ray_session):
         == list(want["interval_start_us"])
     assert list(got["interval_end_us"]) \
         == list(want["interval_end_us"])
+
+
+def test_corr_pairs_matches_duckdb_on_random_frames(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.agg import corr_pairs
+
+    for seed in (3, 11):
+        rng = np.random.RandomState(seed)
+        n = 500
+        df = pd.DataFrame({
+            # b correlated with a, c independent, heavy ties in a
+            "a": rng.randint(0, 20, size=n).astype(np.float64),
+            "c": rng.rand(n).round(4),
+        })
+        df["b"] = (df["a"] * 3 + rng.randint(0, 10, size=n)) \
+            .astype(np.float64)
+        got = corr_pairs(rd.from_pandas(df).repartition(4),
+                         {"a": 1, "b": 1, "c": 10000})
+        want = duckdb.sql("""
+            WITH s AS (SELECT COUNT(*) AS n,
+              SUM(CAST(ROUND(a) AS HUGEINT)) AS s0,
+              SUM(CAST(ROUND(a) AS HUGEINT)
+                  * CAST(ROUND(a) AS HUGEINT)) AS q0,
+              SUM(CAST(ROUND(b) AS HUGEINT)) AS s1,
+              SUM(CAST(ROUND(b) AS HUGEINT)
+                  * CAST(ROUND(b) AS HUGEINT)) AS q1,
+              SUM(CAST(ROUND(c * 10000) AS HUGEINT)) AS s2,
+              SUM(CAST(ROUND(c * 10000) AS HUGEINT)
+                  * CAST(ROUND(c * 10000) AS HUGEINT)) AS q2,
+              SUM(CAST(ROUND(a) AS HUGEINT)
+                  * CAST(ROUND(b) AS HUGEINT)) AS p01,
+              SUM(CAST(ROUND(a) AS HUGEINT)
+                  * CAST(ROUND(c * 10000) AS HUGEINT)) AS p02,
+              SUM(CAST(ROUND(b) AS HUGEINT)
+                  * CAST(ROUND(c * 10000) AS HUGEINT)) AS p12
+              FROM df)
+            SELECT 'a' AS x_col, 'b' AS y_col,
+              CAST(ROUND(CAST(n * p01 - s0 * s1 AS DOUBLE)
+                / (sqrt(CAST(n * q0 - s0 * s0 AS DOUBLE))
+                   * sqrt(CAST(n * q1 - s1 * s1 AS DOUBLE)))
+                * 1000000.0) AS BIGINT) AS m FROM s
+            UNION ALL SELECT 'a', 'c',
+              CAST(ROUND(CAST(n * p02 - s0 * s2 AS DOUBLE)
+                / (sqrt(CAST(n * q0 - s0 * s0 AS DOUBLE))
+                   * sqrt(CAST(n * q2 - s2 * s2 AS DOUBLE)))
+                * 1000000.0) AS BIGINT) FROM s
+            UNION ALL SELECT 'b', 'c',
+              CAST(ROUND(CAST(n * p12 - s1 * s2 AS DOUBLE)
+                / (sqrt(CAST(n * q1 - s1 * s1 AS DOUBLE))
+                   * sqrt(CAST(n * q2 - s2 * s2 AS DOUBLE)))
+                * 1000000.0) AS BIGINT) FROM s
+            ORDER BY x_col, y_col""").df()
+        assert list(got["corr_micros"]) == list(want["m"]), seed
+        # sanity: a~b strongly positive, a~c near zero
+        ab = got[(got.x_col == "a") & (got.y_col == "b")] \
+            ["corr_micros"].iloc[0]
+        assert ab > 900_000, seed
+
+
+def test_corr_pairs_exact_past_int64(ray_session):
+    # squared sums overflow int64: values ~1e7, squares 1e14, 400 rows
+    # per batch -> partial q ~4e16 fits, but the point is the OBJECT
+    # dtype partials and the arbitrary-precision driver fold
+    import ray.data as rd
+    from ksoup_ray.functions.agg import corr_pairs
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "x": (rng.rand(800) * 1e7).round(),
+        "y": (rng.rand(800) * 1e7).round(),
+    })
+    got = corr_pairs(rd.from_pandas(df).repartition(3),
+                     {"x": 100, "y": 100})
+    # exact reference with python ints
+    xs = [int(round(v * 100)) for v in df["x"]]
+    ys = [int(round(v * 100)) for v in df["y"]]
+    n = len(xs)
+    import math
+    num = n * sum(a * b for a, b in zip(xs, ys)) \
+        - sum(xs) * sum(ys)
+    den = (math.sqrt(float(n * sum(a * a for a in xs)
+                           - sum(xs) ** 2))
+           * math.sqrt(float(n * sum(b * b for b in ys)
+                             - sum(ys) ** 2)))
+    want = int(np.round(float(num) / den * 1_000_000))
+    assert got["corr_micros"].iloc[0] == want
+
+
+def test_pareto_front_matches_duckdb_on_random_frames(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.agg import pareto_front
+
+    for seed in (4, 13):
+        rng = np.random.RandomState(seed)
+        n = 600
+        df = pd.DataFrame({
+            "x": rng.randint(0, 40, size=n).astype(np.float64),
+            "y": rng.rand(n).round(2) * 100,
+        })
+        got = pareto_front(rd.from_pandas(df).repartition(5),
+                           x_col="x", y_col="y", y_scale=100)
+        want = duckdb.sql("""
+            WITH p AS (SELECT CAST(ROUND(x) AS BIGINT) AS x,
+                              CAST(ROUND(y * 100) AS BIGINT) AS ys
+                       FROM df),
+            m AS (SELECT x, MAX(ys) AS ys FROM p GROUP BY x),
+            w AS (SELECT x, ys, MAX(ys) OVER (ORDER BY x DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS best FROM m)
+            SELECT x, ys FROM w WHERE best IS NULL OR ys > best
+            ORDER BY x""").df()
+        assert list(got["x"]) == list(want["x"]), seed
+        assert list(got["y_scaled"]) == list(want["ys"]), seed
+
+
+def test_pareto_front_dominance_invariant(ray_session):
+    # no returned point may be dominated by ANY input point
+    import ray.data as rd
+    from ksoup_ray.functions.agg import pareto_front
+
+    rng = np.random.RandomState(21)
+    df = pd.DataFrame({"x": rng.randint(0, 15, 300).astype(float),
+                       "y": rng.randint(0, 1000, 300).astype(float)})
+    got = pareto_front(rd.from_pandas(df).repartition(4),
+                       x_col="x", y_col="y", y_scale=1)
+    xs = df["x"].astype(np.int64).to_numpy()
+    ys = df["y"].astype(np.int64).to_numpy()
+    for _, r in got.iterrows():
+        # nothing strictly higher-x may tie-or-beat a frontier point
+        assert not ((xs > r["x"]) & (ys >= r["y_scaled"])).any()

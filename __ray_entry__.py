@@ -3900,6 +3900,74 @@ def _q_pareto_front(sf_dir: str):
                         y_col="l_extendedprice", y_scale=100)
 
 
+def _depth_pages(sf_dir: str):
+    import ray.data as rd
+    from ksoup_ray.sources.synth import render_depth_page
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "html": pa.array([render_depth_page(i) for i in ids],
+                             pa.string())})
+
+    return ds.map_batches(render, batch_format="pyarrow")
+
+
+def _q_dom_depth(sf_dir: str):
+    """DOM-shape profile (stages/extract.DomDepthStage): per doc the
+    max element depth + element count via an ITERATIVE walk (no
+    recursion — hostile deep pages can't blow the stack), value-
+    checked against the nest-chain closed form."""
+    from ksoup_ray.stages.extract import DomDepthStage
+    return _depth_pages(sf_dir).map_batches(
+        DomDepthStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def _q_css_structural(sf_dir: str):
+    """Structural pseudo-class + sibling-combinator counts
+    (stages/extract.StructuralCssStage): nth-child(odd)/(2n),
+    `li + li`, `li:first-child ~ li` — the selector-grammar corner a
+    tag index can't serve, each compiled once per actor and
+    value-checked against the item-count closed form."""
+    from ksoup_ray.stages.extract import StructuralCssStage
+    return _depth_pages(sf_dir).map_batches(
+        StructuralCssStage, batch_format="pyarrow",
+        concurrency=(1, 4))
+
+
+def _q_weighted_median(sf_dir: str):
+    """Revenue-weighted median order quantity per return flag
+    (functions/agg.grouped_weighted_median): bounded (key × value)
+    histogram rides the ONE shuffle, integer 2·cumw ≥ W rule on the
+    driver-side grid."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import grouped_weighted_median
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_weighted_median(
+        ds, key_col="l_returnflag", val_col="l_quantity",
+        weight_col="l_extendedprice", weight_scale=100)
+
+
+def _q_ols_price_qty(sf_dir: str):
+    """Per-return-flag OLS of price-cents on quantity
+    (functions/agg.grouped_ols): one streaming pass of exact integer
+    moments (squared sums as object-dtype strings past int64), SQL-
+    mirrored float nesting -> slope/intercept in exact micros."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import grouped_ols
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_ols(ds, key_col="l_returnflag", x_col="l_quantity",
+                       y_col="l_extendedprice", x_scale=1,
+                       y_scale=100)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -4032,6 +4100,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_big_orders": _q_q18_big_orders,
         "corr_matrix": _q_corr_matrix,
         "pareto_front": _q_pareto_front,
+        "dom_depth": _q_dom_depth,
+        "css_structural": _q_css_structural,
+        "weighted_median": _q_weighted_median,
+        "ols_price_qty": _q_ols_price_qty,
         "catalog_audit": _q_catalog_audit,
         "prep_report": _q_prep_report,
         "first_occurrence": _q_first_occurrence,
@@ -6434,5 +6506,72 @@ def oracle_sql() -> dict[str, str]:
                   FROM m)
             SELECT x, y_scaled FROM w
             WHERE best IS NULL OR y_scaled > best
+        """,
+        # render_depth_page closed forms: depth chain doc_id%7+3 ends
+        # in a span (html=1 -> span at %7+6); elements = html, head,
+        # title, body, divs, span, ul, lis
+        "dom_depth": """
+            SELECT doc_id,
+                   CAST(doc_id % 7 + 6 AS BIGINT) AS max_depth,
+                   CAST(11 + doc_id % 7 + doc_id % 6 AS BIGINT)
+                       AS n_elements
+            FROM documents
+        """,
+        # ul of n = doc_id%6+2 items: nth-child(odd) = ceil(n/2),
+        # nth-child(2n) = floor(n/2), both sibling forms = n-1
+        "css_structural": """
+            SELECT doc_id,
+                   CAST((doc_id % 6 + 3) // 2 AS BIGINT) AS n_odd,
+                   CAST((doc_id % 6 + 2) // 2 AS BIGINT) AS n_even,
+                   CAST(doc_id % 6 + 1 AS BIGINT) AS n_adj,
+                   CAST(doc_id % 6 + 1 AS BIGINT) AS n_sib
+            FROM documents
+        """,
+        # lower weighted median: smallest v with 2*cumw >= totalw —
+        # pure integer rule on both sides
+        "weighted_median": """
+            WITH g AS (
+              SELECT l_returnflag,
+                     CAST(ROUND(l_quantity) AS BIGINT) AS v,
+                     SUM(CAST(ROUND(l_extendedprice * 100)
+                              AS BIGINT)) AS w
+              FROM lineitem GROUP BY 1, 2),
+            c AS (
+              SELECT l_returnflag, v,
+                     SUM(w) OVER (PARTITION BY l_returnflag
+                                  ORDER BY v) AS cw,
+                     SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+              FROM g)
+            SELECT l_returnflag, CAST(MIN(v) AS BIGINT) AS w_median
+            FROM c WHERE 2 * cw >= tw
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        # HUGEINT moments (squared cents overflow BIGINT); float
+        # nesting mirrors agg.grouped_ols exactly — slope = num/den,
+        # intercept = (sy - slope*sx)/n, *1e6 LAST
+        "ols_price_qty": """
+            WITH s AS (
+              SELECT l_returnflag, COUNT(*) AS n,
+                SUM(CAST(ROUND(l_quantity) AS HUGEINT)) AS sx,
+                SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT))
+                    AS sy,
+                SUM(CAST(ROUND(l_quantity) AS HUGEINT)
+                    * CAST(ROUND(l_quantity) AS HUGEINT)) AS sxx,
+                SUM(CAST(ROUND(l_quantity) AS HUGEINT)
+                    * CAST(ROUND(l_extendedprice * 100) AS HUGEINT))
+                    AS sxy
+              FROM lineitem GROUP BY 1)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+              CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+                         * 1000000.0) AS BIGINT) AS slope_micros,
+              CAST(ROUND((CAST(sy AS DOUBLE)
+                          - CAST(n * sxy - sx * sy AS DOUBLE)
+                            / CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE)
+                         * 1000000.0) AS BIGINT)
+                  AS intercept_micros
+            FROM s ORDER BY l_returnflag
         """,
     }

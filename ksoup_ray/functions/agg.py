@@ -1205,3 +1205,89 @@ def pareto_front(ds, *, x_col: str, y_col: str, y_scale: int = 100):
     fx, fy = _frontier(cand["x"].to_numpy(), cand["y_scaled"].to_numpy())
     return pd.DataFrame({"x": fx, "y_scaled": fy}) \
         .astype({"x": np.int64, "y_scaled": np.int64})
+
+
+def grouped_weighted_median(ds, *, key_col: str, val_col: str,
+                            weight_col: str, weight_scale: int = 1):
+    """Exact lower weighted median per group over a discrete value
+    domain — the robust-center statistic when rows carry unequal mass
+    (revenue-weighted "typical order size"). Same bounded-histogram
+    shape as grouped quantiles: each batch collapses to (key, value,
+    weight-partial) rows, ONE groupby sums them, and the cumulative
+    scan runs on the tiny (keys × distinct-values) grid on the
+    driver. The median rule is pure integer math — smallest v with
+    ``2·cumw(v) ≥ totalw`` — so the DuckDB window oracle matches bit
+    for bit. Returns a pandas DataFrame (key, w_median)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key_col: batch.column(key_col).to_pylist(),
+            "v": np.round(batch.column(val_col)
+                          .to_numpy(zero_copy_only=False))
+            .astype(np.int64),
+            "w": np.round(batch.column(weight_col)
+                          .to_numpy(zero_copy_only=False)
+                          * weight_scale).astype(np.int64)})
+        g = df.groupby([key_col, "v"], as_index=False)["w"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, "v"])
+            .aggregate(Sum("w", alias_name="w"))
+            .to_pandas())
+    out = []
+    for key, grp in hist.groupby(key_col, sort=True):
+        grp = grp.sort_values("v")
+        total = int(grp["w"].sum())
+        cum = grp["w"].cumsum()
+        out.append((key, int(grp.loc[2 * cum >= total, "v"].iloc[0])))
+    return pd.DataFrame(out, columns=[key_col, "w_median"]) \
+        .astype({"w_median": np.int64})
+
+
+def grouped_ols(ds, *, key_col: str, x_col: str, y_col: str,
+                x_scale: int = 1, y_scale: int = 100):
+    """Per-group simple linear regression (slope + intercept in exact
+    micros) from ONE streaming pass of integer sufficient statistics
+    — the drift/trend detector ("is price linear in quantity per
+    segment?"). Rows are integer-scaled first; per-batch partials
+    carry n, Σx, Σy, Σx², Σxy per key with the overflow-prone squared
+    sums as decimal STRINGS (object-dtype math), so the driver fold
+    is arbitrary-precision. The float formation mirrors the SQL
+    nesting exactly: slope = num/den, intercept =
+    (Σy − slope·Σx)/n, each ×1e6 LAST. Returns a pandas DataFrame
+    (key, n, slope_micros, intercept_micros)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        x = np.round(batch.column(x_col)
+                     .to_numpy(zero_copy_only=False)
+                     * x_scale).astype(np.int64).astype(object)
+        y = np.round(batch.column(y_col)
+                     .to_numpy(zero_copy_only=False)
+                     * y_scale).astype(np.int64).astype(object)
+        df = pd.DataFrame({key_col: keys, "_n": 1, "_sx": x,
+                           "_sy": y, "_sxx": x * x, "_sxy": x * y})
+        g = df.groupby(key_col, as_index=False).sum()
+        for c in ("_sx", "_sy", "_sxx", "_sxy"):
+            g[c] = g[c].map(lambda v: str(int(v)))
+        g["_n"] = g["_n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for key, grp in parts.groupby(key_col, sort=True):
+        n = int(grp["_n"].sum())
+        sx = sum(int(v) for v in grp["_sx"])
+        sy = sum(int(v) for v in grp["_sy"])
+        sxx = sum(int(v) for v in grp["_sxx"])
+        sxy = sum(int(v) for v in grp["_sxy"])
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        slope = float(num) / float(den)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        out.append((key, n, int(np.round(slope * 1_000_000)),
+                    int(np.round(intercept * 1_000_000))))
+    return pd.DataFrame(out, columns=[key_col, "n", "slope_micros",
+                                      "intercept_micros"]) \
+        .astype({"n": np.int64, "slope_micros": np.int64,
+                 "intercept_micros": np.int64})

@@ -338,3 +338,19 @@ def render_outline_page(doc_id: int) -> str:
         for j in range(doc_id % 4))
     return (f"<html><head>{meta}<title>x</title></head>"
             f"<body><h1>T{doc_id}</h1>{h2s}{h3}{imgs}</body></html>")
+
+
+def render_depth_page(doc_id: int) -> str:
+    """Deterministic structure-stress page for DOM-shape analytics:
+    a div chain nested ``doc_id % 7 + 3`` deep ending in one <span>,
+    plus a <ul> of ``doc_id % 6 + 2`` items. Closed forms (html=1):
+    max element depth = doc_id % 7 + 6 (the span), element count =
+    6 + depth + items (html, head, title, body, divs, span, ul, lis).
+    Query-local synth; corpus bytes untouched."""
+    d = doc_id % 7 + 3
+    n = doc_id % 6 + 2
+    chain = "".join(f'<div class="l{i}">' for i in range(d)) \
+        + f"<span>leaf {doc_id}</span>" + "</div>" * d
+    items = "".join(f"<li>item {j}</li>" for j in range(n))
+    return (f"<html><head><title>x</title></head>"
+            f"<body>{chain}<ul>{items}</ul></body></html>")

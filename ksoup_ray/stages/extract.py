@@ -510,3 +510,68 @@ class MetaRobotsStage:
             "noindex": pa.array(noindex, pa.int64()),
             "nofollow": pa.array(nofollow, pa.int64()),
         })
+
+
+class DomDepthStage:
+    """DOM-shape profile (iterative element walk — NodeTraversor
+    semantics without recursion, so adversarially deep pages can't
+    blow the stack): per document, the maximum ELEMENT depth
+    (html = 1) and the total element count. The structure-complexity
+    signal a boilerplate classifier feeds on."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids: list[int] = []
+        depths: list[int] = []
+        counts: list[int] = []
+        for did, html in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("html").to_pylist()):
+            doc = P.parse(html or "")
+            stack = [(el, 1) for el in doc.children()]
+            max_d = 0
+            n = 0
+            while stack:
+                el, d = stack.pop()
+                n += 1
+                if d > max_d:
+                    max_d = d
+                stack.extend((c, d + 1) for c in el.children())
+            doc_ids.append(did)
+            depths.append(max_d)
+            counts.append(n)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "max_depth": pa.array(depths, pa.int64()),
+            "n_elements": pa.array(counts, pa.int64()),
+        })
+
+
+class StructuralCssStage:
+    """Structural-pseudo-class selector counts (nth-child families +
+    sibling combinators — the part of the CSS grammar a tag/attr
+    index can't answer): per document, match counts for four
+    compiled-once-per-actor structural selectors."""
+
+    _SELECTORS = (("n_odd", "li:nth-child(odd)"),
+                  ("n_even", "li:nth-child(2n)"),
+                  ("n_adj", "li + li"),
+                  ("n_sib", "li:first-child ~ li"))
+
+    def __init__(self):
+        self.evals = [(name, parse_query(q))
+                      for name, q in self._SELECTORS]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: dict[str, list[int]] = {name: []
+                                     for name, _ in self.evals}
+        doc_ids: list[int] = []
+        for did, html in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("html").to_pylist()):
+            doc = P.parse(html or "")
+            doc_ids.append(did)
+            for name, ev in self.evals:
+                out[name].append(len(doc.select(ev)))
+        cols: dict[str, pa.Array] = {
+            "doc_id": pa.array(doc_ids, pa.int64())}
+        for name, _ in self.evals:
+            cols[name] = pa.array(out[name], pa.int64())
+        return pa.table(cols)

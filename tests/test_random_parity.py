@@ -429,3 +429,87 @@ def test_pareto_front_dominance_invariant(ray_session):
     for _, r in got.iterrows():
         # nothing strictly higher-x may tie-or-beat a frontier point
         assert not ((xs > r["x"]) & (ys >= r["y_scaled"])).any()
+
+
+def test_weighted_median_matches_duckdb_on_random_frames(
+        ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.agg import grouped_weighted_median
+
+    for seed in (6, 17):
+        rng = np.random.RandomState(seed)
+        n = 500
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b"], size=n, p=[0.8, 0.2]),
+            "v": rng.randint(1, 30, size=n).astype(np.float64),
+            "w": rng.rand(n).round(2) * 100,
+        })
+        got = grouped_weighted_median(
+            rd.from_pandas(df).repartition(4), key_col="g",
+            val_col="v", weight_col="w", weight_scale=100)
+        want = duckdb.sql("""
+            WITH g AS (SELECT g AS k, CAST(ROUND(v) AS BIGINT) AS v,
+                              SUM(CAST(ROUND(w * 100) AS BIGINT))
+                                  AS w
+                       FROM df GROUP BY 1, 2),
+            c AS (SELECT k, v,
+                         SUM(w) OVER (PARTITION BY k ORDER BY v)
+                             AS cw,
+                         SUM(w) OVER (PARTITION BY k) AS tw
+                  FROM g)
+            SELECT k, CAST(MIN(v) AS BIGINT) AS m
+            FROM c WHERE 2 * cw >= tw GROUP BY k ORDER BY k""").df()
+        assert list(got["w_median"]) == list(want["m"]), seed
+
+
+def test_grouped_ols_recovers_known_line(ray_session):
+    # exact line y = 7x + 3 -> slope/intercept micros are exact
+    import ray.data as rd
+    from ksoup_ray.functions.agg import grouped_ols
+
+    x = np.arange(1, 201, dtype=np.float64)
+    df = pd.DataFrame({"g": ["k"] * 200, "x": x, "y": 7 * x + 3})
+    got = grouped_ols(rd.from_pandas(df).repartition(3),
+                      key_col="g", x_col="x", y_col="y",
+                      x_scale=1, y_scale=1)
+    assert got["slope_micros"].iloc[0] == 7_000_000
+    assert got["intercept_micros"].iloc[0] == 3_000_000
+
+
+def test_grouped_ols_matches_duckdb_on_random_frames(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.agg import grouped_ols
+
+    rng = np.random.RandomState(8)
+    n = 600
+    df = pd.DataFrame({
+        "g": rng.choice(["p", "q", "r"], size=n),
+        "x": rng.randint(1, 50, size=n).astype(np.float64),
+    })
+    df["y"] = (df["x"] * rng.uniform(2, 5)
+               + rng.rand(n) * 40).round(2)
+    got = grouped_ols(rd.from_pandas(df).repartition(4),
+                      key_col="g", x_col="x", y_col="y",
+                      x_scale=1, y_scale=100)
+    want = duckdb.sql("""
+        WITH s AS (SELECT g, COUNT(*) AS n,
+          SUM(CAST(ROUND(x) AS HUGEINT)) AS sx,
+          SUM(CAST(ROUND(y * 100) AS HUGEINT)) AS sy,
+          SUM(CAST(ROUND(x) AS HUGEINT)
+              * CAST(ROUND(x) AS HUGEINT)) AS sxx,
+          SUM(CAST(ROUND(x) AS HUGEINT)
+              * CAST(ROUND(y * 100) AS HUGEINT)) AS sxy
+          FROM df GROUP BY 1)
+        SELECT g,
+          CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                     * 1000000.0) AS BIGINT) AS sm,
+          CAST(ROUND((CAST(sy AS DOUBLE)
+                      - CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT)
+              AS im
+        FROM s ORDER BY g""").df()
+    assert list(got["slope_micros"]) == list(want["sm"])
+    assert list(got["intercept_micros"]) == list(want["im"])

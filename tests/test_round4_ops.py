@@ -475,3 +475,46 @@ def test_sharded_index_membership_and_incremental(ray_session):
                             n_shards=2, num_partitions=4) \
         .to_pandas().sort_values("doc_id")
     assert list(out["doc_id"]) == [7, 11]
+
+
+def test_dom_depth_and_structural_stages_direct():
+    import pyarrow as pa
+    from ksoup_ray.sources.synth import render_depth_page
+    from ksoup_ray.stages.extract import (DomDepthStage,
+                                          StructuralCssStage)
+
+    ids = list(range(14))
+    batch = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "html": pa.array([render_depth_page(i) for i in ids],
+                         pa.string())})
+    out = DomDepthStage()(batch)
+    assert out.column("max_depth").to_pylist() \
+        == [i % 7 + 6 for i in ids]
+    assert out.column("n_elements").to_pylist() \
+        == [11 + i % 7 + i % 6 for i in ids]
+
+    css = StructuralCssStage()(batch)
+    n = [i % 6 + 2 for i in ids]
+    assert css.column("n_odd").to_pylist() == [(v + 1) // 2
+                                               for v in n]
+    assert css.column("n_even").to_pylist() == [v // 2 for v in n]
+    assert css.column("n_adj").to_pylist() == [v - 1 for v in n]
+    assert css.column("n_sib").to_pylist() == [v - 1 for v in n]
+
+
+def test_dom_depth_stage_hostile_inputs():
+    # deep nesting far past any recursion limit + degenerate docs
+    import pyarrow as pa
+    from ksoup_ray.stages.extract import DomDepthStage
+
+    deep = "<div>" * 5000 + "x" + "</div>" * 5000
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "html": pa.array([deep, "", "plain text"], pa.string())})
+    out = DomDepthStage()(batch)
+    d = out.column("max_depth").to_pylist()
+    # html > body > 5000 divs
+    assert d[0] >= 5000
+    # empty/bare inputs still produce the implied html/head/body shell
+    assert d[1] >= 1 and d[2] >= 1

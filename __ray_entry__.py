@@ -3968,6 +3968,482 @@ def _q_ols_price_qty(sf_dir: str):
                        y_scale=100)
 
 
+def _q_q7_nation_volume(sf_dir: str):
+    """TPC-H Q7-style volume shipping between two trading nations:
+    revenue per (supp_nation, cust_nation, year) for the NATION_3 /
+    NATION_12 pair. Both nation maps are DIMENSIONS and broadcast as
+    key→nation lookups restricted to the pair (everything else is
+    filtered map-side before the shuffle); lineitem pre-aggregates to
+    exact (orderkey, supp_nation, year, revenue_e4) partials; the ONE
+    large-large hash join attaches the customer nation, a bounded
+    4-row groupby finishes."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ksoup_ray.pipelines.curate import _auto_partitions
+
+    pair = ("NATION_3", "NATION_12")
+    lo = pd.Timestamp("1996-01-01").value // 1000
+    hi = pd.Timestamp("1998-01-01").value // 1000
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation.column("n_nationkey").to_pylist(),
+                    nation.column("n_name").to_pylist()))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    supp_nat = {k: nmap[n] for k, n in
+                zip(supp.column("s_suppkey").to_pylist(),
+                    supp.column("s_nationkey").to_pylist())
+                if nmap[n] in pair}
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cust_nat = {k: nmap[n] for k, n in
+                zip(cust.column("c_custkey").to_pylist(),
+                    cust.column("c_nationkey").to_pylist())
+                if nmap[n] in pair}
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_shipdate", "l_extendedprice",
+                                  "l_discount"])
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        ship_us = batch.column("l_shipdate").cast(pa.int64())
+        batch = batch.filter(pc.and_(
+            pc.greater_equal(ship_us, lo), pc.less(ship_us, hi)))
+        df = batch.to_pandas()
+        sn = df["l_suppkey"].map(supp_nat)
+        df = df[sn.notna()].copy()
+        df["supp_nation"] = sn[sn.notna()]
+        df["l_year"] = df["l_shipdate"].dt.year.astype(np.int64)
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        keep = 100 - (df["l_discount"] * 100).round().astype("int64")
+        df["revenue_e4"] = cents * keep
+        g = df.groupby(["l_orderkey", "supp_nation", "l_year"],
+                       as_index=False).agg(
+            revenue_e4=("revenue_e4", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    revenue = li.map_batches(line_partial, batch_format="pyarrow",
+                             batch_size=65536)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    def order_nation(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_custkey").to_pylist()
+        cn = [cust_nat.get(k) for k in keys]
+        out = pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "cust_nation": pa.array(cn, pa.string())})
+        return out.filter(pc.is_valid(out.column("cust_nation")))
+
+    sel_orders = orders.map_batches(order_nation,
+                                    batch_format="pyarrow")
+
+    joined = revenue.join(sel_orders, join_type="inner",
+                          num_partitions=_auto_partitions(),
+                          on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def cross_only(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.equal(batch.column("supp_nation"),
+                                  batch.column("cust_nation")))
+        return batch.filter(mask).select(
+            ["supp_nation", "cust_nation", "l_year", "revenue_e4"])
+
+    return (joined.map_batches(cross_only, batch_format="pyarrow")
+            .groupby(["supp_nation", "cust_nation", "l_year"])
+            .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+            .sort(["supp_nation", "cust_nation", "l_year"]))
+
+
+def _q_q8_market_share(sf_dir: str):
+    """TPC-H Q8-style market share: NATION_3 suppliers' slice of
+    MEDIUM-part revenue sold to ASIA customers, per order year. Share
+    is returned as two EXACT integer columns (nation_rev_e4,
+    total_rev_e4) — no float division anywhere, so the oracle matches
+    bit-for-bit. part/supplier/customer-region are dimension
+    broadcasts folded into the lineitem partial; the ONE large-large
+    hash join attaches the order year."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ksoup_ray.pipelines.curate import _auto_partitions
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = part.column("p_partkey").to_numpy()
+    medium = np.zeros(int(pk.max()) + 1, bool)
+    medium[pk] = np.asarray(part.column("p_type").to_pylist()) \
+        == "MEDIUM"
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    n3_key = nation.filter(
+        pc.equal(nation.column("n_name"), "NATION_3")) \
+        .column("n_nationkey")[0].as_py()
+    supp_is_n3 = {k: (n == n3_key) for k, n in
+                  zip(supp.column("s_suppkey").to_pylist(),
+                      supp.column("s_nationkey").to_pylist())}
+    asia_key = region.filter(
+        pc.equal(region.column("r_name"), "ASIA")) \
+        .column("r_regionkey")[0].as_py()
+    asia_nations = set(nation.filter(
+        pc.equal(nation.column("n_regionkey"), asia_key))
+        .column("n_nationkey").to_pylist())
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    asia_cust = {k for k, n in
+                 zip(cust.column("c_custkey").to_pylist(),
+                     cust.column("c_nationkey").to_pylist())
+                 if n in asia_nations}
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey",
+                                  "l_suppkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        keep_part = medium[batch.column("l_partkey").to_numpy()]
+        batch = batch.filter(pa.array(keep_part))
+        cents = np.round(batch.column("l_extendedprice")
+                         .to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        keep = 100 - np.round(batch.column("l_discount")
+                              .to_numpy(zero_copy_only=False)
+                              * 100).astype(np.int64)
+        rev = cents * keep
+        is_n3 = np.array([supp_is_n3.get(k, False) for k in
+                          batch.column("l_suppkey").to_pylist()])
+        df = pd.DataFrame({
+            "l_orderkey": batch.column("l_orderkey").to_numpy(),
+            "nation_rev_e4": np.where(is_n3, rev, 0),
+            "total_rev_e4": rev})
+        g = df.groupby("l_orderkey", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    revenue = li.map_batches(line_partial, batch_format="pyarrow",
+                             batch_size=65536)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def asia_orders(batch: pa.Table) -> pa.Table:
+        keep = pa.array([k in asia_cust for k in
+                         batch.column("o_custkey").to_pylist()])
+        batch = batch.filter(keep)
+        years = pd.to_datetime(
+            batch.column("o_orderdate").to_pandas()).dt.year \
+            .to_numpy(dtype=np.int64)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_year": pa.array(years, pa.int64())})
+
+    sel_orders = orders.map_batches(asia_orders,
+                                    batch_format="pyarrow")
+
+    joined = revenue.join(sel_orders, join_type="inner",
+                          num_partitions=_auto_partitions(),
+                          on=("l_orderkey",), right_on=("o_orderkey",))
+    return (joined.groupby("o_year")
+            .aggregate(Sum("nation_rev_e4",
+                           alias_name="nation_rev_e4"),
+                       Sum("total_rev_e4",
+                           alias_name="total_rev_e4"))
+            .sort("o_year"))
+
+
+def _q_q13_order_dist(sf_dir: str):
+    """TPC-H Q13-style customer order-count distribution — the
+    classic left-join histogram WITHOUT the join: orders collapse
+    map-side to per-custkey partial counts, ONE id-only groupby Sum
+    gives each active customer's count, a second bounded histogram
+    groupby folds counts→custdist, and the zero bucket is computed
+    from Parquet FOOTER metadata (total customers) minus the active
+    count — no customer data is ever read."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["o_custkey"]).aggregate(
+            [("o_custkey", "count")])
+        return pa.table({
+            "o_custkey": g.column("o_custkey"),
+            "partial": g.column("o_custkey_count").cast(pa.int64())})
+
+    per_cust = (orders.map_batches(cust_partial,
+                                   batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("partial", alias_name="c_count")))
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"c_count": batch.column("c_count")}) \
+            .group_by(["c_count"]).aggregate([("c_count", "count")])
+        return pa.table({
+            "c_count": g.column("c_count"),
+            "partial": g.column("c_count_count").cast(pa.int64())})
+
+    hist = (per_cust.map_batches(hist_partial,
+                                 batch_format="pyarrow")
+            .groupby("c_count")
+            .aggregate(Sum("partial", alias_name="custdist"))
+            .to_pandas())
+
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    n_zero = n_cust - int(hist["custdist"].sum())
+    if n_zero > 0:
+        hist = pd.concat([hist, pd.DataFrame(
+            {"c_count": [0], "custdist": [n_zero]})],
+            ignore_index=True)
+    hist = hist.astype({"c_count": np.int64, "custdist": np.int64})
+    return hist.sort_values(["custdist", "c_count"],
+                            ascending=[False, False]) \
+        .reset_index(drop=True)
+
+
+def _q_q15_top_supplier(sf_dir: str):
+    """TPC-H Q15-style top supplier: the supplier(s) with MAX revenue
+    in 1997Q1 (ties all returned, like the reference view). Lineitem
+    folds map-side to exact (suppkey, revenue_e4) partials → ONE
+    bounded groupby (suppliers are a dimension) → the max is a native
+    Dataset aggregate, the equality filter streams, and s_name comes
+    from a broadcast suppkey→name map — zero large joins."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lo = pd.Timestamp("1997-01-01").value // 1000
+    hi = pd.Timestamp("1997-04-01").value // 1000
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    names = dict(zip(supp.column("s_suppkey").to_pylist(),
+                     supp.column("s_name").to_pylist()))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        ship_us = batch.column("l_shipdate").cast(pa.int64())
+        batch = batch.filter(pc.and_(
+            pc.greater_equal(ship_us, lo), pc.less(ship_us, hi)))
+        cents = np.round(batch.column("l_extendedprice")
+                         .to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        keep = 100 - np.round(batch.column("l_discount")
+                              .to_numpy(zero_copy_only=False)
+                              * 100).astype(np.int64)
+        df = pd.DataFrame({
+            "l_suppkey": batch.column("l_suppkey").to_numpy(),
+            "total_rev_e4": cents * keep})
+        g = df.groupby("l_suppkey", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = (li.map_batches(rev_partial, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby("l_suppkey")
+           .aggregate(Sum("total_rev_e4",
+                          alias_name="total_rev_e4"))
+           .materialize())
+    best = rev.max("total_rev_e4")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(
+            batch.column("total_rev_e4"), pa.scalar(best)))
+        return pa.table({
+            "s_suppkey": batch.column("l_suppkey"),
+            "s_name": pa.array(
+                [names[int(k)] for k in
+                 batch.column("l_suppkey").to_pylist()], pa.string()),
+            "total_rev_e4": batch.column("total_rev_e4")})
+
+    return rev.map_batches(finish, batch_format="pyarrow") \
+        .sort("s_suppkey")
+
+
+def _q_q17_small_qty(sf_dir: str):
+    """TPC-H Q17-style small-quantity revenue: lines of Brand#4 parts
+    whose quantity is below 0.2x the part's average — the classic
+    correlated-subquery self-join, done as TWO streaming passes over
+    a brand-pruned scan: pass 1 folds exact per-part (sum_qty, n)
+    stats through one bounded groupby (brand parts are a dimension
+    slice); the stats broadcast back via ``ray.put`` and pass 2
+    applies the EXACT integer rule qty*5*n < sum_qty per batch,
+    folding to one (n_small, loss_cents) row. No join, no floats."""
+    import ray
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    pk = part.column("p_partkey").to_numpy()
+    brand = np.zeros(int(pk.max()) + 1, bool)
+    brand[pk] = np.asarray(part.column("p_brand").to_pylist()) \
+        == "Brand#4"
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        keep = brand[batch.column("l_partkey").to_numpy()]
+        batch = batch.filter(pa.array(keep))
+        qty = np.round(batch.column("l_quantity")
+                       .to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "l_partkey": batch.column("l_partkey").to_numpy(),
+            "sq": qty, "n": np.int64(1)})
+        g = df.groupby("l_partkey", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = (li.map_batches(stats_partial, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("l_partkey")
+             .aggregate(Sum("sq", alias_name="sq"),
+                        Sum("n", alias_name="n"))
+             .to_pandas())
+    sq_map = np.zeros(len(brand), np.int64)
+    n_map = np.zeros(len(brand), np.int64)
+    keys = stats["l_partkey"].to_numpy()
+    sq_map[keys] = stats["sq"].to_numpy()
+    n_map[keys] = stats["n"].to_numpy()
+    maps_ref = ray.put((brand, sq_map, n_map))
+
+    def small_partial(batch: pa.Table) -> pa.Table:
+        b, sq, n = ray.get(maps_ref)
+        pkeys = batch.column("l_partkey").to_numpy()
+        batch = batch.filter(pa.array(b[pkeys]))
+        pkeys = batch.column("l_partkey").to_numpy()
+        qty = np.round(batch.column("l_quantity")
+                       .to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        small = qty * 5 * n[pkeys] < sq[pkeys]
+        cents = np.round(batch.column("l_extendedprice")
+                         .to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        return pa.table({
+            "n_small": pa.array([int(small.sum())], pa.int64()),
+            "loss_cents": pa.array([int(cents[small].sum())],
+                                   pa.int64())})
+
+    parts = li.map_batches(small_partial,
+                           batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "n_small": [np.int64(parts["n_small"].sum())],
+        "loss_cents": [np.int64(parts["loss_cents"].sum())]})
+
+
+def _q_q22_idle_rich(sf_dir: str):
+    """TPC-H Q22-style global sales opportunity, recency variant:
+    customers with an above-average POSITIVE balance and NO order
+    since 1999-01-01, grouped by nation. The threshold is the exact
+    RATIONAL rule bal_cents*n_pos > sum_pos_cents (no float average);
+    the no-recent-order test is a distributed ANTI join
+    (functions/joins.anti_join — right side collapses to distinct
+    keys map-side, left-outer + null filter); the final groupby is
+    bounded by the 25 nations."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    from ksoup_ray.functions.joins import anti_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey",
+                                    "c_acctbal"])
+
+    def with_cents(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch.column("c_acctbal")
+                         .to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "nationkey": batch.column("c_nationkey").cast(pa.int64()),
+            "bal_cents": pa.array(cents, pa.int64())})
+
+    bal = cust.map_batches(with_cents, batch_format="pyarrow")
+    pos = bal.filter(expr="bal_cents > 0") \
+        .aggregate(Sum("bal_cents", alias_name="tot"),
+                   Count(alias_name="cnt"))
+    tot, cnt = int(pos["tot"]), int(pos["cnt"])
+
+    rich = bal.filter(
+        lambda r: r["bal_cents"] * cnt > tot)
+
+    cutoff = pd.Timestamp("1999-01-01").value // 1000
+    recent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda b: b.filter(pc.greater_equal(
+            b.column("o_orderdate").cast(pa.int64()), cutoff))
+        .select(["o_custkey"]),
+        batch_format="pyarrow")
+
+    idle = anti_join(rich, recent, left_on="c_custkey",
+                     right_on="o_custkey")
+
+    def nat_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["nationkey", "bal_cents"]) \
+            .group_by(["nationkey"]).aggregate(
+                [("bal_cents", "sum"), ("bal_cents", "count")])
+        return pa.table({
+            "nationkey": g.column("nationkey"),
+            "n_part": g.column("bal_cents_count").cast(pa.int64()),
+            "bal_part": g.column("bal_cents_sum").cast(pa.int64())})
+
+    return (idle.map_batches(nat_partial, batch_format="pyarrow")
+            .groupby("nationkey")
+            .aggregate(Sum("n_part", alias_name="numcust"),
+                       Sum("bal_part",
+                           alias_name="total_bal_cents"))
+            .sort("nationkey"))
+
+
+def _q_hits_2iter(sf_dir: str):
+    """VALUE-CHECKED HITS hub/authority over the crawl link graph
+    (functions/graph.hits_ints): 2 unnormalized Kleinberg iterations
+    in EXACT int64 arithmetic — order-free sums, so the DuckDB oracle
+    (four unrolled join+group-by CTE half-steps) reproduces every
+    score bit-for-bit. Same join-free bucket-block rounds as
+    pagerank_picos; second value-checked member of the iterative
+    graph family."""
+    from ksoup_ray.functions.graph import hits_ints
+    edges = _q_link_edges(sf_dir)
+    return hits_ints(edges, iters=2)
+
+
+def _q_knn_graph(sf_dir: str):
+    """Exact cosine 5-NN graph of the embedding corpus against itself
+    (functions/similarity.knn_graph): reference matrix broadcast once
+    via ``ray.put`` (a dimension at this scale; the >10^6-vector path
+    blocks by IVF cell), one float64 matmul per batch, self excluded,
+    ties to the lowest neighbor id — mirrored by the SQL oracle's
+    ORDER BY."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ksoup_ray.functions.similarity import knn_graph, \
+        vecs_from_arrow
+
+    ref = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = ref.column("vec_id").to_numpy()
+    mat = vecs_from_arrow(ref.column("embedding"), np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return knn_graph(ds, ids, mat, k=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -4143,6 +4619,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "meta_robots": _q_meta_robots,
         "median_interp": _q_median_interp,
         "emb_stats": _q_emb_stats,
+        "q7_nation_volume": _q_q7_nation_volume,
+        "q8_market_share": _q_q8_market_share,
+        "q13_order_dist": _q_q13_order_dist,
+        "q15_top_supplier": _q_q15_top_supplier,
+        "q17_small_qty": _q_q17_small_qty,
+        "q22_idle_rich": _q_q22_idle_rich,
+        "hits_2iter": _q_hits_2iter,
+        "knn_graph": _q_knn_graph,
     }
 
 
@@ -6573,5 +7057,174 @@ def oracle_sql() -> dict[str, str]:
                          * 1000000.0) AS BIGINT)
                   AS intercept_micros
             FROM s ORDER BY l_returnflag
+        """,
+        "q7_nation_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(round(l_extendedprice * 100)
+                                 AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE ((sn.n_name = 'NATION_3'
+                    AND cn.n_name = 'NATION_12')
+                OR (sn.n_name = 'NATION_12'
+                    AND cn.n_name = 'NATION_3'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CASE WHEN sn.n_name = 'NATION_3' THEN
+                        CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100)
+                                      AS BIGINT))
+                        ELSE 0 END) AS BIGINT) AS nation_rev_e4,
+                   CAST(SUM(CAST(round(l_extendedprice * 100)
+                                 AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS total_rev_e4
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'MEDIUM'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q13_order_dist": """
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM (
+              SELECT c.c_custkey,
+                     CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+              FROM customer c
+              LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey)
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(round(l_extendedprice * 100)
+                                   AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100)
+                                            AS BIGINT)))
+                          AS BIGINT) AS total_rev_e4
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-04-01'
+              GROUP BY 1)
+            SELECT s_suppkey, s_name, total_rev_e4
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev_e4 = (SELECT MAX(total_rev_e4) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "q17_small_qty": """
+            WITH bp AS (
+              SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'
+            ), st AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(round(l_quantity) AS BIGINT))
+                          AS BIGINT) AS sq,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM lineitem JOIN bp ON l_partkey = p_partkey
+              GROUP BY 1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+                   CAST(COALESCE(SUM(CAST(round(l_extendedprice
+                                                * 100) AS BIGINT)),
+                                 0) AS BIGINT) AS loss_cents
+            FROM lineitem JOIN st ON lineitem.l_partkey = st.l_partkey
+            WHERE CAST(round(l_quantity) AS BIGINT) * 5 * st.n < st.sq
+        """,
+        "q22_idle_rich": """
+            WITH bal AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT)
+                       AS bal_cents
+              FROM customer
+            ), pos AS (
+              SELECT CAST(SUM(bal_cents) AS BIGINT) AS tot,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM bal WHERE bal_cents > 0
+            ), active AS (
+              SELECT DISTINCT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+            )
+            SELECT CAST(bal.c_nationkey AS BIGINT) AS nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(SUM(bal_cents) AS BIGINT) AS total_bal_cents
+            FROM bal LEFT JOIN active
+                 ON bal.c_custkey = active.o_custkey
+            WHERE active.o_custkey IS NULL
+              AND bal.bal_cents * (SELECT cnt FROM pos)
+                  > (SELECT tot FROM pos)
+            GROUP BY 1 ORDER BY 1
+        """,
+        # 2 unrolled HITS iterations in exact BIGINT: hub0 = 1, each
+        # half-step a join+group-by over the reconstructed edge list —
+        # order-free integer sums match functions/graph.hits_ints
+        # bit-for-bit (roster left joins keep score-0 nodes present)
+        "hits_2iter": """
+            WITH edges AS (
+              SELECT doc_id AS src,
+                     CAST((doc_id + k + 1) % 100000000 AS BIGINT)
+                       AS dst
+              FROM documents,
+              LATERAL unnest(generate_series(0, doc_id % 4 - 1))
+                AS t(k)
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges)
+            ), a1 AS (
+              SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS v
+              FROM edges GROUP BY 1
+            ), h1 AS (
+              SELECT e.src AS node,
+                     CAST(SUM(COALESCE(a1.v, 0)) AS BIGINT) AS v
+              FROM edges e LEFT JOIN a1 ON e.dst = a1.node
+              GROUP BY 1
+            ), a2 AS (
+              SELECT e.dst AS node,
+                     CAST(SUM(COALESCE(h1.v, 0)) AS BIGINT) AS v
+              FROM edges e LEFT JOIN h1 ON e.src = h1.node
+              GROUP BY 1
+            ), h2 AS (
+              SELECT e.src AS node,
+                     CAST(SUM(COALESCE(a2.v, 0)) AS BIGINT) AS v
+              FROM edges e LEFT JOIN a2 ON e.dst = a2.node
+              GROUP BY 1
+            )
+            SELECT nodes.node,
+                   CAST(COALESCE(a2.v, 0) AS BIGINT) AS auth,
+                   CAST(COALESCE(h2.v, 0) AS BIGINT) AS hub
+            FROM nodes
+            LEFT JOIN a2 ON nodes.node = a2.node
+            LEFT JOIN h2 ON nodes.node = h2.node
+        """,
+        "knn_graph": """
+            WITH ranked AS (
+              SELECT a.vec_id, b.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(
+                                  CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) DESC,
+                                b.vec_id) AS rnk
+              FROM embeddings a
+              JOIN embeddings b ON a.vec_id <> b.vec_id)
+            SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
+            FROM ranked WHERE rnk <= 5
         """,
     }

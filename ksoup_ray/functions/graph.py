@@ -615,3 +615,158 @@ def bfs_frontier(edges, seeds, *, max_hops: int = 2,
     out = pd.DataFrame(sorted(visited.items()),
                        columns=["node", "hop"])
     return out.astype({"node": np.int64, "hop": np.int64})
+
+
+def _gather_block_fn():
+    """Per-BUCKET propagate kernel for :func:`hits_ints` — like
+    ``_spread_block_fn`` but WITHOUT the out-degree division (HITS
+    sums raw neighbor scores) and without dangling redistribution
+    (a node with no edges on the gather side simply contributes
+    nothing). Score rows provide (key=node, val); edge rows provide
+    (key=gather-end, emit=other-end). All edges sharing a gather node
+    land in its bucket, so the block resolves every one of its keys
+    in ONE sorted searchsorted pass — O(num_partitions) Python
+    dispatches total, never per node."""
+
+    def gather_block(block: pd.DataFrame) -> pd.DataFrame:
+        is_val = block["is_val"].to_numpy() == 1
+        keys = block["key"].to_numpy(dtype=np.int64)
+        vals = block["val"].to_numpy(dtype=np.int64)
+        vk, vv = keys[is_val], vals[is_val]
+        order = np.argsort(vk, kind="stable")
+        vk, vv = vk[order], vv[order]
+        ek = keys[~is_val]
+        emit = block["emit"].to_numpy(dtype=np.int64)[~is_val]
+        if not len(ek):
+            return pd.DataFrame({
+                "dst": np.empty(0, np.int64),
+                "contrib": np.empty(0, np.int64)})
+        # every edge endpoint is in the roster, and the roster's
+        # score Dataset is complete, so the lookup never misses
+        at = np.searchsorted(vk, ek)
+        return pd.DataFrame({"dst": emit, "contrib": vv[at]})
+
+    return gather_block
+
+
+def hits_ints(edges, *, iters: int = 2, src_col: str = "src",
+              dst_col: str = "dst", num_partitions: int = 64):
+    """HITS hub/authority scores over an (src, dst) edge Dataset —
+    UNNORMALIZED exact-int64 arithmetic (Kleinberg's update without
+    the norm step: hub0 = 1, auth_i(v) = sum of hub_{i-1} over
+    in-neighbors, hub_i(u) = sum of auth_i over out-neighbors).
+    Integer sums are accumulation-order-free, so a fixed-iteration
+    run is reproducible bit-for-bit by a DuckDB join+group-by CTE
+    oracle (same contract as :func:`pagerank_picos`). Rankings equal
+    normalized HITS rankings — normalization is a positive scalar per
+    round.
+
+    Distributed shape (same join-free rounds as ``_pagerank_impl``):
+    each half-step unions score rows with edge rows bucketed on the
+    GATHER endpoint (``functions/_blocks.bucket_of`` — bounded bucket
+    key, block-granular dispatch), one vectorized sorted-lookup kernel
+    per bucket, then a native groupby Sum keyed on the receiving node
+    (roster zero rows keep every node present). Driver holds only N.
+
+    Overflow bound: scores grow like (d_max^2)^iters; int64 holds
+    through 2 iterations for max degree < ~55k and through any
+    realistic crawl-graph 2-iter run. Returns (node, auth, hub)."""
+    from ray.data.aggregate import Sum
+    from ._blocks import bucket_of
+
+    nodes = _node_roster(edges, src_col, dst_col)
+    if nodes.count() == 0:
+        return nodes.map_batches(
+            lambda b: pa.table({
+                "node": pa.array([], pa.int64()),
+                "auth": pa.array([], pa.int64()),
+                "hub": pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+
+    hub = nodes.map_batches(
+        lambda b: pa.table({
+            "node": b.column("node"),
+            "val": pa.array(np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow").materialize()
+
+    gather_block = _gather_block_fn()
+
+    def _propagate(scores, gather_col: str, emit_col: str):
+        """One half-step: new[emit] = sum over edges of
+        scores[gather]."""
+
+        def tag_scores(batch: pa.Table) -> pa.Table:
+            keys = batch.column("node").to_numpy()
+            return pa.table({
+                "key": batch.column("node"),
+                "_pk": pa.array(bucket_of(keys, num_partitions),
+                                pa.int32()),
+                "emit": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "val": batch.column("val"),
+                "is_val": pa.array(np.ones(batch.num_rows, np.int8)),
+            })
+
+        def tag_edges(batch: pa.Table) -> pa.Table:
+            keys = batch.column(gather_col).cast(pa.int64())
+            return pa.table({
+                "key": keys,
+                "_pk": pa.array(bucket_of(
+                    keys.to_numpy(zero_copy_only=False),
+                    num_partitions), pa.int32()),
+                "emit": batch.column(emit_col).cast(pa.int64()),
+                "val": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "is_val": pa.array(np.zeros(batch.num_rows, np.int8)),
+            })
+
+        tagged = scores.map_batches(tag_scores,
+                                    batch_format="pyarrow") \
+            .union(edges.map_batches(tag_edges,
+                                     batch_format="pyarrow"))
+        contribs = tagged.groupby("_pk").map_groups(
+            gather_block, batch_format="pandas")
+
+        def tag_contribs(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": batch.column("dst"),
+                "contrib": batch.column("contrib").cast(pa.int64()),
+            })
+
+        def tag_zero(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": batch.column("node"),
+                "contrib": pa.array(np.zeros(batch.num_rows,
+                                             np.int64)),
+            })
+
+        return contribs.map_batches(tag_contribs,
+                                    batch_format="pyarrow") \
+            .union(nodes.map_batches(tag_zero,
+                                     batch_format="pyarrow")) \
+            .groupby("node").aggregate(Sum("contrib",
+                                           alias_name="val")) \
+            .materialize()
+
+    auth = hub
+    for _ in range(iters):
+        auth = _propagate(hub, src_col, dst_col)
+        hub = _propagate(auth, dst_col, src_col)
+
+    # zip the two roster-complete score Datasets without a join:
+    # tag each side into (node, auth, hub) halves and Sum both
+    def tag_auth(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch.column("node"),
+            "a": batch.column("val"),
+            "h": pa.array(np.zeros(batch.num_rows, np.int64))})
+
+    def tag_hub(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch.column("node"),
+            "a": pa.array(np.zeros(batch.num_rows, np.int64)),
+            "h": batch.column("val")})
+
+    return auth.map_batches(tag_auth, batch_format="pyarrow") \
+        .union(hub.map_batches(tag_hub, batch_format="pyarrow")) \
+        .groupby("node") \
+        .aggregate(Sum("a", alias_name="auth"),
+                   Sum("h", alias_name="hub"))

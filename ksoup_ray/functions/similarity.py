@@ -651,3 +651,78 @@ def quantize_int8(ds, *, vec_col: str = "embedding",
         })
 
     return ds.map_batches(quant, batch_format="pyarrow")
+
+
+class SelfKnnScorer:
+    """Actor for :func:`knn_graph`: holds the broadcast reference
+    matrix (ids + unit-normalized float64 vectors, fetched once per
+    actor) and emits each batch row's exact cosine top-k EXCLUDING
+    itself — ties break to the LOWEST neighbor id (mirrored by the
+    SQL oracle's ``ORDER BY sim DESC, vec_id``)."""
+
+    def __init__(self, ids_ref, mat_ref, k: int,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+        import ray
+        self.ref_ids = np.asarray(ray.get(ids_ref), np.int64)
+        self.mat = _normalize(np.asarray(ray.get(mat_ref),
+                                         np.float64))
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = vecs_from_arrow(batch.column(self.vec_col), np.float64)
+        ids = np.asarray(batch.column(self.id_col).to_pylist(),
+                         np.int64)
+        unit = _normalize(vecs)
+        sims = unit @ self.mat.T                     # (b, N)
+        n_ref = self.mat.shape[0]
+        k = min(self.k, max(n_ref - 1, 0))
+        src, nbr, rank = [], [], []
+        for i in range(len(ids)):
+            row = sims[i].copy()
+            row[self.ref_ids == ids[i]] = -np.inf    # exclude self
+            m = min(k + 8, n_ref)                    # tie slack
+            cand = np.argpartition(-row, m - 1)[:m]
+            order = np.lexsort((self.ref_ids[cand], -row[cand]))
+            top = cand[order][:k]
+            src.append(np.full(len(top), ids[i], np.int64))
+            nbr.append(self.ref_ids[top])
+            rank.append(np.arange(1, len(top) + 1, dtype=np.int64))
+        if not src:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64())})
+        return pa.table({
+            "vec_id": pa.array(np.concatenate(src), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(nbr), pa.int64()),
+            "rank": pa.array(np.concatenate(rank), pa.int64())})
+
+
+def knn_graph(ds, ref_ids: np.ndarray, ref_mat: np.ndarray,
+              k: int = 5, vec_col: str = "embedding",
+              id_col: str = "vec_id", concurrency=(1, 4)):
+    """Exact cosine k-nearest-neighbor GRAPH of a corpus against a
+    reference matrix (usually itself): the graph-based curation /
+    label-propagation primitive. The reference rides ``ray.put`` ONCE
+    (read per actor in ``__init__``, never reshipped per batch); each
+    batch is one float64 matmul.
+
+    Scale contract (per the custom-operator rule): the broadcast
+    reference must fit a worker heap — the exact baseline up to ~10^6
+    vectors (10^6 x 64 float64 = 0.5 GB). Beyond that, block with
+    :func:`ivf_topk` cells or the LSH buckets of
+    ``dedup.embedding_neardup`` and run this kernel per cell.
+    Returns (vec_id, neighbor_id, rank), rank 1..k by cosine DESC,
+    neighbor id ASC on ties, self excluded."""
+    import ray
+
+    ids_ref = ray.put(np.asarray(ref_ids, np.int64))
+    mat_ref = ray.put(np.asarray(ref_mat, np.float64))
+    return ds.map_batches(
+        SelfKnnScorer,
+        fn_constructor_kwargs=dict(ids_ref=ids_ref, mat_ref=mat_ref,
+                                   k=k, vec_col=vec_col,
+                                   id_col=id_col),
+        batch_format="pyarrow", concurrency=concurrency)

@@ -4444,6 +4444,111 @@ def _q_knn_graph(sf_dir: str):
     return knn_graph(ds, ids, mat, k=5)
 
 
+def _q_q21_waiting(sf_dir: str):
+    """TPC-H Q21-style "suppliers who kept orders waiting": in every
+    multi-supplier order with final status 'F', blame the supplier
+    holding the order's UNIQUE latest ship date. (The synthetic
+    lineitem carries no commit/receipt dates, so sole-latest-shipper
+    stands in for Q21's sole receipt>commit offender — the same
+    sole-blame-in-a-multi-supplier-order shape and the same
+    EXISTS / NOT-EXISTS algebra, both collapsed to per-order counts.)
+    Distributed shape: lineitem pre-aggregates map-side to
+    (orderkey, suppkey, max_ship) partials; ONE bounded-bucket shuffle
+    on hash(orderkey) resolves every order entirely inside one block
+    (functions/_blocks contract — segmented kernels, O(buckets) Python
+    dispatches, never per-order); the surviving one-id-pair-per-blamed-
+    order rows ride ONE hash join against the F-status order keys; a
+    bounded per-supplier Count plus a broadcast name map finishes.
+    Completes the partsupp-free TPC-H set (Q2/9/11/16/20 need the
+    partsupp table, which the synthetic schema does not carry)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    from ksoup_ray.functions._blocks import pk_column
+    from ksoup_ray.pipelines.curate import _auto_partitions
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    name_map = dict(zip(sup.column("s_suppkey").to_pylist(),
+                        sup.column("s_name").to_pylist()))
+
+    NPART = 64
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "l_suppkey": batch.column("l_suppkey"),
+            "ship_us": batch.column("l_shipdate").cast(pa.int64()),
+        }).to_pandas()
+        g = df.groupby(["l_orderkey", "l_suppkey"],
+                       as_index=False).agg(ship_us=("ship_us", "max"))
+        t = pa.Table.from_pandas(g, preserve_index=False)
+        return t.append_column(
+            "_pk", pk_column(t.column("l_orderkey"), NPART))
+
+    partials = li.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536)
+
+    def blockers_block(block: pd.DataFrame) -> pd.DataFrame:
+        # merge cross-batch partials, then per-order segment logic —
+        # every row of an order is in this block by construction
+        g = block.groupby(["l_orderkey", "l_suppkey"],
+                          as_index=False).agg(ship_us=("ship_us",
+                                                       "max"))
+        stats = g.groupby("l_orderkey")["ship_us"].agg(
+            n_supp="size", m1="max")
+        g = g.join(stats, on="l_orderkey")
+        at_max = g[g["ship_us"] == g["m1"]]
+        n_at_max = at_max.groupby("l_orderkey")["l_suppkey"].size()
+        at_max = at_max.join(n_at_max.rename("n_at_max"),
+                             on="l_orderkey")
+        win = at_max[(at_max["n_supp"] >= 2)
+                     & (at_max["n_at_max"] == 1)]
+        out = win[["l_orderkey", "l_suppkey"]]
+        return out.astype({"l_orderkey": np.int64,
+                           "l_suppkey": np.int64})
+
+    blockers = partials.groupby("_pk").map_groups(
+        blockers_block, batch_format="pandas")
+    # Ray 2.49 join guard (see pipelines/curate._anti_join): seed one
+    # impossible-key row so an all-empty map_groups side still carries
+    # a schema through the join shuffle; inner join drops it.
+    seed = rd.from_arrow(pa.table({
+        "l_orderkey": pa.array([-1], pa.int64()),
+        "l_suppkey": pa.array([-1], pa.int64())}))
+    blockers = blockers.union(seed)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderstatus"])
+
+    def f_only(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("o_orderstatus"), "F")
+        return batch.filter(mask).select(["o_orderkey"])
+
+    f_orders = orders.map_batches(f_only, batch_format="pyarrow")
+
+    joined = blockers.join(f_orders, join_type="inner",
+                           num_partitions=_auto_partitions(),
+                           on=("l_orderkey",),
+                           right_on=("o_orderkey",))
+    counts = joined.groupby("l_suppkey").aggregate(
+        Count(alias_name="numwait"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keys = batch.column("l_suppkey").to_pylist()
+        return pa.table({
+            "s_name": pa.array([name_map[k] for k in keys],
+                               pa.string()),
+            "numwait": batch.column("numwait").cast(pa.int64())})
+
+    out = counts.map_batches(finish, batch_format="pyarrow")
+    return out.sort(["numwait", "s_name"],
+                    descending=[True, False]).limit(100)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -4625,6 +4730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": _q_q15_top_supplier,
         "q17_small_qty": _q_q17_small_qty,
         "q22_idle_rich": _q_q22_idle_rich,
+        "q21_waiting": _q_q21_waiting,
         "hits_2iter": _q_hits_2iter,
         "knn_graph": _q_knn_graph,
     }
@@ -7170,6 +7276,36 @@ def oracle_sql() -> dict[str, str]:
               AND bal.bal_cents * (SELECT cnt FROM pos)
                   > (SELECT tot FROM pos)
             GROUP BY 1 ORDER BY 1
+        """,
+        # Q21 sole-blame rule in CTEs: per-(order, supplier) last
+        # ship, per-order supplier count + unique-max check, F-status
+        # filter, per-supplier count — (numwait DESC, s_name) makes
+        # the limit-100 cut deterministic on both sides
+        "q21_waiting": """
+            WITH last_ship AS (
+              SELECT l_orderkey, l_suppkey,
+                     MAX(CAST(epoch_us(l_shipdate) AS BIGINT))
+                       AS ship_us
+              FROM lineitem GROUP BY 1, 2
+            ), ord AS (
+              SELECT l_orderkey, COUNT(*) AS n_supp,
+                     MAX(ship_us) AS m1
+              FROM last_ship GROUP BY 1
+            ), atmax AS (
+              SELECT ls.l_orderkey, COUNT(*) AS n_at_max
+              FROM last_ship ls JOIN ord USING (l_orderkey)
+              WHERE ls.ship_us = ord.m1 GROUP BY 1
+            )
+            SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM last_ship ls
+            JOIN ord USING (l_orderkey)
+            JOIN atmax USING (l_orderkey)
+            JOIN orders ON o_orderkey = ls.l_orderkey
+                       AND o_orderstatus = 'F'
+            JOIN supplier ON s_suppkey = ls.l_suppkey
+            WHERE ord.n_supp >= 2 AND ls.ship_us = ord.m1
+              AND atmax.n_at_max = 1
+            GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
         """,
         # 2 unrolled HITS iterations in exact BIGINT: hub0 = 1, each
         # half-step a join+group-by over the reconstructed edge list —

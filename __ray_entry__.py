@@ -366,6 +366,24 @@ def _q_simhash(sf_dir: str):
     return out.select_columns(["doc_id", "simhash_hex"])
 
 
+def _q_simhash_pairs(sf_dir: str):
+    """EXACT Hamming<=3 SimHash pair mining (functions/dedup
+    .simhash_pairs): the Manku WWW'07 pigeonhole — 4 16-bit signature
+    blocks, a pair within 3 bits must share one block exactly, so ONE
+    equality shuffle on (block_id, value) co-locates every true pair
+    with 100% recall (no MinHash-style probability). Shuffle payload
+    is 4 skinny 24-byte rows per doc; pair generation is repeat/cumsum
+    index algebra + LUT popcount inside O(num_partitions) bucket
+    kernels; cross-block dedup via first-agreeing-block ownership, so
+    no distinct shuffle. Oracle = O(n^2) self-join on the in-SQL md5
+    signature recomputation."""
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import simhash_pairs
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
 def _q_token_count(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.textstats import token_count_batch
@@ -4566,6 +4584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "token_count": _q_token_count,
         "quality": _q_quality,
         "gopher_quality": _q_gopher_quality,
@@ -5686,6 +5705,38 @@ def oracle_sql() -> dict[str, str]:
                    lower(lpad(to_hex(COALESCE(s.sh, 0)), 16, '0'))
                        AS simhash_hex
             FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
+        """,
+        # O(n^2) brute-force self-join over the same in-SQL signature
+        # recomputation — the Ray side's pigeonhole blocking must
+        # reproduce it exactly (100% recall, ownership-deduped)
+        "simhash_pairs": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents
+            ), hashed AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT) AS h
+              FROM words WHERE w <> ''
+            ), bits AS (
+              SELECT doc_id, b.bit,
+                     SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END)
+                         AS acc
+              FROM hashed, (SELECT unnest(range(64)) AS bit) b
+              GROUP BY doc_id, b.bit
+            ), sig AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN acc > 0
+                          THEN (CAST(1 AS UBIGINT) << bit)
+                          ELSE CAST(0 AS UBIGINT) END) AS sh
+              FROM bits GROUP BY doc_id
+            ), sigs AS (
+              SELECT d.doc_id, COALESCE(s.sh, CAST(0 AS UBIGINT)) AS sh
+              FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
         """,
         "langid": _LANGID_SQL,
         # confusion matrix = the langid oracle as a subquery joined

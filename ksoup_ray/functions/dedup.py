@@ -487,6 +487,163 @@ def hamming_distance(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+_POP16: np.ndarray | None = None
+
+
+def _pop16() -> np.ndarray:
+    """16-bit popcount lookup table (numpy<2 has no vectorized
+    bit_count); built once per process."""
+    global _POP16
+    if _POP16 is None:
+        t = np.arange(1 << 16, dtype=np.uint16)
+        c = np.zeros(1 << 16, dtype=np.uint8)
+        while t.any():
+            c += (t & 1).astype(np.uint8)
+            t >>= 1
+        _POP16 = c
+    return _POP16
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array via four 16-bit LUT
+    lookups."""
+    t = _pop16()
+    x = x.astype(np.uint64, copy=False)
+    out = t[(x & np.uint64(0xFFFF)).astype(np.int64)].astype(np.int64)
+    for b in (16, 32, 48):
+        out += t[((x >> np.uint64(b)) & np.uint64(0xFFFF))
+                 .astype(np.int64)]
+    return out
+
+
+def simhash_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text", num_partitions: int = 32,
+                  max_block_group: int = 4096, concurrency=(1, 4)):
+    """ALL document pairs within ``max_hamming`` SimHash bits — EXACT
+    (100% recall), unlike probabilistic MinHash banding, via the
+    pigeonhole block trick of Manku/Jain/Sarma's WWW'07 crawl-dedup
+    paper: split the 64-bit signature into 4 contiguous 16-bit blocks;
+    any pair at Hamming distance <= 3 differs in at most 3 blocks, so
+    at least one block matches EXACTLY and the pair is co-located by a
+    plain equality shuffle on (block_id, block_value).
+
+    Distributed shape (the scale story):
+      1. signatures: one actor-pool ``map_batches`` (SimHasher — word
+         hashes cached per actor, one matmul per doc);
+      2. explode x4: each doc emits 4 (block_key, id, sig) rows —
+         pure numpy, output is 4 skinny rows per doc (24 B), never the
+         text;
+      3. ONE hash shuffle on ``pk = block_key % num_partitions``
+         (functions/_blocks contract: O(num_partitions) Python
+         dispatches, corpus-scale block_keys never become groups);
+      4. per-bucket kernel: sort by block_key, segment boundaries via
+         ``flatnonzero(diff)``, pair generation fully vectorized with
+         repeat/cumsum index algebra (zero per-segment Python), LUT
+         popcount on XOR, keep <= max_hamming;
+      5. cross-block dedup WITHOUT a distinct shuffle: a surviving
+         pair is emitted only by the FIRST block on which the two
+         signatures agree (both sides compute it from the XOR, so
+         exactly one bucket claims each pair).
+
+    Degenerate block values (e.g. sig=0 empty docs at crawl scale)
+    are capped at ``max_block_group`` ids per (block_id, value) with
+    the cap trips recorded on the session cap-metrics actor under
+    ``simhash_pairs.capped_blocks`` / ``simhash_pairs.dropped_rows``
+    — never silent. Output: (id_a < id_b, hamming), exact vs the
+    O(n^2) oracle whenever no cap trips.
+    """
+    from ._blocks import bucket_of
+
+    sigs = ds.map_batches(SimHasher,
+                          fn_constructor_kwargs={"text_col": text_col},
+                          batch_format="pyarrow",
+                          concurrency=concurrency)
+
+    def explode_blocks(batch: pa.Table) -> pa.Table:
+        sig = batch.column("simhash").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        n = len(sig)
+        take = np.repeat(np.arange(n, dtype=np.int64), 4)
+        block_id = np.tile(np.arange(4, dtype=np.uint64), n)
+        block_val = (sig[take] >> (block_id * np.uint64(16))) \
+            & np.uint64(0xFFFF)
+        block_key = (block_id.astype(np.int64) << 16) \
+            | block_val.astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col).take(pa.array(take)),
+            "sig": pa.array(sig[take], pa.uint64()),
+            "block_key": pa.array(block_key, pa.int64()),
+            "_pk": pa.array(bucket_of(block_key, num_partitions),
+                            pa.int32()),
+        })
+
+    rows = sigs.map_batches(explode_blocks, batch_format="pyarrow")
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["block_key"].to_numpy()
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        ids = df[id_col].to_numpy()[order]
+        sig = df["sig"].to_numpy().astype(np.uint64)[order]
+
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        sizes = np.diff(np.r_[starts, len(key)])
+        if (sizes > max_block_group).any():
+            from .metrics import record_drop
+            big = sizes > max_block_group
+            record_drop("simhash_pairs.capped_blocks", int(big.sum()))
+            record_drop("simhash_pairs.dropped_rows",
+                        int((sizes[big] - max_block_group).sum()))
+            # keep the max_block_group smallest ids per oversized
+            # block (ids are sorted within a segment for determinism)
+            keep = np.ones(len(key), bool)
+            rank_in_seg = np.arange(len(key)) - np.repeat(starts, sizes)
+            for s, z in zip(starts[big], sizes[big]):
+                seg_ids = ids[s:s + z]
+                kth = np.sort(seg_ids)[max_block_group - 1]
+                keep[s:s + z] = seg_ids <= kth
+            key, ids, sig = key[keep], ids[keep], sig[keep]
+            starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+            sizes = np.diff(np.r_[starts, len(key)])
+
+        # each row pairs leftward with every earlier row of its
+        # segment: rank r at global index g contributes pairs
+        # (g-r .. g-1, g) — built with repeat/cumsum, no Python loop
+        rank = np.arange(len(key)) - np.repeat(starts, sizes)
+        rights = np.repeat(np.arange(len(key)), rank)
+        off = np.arange(rank.sum()) - np.repeat(
+            np.cumsum(rank) - rank, rank)
+        lefts = (rights - rank[rights]) + off
+        if len(rights) == 0:
+            return pd.DataFrame({
+                "id_a": np.array([], np.int64),
+                "id_b": np.array([], np.int64),
+                "hamming": np.array([], np.int64)})
+
+        x = sig[lefts] ^ sig[rights]
+        ham = _popcount64(x)
+        ok = ham <= max_hamming
+        lefts, rights, x, ham = lefts[ok], rights[ok], x[ok], ham[ok]
+
+        # first-agreeing-block ownership: exactly one bucket emits
+        first_agree = np.full(len(x), 3, np.int64)
+        for b in (2, 1, 0):
+            agree = ((x >> np.uint64(16 * b)) & np.uint64(0xFFFF)) == 0
+            first_agree = np.where(agree, b, first_agree)
+        this_block = key[rights] >> 16
+        own = first_agree == this_block
+        lefts, rights, ham = lefts[own], rights[own], ham[own]
+
+        ia, ib = ids[lefts], ids[rights]
+        return pd.DataFrame({
+            "id_a": np.minimum(ia, ib).astype(np.int64),
+            "id_b": np.maximum(ia, ib).astype(np.int64),
+            "hamming": ham.astype(np.int64)})
+
+    return rows.groupby("_pk").map_groups(pairs_block,
+                                          batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 

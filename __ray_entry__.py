@@ -722,6 +722,23 @@ def _q_jaccard_pairs(sf_dir: str):
                                max_df=None)
 
 
+def _q_containment_pairs(sf_dir: str):
+    """EXACT shingle CONTAINMENT join (functions/dedup
+    .containment_pairs): Broder's asymmetric |A∩B|/|A| — the
+    subset-duplicate detector Jaccard misses (short doc quoted whole
+    in a long one). Same one-shuffle inverted-index plan as
+    jaccard_pairs (shared _shingle_pair_stats); floored-ppm int64
+    score so the oracle matches bit-exactly. max_df=None = the
+    uncapped oracle form (production default caps hot shingles with
+    recorded drops)."""
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import containment_pairs
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return containment_pairs(ds, shingle_size=5,
+                             threshold_ppm=600_000, max_df=None)
+
+
 def _q_embed_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs: 24-table 2-bit hyperplane LSH
     candidates + exact float64 in-bucket cosine (recall at the 0.465
@@ -1378,6 +1395,34 @@ def _q_sessionize(sf_dir: str):
             "session_end": pc.cast(batch.column("session_end"),
                                    pa.int64()),
             "n_events": batch.column("n_events"),
+        })
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
+def _q_scd2_intervals(sf_dir: str):
+    """SCD type-2 intervalization of the event stream (functions/agg
+    .scd2_intervals): per user, consecutive runs of the same
+    event_type collapse to (valid_from, valid_to) rows, valid_to NULL
+    on the open run — the CDC-to-warehouse history build that feeds
+    as-of joins. Same bounded-bucket one-shuffle shape as sessionize;
+    oracle = LAG change-point detection + LEAD over the change rows.
+    Epoch-micro output for a dtype-stable compare (valid_to
+    nullable)."""
+    import ray.data as rd
+    from ksoup_ray.functions.agg import scd2_intervals
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts",
+                                  "event_id"])
+    out = scd2_intervals(ds)
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_type": batch.column("event_type"),
+            "valid_from": pc.cast(batch.column("valid_from"),
+                                  pa.int64()),
+            "valid_to": pc.cast(batch.column("valid_to"), pa.int64()),
         })
 
     return out.map_batches(fmt, batch_format="pyarrow")
@@ -4611,6 +4656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xml_roundtrip": _q_xml_roundtrip,
         "dedup_components": _q_dedup_components,
         "jaccard_pairs": _q_jaccard_pairs,
+        "containment_pairs": _q_containment_pairs,
         "embed_neardup": _q_embed_neardup,
         "bpe_token_count": _q_bpe_token_count,
         "ann_topk": _q_ann_topk,
@@ -4634,6 +4680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_windows": _q_hopping_windows,
         "session_attribution": _q_session_attribution,
         "sessionize": _q_sessionize,
+        "scd2_intervals": _q_scd2_intervals,
         "segment_dedup": _q_segment_dedup,
         "anchor_texts": _q_anchor_texts,
         "latest_event": _q_latest_event,
@@ -5620,6 +5667,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM tagged GROUP BY user_id, session_id
         """,
+        # SCD2: LAG finds the change points, LEAD over the change rows
+        # closes each interval; (ts, event_id) tie order matches the
+        # Ray kernel's sort
+        "scd2_intervals": """
+            WITH ordered AS (
+                SELECT user_id, event_type, ts, event_id,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_attr
+                FROM events
+            ), runs AS (
+                SELECT user_id, event_type, ts AS vf, event_id
+                FROM ordered
+                WHERE prev_attr IS NULL OR prev_attr <> event_type
+            )
+            SELECT user_id, event_type,
+                   CAST(epoch_us(vf) AS BIGINT) AS valid_from,
+                   CAST(epoch_us(LEAD(vf) OVER (
+                       PARTITION BY user_id
+                       ORDER BY vf, event_id)) AS BIGINT) AS valid_to
+            FROM runs
+        """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
@@ -5659,6 +5728,35 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": f"""
             WITH pairs AS ({_JACCARD_PAIRS_SQL})
             SELECT ia AS id_a, ib AS id_b FROM pairs
+        """,
+        # asymmetric containment over the SAME shingle definition:
+        # both directions of each unordered pair, floored-ppm int math
+        "containment_pairs": """
+            WITH sh AS (
+              SELECT doc_id, list_distinct(CASE WHEN len(words) < 5
+                       THEN [array_to_string(words, ' ')]
+                       ELSE list_transform(range(1, len(words) - 3),
+                                i -> array_to_string(words[i:i+4], ' '))
+                       END) AS s
+              FROM (SELECT doc_id, string_split(text, ' ') AS words
+                    FROM documents)
+            ), ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            inter AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+            directed AS (
+              SELECT ia AS id_sub, ib AS id_super, i, sa.n AS nsub
+              FROM inter JOIN sizes sa ON sa.doc_id = ia
+              UNION ALL
+              SELECT ib, ia, i, sb.n
+              FROM inter JOIN sizes sb ON sb.doc_id = ib
+            )
+            SELECT id_sub, id_super,
+                   CAST(i * 1000000 // nsub AS BIGINT) AS cont_ppm
+            FROM directed
+            WHERE i * 1000000 >= 600000 * nsub
         """,
         "embed_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -212,6 +212,64 @@ def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
             .map_groups(split_block, batch_format="pandas"))
 
 
+def scd2_intervals(ds, *, key_col: str = "user_id",
+                   attr_col: str = "event_type", ts_col: str = "ts",
+                   tie_col: str = "event_id", num_partitions: int = 64):
+    """Build slowly-changing-dimension TYPE-2 history from an event
+    stream: per key, collapse consecutive runs of the same attribute
+    value into validity intervals — one row per run with
+    ``valid_from`` = the run's first event time and ``valid_to`` = the
+    NEXT run's start (NaT for the key's open current interval). The
+    standard CDC→warehouse intervalization every snapshot-training
+    pipeline runs before as-of joins.
+
+    Same scale shape as :func:`sessionize`: ONE shuffle on
+    ``hash(key) % num_partitions`` (bounded bucket key — O(partitions)
+    Python dispatches, never per key); each bucket block resolves ALL
+    of its keys in one vectorized pass — sort by (key, ts, tie), run
+    boundaries where the key OR the attribute changes, ``valid_to``
+    read off the next boundary with a same-key mask.
+    """
+    import pandas as pd
+    from ._blocks import pk_column
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_pk", pk_column(batch.column(key_col), num_partitions))
+
+    def runs_block(block: pd.DataFrame) -> pd.DataFrame:
+        block = block.sort_values([key_col, ts_col, tie_col],
+                                  kind="mergesort")
+        keys = block[key_col].to_numpy()
+        attrs = block[attr_col].to_numpy()
+        ts = block[ts_col].to_numpy(dtype="datetime64[us]")
+        n = len(ts)
+        if n == 0:
+            return pd.DataFrame({
+                key_col: keys, attr_col: attrs,
+                "valid_from": ts, "valid_to": ts})
+        change = np.empty(n, bool)
+        change[0] = True
+        change[1:] = (keys[1:] != keys[:-1]) | (attrs[1:] != attrs[:-1])
+        starts = np.flatnonzero(change)
+        nxt = np.append(starts[1:], n)
+        valid_to = np.full(len(starts), np.datetime64("NaT", "us"))
+        closed = nxt < n
+        same_key = np.zeros(len(starts), bool)
+        same_key[closed] = keys[nxt[closed]] == keys[starts[closed]]
+        valid_to[same_key] = ts[nxt[same_key]]
+        return pd.DataFrame({
+            key_col: keys[starts],
+            attr_col: attrs[starts],
+            "valid_from": ts[starts],
+            "valid_to": valid_to,
+        })
+
+    return (ds.map_batches(add_pk, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(runs_block, batch_format="pandas"))
+
+
 def latest_per_key(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                    tie_col: str = "event_id", num_partitions: int = 64):
     """Keep each key's LATEST row — max (ts, tie) per key, the

@@ -831,6 +831,33 @@ def jaccard_pairs_exact(ds, *, shingle_size: int = 5,
     the DuckDB oracle mirrors — required for oracle parity, quadratic
     in the hottest shingle's document frequency.
     """
+    merged = _shingle_pair_stats(
+        ds, shingle_size=shingle_size, text_col=text_col, id_col=id_col,
+        num_partitions=num_partitions, max_df=max_df,
+        metric_key="jaccard_pairs_exact.dropped_shingle_rows")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        inter = batch.column("inter").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        na = batch.column("n_a").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_b").to_numpy(zero_copy_only=False)
+        jac = inter / (na + nb - inter)
+        return batch.filter(pa.array(jac >= threshold)) \
+            .select(["id_a", "id_b"])
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def _shingle_pair_stats(ds, *, shingle_size: int, text_col: str,
+                        id_col: str, num_partitions: int,
+                        max_df: int | None, metric_key: str):
+    """Shared inverted-index plan of the exact shingle-overlap family:
+    dataset of (id_a < id_b, inter=|A∩B|, n_a=|A|, n_b=|B|) per
+    document pair with at least one shared shingle. See
+    :func:`jaccard_pairs_exact` for the stage-by-stage scale notes."""
     from ray.data.aggregate import Min, Sum
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -868,8 +895,7 @@ def jaccard_pairs_exact(ds, *, shingle_size: int = 5,
             kept = df[sizes <= max_df]
             if len(kept) < len(df):
                 from .metrics import record_drop
-                record_drop("jaccard_pairs_exact.dropped_shingle_rows",
-                            len(df) - len(kept))
+                record_drop(metric_key, len(df) - len(kept))
             df = kept
         m = df.merge(df, on="sh")
         m = m[m[ix] < m[iy]]
@@ -884,22 +910,66 @@ def jaccard_pairs_exact(ds, *, shingle_size: int = 5,
 
     partials = rows.groupby("pk").map_groups(partial_pairs,
                                              batch_format="pandas")
-    merged = partials.groupby(["id_a", "id_b"]).aggregate(
+    return partials.groupby(["id_a", "id_b"]).aggregate(
         Sum("i_part", alias_name="inter"),
         Min("n_a", alias_name="n_a"),
         Min("n_b", alias_name="n_b"))
 
+
+def containment_pairs(ds, *, shingle_size: int = 5,
+                      threshold_ppm: int = 600_000,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_partitions: int = 8,
+                      max_df: int | None = 1000):
+    """EXACT shingle CONTAINMENT near-dup pairs — Broder's asymmetric
+    companion to Jaccard: ``C(A in B) = |A∩B| / |A|``. Catches the
+    subset-duplicate Jaccard structurally misses (a short doc quoted
+    whole inside a much longer one has C ≈ 1 but J ≈ |A|/|B| → 0) —
+    the dominant template-page/syndication shape in web corpora.
+
+    Same one-shuffle inverted-index plan as
+    :func:`jaccard_pairs_exact` (shared ``_shingle_pair_stats`` —
+    skinny hashed-shingle rows, per-partition self-merge, ONE native
+    groupby merge; hot-shingle ``max_df`` cap recorded under
+    ``containment_pairs.dropped_shingle_rows``); only the final
+    vectorized filter differs, emitting BOTH directions of an
+    unordered pair when each qualifies. The score is floored ppm in
+    pure int64 (``inter * 1e6 // n_sub``) so the DuckDB oracle
+    reproduces every value bit-exactly.
+
+    Output: (id_sub, id_super, cont_ppm) — ``id_sub``'s shingle set is
+    ``>= threshold_ppm/1e6`` contained in ``id_super``'s.
+    """
+    merged = _shingle_pair_stats(
+        ds, shingle_size=shingle_size, text_col=text_col, id_col=id_col,
+        num_partitions=num_partitions, max_df=max_df,
+        metric_key="containment_pairs.dropped_shingle_rows")
+
     def finish(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
+            return pa.table({
+                "id_sub": pa.array([], pa.int64()),
+                "id_super": pa.array([], pa.int64()),
+                "cont_ppm": pa.array([], pa.int64())})
+        ia = batch.column("id_a").to_numpy(zero_copy_only=False)
+        ib = batch.column("id_b").to_numpy(zero_copy_only=False)
         inter = batch.column("inter").to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        na = batch.column("n_a").to_numpy(zero_copy_only=False)
-        nb = batch.column("n_b").to_numpy(zero_copy_only=False)
-        jac = inter / (na + nb - inter)
-        return batch.filter(pa.array(jac >= threshold)) \
-            .select(["id_a", "id_b"])
+            .astype(np.int64)
+        na = batch.column("n_a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nb = batch.column("n_b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # both directions, int-exact: inter*1e6 < 2^63 for any real doc
+        sub = np.concatenate([ia, ib])
+        sup = np.concatenate([ib, ia])
+        nsub = np.concatenate([na, nb])
+        i2 = np.concatenate([inter, inter])
+        ppm = i2 * 1_000_000 // nsub
+        ok = ppm >= threshold_ppm
+        return pa.table({
+            "id_sub": pa.array(sub[ok], pa.int64()),
+            "id_super": pa.array(sup[ok], pa.int64()),
+            "cont_ppm": pa.array(ppm[ok], pa.int64())})
 
     return merged.map_batches(finish, batch_format="pyarrow")
 

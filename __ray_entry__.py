@@ -1958,6 +1958,40 @@ def _q_image_dhash(sf_dir: str):
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
+def _q_dhash_pairs(sf_dir: str):
+    """Visual near-dup PAIRS: image dHash signatures through the SAME
+    exact pigeonhole Hamming join as simhash_pairs (functions/dedup
+    .hamming_pairs — signature-agnostic by design): all image pairs
+    within 3 bits of 64-bit perceptual distance. Input is the
+    deterministic near-dup variant corpus (synth_variant_images:
+    groups of 4 ids share a base image with one-pixel perturbations —
+    the re-encoded-thumbnail shape). PPM decode → dHash is pixel math
+    SQL cannot replay, so rows-only driver check; the pair mining
+    itself is pytest-pinned against an O(n^2) brute force over the
+    same signatures."""
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import hamming_pairs
+    from ksoup_ray.functions.multimodal import (ImageDHash,
+                                                synth_variant_images)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    media = ds.map_batches(synth_variant_images,
+                           batch_format="pyarrow")
+    hashed = media.map_batches(ImageDHash, batch_format="pyarrow",
+                               batch_size=64, concurrency=(1, 2))
+
+    def to_sig(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("dhash_hex")))
+        hexes = batch.column("dhash_hex").to_pylist()
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "sig": pa.array([int(h, 16) for h in hexes], pa.uint64())})
+
+    sigs = hashed.map_batches(to_sig, batch_format="pyarrow")
+    return hamming_pairs(sigs, sig_col="sig", id_col="media_id",
+                         max_hamming=3, metric_prefix="dhash_pairs")
+
+
 def _q_audio_stats(sf_dir: str):
     """Audio signal features (functions/multimodal.AudioStats): REAL
     PCM-WAV decode → integer sample count / zero-crossing count /
@@ -4712,6 +4746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_chars": _q_median_chars,
         "langid_confusion": _q_langid_confusion,
         "image_dhash": _q_image_dhash,
+        "dhash_pairs": _q_dhash_pairs,
         "audio_stats": _q_audio_stats,
         "retention_cohorts": _q_retention_cohorts,
         "q5_local_supplier": _q_q5_local_supplier,

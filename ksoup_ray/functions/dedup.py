@@ -552,15 +552,38 @@ def simhash_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
     — never silent. Output: (id_a < id_b, hamming), exact vs the
     O(n^2) oracle whenever no cap trips.
     """
-    from ._blocks import bucket_of
-
     sigs = ds.map_batches(SimHasher,
                           fn_constructor_kwargs={"text_col": text_col},
                           batch_format="pyarrow",
                           concurrency=concurrency)
+    return hamming_pairs(sigs, sig_col="simhash", id_col=id_col,
+                         max_hamming=max_hamming,
+                         num_partitions=num_partitions,
+                         max_block_group=max_block_group,
+                         metric_prefix="simhash_pairs")
+
+
+def hamming_pairs(sig_ds, *, sig_col: str = "sig",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  num_partitions: int = 32, max_block_group: int = 4096,
+                  metric_prefix: str = "hamming_pairs"):
+    """ALL id pairs whose 64-bit signatures are within ``max_hamming``
+    bits — the signature-agnostic pigeonhole core behind
+    :func:`simhash_pairs`, reusable over ANY 64-bit fingerprint column
+    (SimHash, image dHash, audio chromaprints). Requires
+    ``max_hamming <= 3``: with 4 contiguous 16-bit blocks a pair
+    within 3 bits must share at least one block exactly, so one
+    equality shuffle has 100% recall. See :func:`simhash_pairs` for
+    the stage-by-stage scale notes."""
+    from ._blocks import bucket_of
+
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16-bit pigeonhole guarantees recall only for "
+            f"max_hamming <= 3 (got {max_hamming})")
 
     def explode_blocks(batch: pa.Table) -> pa.Table:
-        sig = batch.column("simhash").to_numpy(zero_copy_only=False) \
+        sig = batch.column(sig_col).to_numpy(zero_copy_only=False) \
             .astype(np.uint64)
         n = len(sig)
         take = np.repeat(np.arange(n, dtype=np.int64), 4)
@@ -577,7 +600,7 @@ def simhash_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
                             pa.int32()),
         })
 
-    rows = sigs.map_batches(explode_blocks, batch_format="pyarrow")
+    rows = sig_ds.map_batches(explode_blocks, batch_format="pyarrow")
 
     def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
         key = df["block_key"].to_numpy()
@@ -591,13 +614,12 @@ def simhash_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
         if (sizes > max_block_group).any():
             from .metrics import record_drop
             big = sizes > max_block_group
-            record_drop("simhash_pairs.capped_blocks", int(big.sum()))
-            record_drop("simhash_pairs.dropped_rows",
+            record_drop(f"{metric_prefix}.capped_blocks",
+                        int(big.sum()))
+            record_drop(f"{metric_prefix}.dropped_rows",
                         int((sizes[big] - max_block_group).sum()))
-            # keep the max_block_group smallest ids per oversized
-            # block (ids are sorted within a segment for determinism)
+            # keep the max_block_group smallest ids per oversized block
             keep = np.ones(len(key), bool)
-            rank_in_seg = np.arange(len(key)) - np.repeat(starts, sizes)
             for s, z in zip(starts[big], sizes[big]):
                 seg_ids = ids[s:s + z]
                 kth = np.sort(seg_ids)[max_block_group - 1]

@@ -295,6 +295,34 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def synth_variant_images(batch: pa.Table) -> pa.Table:
+    """Deterministic NEAR-DUP image corpus for the visual-dedup
+    family (re-hosted/re-encoded thumbnail stand-in): groups of 4
+    consecutive doc_ids share one base PPM (dims and pixels seeded by
+    ``doc_id // 4``); variant ``k = doc_id % 4`` bumps a single
+    pixel's red channel by ``3k``, so in-group dHash distances sit at
+    0-3 bits (whatever the luma rounding yields) while cross-group
+    images stay far apart. Every payload is a REAL decodable PPM."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    payloads: list[bytes] = []
+    metas: list[dict] = []
+    for doc_id in doc_ids:
+        base = doc_id // 4
+        k = doc_id % 4
+        w = 6 + base % 11
+        h = 5 + base % 5
+        img = _pixels(base, w * h * 3).reshape(h, w, 3).copy()
+        img[0, 0, 0] = np.uint8((int(img[0, 0, 0]) + 3 * k) % 256)
+        payloads.append(encode_ppm(img))
+        metas.append({"media_type": "image", "format": "ppm",
+                      "width": w, "height": h, "duration_ms": None})
+    return pa.table({
+        "media_id": batch.column("doc_id"),
+        "media": pa.array(payloads, pa.binary()),
+        "meta": pa.array(metas, MEDIA_META),
+    })
+
+
 def _luma_int(img: np.ndarray) -> np.ndarray:
     """Integer ITU-R 601 luma: (299 R + 587 G + 114 B) // 1000 —
     exact integer arithmetic, no float rounding to disagree about."""

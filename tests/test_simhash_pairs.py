@@ -68,6 +68,40 @@ def test_simhash_pairs_planted_and_ownership(ray_session):
         assert 0 <= h <= 3
 
 
+def test_dhash_pairs_matches_bruteforce(ray_session):
+    """hamming_pairs over image dHash signatures (the signature-
+    agnostic reuse): distributed pigeonhole == O(n^2) brute force over
+    the same decoded perceptual hashes, and the variant corpus
+    actually CONTAINS near pairs."""
+    import ray.data as rd
+    from ksoup_ray.functions.codecs import decode_ppm
+    from ksoup_ray.functions.dedup import hamming_pairs
+    from ksoup_ray.functions.multimodal import (dhash64,
+                                                synth_variant_images)
+
+    t = pa.table({"doc_id": pa.array(list(range(80)), pa.int64())})
+    media = synth_variant_images(t)
+    sigs = {}
+    for mid, payload in zip(media.column("media_id").to_pylist(),
+                            media.column("media").to_pylist()):
+        sigs[mid] = dhash64(decode_ppm(payload))
+    want = sorted(
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in sigs for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3)
+
+    sig_tbl = pa.table({
+        "media_id": pa.array(list(sigs), pa.int64()),
+        "sig": pa.array([np.uint64(v) for v in sigs.values()],
+                        pa.uint64())})
+    got = hamming_pairs(rd.from_arrow(sig_tbl), sig_col="sig",
+                        id_col="media_id", max_hamming=3).to_pandas()
+    got_t = sorted(map(tuple,
+                       got[["id_a", "id_b", "hamming"]].to_numpy()))
+    assert got_t == want
+    assert len(want) > 0
+
+
 def test_simhash_pairs_cap_recorded(ray_session):
     """A degenerate block value (many identical signatures) trips the
     cap and the trip is counted on the metrics actor, never silent."""

@@ -739,6 +739,23 @@ def _q_containment_pairs(sf_dir: str):
                              threshold_ppm=600_000, max_df=None)
 
 
+def _q_simhash_components(sf_dir: str):
+    """SimHash dedup CLUSTERS: the exact pigeonhole pair join
+    (simhash_pairs) closed under transitivity by the distributed
+    min-label components (functions/dedup.connected_components) —
+    completing the SimHash family to the same pairs→components shape
+    the MinHash family has. Oracle: recursive-CTE closure over the
+    same in-SQL signature pair graph."""
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import (connected_components,
+                                           simhash_pairs)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    pairs = simhash_pairs(ds, max_hamming=3) \
+        .select_columns(["id_a", "id_b"])
+    return connected_components(pairs)
+
+
 def _q_embed_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs: 24-table 2-bit hyperplane LSH
     candidates + exact float64 in-bucket cosine (recall at the 0.465
@@ -4691,6 +4708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": _q_dedup_components,
         "jaccard_pairs": _q_jaccard_pairs,
         "containment_pairs": _q_containment_pairs,
+        "simhash_components": _q_simhash_components,
         "embed_neardup": _q_embed_neardup,
         "bpe_token_count": _q_bpe_token_count,
         "ann_topk": _q_ann_topk,
@@ -5792,6 +5810,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(i * 1000000 // nsub AS BIGINT) AS cont_ppm
             FROM directed
             WHERE i * 1000000 >= 600000 * nsub
+        """,
+        # transitive closure over the exact simhash pair graph —
+        # same recursive-CTE shape as dedup_components
+        "simhash_components": """
+            WITH RECURSIVE words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents
+            ), hashed AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT) AS h
+              FROM words WHERE w <> ''
+            ), bits AS (
+              SELECT doc_id, b.bit,
+                     SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END)
+                         AS acc
+              FROM hashed, (SELECT unnest(range(64)) AS bit) b
+              GROUP BY doc_id, b.bit
+            ), sig AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN acc > 0
+                          THEN (CAST(1 AS UBIGINT) << bit)
+                          ELSE CAST(0 AS UBIGINT) END) AS sh
+              FROM bits GROUP BY doc_id
+            ), sigs AS (
+              SELECT d.doc_id, COALESCE(s.sh, CAST(0 AS UBIGINT)) AS sh
+              FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
+            ), pairs AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib
+              FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.sh, b.sh)) <= 3
+            ), edges AS (
+              SELECT ia AS n, ib AS m FROM pairs
+              UNION SELECT ib, ia FROM pairs
+              UNION SELECT ia, ia FROM pairs
+              UNION SELECT ib, ib FROM pairs
+            ), reach(n, m) AS (
+              SELECT n, m FROM edges
+              UNION
+              SELECT r.n, e.m FROM reach r JOIN edges e ON r.m = e.n
+            )
+            SELECT n AS node_id, MIN(m) AS component_id
+            FROM reach GROUP BY n
         """,
         "embed_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -637,10 +637,13 @@ def hamming_pairs(sig_ds, *, sig_col: str = "sig",
             np.cumsum(rank) - rank, rank)
         lefts = (rights - rank[rights]) + off
         if len(rights) == 0:
-            return pd.DataFrame({
-                "id_a": np.array([], np.int64),
-                "id_b": np.array([], np.int64),
-                "hamming": np.array([], np.int64)})
+            # Arrow return keeps the block type uniform (pandas blocks
+            # from map_groups break a downstream join/repartition on
+            # tiny inputs — Ray 2.49 block-type inference)
+            return pa.table({
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64())})
 
         x = sig[lefts] ^ sig[rights]
         ham = _popcount64(x)
@@ -657,10 +660,10 @@ def hamming_pairs(sig_ds, *, sig_col: str = "sig",
         lefts, rights, ham = lefts[own], rights[own], ham[own]
 
         ia, ib = ids[lefts], ids[rights]
-        return pd.DataFrame({
-            "id_a": np.minimum(ia, ib).astype(np.int64),
-            "id_b": np.maximum(ia, ib).astype(np.int64),
-            "hamming": ham.astype(np.int64)})
+        return pa.table({
+            "id_a": pa.array(np.minimum(ia, ib).astype(np.int64)),
+            "id_b": pa.array(np.maximum(ia, ib).astype(np.int64)),
+            "hamming": pa.array(ham.astype(np.int64))})
 
     return rows.groupby("_pk").map_groups(pairs_block,
                                           batch_format="pandas")

@@ -102,6 +102,26 @@ def test_dhash_pairs_matches_bruteforce(ray_session):
     assert len(want) > 0
 
 
+def test_simhash_components_transitive_closure(ray_session):
+    """pairs→components composition: A~B and B~C at <=3 bits each puts
+    A,B,C in one cluster even when A and C are >3 bits apart."""
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import (connected_components,
+                                           simhash_pairs)
+
+    base = " ".join(f"w{i}" for i in range(80))
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 9], pa.int64()),
+        "text": [base, base, base, "qq zz entirely unrelated doc"],
+    })
+    pairs = simhash_pairs(rd.from_arrow(t), max_hamming=3) \
+        .select_columns(["id_a", "id_b"])
+    comp = connected_components(pairs).to_pandas()
+    labels = dict(zip(comp["node_id"], comp["component_id"]))
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert 9 not in labels  # isolated doc never enters the pair graph
+
+
 def test_simhash_pairs_cap_recorded(ray_session):
     """A degenerate block value (many identical signatures) trips the
     cap and the trip is counted on the metrics actor, never silent."""

@@ -177,6 +177,13 @@ def run_secondary(sf_dir: str) -> dict:
     out["ann_topk"] = time.time() - t0
 
     t0 = time.time()
+    from ksoup_ray.functions.dedup import simhash_pairs
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    simhash_pairs(ds, max_hamming=3, concurrency=(1, 8)).count()
+    out["simhash_pairs"] = time.time() - t0
+
+    t0 = time.time()
     from ksoup_ray.pipelines.curate import curate_documents
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])

@@ -2009,6 +2009,37 @@ def _q_dhash_pairs(sf_dir: str):
                          max_hamming=3, metric_prefix="dhash_pairs")
 
 
+def _q_png_decode(sf_dir: str):
+    """COMPRESSED image decode, value-checked END-TO-END: the synth
+    generator renders PNGs (from-scratch stdlib-zlib codec —
+    functions/codecs.encode_png/decode_png, chunk CRCs + DEFLATE +
+    all five scanline filters rotating per row) whose pixels are
+    closed-form arithmetic in (doc_id, x, y, c); the PngDecodeStats
+    actor stage decodes each payload and sums every channel value.
+    The DuckDB oracle replays the sum with generate_series, so a
+    wrong unfilter path, skipped CRC, or short inflate breaks the
+    hash match. Interop with an external encoder is pinned in pytest
+    (libpng-encoded fixtures under tests/fixtures/png)."""
+    import ray.data as rd
+    from ksoup_ray.functions.multimodal import (PngDecodeStats,
+                                                synth_png_batch)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    media = ds.map_batches(synth_png_batch, batch_format="pyarrow")
+    out = media.map_batches(PngDecodeStats, batch_format="pyarrow",
+                            batch_size=64, concurrency=(1, 2))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "width": batch.column("width"),
+            "height": batch.column("height"),
+            "pixel_sum": batch.column("pixel_sum"),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
 def _q_audio_stats(sf_dir: str):
     """Audio signal features (functions/multimodal.AudioStats): REAL
     PCM-WAV decode → integer sample count / zero-crossing count /
@@ -4765,6 +4796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": _q_langid_confusion,
         "image_dhash": _q_image_dhash,
         "dhash_pairs": _q_dhash_pairs,
+        "png_decode": _q_png_decode,
         "audio_stats": _q_audio_stats,
         "retention_cohorts": _q_retention_cohorts,
         "q5_local_supplier": _q_q5_local_supplier,
@@ -6022,6 +6054,26 @@ def oracle_sql() -> dict[str, str]:
                    CASE doc_id % 3 WHEN 0 THEN 'ppm'
                         WHEN 1 THEN 'wav' ELSE 'mp4' END AS format
             FROM documents
+        """,
+        "png_decode": """
+            -- replay the synth PNG pixels in closed form: the Ray
+            -- side gets pixel_sum only by actually inflating IDAT and
+            -- reversing all five scanline filters, so this hash-checks
+            -- the compressed decode byte-for-byte.
+            -- pixel[y,x,c] = (doc_id + 7x + 13y + 101c) % 256,
+            -- w = 4 + doc_id % 13 (<= 16), h = 3 + doc_id % 7 (<= 9)
+            SELECT d.doc_id AS media_id,
+                   CAST(4 + d.doc_id % 13 AS INTEGER) AS width,
+                   CAST(3 + d.doc_id % 7 AS INTEGER) AS height,
+                   CAST(SUM((d.doc_id + 7 * x.r + 13 * y.r + 101 * c.r)
+                            % 256) AS BIGINT) AS pixel_sum
+            FROM documents d
+            JOIN (SELECT UNNEST(range(16)) AS r) x
+                 ON x.r < 4 + d.doc_id % 13
+            JOIN (SELECT UNNEST(range(9)) AS r) y
+                 ON y.r < 3 + d.doc_id % 7
+            JOIN (SELECT UNNEST(range(3)) AS r) c ON TRUE
+            GROUP BY d.doc_id
         """,
         "pdf_roundtrip": """
             -- the PDF write->parse->extract loop must return the text

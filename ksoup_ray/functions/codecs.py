@@ -1,11 +1,16 @@
-"""Pure-stdlib/numpy media codecs for UNCOMPRESSED formats — the one
-real decode path the container supports (no Pillow/cv2/ffmpeg here;
-compressed formats stay honestly stubbed in multimodal.py).
+"""Pure-stdlib/numpy media codecs — every format here has a REAL
+encode+decode path with zero third-party dependencies (no Pillow/cv2/
+ffmpeg in this container; the formats that genuinely need them — JPEG,
+MP4 — stay honestly stubbed in multimodal.py).
 
 * PPM (P6 binary): header ``P6\\n<w> <h>\\n255\\n`` + raw RGB rows.
 * BMP (BITMAPINFOHEADER, 24-bit BI_RGB): bottom-up BGR rows padded to
   4 bytes.
 * WAV (PCM 16-bit): via the stdlib ``wave`` module.
+* PNG (8-bit gray/RGB/RGBA, non-interlaced): a COMPRESSED format,
+  implemented from the spec with stdlib ``zlib`` + numpy — chunk
+  framing with CRC-32 validation, DEFLATE via zlib, and all five
+  scanline filters (None/Sub/Up/Average/Paeth) on both sides.
 
 Encoders exist so the synthetic media generator can emit REAL payloads
 whose decoded width/height/duration are closed-form functions of
@@ -18,6 +23,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -135,3 +141,172 @@ def wav_duration_ms(data: bytes) -> int:
     """Duration in ms from the WAV header (frames / rate)."""
     with wave.open(io.BytesIO(data)) as w:
         return w.getnframes() * 1000 // w.getframerate()
+
+
+# ---------------------------------------------------------------------------
+# PNG (8-bit depth, color types 0 gray / 2 RGB / 6 RGBA, interlace 0)
+#
+# From-the-spec implementation (RFC 2083 / W3C PNG): the container's
+# one REAL compressed-image path. DEFLATE comes from stdlib zlib; the
+# work here is the chunk layer (length/tag/payload/CRC-32) and the
+# five scanline filters. Filters predict each byte from reconstructed
+# neighbours (left a, up b, upper-left c, at one-pixel stride), so:
+#   None/Up      decode fully vectorized per row;
+#   Sub          decode is a per-channel-lane prefix sum (cumsum mod
+#                256 — modular addition commutes with the final mod);
+#   Average/Paeth carry a loop over pixels (true sequential data
+#                dependency on the freshly-reconstructed left pixel)
+#                with the channel lane vectorized — the encoder side
+#                of all five is fully vectorized because it predicts
+#                from ORIGINAL bytes, which equal reconstructed bytes
+#                in a lossless format.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload)))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec 6.6): pick the neighbour
+    closest to a + b - c, ties broken left → up → upper-left."""
+    p = a + b - c
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc_ = np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc_), a,
+                    np.where(pb <= pc_, b, c))
+
+
+def encode_png(arr: np.ndarray, filters: str | int = "mixed",
+               level: int = 6) -> bytes:
+    """uint8 image → PNG bytes. (h, w) → grayscale (color type 0),
+    (h, w, 3) → RGB (2), (h, w, 4) → RGBA (6). ``filters="mixed"``
+    rotates the scanline filter ``y % 5`` so every decoder filter path
+    is exercised by any image ≥ 5 rows; an int forces one filter."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        color_type = 0
+    elif arr.ndim == 3 and arr.shape[2] in (3, 4):
+        color_type = {3: 2, 4: 6}[arr.shape[2]]
+    else:
+        raise ValueError(f"expected (h,w), (h,w,3) or (h,w,4), "
+                         f"got {arr.shape}")
+    ch = _PNG_CHANNELS[color_type]
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    raw = arr.reshape(h, w * ch).astype(np.int16)
+    zero_px = np.zeros(ch, dtype=np.int16)
+    lines: list[bytes] = []
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for y in range(h):
+        row = raw[y]
+        f = y % 5 if filters == "mixed" else int(filters)
+        if f == 0:
+            filt = row
+        else:
+            left = np.concatenate([zero_px, row[:-ch]])
+            if f == 1:
+                filt = row - left
+            elif f == 2:
+                filt = row - prev
+            elif f == 3:
+                filt = row - (left + prev) // 2
+            elif f == 4:
+                ul = np.concatenate([zero_px, prev[:-ch]])
+                filt = row - _paeth(left, prev, ul)
+            else:
+                raise ValueError(f"bad filter {f}")
+        lines.append(bytes([f])
+                     + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), level)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array: (h, w) for grayscale, (h, w, 3) RGB,
+    (h, w, 4) RGBA. Validates the signature, every chunk's CRC-32 and
+    the decompressed pixel-payload length, so truncation/corruption
+    raises instead of yielding silently-short images (same contract as
+    the WARC reader). Supports bit depth 8, color types 0/2/6,
+    interlace 0; palette/16-bit/Adam7 raise ValueError."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr: bytes | None = None
+    idat = bytearray()
+    while pos + 12 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        if len(payload) != ln or pos + 12 + ln > len(data):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
+        if zlib.crc32(tag + payload) != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        pos += 12 + ln
+        if tag == b"IHDR":
+            ihdr = payload
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = \
+        struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color_type not in _PNG_CHANNELS or comp != 0 \
+            or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color_type}, "
+            f"interlace={interlace}) — 8-bit gray/RGB/RGBA only")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel payload truncated")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    ftypes = rows[:, 0]
+    filt_rows = rows[:, 1:].astype(np.int16)
+    out = np.empty((h, stride), dtype=np.int16)
+    prev = np.zeros(stride, dtype=np.int16)
+    zero_px = np.zeros(ch, dtype=np.int16)
+    for y in range(h):
+        f = ftypes[y]
+        row = filt_rows[y]
+        if f == 0:
+            rec = row
+        elif f == 1:
+            # rec[x] = filt[x] + rec[x - ch]: prefix sum per lane
+            rec = (np.cumsum(row.reshape(w, ch), axis=0, dtype=np.int64)
+                   & 0xFF).astype(np.int16).reshape(stride)
+        elif f == 2:
+            rec = (row + prev) & 0xFF
+        elif f in (3, 4):
+            lanes = row.reshape(w, ch)
+            prevl = prev.reshape(w, ch)
+            recl = np.empty((w, ch), dtype=np.int16)
+            left = zero_px
+            ul = zero_px
+            for x in range(w):
+                if f == 3:
+                    left = (lanes[x] + (left + prevl[x]) // 2) & 0xFF
+                else:
+                    left = (lanes[x]
+                            + _paeth(left, prevl[x], ul)) & 0xFF
+                    ul = prevl[x]
+                recl[x] = left
+            rec = recl.reshape(stride)
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    img = out.astype(np.uint8).reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img

@@ -8,11 +8,20 @@ Decode status (honest accounting):
   end-to-end: the synthetic generator emits genuine PPM/WAV payloads
   whose decoded width/height/duration are closed-form in doc_id, so
   the decode step itself is value-checked by the DuckDB oracle.
-* COMPRESSED formats (png/jpeg/mp4/...) need Pillow/cv2/ffmpeg, which
-  are NOT in this container — those paths raise ``NotImplementedError``
-  at the decode call (clearly marked below), which is where the real
-  library call plugs in. ``decode_stub=True`` substitutes a
-  deterministic fake so the Ray-side plumbing stays exercised.
+* PNG is REAL too — a from-the-spec stdlib-zlib + numpy codec
+  (``codecs.encode_png/decode_png``: chunk CRCs, DEFLATE, all five
+  scanline filters). ``synth_png_batch`` emits PNGs whose pixels are
+  closed-form arithmetic in (doc_id, x, y, c), so the full
+  inflate→unfilter path is on the DuckDB oracle's hash
+  (``png_decode``), and ``synth_variant_images`` mixes PNG and PPM
+  encodings of the same pixels so the visual-dedup family proves the
+  two decoders agree byte-exactly.
+* The remaining COMPRESSED formats (jpeg/mp4/...) need Pillow/cv2/
+  ffmpeg, which are NOT in this container — those paths raise
+  ``NotImplementedError`` at the decode call (clearly marked below),
+  which is where the real library call plugs in. ``decode_stub=True``
+  substitutes a deterministic fake so the Ray-side plumbing stays
+  exercised.
 
 Scale notes: binary payloads are large → run these stages with a SMALL
 ``batch_size`` (16-64) and let ``DataContext.target_max_block_size``
@@ -27,8 +36,9 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from .codecs import (decode_bmp, decode_ppm, decode_wav, encode_ppm,
-                     encode_wav, wav_duration_ms)
+from .codecs import (_PNG_SIG, decode_bmp, decode_png, decode_ppm,
+                     decode_wav, encode_png, encode_ppm, encode_wav,
+                     wav_duration_ms)
 from ..engine.pdf import extract_pdf_pages, write_text_pdf
 
 MEDIA_META = pa.struct([
@@ -51,15 +61,21 @@ def _fake_decode_image(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """REAL image decode for the uncompressed formats this container
-    can handle: P6 PPM and 24-bit BMP, dispatched on magic bytes.
-    Compressed formats are where Pillow/cv2 plugs in."""
+    """REAL image decode dispatched on magic bytes — P6 PPM, 24-bit
+    BMP, and PNG (the from-scratch stdlib-zlib codec) — normalized to
+    an (h, w, 3) RGB array: grayscale PNG broadcasts to 3 channels,
+    RGBA drops alpha. JPEG is where Pillow/cv2 plugs in."""
     if data[:2] == b"P6":
         return decode_ppm(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:8] == _PNG_SIG:
+        img = decode_png(data)
+        if img.ndim == 2:
+            return np.repeat(img[:, :, None], 3, axis=2)
+        return img[:, :, :3]
     raise NotImplementedError(
-        "compressed image decode (png/jpeg/...) requires Pillow/cv2 — "
+        "compressed image decode (jpeg/...) requires Pillow/cv2 — "
         "not in this container; plug the decoder in here")
 
 
@@ -298,11 +314,13 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
 def synth_variant_images(batch: pa.Table) -> pa.Table:
     """Deterministic NEAR-DUP image corpus for the visual-dedup
     family (re-hosted/re-encoded thumbnail stand-in): groups of 4
-    consecutive doc_ids share one base PPM (dims and pixels seeded by
-    ``doc_id // 4``); variant ``k = doc_id % 4`` bumps a single
+    consecutive doc_ids share one base image (dims and pixels seeded
+    by ``doc_id // 4``); variant ``k = doc_id % 4`` bumps a single
     pixel's red channel by ``3k``, so in-group dHash distances sit at
     0-3 bits (whatever the luma rounding yields) while cross-group
-    images stay far apart. Every payload is a REAL decodable PPM."""
+    images stay far apart. Odd variants are encoded as PNG, even ones
+    as PPM — the literal re-encoded-thumbnail scenario — so the pair
+    mining only works if the two REAL decoders agree pixel-exactly."""
     doc_ids = batch.column("doc_id").to_pylist()
     payloads: list[bytes] = []
     metas: list[dict] = []
@@ -313,14 +331,76 @@ def synth_variant_images(batch: pa.Table) -> pa.Table:
         h = 5 + base % 5
         img = _pixels(base, w * h * 3).reshape(h, w, 3).copy()
         img[0, 0, 0] = np.uint8((int(img[0, 0, 0]) + 3 * k) % 256)
-        payloads.append(encode_ppm(img))
-        metas.append({"media_type": "image", "format": "ppm",
+        if k % 2:
+            payloads.append(encode_png(img))
+            fmt = "png"
+        else:
+            payloads.append(encode_ppm(img))
+            fmt = "ppm"
+        metas.append({"media_type": "image", "format": fmt,
                       "width": w, "height": h, "duration_ms": None})
     return pa.table({
         "media_id": batch.column("doc_id"),
         "media": pa.array(payloads, pa.binary()),
         "meta": pa.array(metas, MEDIA_META),
     })
+
+
+def synth_png_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic PNG payloads whose PIXELS (not just dims) are
+    SQL-computable: pixel[y, x, c] = (doc_id + 7x + 13y + 101c) % 256
+    over w = 4 + doc_id % 13, h = 3 + doc_id % 7. Encoded with the
+    rotating y % 5 scanline filter, so decoding back to the closed-form
+    pixel sum exercises chunk CRCs, DEFLATE, and ALL FIVE unfilter
+    paths — a DuckDB oracle can replay the sum with generate_series,
+    putting the entire compressed decode on the hash path."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    payloads: list[bytes] = []
+    metas: list[dict] = []
+    for doc_id in doc_ids:
+        w = 4 + doc_id % 13
+        h = 3 + doc_id % 7
+        img = ((doc_id
+                + 7 * np.arange(w)[None, :, None]
+                + 13 * np.arange(h)[:, None, None]
+                + 101 * np.arange(3)[None, None, :]) % 256
+               ).astype(np.uint8)
+        payloads.append(encode_png(img, filters="mixed"))
+        metas.append({"media_type": "image", "format": "png",
+                      "width": w, "height": h, "duration_ms": None})
+    return pa.table({
+        "media_id": batch.column("doc_id"),
+        "media": pa.array(payloads, pa.binary()),
+        "meta": pa.array(metas, MEDIA_META),
+    })
+
+
+class PngDecodeStats:
+    """Actor-pool stage: PNG column → decoded width/height and the
+    int64 sum of every channel value — the value the oracle recomputes
+    in closed form. A wrong filter implementation, a skipped CRC, or a
+    truncated inflate all shift the sum, so this is the strongest
+    SQL-checkable witness the decode is byte-exact."""
+
+    def __init__(self, media_col: str = "media"):
+        self.media_col = media_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.media_col).to_pylist()
+        widths: list[int] = []
+        heights: list[int] = []
+        sums: list[int] = []
+        for data in payloads:
+            img = decode_png(data or b"")
+            heights.append(int(img.shape[0]))
+            widths.append(int(img.shape[1]))
+            sums.append(int(img.astype(np.int64).sum()))
+        out = batch.drop_columns([self.media_col])
+        out = out.append_column("width", pa.array(widths, pa.int32()))
+        out = out.append_column("height",
+                                pa.array(heights, pa.int32()))
+        return out.append_column("pixel_sum",
+                                 pa.array(sums, pa.int64()))
 
 
 def _luma_int(img: np.ndarray) -> np.ndarray:

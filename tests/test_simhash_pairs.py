@@ -74,9 +74,8 @@ def test_dhash_pairs_matches_bruteforce(ray_session):
     the same decoded perceptual hashes, and the variant corpus
     actually CONTAINS near pairs."""
     import ray.data as rd
-    from ksoup_ray.functions.codecs import decode_ppm
     from ksoup_ray.functions.dedup import hamming_pairs
-    from ksoup_ray.functions.multimodal import (dhash64,
+    from ksoup_ray.functions.multimodal import (decode_image, dhash64,
                                                 synth_variant_images)
 
     t = pa.table({"doc_id": pa.array(list(range(80)), pa.int64())})
@@ -84,7 +83,9 @@ def test_dhash_pairs_matches_bruteforce(ray_session):
     sigs = {}
     for mid, payload in zip(media.column("media_id").to_pylist(),
                             media.column("media").to_pylist()):
-        sigs[mid] = dhash64(decode_ppm(payload))
+        # variant corpus mixes PPM and PNG encodings of the
+        # same pixels — decode through the magic-byte dispatch
+        sigs[mid] = dhash64(decode_image(payload))
     want = sorted(
         (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
         for a in sigs for b in sigs

@@ -1838,6 +1838,21 @@ def _q_span_stats(sf_dir: str):
     return span_stats(ds, window=8, num_partitions=32)
 
 
+def _q_dup_span_trim(sf_dir: str):
+    """ExactSubstr-style repeated-span TRIMMING (functions/dedup.
+    dup_span_trim) — the transform half of Lee et al. 2022 where
+    span_stats is the statistic half: every word covered by an 8-word
+    sliding span occurring >= 2 times anywhere in the corpus is
+    removed (symmetric all-occurrences variant — order-free, so SQL
+    can replay it exactly). Two bounded-bucket shuffles; span text
+    never shuffles, only 128-bit hashes + (doc, pos) ids."""
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import dup_span_trim
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return dup_span_trim(ds, window=8, num_partitions=32)
+
+
 def _q_top_words_per_lang(sf_dir: str):
     """Per-language top-10 words (functions/curation.
     top_words_per_lang): map-side combine, one (lang, word) groupby,
@@ -4785,6 +4800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": _q_bigram_pmi,
         "q3_shipping": _q_q3_shipping,
         "span_stats": _q_span_stats,
+        "dup_span_trim": _q_dup_span_trim,
         "top_words_per_lang": _q_top_words_per_lang,
         "length_pct_rank": _q_length_pct_rank,
         "heavy_hitters": _q_heavy_hitters,
@@ -6753,6 +6769,51 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN nw USING (doc_id)
             LEFT JOIN rep USING (doc_id)
+        """,
+        # the trim rule replayed declaratively: windows -> global
+        # count >= 2 -> expand each repeated window to its 8 covered
+        # word indexes -> anti-join kept words -> reassemble in order
+        "dup_span_trim": """
+            WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents),
+            win AS (SELECT doc_id, i,
+                           array_to_string(w[i:i+7], ' ') AS g
+                    FROM ws,
+                    LATERAL unnest(generate_series(1, len(w) - 7))
+                      AS u(i)),
+            cnt AS (SELECT g, count(*) AS c FROM win GROUP BY g),
+            rep AS (SELECT w2.doc_id, w2.i FROM win w2
+                    JOIN cnt ON cnt.g = w2.g WHERE cnt.c >= 2),
+            cov AS (SELECT DISTINCT r.doc_id, r.i + u.k AS widx
+                    FROM rep r,
+                    LATERAL unnest(generate_series(0, 7)) AS u(k)),
+            words AS (SELECT doc_id, i AS widx, w[i] AS word
+                      FROM ws,
+                      LATERAL unnest(generate_series(1, len(w)))
+                        AS u(i)),
+            kept AS (SELECT wo.doc_id, wo.widx, wo.word
+                     FROM words wo
+                     LEFT JOIN cov ON cov.doc_id = wo.doc_id
+                          AND cov.widx = wo.widx
+                     WHERE cov.doc_id IS NULL),
+            agg AS (SELECT doc_id,
+                           string_agg(word, ' ' ORDER BY widx)
+                               AS trimmed_text
+                    FROM kept GROUP BY doc_id),
+            nw AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words
+                   FROM ws),
+            dr AS (SELECT doc_id, CAST(count(*) AS BIGINT)
+                              AS n_dropped
+                   FROM cov GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(agg.trimmed_text, '') AS trimmed_text,
+                   nw.n_words,
+                   CAST(COALESCE(dr.n_dropped, 0) AS BIGINT)
+                       AS n_dropped
+            FROM documents d
+            JOIN nw USING (doc_id)
+            LEFT JOIN agg USING (doc_id)
+            LEFT JOIN dr USING (doc_id)
         """,
         # PMI nesting ln((cab/nb) / ((ca/nw)*(cb/nw))) mirrored
         # exactly by curation.bigram_pmi; top-k ties break on the

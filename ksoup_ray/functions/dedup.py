@@ -1328,6 +1328,174 @@ def span_stats(ds, *, text_col: str = "text", id_col: str = "doc_id",
                        Sum("nwin", alias_name="n_windows")))
 
 
+def dup_span_trim(ds, *, text_col: str = "text",
+                  id_col: str = "doc_id", window: int = 8,
+                  num_partitions: int = 64):
+    """ExactSubstr-style repeated-span TRIMMING — the transform half
+    of "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al. 2022) at word-window granularity, where
+    :func:`span_stats` is the statistic half: delete every word
+    covered by a ``window``-word sliding span that occurs >= 2 times
+    anywhere in the corpus. ALL occurrences are trimmed (the
+    deterministic symmetric variant — keep-first would need a global
+    occurrence order through the hash shuffle; symmetric trimming is
+    order-free, so two runs and the SQL oracle can never disagree).
+    Returns one row per document:
+    ``(id_col, trimmed_text, n_words, n_dropped)``.
+
+    Scale shape (two bounded-bucket shuffles, per-BLOCK kernels):
+      1. explode: the :func:`span_stats` strided gather builds every
+         sliding span with ONE Arrow ``binary_join``; only 16-byte
+         span hashes + (doc, pos) ids leave the batch — span TEXT
+         never shuffles;
+      2. shuffle 1 on ``h1 % num_partitions``: a bucket holds every
+         occurrence of its hashes, so one lexsort + run-length pass
+         flags globally-repeated spans and emits just their
+         (doc, pos) rows;
+      3. shuffle 2 on ``doc % num_partitions``: repeated positions
+         meet their document's text row (shipped once per doc, never
+         per span); cover marks come from a +1/-1 difference array
+         cumsum over the block's flat word array (span intervals
+         never cross doc boundaries, so one cumsum serves all docs),
+         and surviving words rebuild with one ``binary_join`` —
+         no per-doc Python.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ._blocks import bucket_of, segment_starts
+
+    def explode(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        words = s.str.split(" ")
+        n_words = words.str.len().to_numpy().astype(np.int64)
+        nwin = np.maximum(n_words - window + 1, 0)
+        total = int(nwin.sum())
+        empty = pa.table({
+            "_bk": pa.array([], pa.int32()),
+            "doc": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "h1": pa.array([], pa.int64()),
+            "h2": pa.array([], pa.int64()),
+        })
+        if total == 0:
+            return empty
+        flat = words.explode().to_numpy(dtype=object)
+        doc_starts = np.cumsum(n_words) - n_words
+        span_doc = np.repeat(ids, nwin)
+        span_pos = (np.arange(total, dtype=np.int64)
+                    - np.repeat(np.cumsum(nwin) - nwin, nwin))
+        span_start = np.repeat(doc_starts, nwin) + span_pos
+        gather = (span_start[:, None]
+                  + np.arange(window, dtype=np.int64)).ravel()
+        offsets = (np.arange(total + 1, dtype=np.int64) * window) \
+            .astype(np.int32)
+        spans = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets),
+                                     pa.array(flat[gather],
+                                              pa.string())), " ")
+        sarr = spans.to_numpy(zero_copy_only=False)
+        h1 = pd.util.hash_array(sarr, hash_key=_H1_KEY) \
+            .astype(np.int64)
+        h2 = pd.util.hash_array(sarr, hash_key=_H2_KEY) \
+            .astype(np.int64)
+        return pa.table({
+            "_bk": pa.array(bucket_of(h1, num_partitions), pa.int32()),
+            "doc": pa.array(span_doc, pa.int64()),
+            "pos": pa.array(span_pos, pa.int64()),
+            "h1": pa.array(h1, pa.int64()),
+            "h2": pa.array(h2, pa.int64()),
+        })
+
+    def flag_block(block: pd.DataFrame) -> pd.DataFrame:
+        h1 = block["h1"].to_numpy(dtype=np.int64)
+        h2 = block["h2"].to_numpy(dtype=np.int64)
+        doc = block["doc"].to_numpy(dtype=np.int64)
+        pos = block["pos"].to_numpy(dtype=np.int64)
+        order = np.lexsort((pos, doc, h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        key_change = np.ones(len(h1s), bool)
+        key_change[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        starts = np.flatnonzero(key_change)
+        lens = np.diff(np.append(starts, len(h1s)))
+        repeated = np.repeat(lens >= 2, lens)
+        # Arrow return keeps block types uniform through the union
+        # with tag_docs' Arrow blocks (pandas blocks would break the
+        # downstream Sort's boundary sampling — Ray 2.49)
+        return pa.table({
+            "_dk": pa.array(bucket_of(doc[order][repeated],
+                                      num_partitions), pa.int32()),
+            "doc": pa.array(doc[order][repeated], pa.int64()),
+            "pos": pa.array(pos[order][repeated], pa.int64()),
+            "text": pa.array([""] * int(repeated.sum()), pa.string()),
+        })
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_dk": pa.array(bucket_of(ids, num_partitions), pa.int32()),
+            "doc": pa.array(ids, pa.int64()),
+            "pos": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+            "text": pc.fill_null(
+                batch.column(text_col).cast(pa.string()), ""),
+        })
+
+    def rebuild(block: pd.DataFrame) -> pd.DataFrame:
+        doc = block["doc"].to_numpy(dtype=np.int64)
+        pos = block["pos"].to_numpy(dtype=np.int64)
+        text = block["text"].to_numpy(dtype=object)
+        is_text = pos == -1
+        tdoc = doc[is_text]
+        order = np.argsort(tdoc, kind="mergesort")
+        tdoc = tdoc[order]
+        s = pd.Series(text[is_text][order]).fillna("")
+        words = s.str.split(" ")
+        n_words = words.str.len().to_numpy().astype(np.int64)
+        flat = words.explode().to_numpy(dtype=object) \
+            if len(words) else np.empty(0, object)
+        doc_starts = np.cumsum(n_words) - n_words
+        diff = np.zeros(len(flat) + 1, np.int64)
+        rdoc, rpos = doc[~is_text], pos[~is_text]
+        if len(rdoc):
+            di = np.searchsorted(tdoc, rdoc)
+            start = doc_starts[di] + rpos
+            np.add.at(diff, start, 1)
+            np.add.at(diff, start + window, -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        keep = ~covered
+        dstarts = segment_starts(
+            np.repeat(tdoc, n_words)) if len(flat) else \
+            np.empty(0, np.int64)
+        # docs can be empty-after-split only if n_words == 0, which
+        # str.split never yields ('' -> ['']) — every doc has >= 1
+        # word, so dstarts aligns 1:1 with tdoc
+        n_drop = np.add.reduceat(covered.astype(np.int64), dstarts) \
+            if len(flat) else np.empty(0, np.int64)
+        n_kept = n_words - n_drop
+        offsets = np.concatenate([[0], np.cumsum(n_kept)]) \
+            .astype(np.int32)
+        texts = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(flat[keep], pa.string())),
+            " ")
+        return pa.table({
+            id_col: pa.array(tdoc, pa.int64()),
+            "trimmed_text": texts,
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_dropped": pa.array(n_drop, pa.int64()),
+        })
+
+    repeated = (ds.map_batches(explode, batch_format="pyarrow")
+                .groupby("_bk")
+                .map_groups(flag_block, batch_format="pandas"))
+    docs = ds.map_batches(tag_docs, batch_format="pyarrow")
+    return (docs.union(repeated)
+            .groupby("_dk")
+            .map_groups(rebuild, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # prefix-blocked Levenshtein near-duplicates
 

@@ -2055,6 +2055,25 @@ def _q_png_decode(sf_dir: str):
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
+def _q_jpeg_codec(sf_dir: str):
+    """BASELINE JPEG encode→decode (functions/jpeg.py — from-scratch
+    huffman entropy coding, DCT, Annex K tables; no Pillow/cv2),
+    value-checked as far as a LOSSY codec allows: decoded dimensions
+    must match the closed forms exactly and the round-trip error must
+    sit inside a 2x-margin bound (any real defect — wrong zigzag,
+    table, IDCT scale, MCU alignment — produces garbage, not +-2).
+    Subsampling alternates 4:4:4 / 4:2:0 by doc parity so both MCU
+    interleave shapes are on the hash. Pixel-exact external evidence
+    lives in pytest: the codec decodes CPython's baseline python.jpg
+    to the same logo as the PPM ground truth (independent decoder)."""
+    import ray.data as rd
+    from ksoup_ray.functions.multimodal import JpegRoundTrip
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(JpegRoundTrip, batch_format="pyarrow",
+                          batch_size=64, concurrency=(1, 2))
+
+
 def _q_audio_stats(sf_dir: str):
     """Audio signal features (functions/multimodal.AudioStats): REAL
     PCM-WAV decode → integer sample count / zero-crossing count /
@@ -4813,6 +4832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash": _q_image_dhash,
         "dhash_pairs": _q_dhash_pairs,
         "png_decode": _q_png_decode,
+        "jpeg_codec": _q_jpeg_codec,
         "audio_stats": _q_audio_stats,
         "retention_cohorts": _q_retention_cohorts,
         "q5_local_supplier": _q_q5_local_supplier,
@@ -6090,6 +6110,19 @@ def oracle_sql() -> dict[str, str]:
                  ON y.r < 3 + d.doc_id % 7
             JOIN (SELECT UNNEST(range(3)) AS r) c ON TRUE
             GROUP BY d.doc_id
+        """,
+        "jpeg_codec": """
+            -- lossy codec: dims are exact closed forms; the error
+            -- bound is a boolean witness the Ray side must earn by
+            -- actually decoding (TRUE is only reachable when the
+            -- huffman/DCT/assembly path reconstructs the image)
+            SELECT doc_id AS media_id,
+                   CAST(9 + doc_id % 16 AS INTEGER) AS width,
+                   CAST(7 + doc_id % 12 AS INTEGER) AS height,
+                   CASE WHEN doc_id % 2 = 1 THEN '420' ELSE '444' END
+                       AS subsample,
+                   TRUE AS roundtrip_ok
+            FROM documents
         """,
         "pdf_roundtrip": """
             -- the PDF write->parse->extract loop must return the text

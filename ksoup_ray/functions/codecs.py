@@ -231,17 +231,20 @@ def encode_png(arr: np.ndarray, filters: str | int = "mixed",
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → uint8 array: (h, w) for grayscale, (h, w, 3) RGB,
-    (h, w, 4) RGBA. Validates the signature, every chunk's CRC-32 and
-    the decompressed pixel-payload length, so truncation/corruption
+    """PNG bytes → uint8 array: (h, w) for grayscale, (h, w, 3) RGB
+    (including palette images), (h, w, 4) RGBA (including palette +
+    tRNS). Validates the signature, every chunk's CRC-32 and the
+    decompressed pixel-payload length, so truncation/corruption
     raises instead of yielding silently-short images (same contract as
-    the WARC reader). Supports bit depth 8, color types 0/2/6,
-    interlace 0; palette/16-bit/Adam7 raise ValueError."""
+    the WARC reader). Supports bit depth 8, color types 0/2/3/6,
+    interlace 0; 16-bit/sub-byte depths/Adam7 raise ValueError."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
     ihdr: bytes | None = None
     idat = bytearray()
+    plte: bytes | None = None
+    trns: bytes | None = None
     while pos + 12 <= len(data):
         (ln,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4:pos + 8]
@@ -256,18 +259,26 @@ def decode_png(data: bytes) -> np.ndarray:
             ihdr = payload
         elif tag == b"IDAT":
             idat += payload
+        elif tag == b"PLTE":
+            plte = payload
+        elif tag == b"tRNS":
+            trns = payload
         elif tag == b"IEND":
             break
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, comp, filt, interlace = \
         struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or color_type not in _PNG_CHANNELS or comp != 0 \
+    if depth != 8 or (color_type not in _PNG_CHANNELS
+                      and color_type != 3) or comp != 0 \
             or filt != 0 or interlace != 0:
         raise ValueError(
             f"unsupported PNG (depth={depth}, color={color_type}, "
-            f"interlace={interlace}) — 8-bit gray/RGB/RGBA only")
-    ch = _PNG_CHANNELS[color_type]
+            f"interlace={interlace}) — 8-bit gray/RGB/RGBA/palette "
+            "only")
+    if color_type == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("palette PNG missing/invalid PLTE")
+    ch = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
     stride = w * ch
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (1 + stride):
@@ -309,4 +320,15 @@ def decode_png(data: bytes) -> np.ndarray:
         out[y] = rec
         prev = rec
     img = out.astype(np.uint8).reshape(h, w, ch)
+    if color_type == 3:
+        idx = img[:, :, 0]
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        rgb = pal[idx]
+        if trns is None:
+            return rgb
+        alpha = np.full(len(pal), 255, np.uint8)
+        alpha[:len(trns)] = np.frombuffer(trns, np.uint8)
+        return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
     return img[:, :, 0] if ch == 1 else img

@@ -62,20 +62,27 @@ def _fake_decode_image(data: bytes) -> np.ndarray:
 
 def decode_image(data: bytes) -> np.ndarray:
     """REAL image decode dispatched on magic bytes — P6 PPM, 24-bit
-    BMP, and PNG (the from-scratch stdlib-zlib codec) — normalized to
-    an (h, w, 3) RGB array: grayscale PNG broadcasts to 3 channels,
-    RGBA drops alpha. JPEG is where Pillow/cv2 plugs in."""
+    BMP, PNG (from-scratch stdlib-zlib codec, incl. palette), and
+    baseline JPEG (from-scratch huffman+DCT codec, functions/jpeg.py)
+    — normalized to an (h, w, 3) RGB array: grayscale broadcasts to 3
+    channels, RGBA drops alpha. Formats beyond these (webp/avif/...)
+    are where Pillow/cv2 plugs in."""
+    def to_rgb(img: np.ndarray) -> np.ndarray:
+        if img.ndim == 2:
+            return np.repeat(img[:, :, None], 3, axis=2)
+        return img[:, :, :3]
+
     if data[:2] == b"P6":
         return decode_ppm(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:8] == _PNG_SIG:
-        img = decode_png(data)
-        if img.ndim == 2:
-            return np.repeat(img[:, :, None], 3, axis=2)
-        return img[:, :, :3]
+        return to_rgb(decode_png(data))
+    if data[:2] == b"\xFF\xD8":
+        from .jpeg import decode_jpeg
+        return to_rgb(decode_jpeg(data))
     raise NotImplementedError(
-        "compressed image decode (jpeg/...) requires Pillow/cv2 — "
+        "image decode beyond ppm/bmp/png/jpeg requires Pillow/cv2 — "
         "not in this container; plug the decoder in here")
 
 
@@ -373,6 +380,68 @@ def synth_png_batch(batch: pa.Table) -> pa.Table:
         "media": pa.array(payloads, pa.binary()),
         "meta": pa.array(metas, MEDIA_META),
     })
+
+
+def _synth_smooth_image(doc_id: int) -> np.ndarray:
+    """Deterministic smooth test image for the lossy-codec family:
+    w = 9 + doc_id % 16, h = 7 + doc_id % 12 (mostly NOT 8-multiples,
+    so MCU padding/cropping is always on the path), low-frequency
+    cosine gradients per channel."""
+    w = 9 + doc_id % 16
+    h = 7 + doc_id % 12
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([
+        128 + 80 * np.cos(xx / 9.0 + doc_id % 7) * np.cos(yy / 8.0),
+        128 + 60 * np.sin(xx / 11.0) * np.cos(yy / 10.0 + doc_id % 5),
+        128 + 50 * np.cos((xx + yy) / 13.0 + doc_id % 3)], axis=2)
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+class JpegRoundTrip:
+    """Actor-pool stage proving the from-scratch BASELINE JPEG codec
+    (functions/jpeg.py) end-to-end under the driver's oracle: per doc,
+    synthesize the smooth closed-form image, encode (quality 90,
+    subsampling alternating 4:4:4 / 4:2:0 by doc parity), DECODE with
+    the full huffman+IDCT path, and emit the decoded dimensions plus
+    a boolean error-bound witness. JPEG is lossy so there is no
+    byte-exact replay, but the bound is tight enough (measured worst
+    case 5 / 12 across the corpus shapes; asserted at 2x margin) that
+    any real decoder defect — wrong zigzag, table mixup, IDCT scale,
+    plane misalignment — blows through it and breaks the hash."""
+
+    MAX_ERR_444 = 12
+    MAX_ERR_420 = 24
+    MAX_MEAN = 6.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .jpeg import decode_jpeg, encode_jpeg
+        doc_ids = batch.column("doc_id").to_pylist()
+        widths: list[int] = []
+        heights: list[int] = []
+        subs: list[str] = []
+        n_bytes: list[int] = []
+        ok: list[bool] = []
+        for doc_id in doc_ids:
+            img = _synth_smooth_image(doc_id)
+            sub = "420" if doc_id % 2 else "444"
+            data = encode_jpeg(img, quality=90, subsample=sub)
+            dec = decode_jpeg(data)
+            err = np.abs(dec.astype(np.int64) - img.astype(np.int64))
+            bound = self.MAX_ERR_420 if sub == "420" \
+                else self.MAX_ERR_444
+            widths.append(int(dec.shape[1]))
+            heights.append(int(dec.shape[0]))
+            subs.append(sub)
+            n_bytes.append(len(data))
+            ok.append(bool(err.max() <= bound
+                           and err.mean() <= self.MAX_MEAN))
+        return pa.table({
+            "media_id": pa.array(doc_ids, pa.int64()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "subsample": pa.array(subs, pa.string()),
+            "roundtrip_ok": pa.array(ok, pa.bool_()),
+        })
 
 
 class PngDecodeStats:

@@ -83,19 +83,48 @@ def test_corruption_and_truncation_rejected():
         decode_png(data[:-20])            # truncated chunk
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"\x89PNX" + data[4:])
-    # unsupported configurations raise, never mis-decode
+    # unsupported/invalid configurations raise, never mis-decode
+    import struct as _s
+    import zlib as _z
+
+    def synth_png(depth, color_type, raw):
+        ihdr = _s.pack(">IIBBBBB", 4, 4, depth, color_type, 0, 0, 0)
+        c1 = (_s.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+              + _s.pack(">I", _z.crc32(b"IHDR" + ihdr)))
+        idat = _z.compress(raw)
+        c2 = (_s.pack(">I", len(idat)) + b"IDAT" + idat
+              + _s.pack(">I", _z.crc32(b"IDAT" + idat)))
+        return b"\x89PNG\r\n\x1a\n" + c1 + c2
+
     with pytest.raises(ValueError, match="unsupported"):
-        # palette color type (3) from the gitweb favicon, if present;
-        # otherwise synthesize: patch color type byte + CRC
-        import struct as _s
-        import zlib as _z
-        ihdr = _s.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
-        chunk = (_s.pack(">I", len(ihdr)) + b"IHDR" + ihdr
-                 + _s.pack(">I", _z.crc32(b"IHDR" + ihdr)))
-        idat = _z.compress(b"\x00" * 20)
-        chunk2 = (_s.pack(">I", len(idat)) + b"IDAT" + idat
-                  + _s.pack(">I", _z.crc32(b"IDAT" + idat)))
-        decode_png(b"\x89PNG\r\n\x1a\n" + chunk + chunk2)
+        decode_png(synth_png(16, 2, b"\x00" * 100))   # 16-bit depth
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(synth_png(8, 3, b"\x00" * 20))     # palette, no PLTE
+
+
+def test_palette_png_decodes_via_plte():
+    """Palette (color type 3) support: index pixels map through PLTE;
+    the external python.png fixture (same logo as the lossless PPM)
+    is byte-checked in test_jpeg_codec against the PPM decoder."""
+    import struct as _s
+    import zlib as _z
+    idx = np.array([[0, 1], [2, 1]], np.uint8)
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])   # R, G, B entries
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+
+    def chunk(tag, payload):
+        return (_s.pack(">I", len(payload)) + tag + payload
+                + _s.pack(">I", _z.crc32(tag + payload)))
+
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", pal)
+            + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b""))
+    img = decode_png(data)
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[0, 1].tolist() == [0, 255, 0]
+    assert img[1, 0].tolist() == [0, 0, 255]
 
 
 def test_decode_image_normalizes_png_shapes():

@@ -2055,6 +2055,36 @@ def _q_png_decode(sf_dir: str):
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
+def _q_gif_decode(sf_dir: str):
+    """GIF decode value-checked END-TO-END (functions/codecs
+    .decode_gif — from-the-spec variable-code-width LZW both
+    directions): synthetic GIFs whose 64-entry palette and index grid
+    are closed-form arithmetic in (doc_id, x, y); interlacing
+    alternates by parity. The oracle replays the per-image RGB pixel
+    sum with generate_series, so the LZW decompress, sub-block
+    reassembly, de-interlace and palette mapping are all on the hash
+    path. External-encoder interop is pinned in pytest (CPython's
+    python.gif vs the lossless PPM ground truth)."""
+    import ray.data as rd
+    from ksoup_ray.functions.multimodal import (GifDecodeStats,
+                                                synth_gif_batch)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    media = ds.map_batches(synth_gif_batch, batch_format="pyarrow")
+    out = media.map_batches(GifDecodeStats, batch_format="pyarrow",
+                            batch_size=64, concurrency=(1, 2))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "width": batch.column("width"),
+            "height": batch.column("height"),
+            "pixel_sum": batch.column("pixel_sum"),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
 def _q_jpeg_codec(sf_dir: str):
     """BASELINE JPEG encode→decode (functions/jpeg.py — from-scratch
     huffman entropy coding, DCT, Annex K tables; no Pillow/cv2),
@@ -4832,6 +4862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash": _q_image_dhash,
         "dhash_pairs": _q_dhash_pairs,
         "png_decode": _q_png_decode,
+        "gif_decode": _q_gif_decode,
         "jpeg_codec": _q_jpeg_codec,
         "audio_stats": _q_audio_stats,
         "retention_cohorts": _q_retention_cohorts,
@@ -6109,6 +6140,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT UNNEST(range(9)) AS r) y
                  ON y.r < 3 + d.doc_id % 7
             JOIN (SELECT UNNEST(range(3)) AS r) c ON TRUE
+            GROUP BY d.doc_id
+        """,
+        "gif_decode": """
+            -- replay the synth GIF pixels in closed form: the Ray
+            -- side gets pixel_sum only by LZW-decompressing the
+            -- stream and mapping indices through the palette.
+            -- index = (doc_id + 3x + 7y) % 64;
+            -- palette[k] = ((3k)%256, (5k+7)%256, (11k+13)%256);
+            -- w = 5 + doc_id % 12 (<= 16), h = 4 + doc_id % 9 (<= 12)
+            SELECT d.doc_id AS media_id,
+                   CAST(5 + d.doc_id % 12 AS INTEGER) AS width,
+                   CAST(4 + d.doc_id % 9 AS INTEGER) AS height,
+                   CAST(SUM(
+                       (3 * ((d.doc_id + 3 * x.r + 7 * y.r) % 64))
+                           % 256
+                     + (5 * ((d.doc_id + 3 * x.r + 7 * y.r) % 64) + 7)
+                           % 256
+                     + (11 * ((d.doc_id + 3 * x.r + 7 * y.r) % 64)
+                        + 13) % 256) AS BIGINT) AS pixel_sum
+            FROM documents d
+            JOIN (SELECT UNNEST(range(16)) AS r) x
+                 ON x.r < 5 + d.doc_id % 12
+            JOIN (SELECT UNNEST(range(12)) AS r) y
+                 ON y.r < 4 + d.doc_id % 9
             GROUP BY d.doc_id
         """,
         "jpeg_codec": """

@@ -332,3 +332,240 @@ def decode_png(data: bytes) -> np.ndarray:
         alpha[:len(trns)] = np.frombuffer(trns, np.uint8)
         return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
     return img[:, :, 0] if ch == 1 else img
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a, single image frame)
+#
+# From-the-spec implementation of the one format here whose
+# compression is NOT in the stdlib: variable-code-width LZW, written
+# both directions. Decoder handles global/local color tables,
+# interlacing, sub-block framing, and the GCE transparent index
+# (returned as an alpha channel); encoder writes GIF89a with a real
+# growing-dictionary LZW (clear codes on table overflow).
+
+def _gif_lzw_decode(data: bytes, min_code_size: int,
+                    n_pixels: int) -> np.ndarray:
+    """GIF LZW stream → uint8 index array of exactly n_pixels."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    # bit reader: GIF packs codes LSB-first
+    out = np.empty(n_pixels, np.uint8)
+    n_out = 0
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream exhausted mid-code")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW: first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):                 # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW code out of range")
+        if n_out + len(entry) > n_pixels:
+            raise ValueError("GIF LZW produced too many pixels")
+        out[n_out:n_out + len(entry)] = np.frombuffer(entry, np.uint8)
+        n_out += len(entry)
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if n_out == n_pixels:
+            break
+    if n_out != n_pixels:
+        raise ValueError(
+            f"GIF LZW short: {n_out} of {n_pixels} pixels")
+    return out
+
+
+def _gif_lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """uint8 index array → GIF LZW stream (growing dictionary,
+    clear code emitted on table overflow)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    data = indices.tobytes()
+    if not data:
+        raise ValueError("empty GIF frame")
+    w = data[0:1]
+    for i in range(1, len(data)):
+        c = data[i:i + 1]
+        if w + c in table:
+            w = w + c
+            continue
+        emit(table[w], code_size)
+        table[w + c] = next_code
+        next_code += 1
+        if next_code > (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:
+            emit(clear, code_size)
+            table = {bytes([j]): j for j in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        w = c
+    emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes → uint8 (h, w, 3) RGB, or (h, w, 4) RGBA when the
+    first frame's graphic-control extension declares a transparent
+    index. Decodes the FIRST image block (animation frames beyond it
+    are out of scope for the still-image pipeline). Truncated or
+    corrupt payloads raise ValueError, never silently short images."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    try:
+        return _decode_gif_body(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated/corrupt GIF: {e}") from e
+
+
+def _decode_gif_body(data: bytes) -> np.ndarray:
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    transparent = None
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:                            # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9:                    # graphic control
+                size = data[pos]
+                if size >= 4 and data[pos + 1] & 0x01:
+                    transparent = data[pos + 4]
+            while data[pos]:                     # skip sub-blocks
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:                          # image descriptor
+            x, y, iw, ih, f = struct.unpack_from("<HHHHB", data,
+                                                 pos + 1)
+            pos += 10
+            pal = gct
+            if f & 0x80:                         # local color table
+                n = 2 << (f & 0x07)
+                pal = np.frombuffer(data, np.uint8, 3 * n,
+                                    pos).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image has no color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos]:
+                n = data[pos]
+                lzw += data[pos + 1:pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            idx = _gif_lzw_decode(bytes(lzw), min_code, iw * ih) \
+                .reshape(ih, iw)
+            if f & 0x40:                         # de-interlace
+                ordered = np.empty_like(idx)
+                src = 0
+                for start, step in _GIF_INTERLACE:
+                    rows = range(start, ih, step)
+                    ordered[list(rows)] = idx[src:src + len(rows)]
+                    src += len(rows)
+                idx = ordered
+            if idx.max(initial=0) >= len(pal):
+                raise ValueError("GIF palette index out of range")
+            rgb = pal[idx]
+            if transparent is not None:
+                alpha = np.where(idx == transparent, 0, 255) \
+                    .astype(np.uint8)
+                return np.concatenate([rgb, alpha[:, :, None]], axis=2)
+            return rgb
+        elif b == 0x3B:                          # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02X}")
+    raise ValueError("GIF contained no image block")
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray,
+               interlace: bool = False) -> bytes:
+    """(h, w) uint8 palette indices + (n, 3) uint8 palette → GIF89a.
+    Palette size is padded to the next power of two (>= 2)."""
+    if indices.ndim != 2:
+        raise ValueError(f"expected (h, w) indices, got {indices.shape}")
+    h, w = indices.shape
+    n = len(palette)
+    bits = max(1, (n - 1).bit_length())
+    size = 1 << bits
+    pal = np.zeros((size, 3), np.uint8)
+    pal[:n] = palette
+    if indices.max(initial=0) >= n:
+        raise ValueError("index out of palette range")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4)
+                       | (bits - 1), 0, 0)
+    out += pal.tobytes()
+    ilflag = 0x40 if interlace else 0
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, ilflag)
+    rows = indices
+    if interlace:
+        order = []
+        for start, step in _GIF_INTERLACE:
+            order.extend(range(start, h, step))
+        rows = indices[order]
+    min_code = max(2, bits)
+    out.append(min_code)
+    lzw = _gif_lzw_encode(rows.ravel(), min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3B"
+    return bytes(out)

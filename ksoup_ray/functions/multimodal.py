@@ -444,6 +444,66 @@ class JpegRoundTrip:
         })
 
 
+def synth_gif_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic GIF payloads whose palette AND indices are
+    SQL-computable: palette[k] = ((3k)%256, (5k+7)%256, (11k+13)%256)
+    over 64 entries; index[y, x] = (doc_id + 3x + 7y) % 64 over
+    w = 5 + doc_id % 12, h = 4 + doc_id % 9. Interlacing alternates
+    by doc parity, so decoding back to the closed-form pixel sum
+    exercises the LZW decoder, sub-block framing, palette mapping and
+    BOTH row orders."""
+    from .codecs import encode_gif
+    doc_ids = batch.column("doc_id").to_pylist()
+    k = np.arange(64, dtype=np.int64)
+    palette = np.stack([(3 * k) % 256, (5 * k + 7) % 256,
+                        (11 * k + 13) % 256], axis=1).astype(np.uint8)
+    payloads: list[bytes] = []
+    metas: list[dict] = []
+    for doc_id in doc_ids:
+        w = 5 + doc_id % 12
+        h = 4 + doc_id % 9
+        idx = ((doc_id + 3 * np.arange(w)[None, :]
+                + 7 * np.arange(h)[:, None]) % 64).astype(np.uint8)
+        payloads.append(encode_gif(idx, palette,
+                                   interlace=bool(doc_id % 2)))
+        metas.append({"media_type": "image", "format": "gif",
+                      "width": w, "height": h, "duration_ms": None})
+    return pa.table({
+        "media_id": batch.column("doc_id"),
+        "media": pa.array(payloads, pa.binary()),
+        "meta": pa.array(metas, MEDIA_META),
+    })
+
+
+class GifDecodeStats:
+    """Actor-pool stage: GIF column → decoded width/height + int64 sum
+    of every RGB channel value — the oracle's closed-form witness that
+    the LZW stream really decompressed and mapped through the palette
+    (any mis-decode shifts the sum)."""
+
+    def __init__(self, media_col: str = "media"):
+        self.media_col = media_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .codecs import decode_gif
+        payloads = batch.column(self.media_col).to_pylist()
+        widths: list[int] = []
+        heights: list[int] = []
+        sums: list[int] = []
+        for data in payloads:
+            img = decode_gif(data or b"")
+            rgb = img[:, :, :3]
+            heights.append(int(img.shape[0]))
+            widths.append(int(img.shape[1]))
+            sums.append(int(rgb.astype(np.int64).sum()))
+        out = batch.drop_columns([self.media_col])
+        out = out.append_column("width", pa.array(widths, pa.int32()))
+        out = out.append_column("height",
+                                pa.array(heights, pa.int32()))
+        return out.append_column("pixel_sum",
+                                 pa.array(sums, pa.int64()))
+
+
 class PngDecodeStats:
     """Actor-pool stage: PNG column → decoded width/height and the
     int64 sum of every channel value — the value the oracle recomputes

@@ -1117,12 +1117,12 @@ def _q_sanitize(sf_dir: str):
 def _q_media_features(sf_dir: str):
     """Multimodal decode, value-checked END-TO-END for the formats this
     container can really decode: the synthetic generator emits genuine
-    PPM images and PCM WAVs whose decoded width/height/duration are
-    closed-form in doc_id, and the MediaFeatures actor stage REALLY
-    decodes them (functions/codecs.py — pure numpy/stdlib). Only the
-    compressed video format stays a stub (NULL decoded columns). The
-    oracle recomputes the closed forms, so a broken decoder fails the
-    hash check."""
+    PPM images, PCM WAVs AND YUV4MPEG2 video clips whose decoded
+    width/height/duration are closed-form in doc_id, and the
+    MediaFeatures actor stage REALLY decodes all three modalities
+    (functions/codecs.py + functions/video.py — pure numpy/stdlib).
+    The oracle recomputes the closed forms, so a broken decoder in
+    any modality fails the hash check."""
     import ray.data as rd
     from ksoup_ray.functions.multimodal import MediaFeatures, synth_media_batch
 
@@ -2130,6 +2130,92 @@ def _q_audio_stats(sf_dir: str):
         })
 
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def _q_y4m_decode(sf_dir: str):
+    """VIDEO decode value-checked END-TO-END — closes the last
+    multimodal decode gap: the synth generator renders real
+    YUV4MPEG2 clips (functions/video.encode_y4m — stream header +
+    FRAME markers + raw planes) whose every plane value is closed-form
+    arithmetic in (doc_id, x, y, t), including a +128 luma scene-cut
+    jump; the VideoFrameStats actor stage decodes every frame and
+    sums the Y and U+V planes. The oracle replays both sums with
+    range joins, so a skipped frame, swapped plane, or misparsed
+    header breaks the hash."""
+    import ray.data as rd
+    from ksoup_ray.functions.video import (VideoFrameStats,
+                                           synth_y4m_batch)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    media = ds.map_batches(synth_y4m_batch, batch_format="pyarrow")
+    out = media.map_batches(VideoFrameStats, batch_format="pyarrow",
+                            batch_size=32, concurrency=(1, 2))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "n_frames": batch.column("n_frames"),
+            "width": batch.column("width"),
+            "height": batch.column("height"),
+            "y_sum": batch.column("y_sum"),
+            "uv_sum": batch.column("uv_sum"),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def _q_frame_sample(sf_dir: str):
+    """Real video FRAME SAMPLING (functions/video.FrameSampleY4M —
+    replaces the r1-era stubbed sampler): decode each Y4M clip, keep
+    every 2nd frame, emit one row per sampled frame with its luma
+    sum. The flat-map row-expansion shape downstream per-frame image
+    ops consume; the per-frame y_sum puts every sampled frame's
+    pixels on the oracle's hash."""
+    import ray.data as rd
+    from ksoup_ray.functions.video import (FrameSampleY4M,
+                                           synth_y4m_batch)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    media = ds.map_batches(synth_y4m_batch, batch_format="pyarrow")
+    return media.map_batches(FrameSampleY4M, batch_format="pyarrow",
+                             fn_constructor_kwargs={"every": 2},
+                             batch_size=32, concurrency=(1, 2))
+
+
+def _q_scene_cuts(sf_dir: str):
+    """Shot-boundary detection over decoded video (functions/video
+    .SceneCutStats): per adjacent frame pair, the int64 sum of
+    absolute luma differences; a cut where mean per-pixel change
+    exceeds 64 (integer compare, sad > 64*w*h). The synth clips carry
+    a deterministic +128 luma jump at a closed-form frame, so the
+    oracle replays both the SAD values and the cut decisions term
+    for term."""
+    import ray.data as rd
+    from ksoup_ray.functions.video import (SceneCutStats,
+                                           synth_y4m_batch)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    media = ds.map_batches(synth_y4m_batch, batch_format="pyarrow")
+    return media.map_batches(SceneCutStats, batch_format="pyarrow",
+                             batch_size=32, concurrency=(1, 2))
+
+
+def _q_avi_mjpeg(sf_dir: str):
+    """MJPEG-in-AVI container round trip (functions/video
+    .encode_avi_mjpeg/decode_avi_mjpeg — RIFF hdrl/movi/idx1 tree,
+    one baseline JPEG per 00dc chunk through functions/jpeg.py):
+    per doc, a smooth closed-form clip is encoded (4:4:4 / 4:2:0
+    alternating by parity), the container re-parsed, every frame
+    re-decoded, and the jpeg_codec-style error-bound witness
+    emitted. Dims + frame count are exact closed forms; TRUE on the
+    witness is only reachable by actually walking RIFF and decoding
+    every frame."""
+    import ray.data as rd
+    from ksoup_ray.functions.video import AviRoundTrip
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(AviRoundTrip, batch_format="pyarrow",
+                          batch_size=32, concurrency=(1, 2))
 
 
 def _q_retention_cohorts(sf_dir: str):
@@ -4864,6 +4950,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "png_decode": _q_png_decode,
         "gif_decode": _q_gif_decode,
         "jpeg_codec": _q_jpeg_codec,
+        "y4m_decode": _q_y4m_decode,
+        "frame_sample": _q_frame_sample,
+        "scene_cuts": _q_scene_cuts,
+        "avi_mjpeg": _q_avi_mjpeg,
         "audio_stats": _q_audio_stats,
         "retention_cohorts": _q_retention_cohorts,
         "q5_local_supplier": _q_q5_local_supplier,
@@ -6094,18 +6184,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_features": """
             -- closed forms of the DECODED values: the Ray side gets
-            -- width/height by decoding the PPM payload and duration
-            -- by parsing the WAV header, so a decoder bug breaks the
-            -- hash match. n_bytes: PPM = 9 + digits(w) + digits(h)
-            -- + 3wh; WAV = 44-byte PCM header + 2 bytes/sample
-            -- @1000 Hz; video blob = 256.
+            -- width/height by decoding the PPM payload, duration by
+            -- parsing the WAV header, and video dims/duration by
+            -- parsing the Y4M stream (frames @ 25 fps), so a decoder
+            -- bug in any modality breaks the hash match. n_bytes:
+            -- PPM = 9 + digits(w) + digits(h) + 3wh; WAV = 44-byte
+            -- PCM header + 2 bytes/sample @1000 Hz; Y4M = 33 +
+            -- digits(w) + digits(h) + n*(6 + 3wh).
             SELECT doc_id AS media_id,
-                   CASE WHEN doc_id % 3 = 0
-                        THEN CAST(4 + doc_id % 13 AS INTEGER) END AS width,
-                   CASE WHEN doc_id % 3 = 0
-                        THEN CAST(3 + doc_id % 7 AS INTEGER) END AS height,
-                   CASE WHEN doc_id % 3 = 1
-                        THEN CAST(1000 + doc_id % 5000 AS INTEGER)
+                   CASE doc_id % 3
+                        WHEN 0 THEN CAST(4 + doc_id % 13 AS INTEGER)
+                        WHEN 2 THEN CAST(4 + doc_id % 9 AS INTEGER)
+                        END AS width,
+                   CASE doc_id % 3
+                        WHEN 0 THEN CAST(3 + doc_id % 7 AS INTEGER)
+                        WHEN 2 THEN CAST(3 + doc_id % 6 AS INTEGER)
+                        END AS height,
+                   CASE doc_id % 3
+                        WHEN 1 THEN CAST(1000 + doc_id % 5000 AS INTEGER)
+                        WHEN 2 THEN CAST(40 * (3 + doc_id % 5) AS INTEGER)
                         END AS duration_ms,
                    CASE doc_id % 3
                         WHEN 0 THEN CAST(
@@ -6115,11 +6212,17 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT)
                         WHEN 1 THEN CAST(44 + 2 * (1000 + doc_id % 5000)
                                          AS BIGINT)
-                        ELSE CAST(256 AS BIGINT) END AS n_bytes,
+                        ELSE CAST(
+                            33 + LENGTH(CAST(4 + doc_id % 9 AS VARCHAR))
+                               + LENGTH(CAST(3 + doc_id % 6 AS VARCHAR))
+                               + (3 + doc_id % 5)
+                                 * (6 + 3 * (4 + doc_id % 9)
+                                          * (3 + doc_id % 6))
+                            AS BIGINT) END AS n_bytes,
                    CASE doc_id % 3 WHEN 0 THEN 'image'
                         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
                    CASE doc_id % 3 WHEN 0 THEN 'ppm'
-                        WHEN 1 THEN 'wav' ELSE 'mp4' END AS format
+                        WHEN 1 THEN 'wav' ELSE 'y4m' END AS format
             FROM documents
         """,
         "png_decode": """
@@ -6176,6 +6279,101 @@ def oracle_sql() -> dict[str, str]:
                    CAST(7 + doc_id % 12 AS INTEGER) AS height,
                    CASE WHEN doc_id % 2 = 1 THEN '420' ELSE '444' END
                        AS subsample,
+                   TRUE AS roundtrip_ok
+            FROM documents
+        """,
+        "y4m_decode": """
+            -- replay the synth Y4M planes in closed form: the Ray
+            -- side gets y_sum/uv_sum only by parsing the stream
+            -- header, every FRAME marker, and every raw plane.
+            -- Y = (d + 3x + 7y + 11t + 128*(t>=cut)) % 256,
+            -- U = (2d + 5x + y + 17t) % 256,
+            -- V = (3d + x + 9y + 23t) % 256 over
+            -- w = 4 + d%9, h = 3 + d%6, n = 3 + d%5,
+            -- cut = 1 + d % (n - 1)
+            SELECT d.doc_id AS media_id,
+                   CAST(3 + d.doc_id % 5 AS INTEGER) AS n_frames,
+                   CAST(4 + d.doc_id % 9 AS INTEGER) AS width,
+                   CAST(3 + d.doc_id % 6 AS INTEGER) AS height,
+                   CAST(SUM((d.doc_id + 3 * x.r + 7 * y.r + 11 * t.r
+                             + CASE WHEN t.r >= 1 + d.doc_id
+                                              % (2 + d.doc_id % 5)
+                                    THEN 128 ELSE 0 END) % 256)
+                        AS BIGINT) AS y_sum,
+                   CAST(SUM((2 * d.doc_id + 5 * x.r + y.r + 17 * t.r)
+                            % 256
+                          + (3 * d.doc_id + x.r + 9 * y.r + 23 * t.r)
+                            % 256) AS BIGINT) AS uv_sum
+            FROM documents d
+            JOIN (SELECT UNNEST(range(12)) AS r) x
+                 ON x.r < 4 + d.doc_id % 9
+            JOIN (SELECT UNNEST(range(8)) AS r) y
+                 ON y.r < 3 + d.doc_id % 6
+            JOIN (SELECT UNNEST(range(7)) AS r) t
+                 ON t.r < 3 + d.doc_id % 5
+            GROUP BY d.doc_id
+        """,
+        "frame_sample": """
+            -- every 2nd frame of each clip, one row per sampled
+            -- frame with its closed-form luma sum
+            SELECT d.doc_id AS media_id,
+                   CAST(t.r AS INTEGER) AS frame_idx,
+                   CAST(4 + d.doc_id % 9 AS INTEGER) AS width,
+                   CAST(3 + d.doc_id % 6 AS INTEGER) AS height,
+                   CAST(SUM((d.doc_id + 3 * x.r + 7 * y.r + 11 * t.r
+                             + CASE WHEN t.r >= 1 + d.doc_id
+                                              % (2 + d.doc_id % 5)
+                                    THEN 128 ELSE 0 END) % 256)
+                        AS BIGINT) AS y_sum
+            FROM documents d
+            JOIN (SELECT UNNEST(range(7)) AS r) t
+                 ON t.r < 3 + d.doc_id % 5 AND t.r % 2 = 0
+            JOIN (SELECT UNNEST(range(12)) AS r) x
+                 ON x.r < 4 + d.doc_id % 9
+            JOIN (SELECT UNNEST(range(8)) AS r) y
+                 ON y.r < 3 + d.doc_id % 6
+            GROUP BY d.doc_id, t.r
+        """,
+        "scene_cuts": """
+            -- per adjacent frame pair: sum of absolute luma diffs
+            -- replayed term for term (all-integer), and the cut
+            -- decision sad > 64 * w * h. frame_idx = the LATER frame.
+            SELECT media_id, frame_idx, sad,
+                   sad > 64 * width * height AS is_cut
+            FROM (
+                SELECT d.doc_id AS media_id,
+                       CAST(t.r AS INTEGER) AS frame_idx,
+                       CAST(4 + d.doc_id % 9 AS INTEGER) AS width,
+                       CAST(3 + d.doc_id % 6 AS INTEGER) AS height,
+                       CAST(SUM(ABS(
+                           (d.doc_id + 3 * x.r + 7 * y.r + 11 * t.r
+                            + CASE WHEN t.r >= 1 + d.doc_id
+                                             % (2 + d.doc_id % 5)
+                                   THEN 128 ELSE 0 END) % 256
+                         - (d.doc_id + 3 * x.r + 7 * y.r
+                            + 11 * (t.r - 1)
+                            + CASE WHEN t.r - 1 >= 1 + d.doc_id
+                                             % (2 + d.doc_id % 5)
+                                   THEN 128 ELSE 0 END) % 256))
+                            AS BIGINT) AS sad
+                FROM documents d
+                JOIN (SELECT UNNEST(range(7)) AS r) t
+                     ON t.r >= 1 AND t.r < 3 + d.doc_id % 5
+                JOIN (SELECT UNNEST(range(12)) AS r) x
+                     ON x.r < 4 + d.doc_id % 9
+                JOIN (SELECT UNNEST(range(8)) AS r) y
+                     ON y.r < 3 + d.doc_id % 6
+                GROUP BY d.doc_id, t.r
+            )
+        """,
+        "avi_mjpeg": """
+            -- MJPEG-AVI: container fields are exact closed forms;
+            -- the error-bound witness is only reachable by walking
+            -- the RIFF tree and JPEG-decoding every 00dc chunk
+            SELECT doc_id AS media_id,
+                   CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+                   CAST(9 + doc_id % 16 AS INTEGER) AS width,
+                   CAST(7 + doc_id % 12 AS INTEGER) AS height,
                    TRUE AS roundtrip_ok
             FROM documents
         """,

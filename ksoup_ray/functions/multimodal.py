@@ -16,12 +16,17 @@ Decode status (honest accounting):
   (``png_decode``), and ``synth_variant_images`` mixes PNG and PPM
   encodings of the same pixels so the visual-dedup family proves the
   two decoders agree byte-exactly.
-* The remaining COMPRESSED formats (jpeg/mp4/...) need Pillow/cv2/
-  ffmpeg, which are NOT in this container — those paths raise
-  ``NotImplementedError`` at the decode call (clearly marked below),
-  which is where the real library call plugs in. ``decode_stub=True``
-  substitutes a deterministic fake so the Ray-side plumbing stays
-  exercised.
+* JPEG is REAL (``functions/jpeg.py`` — from-scratch baseline
+  huffman+DCT codec), GIF is REAL (``codecs.decode_gif`` — LZW), and
+  VIDEO is REAL for YUV4MPEG2 and MJPEG-AVI (``functions/video.py`` —
+  from-the-spec stream/RIFF containers; the mixed media table's video
+  third is genuine Y4M whose planes are closed-form in doc_id, so
+  video decode is on the DuckDB hash path too).
+* Only formats needing external codecs this container lacks
+  (webp/avif/H.264-MP4/...) raise ``NotImplementedError`` at the
+  decode call (clearly marked below), which is where Pillow/cv2/
+  ffmpeg plugs in. ``decode_stub=True`` substitutes a deterministic
+  fake so the Ray-side plumbing stays exercised regardless.
 
 Scale notes: binary payloads are large → run these stages with a SMALL
 ``batch_size`` (16-64) and let ``DataContext.target_max_block_size``
@@ -139,10 +144,12 @@ class ImageFeatures:
 
 class MediaFeatures:
     """Actor-pool stage over a MIXED media table: dispatch on the typed
-    metadata and decode what the container really can — PPM/BMP images
-    → decoded width/height, PCM WAV audio → decoded duration — leaving
-    NULLs for the stubbed compressed formats (video here). The decoded
-    columns are the oracle-checked proof the decode path runs."""
+    metadata and decode what the container really can — images
+    (PPM/BMP/PNG/GIF/JPEG) → decoded width/height, PCM WAV audio →
+    decoded duration, Y4M video → decoded dims + frame-count duration
+    — leaving NULLs only for formats whose codecs this container
+    genuinely lacks. The decoded columns are the oracle-checked proof
+    the decode path runs."""
 
     def __init__(self, media_col: str = "media", meta_col: str = "meta"):
         self.media_col = media_col
@@ -155,7 +162,8 @@ class MediaFeatures:
         heights: list[int | None] = []
         durations: list[int | None] = []
         for data, meta in zip(payloads, metas):
-            mt = (meta or {}).get("media_type")
+            meta = meta or {}
+            mt = meta.get("media_type")
             w = h = d = None
             if mt == "image":
                 img = decode_image(data or b"")
@@ -163,7 +171,14 @@ class MediaFeatures:
                 w, h = int(w_), int(h_)
             elif mt == "audio":
                 d = wav_duration_ms(data or b"")
-            # video: compressed (mp4) — decode stays stubbed, NULLs out
+            elif mt == "video" and meta.get("format") == "y4m":
+                from .video import decode_y4m
+                frames, (num, den) = decode_y4m(data or b"")
+                t, h_, w_ = frames.shape[:3]
+                w, h = int(w_), int(h_)
+                d = t * 1000 * den // num
+            # other video containers (H.264 mp4 etc.): no codec in
+            # this container — decode stays stubbed, NULLs out
             widths.append(w)
             heights.append(h)
             durations.append(d)
@@ -282,9 +297,13 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
       + 3*w*h;
     * audio (doc_id%3==1): mono 16-bit WAV @ 1000 Hz,
       duration_ms = 1000 + doc_id%5000 → n_bytes = 44 + 2*duration_ms;
-    * video (doc_id%3==2): opaque 256-byte blob (compressed-format
-      stand-in; decode stays stubbed).
+    * video (doc_id%3==2): REAL YUV4MPEG2 clip (functions/video.py)
+      with the synth_y4m_batch closed-form planes over
+      w = 4 + doc_id%9, h = 3 + doc_id%6, n = 3 + doc_id%5 frames
+      @ 25 fps → duration_ms = 40*n, n_bytes = 33 + digits(w)
+      + digits(h) + n*(6 + 3*w*h).
     """
+    from .video import _y4m_dims, encode_y4m
     doc_ids = batch.column("doc_id").to_pylist()
     payloads: list[bytes] = []
     metas: list[dict] = []
@@ -305,12 +324,21 @@ def synth_media_batch(batch: pa.Table) -> pa.Table:
                           "width": None, "height": None,
                           "duration_ms": duration_ms})
         else:
-            blob = hashlib.blake2b(f"{doc_id}:video".encode(),
-                                   digest_size=32).digest() * 8
-            payloads.append(blob)
-            metas.append({"media_type": "video", "format": "mp4",
-                          "width": None, "height": None,
-                          "duration_ms": 1000 + doc_id % 5000})
+            w, h, n, cut = _y4m_dims(doc_id)
+            x = np.arange(w)[None, None, :]
+            y = np.arange(h)[None, :, None]
+            t = np.arange(n)[:, None, None]
+            frames = np.stack([
+                (doc_id + 3 * x + 7 * y + 11 * t
+                 + 128 * (t >= cut)) % 256,
+                (2 * doc_id + 5 * x + y + 17 * t) % 256,
+                (3 * doc_id + x + 9 * y + 23 * t) % 256,
+            ], axis=3).astype(np.uint8)
+            payloads.append(encode_y4m(frames, rate=(25, 1),
+                                       colorspace="444"))
+            metas.append({"media_type": "video", "format": "y4m",
+                          "width": w, "height": h,
+                          "duration_ms": 40 * n})
     return pa.table({
         "media_id": batch.column("doc_id"),
         "media": pa.array(payloads, pa.binary()),

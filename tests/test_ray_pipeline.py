@@ -241,8 +241,10 @@ def test_multimodal_real_decode(ray_session, documents_path):
         elif did % 3 == 1:
             assert r["decoded_duration_ms"] == 1000 + did % 5000
         else:
-            assert r["decoded_width"] is None or \
-                r["decoded_width"] != r["decoded_width"]
+            # video third is REAL Y4M now: dims + 25fps duration decode
+            assert r["decoded_width"] == 4 + did % 9
+            assert r["decoded_height"] == 3 + did % 6
+            assert r["decoded_duration_ms"] == 40 * (3 + did % 5)
 
     # ImageFeatures with the real decoder: variable-size images in,
     # fixed 16-dim features out

@@ -4844,6 +4844,121 @@ def _q_q21_waiting(sf_dir: str):
                     descending=[True, False]).limit(100)
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic WEIGHTED sampling without replacement
+    (functions/splits.weighted_topk_sample) — the data-mixing draw
+    (pick k docs ∝ weight) as an exponential-race over hash clocks:
+    each row's key is the min of ``weight`` md5 draws, global k
+    smallest win. Pairwise win odds are w/(w+v) (Efraimidis–Spirakis
+    semantics) with NO float ln/pow on the compare path, so the
+    DuckDB replay is bit-exact. Weight here: 1 + n_chars % 32."""
+    import ray.data as rd
+    from ksoup_ray.functions.splits import weighted_topk_sample
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+
+    def w(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "weight": pa.array(1 + (n % 32), pa.int64())})
+
+    return weighted_topk_sample(ds.map_batches(w,
+                                               batch_format="pyarrow"),
+                                k=100)
+
+
+def _q_blocklist_hits(sf_dir: str):
+    """Blocklist phrase matching (functions/curation.blocklist_match,
+    ``substring`` engine — one Arrow count_substring kernel pass per
+    pattern): one row per (doc, banned phrase) with the
+    non-overlapping occurrence count. The ``aho`` engine (from-scratch
+    Aho–Corasick, the 10^5-pattern scale path) is pytest-pinned equal
+    to this oracle-checked path."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import blocklist_match
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return blocklist_match(ds, patterns=BLOCKLIST_PATTERNS,
+                           engine="substring")
+
+
+BLOCKLIST_PATTERNS = ["batch batch", "slow join", "window window",
+                      "spark", "dup", "merge part"]
+
+
+def _q_robots_filter(sf_dir: str):
+    """Crawl-politeness gate: per-host robots.txt (rendered
+    deterministically per source host, PARSED by the real RFC 9309
+    group-selection parser — functions/urls.parse_robots picks the
+    ``*`` group over the decoy ``trainbot`` group) applied to every
+    URL with longest-prefix-wins / Allow-wins-ties semantics
+    (functions/urls.robots_decide). The bounded host→rules table is
+    closure-broadcast; the URL side is one vectorized starts_with
+    pass per rule, no shuffle. A parser or tie-rule bug changes
+    decisions and breaks the hash."""
+    import ray.data as rd
+    from ksoup_ray.functions.urls import parse_robots, robots_decide
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "source"])
+
+    # bounded host list (sources are an enumerated handful) — one
+    # distinct aggregate, then render + parse robots.txt per host
+    hosts = sorted(
+        r["source"]
+        for r in ds.groupby("source").count().take_all())
+    rules_by_host = {}
+    for src in hosts:
+        h = int(src[3:])
+        txt = (f"# synthetic robots for {src}\n"
+               "User-agent: trainbot\n"
+               "Disallow: /tmp\n"
+               "\n"
+               "User-agent: *\n"
+               f"Crawl-delay: {1 + h % 3}\n"
+               "Disallow: /private\n")
+        if h % 2 == 0:
+            txt += "Allow: /private/pub\n"
+        if h % 5 == 0:
+            txt += "Disallow: /\n"
+        rules_by_host[src] = parse_robots(txt)
+
+    def to_urls(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        paths = []
+        for d, lang in zip(ids, langs):
+            v = d % 4
+            if v == 0:
+                paths.append(f"/private/pub/{d}")
+            elif v == 1:
+                paths.append(f"/private/{d}")
+            elif v == 2:
+                paths.append(f"/public/{d}")
+            else:
+                paths.append(f"/{lang}/{d}")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "host": batch.column("source"),
+            "path": pa.array(paths, pa.string())})
+
+    urls = ds.map_batches(to_urls, batch_format="pyarrow")
+    decided = robots_decide(urls, rules_by_host)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        full = pc.binary_join_element_wise(
+            "https://", batch.column("host").cast(pa.string()),
+            ".synth.invalid", batch.column("path").cast(pa.string()),
+            "")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "url": full,
+            "matched_rule": batch.column("matched_rule"),
+            "allowed": batch.column("allowed")})
+
+    return decided.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -5041,6 +5156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting": _q_q21_waiting,
         "hits_2iter": _q_hits_2iter,
         "knn_graph": _q_knn_graph,
+        "weighted_sample": _q_weighted_sample,
+        "blocklist_hits": _q_blocklist_hits,
+        "robots_filter": _q_robots_filter,
     }
 
 
@@ -8005,5 +8123,88 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings b ON a.vec_id <> b.vec_id)
             SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
             FROM ranked WHERE rnk <= 5
+        """,
+        "weighted_sample": """
+            -- exponential-race weighted draw replayed verbatim:
+            -- key = min over j < weight of md5(id || ':' || j),
+            -- global 100 smallest (key, id) win
+            WITH w AS (
+              SELECT doc_id, 1 + n_chars % 32 AS weight
+              FROM documents),
+            keys AS (
+              SELECT w.doc_id, w.weight,
+                     MIN(md5(CAST(w.doc_id AS VARCHAR) || ':'
+                             || CAST(j.r AS VARCHAR))) AS race_key
+              FROM w JOIN (SELECT UNNEST(range(32)) AS r) j
+                ON j.r < w.weight
+              GROUP BY w.doc_id, w.weight)
+            SELECT doc_id, CAST(weight AS BIGINT) AS weight, race_key,
+                   CAST(ROW_NUMBER() OVER (ORDER BY race_key, doc_id)
+                        AS BIGINT) AS rank
+            FROM keys
+            QUALIFY rank <= 100
+        """,
+        "blocklist_hits": """
+            -- non-overlapping substring counts per (doc, phrase):
+            -- LENGTH/REPLACE greedy-left-to-right semantics match the
+            -- Arrow count_substring kernel exactly
+            SELECT doc_id, pattern, n FROM (
+              SELECT d.doc_id, p.pattern,
+                     CAST((LENGTH(d.text)
+                           - LENGTH(REPLACE(d.text, p.pattern, '')))
+                          / LENGTH(p.pattern) AS BIGINT) AS n
+              FROM documents d
+              CROSS JOIN (VALUES ('batch batch'), ('slow join'),
+                                 ('window window'), ('spark'),
+                                 ('dup'), ('merge part'))
+                         p(pattern))
+            WHERE n > 0
+        """,
+        "robots_filter": """
+            -- per-host robots rules (the * group of the synthetic
+            -- robots.txt) applied longest-prefix-wins, Allow wins
+            -- ties, no match => allowed
+            WITH hosts AS (
+              SELECT DISTINCT source,
+                     CAST(substr(source, 4) AS INTEGER) AS h
+              FROM documents),
+            rules AS (
+              SELECT source, FALSE AS allow, '/private' AS prefix
+              FROM hosts
+              UNION ALL
+              SELECT source, TRUE, '/private/pub' FROM hosts
+              WHERE h % 2 = 0
+              UNION ALL
+              SELECT source, FALSE, '/' FROM hosts WHERE h % 5 = 0),
+            urls AS (
+              SELECT doc_id, source,
+                     CASE doc_id % 4
+                       WHEN 0 THEN '/private/pub/'
+                                   || CAST(doc_id AS VARCHAR)
+                       WHEN 1 THEN '/private/'
+                                   || CAST(doc_id AS VARCHAR)
+                       WHEN 2 THEN '/public/'
+                                   || CAST(doc_id AS VARCHAR)
+                       ELSE '/' || lang || '/'
+                            || CAST(doc_id AS VARCHAR)
+                     END AS path
+              FROM documents),
+            decided AS (
+              SELECT u.doc_id, r.prefix, r.allow,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY u.doc_id
+                       ORDER BY 2 * LENGTH(r.prefix)
+                                + CAST(r.allow AS INTEGER) DESC) AS rn
+              FROM urls u
+              JOIN rules r ON u.source = r.source
+                          AND starts_with(u.path, r.prefix))
+            SELECT u.doc_id,
+                   'https://' || u.source || '.synth.invalid'
+                   || u.path AS url,
+                   d.prefix AS matched_rule,
+                   COALESCE(d.allow, TRUE) AS allowed
+            FROM urls u
+            LEFT JOIN (SELECT * FROM decided WHERE rn = 1) d
+              USING (doc_id)
         """,
     }

@@ -184,6 +184,15 @@ def run_secondary(sf_dir: str) -> dict:
     out["simhash_pairs"] = time.time() - t0
 
     t0 = time.time()
+    from ksoup_ray.functions.curation import blocklist_match
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    blocklist_match(ds, patterns=["batch batch", "slow join",
+                                  "window window", "spark", "dup",
+                                  "merge part"]).count()
+    out["blocklist"] = time.time() - t0
+
+    t0 = time.time()
     from ksoup_ray.pipelines.curate import curate_documents
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])

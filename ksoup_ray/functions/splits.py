@@ -114,3 +114,63 @@ def topk_hash_sample(ds, *, key_col: str = "lang",
             .map_batches(local_topk, batch_format="pyarrow")
             .groupby(key_col)
             .map_groups(merge_topk, batch_format="pandas"))
+
+
+def weighted_topk_sample(ds, *, id_col: str = "doc_id",
+                         weight_col: str = "weight", k: int = 100,
+                         max_weight: int = 64):
+    """EXACT-size deterministic WEIGHTED sample without replacement —
+    the data-mixing primitive (upweight high-quality sources, sample
+    k docs ∝ weight) done so the draw is a pure function of the ids.
+
+    Semantics: exponential-race sampling discretized onto hashes —
+    each row holds ``weight`` (integer, ≥1) independent race clocks
+    ``md5(f"{id}:{j}")`` for ``j < weight`` and its key is the
+    MINIMUM; the global k smallest keys win. Pairwise,
+    P(min of w uniforms < min of v uniforms) = w/(w+v), the
+    Efraimidis–Spirakis weighted-sampling race with the float
+    ``u^(1/w)`` key replaced by a discrete clock a SQL oracle can
+    recompute verbatim (``min(md5(id || ':' || j))`` over
+    ``range(weight)``) — no libm ``ln``/``pow`` whose last-ulp
+    differences between numpy and DuckDB could flip an ordering.
+
+    Scale shape: the per-row key costs ``weight`` C-backed md5 calls
+    (``max_weight`` caps it; raise deliberately), each block prunes
+    to its local k smallest (lossless — a key deeper than block-local
+    rank k can never reach the global top-k), and only those ≤
+    k-per-block survivors ride the single bounded merge. Returns
+    (id, weight, race_key, rank) with rank 1..k by (race_key, id)."""
+    import pandas as pd
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        ws = batch.column(weight_col).to_pylist()
+        keys = []
+        for i, w in zip(ids, ws):
+            w = int(w)
+            if w < 1 or w > max_weight:
+                raise ValueError(
+                    f"weight {w} outside [1, {max_weight}] for id "
+                    f"{i}; raise max_weight deliberately")
+            keys.append(min(
+                hashlib.md5(f"{i}:{j}".encode()).hexdigest()
+                for j in range(w)))
+        df = pd.DataFrame({id_col: ids, "weight": ws,
+                           "race_key": keys})
+        df["weight"] = df["weight"].astype(np.int64)
+        df = df.sort_values(["race_key", id_col]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge_topk(group: "pd.DataFrame") -> "pd.DataFrame":
+        g = group.sort_values(["race_key", id_col]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[[id_col, "weight", "race_key", "rank"]]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.zeros(batch.num_rows, np.int8)))
+
+    return (ds.map_batches(local_topk, batch_format="pyarrow")
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("_one")
+            .map_groups(merge_topk, batch_format="pandas"))

@@ -70,3 +70,90 @@ def canonicalize_urls(ds, *, url_col: str = "url",
             out_col, pa.array(canon.to_numpy(dtype=object), pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def parse_robots(txt: str, *, agent: str = "ksoupbot") \
+        -> list[tuple[bool, str]]:
+    """Parse a robots.txt body into the (allow, path_prefix) rules
+    that apply to ``agent`` — the REP group-selection algorithm
+    (RFC 9309 §2.2.1): rules come from the most specific matching
+    ``User-agent`` group (exact token match beats ``*``; consecutive
+    UA lines share one group); unknown directives (Crawl-delay,
+    Sitemap) and comments are ignored; empty Disallow means
+    allow-everything and contributes no rule."""
+    agent = agent.lower()
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[bool, str]] = []
+    in_agents = True
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_agents and cur_agents:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+            cur_agents.append(val.lower())
+            in_agents = True
+        elif key in ("allow", "disallow"):
+            in_agents = False
+            if val:
+                cur_rules.append((key == "allow", val))
+        else:                      # crawl-delay, sitemap, unknown
+            in_agents = False
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+    exact = [r for agents, r in groups if agent in agents]
+    if exact:
+        return exact[0]
+    star = [r for agents, r in groups if "*" in agents]
+    return star[0] if star else []
+
+
+def robots_decide(ds, rules_by_host: dict[str, list[tuple[bool, str]]],
+                  *, host_col: str = "host", path_col: str = "path"):
+    """Apply per-host robots rules to a URL table: longest-matching
+    prefix wins; on equal length Allow wins (Google/RFC 9309 tie
+    rule); no matching rule ⇒ allowed. Appends (matched_rule,
+    allowed).
+
+    Scale shape: the rule table is host-bounded and SMALL next to the
+    URL corpus — callers broadcast it once (``ray.put`` /
+    closure-capture) and the decision is a per-batch loop over RULES
+    (bounded), each a vectorized ``starts_with`` + host-equality mask
+    over the whole column; the URL side never shuffles. Score
+    encoding: ``2*len(prefix) + allow`` maximized per row makes the
+    tie rule an integer argmax."""
+    flat = [(h, allow, prefix)
+            for h, rules in sorted(rules_by_host.items())
+            for allow, prefix in rules]
+
+    def decide(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+        n = batch.num_rows
+        hosts = batch.column(host_col)
+        paths = batch.column(path_col)
+        best_score = np.full(n, -1, np.int64)
+        best_idx = np.full(n, -1, np.int64)
+        for ri, (h, allow, prefix) in enumerate(flat):
+            m = pc.and_(pc.equal(hosts, h),
+                        pc.starts_with(paths, prefix)) \
+                .to_numpy(zero_copy_only=False)
+            m = np.asarray(m, bool)
+            score = 2 * len(prefix) + int(allow)
+            upd = m & (score > best_score)
+            best_score[upd] = score
+            best_idx[upd] = ri
+        matched = [flat[i][2] if i >= 0 else None for i in best_idx]
+        allowed = [bool(flat[i][1]) if i >= 0 else True
+                   for i in best_idx]
+        return batch.append_column(
+            "matched_rule", pa.array(matched, pa.string())) \
+            .append_column("allowed", pa.array(allowed, pa.bool_()))
+
+    return ds.map_batches(decide, batch_format="pyarrow")

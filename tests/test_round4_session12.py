@@ -1,0 +1,167 @@
+"""Unit tests for the session-12 operators: weighted sampling via
+hash race clocks, Aho–Corasick blocklist matching (both engines),
+and robots.txt parsing + longest-prefix decisions."""
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+
+def _race_key(i, w):
+    return min(hashlib.md5(f"{i}:{j}".encode()).hexdigest()
+               for j in range(w))
+
+
+def test_weighted_sample_matches_bruteforce(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.splits import weighted_topk_sample
+
+    rows = [{"doc_id": i, "weight": 1 + (i * 7) % 9}
+            for i in range(200)]
+    out = weighted_topk_sample(
+        rd.from_items(rows).repartition(7), k=25).to_pandas()
+    expect = sorted(((_race_key(r["doc_id"], r["weight"]),
+                      r["doc_id"], r["weight"]) for r in rows))[:25]
+    got = out.sort_values("rank")
+    assert list(got["doc_id"]) == [d for _, d, _ in expect]
+    assert list(got["race_key"]) == [k for k, _, _ in expect]
+    assert list(got["weight"]) == [w for _, _, w in expect]
+    assert list(got["rank"]) == list(range(1, 26))
+
+
+def test_weighted_sample_partition_invariance(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.splits import weighted_topk_sample
+
+    rows = [{"doc_id": i, "weight": 1 + i % 5} for i in range(120)]
+    a = weighted_topk_sample(rd.from_items(rows).repartition(2),
+                             k=10).to_pandas().sort_values("rank")
+    b = weighted_topk_sample(rd.from_items(rows).repartition(13),
+                             k=10).to_pandas().sort_values("rank")
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert list(a["race_key"]) == list(b["race_key"])
+
+
+def test_weighted_sample_rejects_bad_weight(ray_session):
+    import ray.data as rd
+    from ray.exceptions import RayTaskError
+    from ksoup_ray.functions.splits import weighted_topk_sample
+
+    ds = rd.from_items([{"doc_id": 1, "weight": 0}])
+    with pytest.raises((ValueError, RayTaskError)):
+        weighted_topk_sample(ds, k=5).to_pandas()
+
+
+def test_aho_corasick_classic_hers():
+    from ksoup_ray.functions.curation import AhoCorasick
+
+    ac = AhoCorasick(["he", "she", "his", "hers"])
+    text = "ushers"
+    hits = sorted((pi, end) for end, pi in ac.iter_matches(text))
+    # she ends at 4, he ends at 4, hers ends at 6
+    by_pat = {}
+    for end, pi in ac.iter_matches(text):
+        by_pat.setdefault(ac.patterns[pi], []).append(end)
+    assert by_pat == {"she": [4], "he": [4], "hers": [6]}
+    assert hits  # sanity
+
+
+def test_aho_counts_equal_str_count_property():
+    from ksoup_ray.functions.curation import AhoCorasick
+
+    pats = ["a", "ab", "aa", "aba", "bb"]
+    ac = AhoCorasick(pats)
+    import random
+    rng = random.Random(42)
+    for _ in range(300):
+        s = "".join(rng.choice("ab") for _ in range(rng.randint(0, 30)))
+        got = ac.count_nonoverlapping(s)
+        for pi, p in enumerate(pats):
+            # str.count is non-overlapping greedy left-to-right
+            assert got.get(pi, 0) == s.count(p), (s, p)
+
+
+def test_blocklist_engines_agree(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.curation import blocklist_match
+
+    pats = ["batch batch", "spark", "dup", "slow join"]
+    rows = [
+        {"doc_id": 0, "text": "batch batch batch spark and spark"},
+        {"doc_id": 1, "text": "no hits here"},
+        {"doc_id": 2, "text": "dup dup slow join dup"},
+        {"doc_id": 3, "text": ""},
+    ]
+    ds = rd.from_items(rows).repartition(2)
+    a = blocklist_match(ds, patterns=pats, engine="substring") \
+        .to_pandas().sort_values(["doc_id", "pattern"]) \
+        .reset_index(drop=True)
+    b = blocklist_match(ds, patterns=pats, engine="aho") \
+        .to_pandas().sort_values(["doc_id", "pattern"]) \
+        .reset_index(drop=True)
+    assert a.equals(b)
+    byk = {(r.doc_id, r.pattern): r.n for r in a.itertuples()}
+    # 'batch batch batch' -> ONE non-overlapping 'batch batch'
+    assert byk[(0, "batch batch")] == 1
+    assert byk[(0, "spark")] == 2
+    assert byk[(2, "dup")] == 3
+    assert byk[(2, "slow join")] == 1
+    assert (1 not in {k for k, _ in byk}) and (3 not in
+                                               {k for k, _ in byk})
+
+
+def test_parse_robots_group_selection():
+    from ksoup_ray.functions.urls import parse_robots
+
+    txt = (
+        "# comment\n"
+        "User-agent: trainbot\n"
+        "Disallow: /tmp\n"
+        "\n"
+        "User-agent: otherbot\n"
+        "User-agent: ksoupbot\n"
+        "Crawl-delay: 9\n"
+        "Disallow: /mine\n"
+        "Allow: /mine/ok\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n")
+    # exact agent match beats '*'; consecutive UA lines share a group
+    assert parse_robots(txt, agent="ksoupbot") == [
+        (False, "/mine"), (True, "/mine/ok")]
+    assert parse_robots(txt, agent="OTHERBOT") == [
+        (False, "/mine"), (True, "/mine/ok")]
+    # unknown agent falls back to '*'
+    assert parse_robots(txt, agent="nobody") == [(False, "/")]
+    # empty Disallow contributes no rule
+    assert parse_robots("User-agent: *\nDisallow:\n") == []
+    # no matching group at all
+    assert parse_robots("User-agent: x\nDisallow: /a\n",
+                        agent="y") == []
+
+
+def test_robots_decide_longest_prefix_allow_ties(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.urls import robots_decide
+
+    rules = {"h1": [(False, "/private"), (True, "/private/pub"),
+                    (False, "/private/pub")],   # tie -> Allow wins
+             "h2": [(False, "/")]}
+    rows = [
+        {"doc_id": 0, "host": "h1", "path": "/private/pub/x"},
+        {"doc_id": 1, "host": "h1", "path": "/private/secret"},
+        {"doc_id": 2, "host": "h1", "path": "/open"},
+        {"doc_id": 3, "host": "h2", "path": "/anything"},
+        {"doc_id": 4, "host": "h3", "path": "/private/pub/x"},
+    ]
+    out = robots_decide(rd.from_items(rows), rules) \
+        .to_pandas().set_index("doc_id")
+    assert bool(out.loc[0, "allowed"]) is True          # tie -> Allow
+    assert out.loc[0, "matched_rule"] == "/private/pub"
+    assert bool(out.loc[1, "allowed"]) is False
+    assert out.loc[1, "matched_rule"] == "/private"
+    assert bool(out.loc[2, "allowed"]) is True          # no match
+    assert out.loc[2, "matched_rule"] is None
+    assert bool(out.loc[3, "allowed"]) is False
+    assert bool(out.loc[4, "allowed"]) is True          # unknown host

@@ -4844,6 +4844,22 @@ def _q_q21_waiting(sf_dir: str):
                     descending=[True, False]).limit(100)
 
 
+def _q_bpe_learn(sf_dir: str):
+    """BPE tokenizer TRAINING, 3 merge rounds end-to-end
+    (functions/curation.bpe_learn) — the iterative trainer put on the
+    VALUE-CHECKED path: each round one corpus pass (per-batch word
+    dedup + merge application + bounded pair-partial combine), argmax
+    adopted with the (count desc, pair asc) tie rule. The DuckDB
+    oracle replays all 3 rounds, including greedy left-to-right merge
+    application via the run-parity window rule, so a wrong tie-break,
+    overlap handling, or stale-merge bug breaks the hash."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import bpe_learn
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    return bpe_learn(ds, rounds=3)
+
+
 def _q_weighted_sample(sf_dir: str):
     """Deterministic WEIGHTED sampling without replacement
     (functions/splits.weighted_topk_sample) — the data-mixing draw
@@ -5157,6 +5173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_2iter": _q_hits_2iter,
         "knn_graph": _q_knn_graph,
         "weighted_sample": _q_weighted_sample,
+        "bpe_learn": _q_bpe_learn,
         "blocklist_hits": _q_blocklist_hits,
         "robots_filter": _q_robots_filter,
     }
@@ -8123,6 +8140,93 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings b ON a.vec_id <> b.vec_id)
             SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
             FROM ranked WHERE rnk <= 5
+        """,
+        "bpe_learn": """
+            -- replay 3 BPE training rounds: pair counts from
+            -- word-frequency-weighted adjacent tokens; greedy
+            -- left-to-right merge application = run-parity rule
+            -- (within each run of consecutive matched positions the
+            -- 1st, 3rd, ... win), expressed with window functions
+            WITH words AS (
+              SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),
+            wc AS (SELECT w, COUNT(*) AS c FROM words WHERE w <> '' GROUP BY w),
+            t0 AS (
+              SELECT w, c, CAST(i AS INTEGER) AS pos,
+                     substr(w, CAST(i AS INTEGER), 1) AS tok
+              FROM wc, UNNEST(range(1, LENGTH(w) + 1)) AS t(i)),
+            a1 AS (
+              SELECT l, r, SUM(c) AS n FROM (
+                SELECT tok AS l, LEAD(tok) OVER (PARTITION BY w ORDER BY pos) AS r, c
+                FROM t0) WHERE r IS NOT NULL GROUP BY l, r),
+            m1 AS (SELECT l, r, n FROM a1 ORDER BY n DESC, l, r LIMIT 1),
+            mk1 AS (
+              SELECT t0.w, t0.c, t0.pos, t0.tok,
+                     (t0.tok = m1.l AND
+                      LEAD(t0.tok) OVER (PARTITION BY t0.w ORDER BY t0.pos) = m1.r)
+                     AS is_mark
+              FROM t0 CROSS JOIN m1),
+            sel1 AS (
+              SELECT w, pos FROM (
+                SELECT w, pos,
+                       ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY pos) AS off
+                FROM (SELECT w, pos,
+                             pos - ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos)
+                               AS grp
+                      FROM mk1 WHERE is_mark))
+              WHERE off % 2 = 1),
+            t1 AS (
+              SELECT w, c, ROW_NUMBER() OVER (PARTITION BY w ORDER BY opos) AS pos,
+                     tok
+              FROM (
+                SELECT t.w, t.c, t.pos AS opos,
+                       CASE WHEN s.pos IS NOT NULL
+                            THEN (SELECT l || r FROM m1) ELSE t.tok END AS tok
+                FROM mk1 t
+                LEFT JOIN sel1 s ON s.w = t.w AND s.pos = t.pos
+                LEFT JOIN sel1 sp ON sp.w = t.w AND sp.pos = t.pos - 1
+                WHERE sp.pos IS NULL)),
+            a2 AS (
+              SELECT l, r, SUM(c) AS n FROM (
+                SELECT tok AS l, LEAD(tok) OVER (PARTITION BY w ORDER BY pos) AS r, c
+                FROM t1) WHERE r IS NOT NULL GROUP BY l, r),
+            m2 AS (SELECT l, r, n FROM a2 ORDER BY n DESC, l, r LIMIT 1),
+            mk2 AS (
+              SELECT t1.w, t1.c, t1.pos, t1.tok,
+                     (t1.tok = m2.l AND
+                      LEAD(t1.tok) OVER (PARTITION BY t1.w ORDER BY t1.pos) = m2.r)
+                     AS is_mark
+              FROM t1 CROSS JOIN m2),
+            sel2 AS (
+              SELECT w, pos FROM (
+                SELECT w, pos,
+                       ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY pos) AS off
+                FROM (SELECT w, pos,
+                             pos - ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos)
+                               AS grp
+                      FROM mk2 WHERE is_mark))
+              WHERE off % 2 = 1),
+            t2 AS (
+              SELECT w, c, ROW_NUMBER() OVER (PARTITION BY w ORDER BY opos) AS pos,
+                     tok
+              FROM (
+                SELECT t.w, t.c, t.pos AS opos,
+                       CASE WHEN s.pos IS NOT NULL
+                            THEN (SELECT l || r FROM m2) ELSE t.tok END AS tok
+                FROM mk2 t
+                LEFT JOIN sel2 s ON s.w = t.w AND s.pos = t.pos
+                LEFT JOIN sel2 sp ON sp.w = t.w AND sp.pos = t.pos - 1
+                WHERE sp.pos IS NULL)),
+            a3 AS (
+              SELECT l, r, SUM(c) AS n FROM (
+                SELECT tok AS l, LEAD(tok) OVER (PARTITION BY w ORDER BY pos) AS r, c
+                FROM t2) WHERE r IS NOT NULL GROUP BY l, r),
+            m3 AS (SELECT l, r, n FROM a3 ORDER BY n DESC, l, r LIMIT 1)
+            SELECT CAST(step AS BIGINT) AS step, lhs, rhs, CAST(n AS BIGINT) AS n
+            FROM (
+              SELECT 1 AS step, l AS lhs, r AS rhs, n FROM m1
+              UNION ALL SELECT 2, l, r, n FROM m2
+              UNION ALL SELECT 3, l, r, n FROM m3)
+            ORDER BY step
         """,
         "weighted_sample": """
             -- exponential-race weighted draw replayed verbatim:

@@ -1567,3 +1567,92 @@ def blocklist_match(ds, *, text_col: str = "text",
 
     return ds.map_batches(AhoStage, batch_format="pyarrow",
                           concurrency=(1, 4))
+
+
+def _apply_bpe_merges(word: str, merges: list[tuple[str, str]]) \
+        -> list[str]:
+    """Greedy left-to-right application of ``merges`` IN ORDER to a
+    word's character sequence — one full pass per merge, a matched
+    pair consumed and scanning resumed AFTER it (so in a run of
+    overlapping matches the 1st, 3rd, ... win: the run-parity rule
+    the SQL oracle replays with window functions)."""
+    toks: list[str] = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        i = 0
+        n = len(toks)
+        while i < n:
+            if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def bpe_learn(ds, *, text_col: str = "text", rounds: int = 3):
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) for a
+    fixed number of merge rounds — the step beyond
+    :func:`bpe_pair_counts`' single statistic: each round counts
+    adjacent token pairs over the whole corpus (with all merges so
+    far applied), adopts the argmax (count desc, pair asc), and the
+    next round re-tokenizes with the grown merge list. Returns a
+    pandas DataFrame (step, lhs, rhs, n) — one row per adopted merge.
+
+    Scale shape per round: ONE streaming pass over the corpus; each
+    batch dedups its words (np.unique — Zipf makes distinct words per
+    batch ≪ tokens), applies the ≤ ``rounds`` merges to the distinct
+    words only, and emits a map-side-combined (lhs, rhs, partial)
+    table bounded by the token-pair vocabulary; the groupby shuffles
+    only those bounded partials and the driver holds one aggregated
+    pair table per round (same contract as ``ngram_topk``). Merges
+    broadcast via closure (a handful of strings). ``rounds``
+    sequential passes total — the trainer is inherently iterative;
+    at 100 TB you cache the word-count table once and iterate over
+    THAT (a vocab-bounded dataset), which this shape degrades to
+    when ``ds`` is already a (word, count) table."""
+    from ray.data.aggregate import Sum
+
+    merges: list[tuple[str, str]] = []
+    out_rows = []
+    for step in range(1, rounds + 1):
+        frozen = list(merges)
+
+        def pair_partials(batch: pa.Table,
+                          _m=frozen) -> pa.Table:
+            texts = batch.column(text_col).to_pylist()
+            all_words = " ".join(t or "" for t in texts).split(" ")
+            words, counts = np.unique(
+                [w for w in all_words if w], return_counts=True)
+            acc: dict[tuple[str, str], int] = {}
+            for w, cnt in zip(words, counts):
+                toks = _apply_bpe_merges(w, _m)
+                for a, b in zip(toks, toks[1:]):
+                    acc[(a, b)] = acc.get((a, b), 0) + int(cnt)
+            if not acc:
+                return pa.table({"lhs": pa.array([], pa.string()),
+                                 "rhs": pa.array([], pa.string()),
+                                 "partial": pa.array([], pa.int64())})
+            ks = list(acc)
+            return pa.table({
+                "lhs": pa.array([k[0] for k in ks], pa.string()),
+                "rhs": pa.array([k[1] for k in ks], pa.string()),
+                "partial": pa.array([acc[k] for k in ks], pa.int64()),
+            })
+
+        folded = (ds.map_batches(pair_partials, batch_format="pyarrow")
+                  .groupby(["lhs", "rhs"])
+                  .aggregate(Sum("partial", alias_name="n"))
+                  .to_pandas())
+        if folded.empty:
+            break
+        folded = folded.sort_values(["n", "lhs", "rhs"],
+                                    ascending=[False, True, True])
+        top = folded.iloc[0]
+        merges.append((str(top["lhs"]), str(top["rhs"])))
+        out_rows.append((step, str(top["lhs"]), str(top["rhs"]),
+                         int(top["n"])))
+    df = pd.DataFrame(out_rows, columns=["step", "lhs", "rhs", "n"])
+    return df.astype({"step": np.int64, "n": np.int64})

@@ -165,3 +165,53 @@ def test_robots_decide_longest_prefix_allow_ties(ray_session):
     assert out.loc[2, "matched_rule"] is None
     assert bool(out.loc[3, "allowed"]) is False
     assert bool(out.loc[4, "allowed"]) is True          # unknown host
+
+
+def test_apply_bpe_merges_run_parity():
+    from ksoup_ray.functions.curation import _apply_bpe_merges
+
+    # greedy left-to-right in same-pair runs: 1st, 3rd, ... win
+    assert _apply_bpe_merges("aaaa", [("a", "a")]) == ["aa", "aa"]
+    assert _apply_bpe_merges("aaa", [("a", "a")]) == ["aa", "a"]
+    assert _apply_bpe_merges("ababa", [("a", "b")]) == \
+        ["ab", "ab", "a"]
+    # merges apply IN ORDER, later merges see earlier tokens
+    assert _apply_bpe_merges("abab", [("a", "b"), ("ab", "ab")]) == \
+        ["abab"]
+    # a merge never crosses what an earlier merge consumed
+    assert _apply_bpe_merges("abc", [("b", "c"), ("a", "b")]) == \
+        ["a", "bc"]
+
+
+def _brute_bpe(texts, rounds):
+    from ksoup_ray.functions.curation import _apply_bpe_merges
+    from collections import Counter
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    merges, rows = [], []
+    for step in range(1, rounds + 1):
+        pairs = Counter()
+        for w, c in wc.items():
+            toks = _apply_bpe_merges(w, merges)
+            for a, b in zip(toks, toks[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (a, b), n = sorted(pairs.items(),
+                           key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((a, b))
+        rows.append((step, a, b, n))
+    return rows
+
+
+def test_bpe_learn_matches_bruteforce(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.curation import bpe_learn
+
+    texts = ["low lower lowest", "new newer newest newest",
+             "wide wider widest low low", "", "banana bandana"]
+    ds = rd.from_items([{"text": t} for t in texts]).repartition(3)
+    got = bpe_learn(ds, rounds=4)
+    expect = _brute_bpe(texts, 4)
+    assert [tuple(r) for r in
+            got[["step", "lhs", "rhs", "n"]].itertuples(index=False)] \
+        == expect

@@ -2430,6 +2430,33 @@ def _q_csv_roundtrip(sf_dir: str):
         ["doc_id", "text", "lang", "source", "n_chars"])
 
 
+def _q_orc_roundtrip(sf_dir: str):
+    """ORC shard source/sink (sources/orc.py — Ray 2.49 has no ORC
+    reader, so both directions run on pyarrow.orc inside map_batches):
+    documents written once (cached) as one ORC file per block via a
+    tmp-then-rename task-parallel sink, read back with ONE TASK PER
+    STRIPE (driver touches footers only) and column pruning pushed
+    into the ORC decoder. Identity oracle — a lost stripe, dropped
+    column, or type drift breaks the hash."""
+    import os
+    import ray.data as rd
+    from ksoup_ray.sources.orc import read_orc, write_orc_shards
+
+    cache = (f"/tmp/ksoup_orc_corpus/"
+             f"{os.path.basename(sf_dir.rstrip('/'))}")
+    marker = os.path.join(cache, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(cache, exist_ok=True)
+        manifest = write_orc_shards(
+            rd.read_parquet(f"{sf_dir}/documents.parquet")
+            .repartition(8), cache)
+        manifest.count()                      # drive the write
+        with open(marker, "w") as f:
+            f.write("ok")
+    return read_orc(cache, columns=["doc_id", "text", "lang",
+                                    "source", "n_chars"])
+
+
 def _q_rollup_counts(sf_dir: str):
     """GROUP BY ROLLUP over (lang, source)
     (functions/agg.rollup_counts): one distributed cross-tab, every
@@ -4844,6 +4871,45 @@ def _q_q21_waiting(sf_dir: str):
                     descending=[True, False]).limit(100)
 
 
+def _q_epoch_shuffle(sf_dir: str):
+    """Deterministic training-epoch shuffle into shards
+    (functions/splits.epoch_shuffle, epoch=1, 16 shards): key =
+    md5(epoch:id) permutes the corpus reproducibly per epoch, shard =
+    4 key hex digits mod 16, pos = rank by (key, id) within the
+    shard. One bounded-key shuffle; ids only. The oracle replays key,
+    shard, and within-shard rank verbatim."""
+    import ray.data as rd
+    from ksoup_ray.functions.splits import epoch_shuffle
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+    return epoch_shuffle(ds, epoch=1, n_shards=16)
+
+
+def _q_etld1_domains(sf_dir: str):
+    """Registered-domain (eTLD+1) extraction under public-suffix-list
+    LONGEST-match (functions/urls.registered_domains): synthetic hosts
+    mix subdomain depths and 1- and 2-label public suffixes (the PSL
+    holds both 'uk' and 'co.uk', so a shortest-match bug yields a
+    different registered domain and breaks the hash). The per-domain
+    grouping key every domain-quota/reputation stage needs."""
+    import ray.data as rd
+    from ksoup_ray.functions.urls import registered_domains
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def to_hosts(batch: pa.Table) -> pa.Table:
+        hosts = []
+        for d in batch.column("doc_id").to_pylist():
+            sub = ("", "www.", "a.b.")[d % 3]
+            suf = ("com", "org", "co.uk", "ac.uk", "com.au")[d % 5]
+            hosts.append(f"{sub}d{d % 7}.{suf}")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "host": pa.array(hosts, pa.string())})
+
+    return registered_domains(
+        ds.map_batches(to_hosts, batch_format="pyarrow"))
+
+
 def _q_bpe_learn(sf_dir: str):
     """BPE tokenizer TRAINING, 3 merge rounds end-to-end
     (functions/curation.bpe_learn) — the iterative trainer put on the
@@ -5174,6 +5240,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": _q_knn_graph,
         "weighted_sample": _q_weighted_sample,
         "bpe_learn": _q_bpe_learn,
+        "orc_roundtrip": _q_orc_roundtrip,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "etld1_domains": _q_etld1_domains,
         "blocklist_hits": _q_blocklist_hits,
         "robots_filter": _q_robots_filter,
     }
@@ -6918,6 +6987,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "csv_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "orc_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "epoch_shuffle": """
+            WITH keyed AS (
+              SELECT doc_id,
+                     md5('1:' || CAST(doc_id AS VARCHAR)) AS k
+              FROM documents)
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(k, 1, 4) AS BIGINT) % 16
+                        AS BIGINT) AS shard,
+                   CAST(ROW_NUMBER() OVER (
+                     PARTITION BY
+                       CAST('0x' || substr(k, 1, 4) AS BIGINT) % 16
+                     ORDER BY k, doc_id) AS BIGINT) AS pos
+            FROM keyed
+        """,
+        "etld1_domains": """
+            -- hosts and their eTLD+1 are closed-form in doc_id; the
+            -- Ray side must reproduce them through actual PSL
+            -- longest-suffix matching
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN 'www.'
+                        ELSE 'a.b.' END
+                   || 'd' || CAST(doc_id % 7 AS VARCHAR) || '.'
+                   || CASE doc_id % 5 WHEN 0 THEN 'com'
+                        WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk'
+                        WHEN 3 THEN 'ac.uk' ELSE 'com.au' END AS host,
+                   'd' || CAST(doc_id % 7 AS VARCHAR) || '.'
+                   || CASE doc_id % 5 WHEN 0 THEN 'com'
+                        WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk'
+                        WHEN 3 THEN 'ac.uk' ELSE 'com.au' END
+                   AS registered
+            FROM documents
         """,
         "rollup_counts": """
             SELECT lang, source, CAST(count(*) AS BIGINT) AS n,

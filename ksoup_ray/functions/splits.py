@@ -174,3 +174,47 @@ def weighted_topk_sample(ds, *, id_col: str = "doc_id",
             .map_batches(tag, batch_format="pyarrow")
             .groupby("_one")
             .map_groups(merge_topk, batch_format="pandas"))
+
+
+def epoch_shuffle(ds, *, id_col: str = "doc_id", epoch: int = 0,
+                  n_shards: int = 16):
+    """Deterministic TRAINING-EPOCH shuffle into shards — the step
+    between a curated corpus and a dataloader: every epoch must see
+    the data in a different but REPRODUCIBLE order, sharded so each
+    worker streams its own files.
+
+    Key = ``md5(f"{epoch}:{id}")``: changing ``epoch`` permutes the
+    whole corpus, same epoch always replays identically (resume-safe,
+    no RNG state to checkpoint). Shard = first 4 key hex digits mod
+    ``n_shards`` (hash-partitioning — shards are uniform to ~1/256
+    without needing a global rank), position-in-shard = rank by
+    (key, id) within the shard.
+
+    Scale shape: one hash-partition shuffle on the BOUNDED shard key;
+    within-shard ordering happens per shard group (``n_shards``
+    groups, each a single sorted block write in a real pipeline —
+    the per-group dispatch is bounded by construction). Returns
+    (id, shard, pos) — join back to payloads by id at write time so
+    only ids ride the shuffle."""
+    import pandas as pd
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        keys = [hashlib.md5(f"{epoch}:{i}".encode()).hexdigest()
+                for i in ids]
+        shard = np.array([int(k[:4], 16) for k in keys],
+                         np.int64) % n_shards
+        return pa.table({
+            id_col: batch.column(id_col),
+            "shard": pa.array(shard, pa.int64()),
+            "_key": pa.array(keys, pa.string())})
+
+    def order_shard(group: "pd.DataFrame") -> "pd.DataFrame":
+        g = group.sort_values(["_key", id_col]).copy()
+        g["pos"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[[id_col, "shard", "pos"]]
+
+    return (ds.select_columns([id_col])
+            .map_batches(key_rows, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(order_shard, batch_format="pandas"))

@@ -157,3 +157,49 @@ def robots_decide(ds, rules_by_host: dict[str, list[tuple[bool, str]]],
             .append_column("allowed", pa.array(allowed, pa.bool_()))
 
     return ds.map_batches(decide, batch_format="pyarrow")
+
+
+# mini public-suffix list for tests/synthetic hosts — swap in the
+# real PSL snapshot at deploy time (same longest-match semantics);
+# includes both 'uk' and 'co.uk' so a shortest-match bug is visible
+_DEFAULT_PSL = frozenset({
+    "com", "org", "net", "io", "uk", "co.uk", "ac.uk",
+    "au", "com.au",
+})
+
+
+def registered_domain(host: str,
+                      psl: frozenset[str] = _DEFAULT_PSL) \
+        -> str | None:
+    """eTLD+1 (registered domain) of ``host`` under the
+    public-suffix-list longest-match rule: find the LONGEST suffix of
+    the host's label sequence present in ``psl``; the registered
+    domain is that suffix plus one more label. Returns None when the
+    host IS a public suffix or nothing matches — per-domain quotas
+    and reputation scores group on this key, so getting
+    'x.co.uk' -> 'x.co.uk' (not 'co.uk') right is what keeps a whole
+    ccTLD from collapsing into one group."""
+    labels = host.lower().rstrip(".").split(".")
+    for i in range(len(labels)):          # i=0 is the longest suffix
+        if ".".join(labels[i:]) in psl:
+            if i == 0:
+                return None               # host is itself a suffix
+            return ".".join(labels[i - 1:])
+    return None
+
+
+def registered_domains(ds, *, host_col: str = "host",
+                       out_col: str = "registered",
+                       psl: frozenset[str] = _DEFAULT_PSL):
+    """Append ``out_col`` = eTLD+1 of ``host_col``. Per-batch label
+    matching against the broadcast PSL set (bounded; the real PSL is
+    ~9k entries — a frozenset membership probe per label suffix, ≤
+    label-count probes per host). No shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        regs = [registered_domain(h or "", psl)
+                for h in batch.column(host_col).to_pylist()]
+        return batch.append_column(out_col,
+                                   pa.array(regs, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

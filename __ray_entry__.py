@@ -4871,6 +4871,32 @@ def _q_q21_waiting(sf_dir: str):
                     descending=[True, False]).limit(100)
 
 
+def _q_html_markdown(sf_dir: str):
+    """HTML → Markdown conversion THROUGH the full engine parse
+    (stages/markdown.py): deterministic structured pages (headings,
+    bold, link, list, pre, trailing paragraph) are parsed by the real
+    tokenizer/TreeBuilder and serialized as CommonMark-subset
+    markdown. The oracle reconstructs the markdown string
+    character-for-character, so a parse, traversal, inline-nesting,
+    or list-marker bug breaks the hash."""
+    import ray.data as rd
+    from ksoup_ray.sources.synth import render_markdown_page
+    from ksoup_ray.stages.markdown import MarkdownStage
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "html": pa.array([render_markdown_page(i) for i in ids],
+                             pa.string())})
+
+    pages = ds.map_batches(render, batch_format="pyarrow")
+    return pages.map_batches(MarkdownStage, batch_format="pyarrow",
+                             concurrency=(1, 4))
+
+
 def _q_epoch_shuffle(sf_dir: str):
     """Deterministic training-epoch shuffle into shards
     (functions/splits.epoch_shuffle, epoch=1, 16 shards): key =
@@ -5242,6 +5268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_learn": _q_bpe_learn,
         "orc_roundtrip": _q_orc_roundtrip,
         "epoch_shuffle": _q_epoch_shuffle,
+        "html_markdown": _q_html_markdown,
         "etld1_domains": _q_etld1_domains,
         "blocklist_hits": _q_blocklist_hits,
         "robots_filter": _q_robots_filter,
@@ -6990,6 +7017,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orc_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "html_markdown": """
+            -- character-for-character markdown replay: heading,
+            -- bold+link paragraph, 1..3 list items, fenced pre,
+            -- h2, closing paragraph, blank-line separated
+            SELECT doc_id,
+                   '# T' || doc_id || chr(10) || chr(10)
+                   || 'Intro **w' || CAST(doc_id % 7 AS VARCHAR)
+                   || '** and [L' || doc_id || '](/l/' || doc_id
+                   || ').' || chr(10) || chr(10)
+                   || '- i' || doc_id || '.0'
+                   || CASE WHEN doc_id % 3 >= 1
+                        THEN chr(10) || '- i' || doc_id || '.1'
+                        ELSE '' END
+                   || CASE WHEN doc_id % 3 >= 2
+                        THEN chr(10) || '- i' || doc_id || '.2'
+                        ELSE '' END
+                   || chr(10) || chr(10)
+                   || '```' || chr(10) || 'raw ' || doc_id
+                   || chr(10) || '```' || chr(10) || chr(10)
+                   || '## S' || doc_id || chr(10) || chr(10)
+                   || 'End p' || doc_id AS markdown
+            FROM documents
         """,
         "epoch_shuffle": """
             WITH keyed AS (

@@ -354,3 +354,24 @@ def render_depth_page(doc_id: int) -> str:
     items = "".join(f"<li>item {j}</li>" for j in range(n))
     return (f"<html><head><title>x</title></head>"
             f"<body>{chain}<ul>{items}</ul></body></html>")
+
+
+def render_markdown_page(doc_id: int) -> str:
+    """Deterministic structured page for the HTML→markdown stage.
+    Closed forms (all alphanumeric text, so no markdown escaping):
+    h1 'T<id>'; a paragraph with bold 'w<id%7>' and link 'L<id>' →
+    '/l/<id>'; a ul of doc_id%3+1 items 'i<id>.<j>'; a pre block
+    'raw <id>'; h2 'S<id>'; closing paragraph 'End p<id>'. Query-local
+    synth; corpus bytes untouched."""
+    lis = "".join(f"<li>i{doc_id}.{j}</li>"
+                  for j in range(doc_id % 3 + 1))
+    return (
+        "<html><head><title>x</title></head><body>"
+        f"<h1>T{doc_id}</h1>"
+        f'<p>Intro <strong>w{doc_id % 7}</strong> and '
+        f'<a href="/l/{doc_id}">L{doc_id}</a>.</p>'
+        f"<ul>{lis}</ul>"
+        f"<pre>raw {doc_id}</pre>"
+        f"<h2>S{doc_id}</h2>"
+        f"<p>End p{doc_id}</p>"
+        "</body></html>")

@@ -1,0 +1,185 @@
+"""HTML → Markdown conversion over the real DOM — the extraction
+format most LLM pretraining pipelines want next to plain text (it
+keeps document STRUCTURE: headings, lists, links, emphasis, tables)
+without any of HTML's noise. Runs through the full engine parse
+(engine/parser.py), so every tokenizer/tree-construction guarantee
+applies; the serializer is a CommonMark-flavored subset:
+
+* ``h1..h6`` → ``#``·n heading lines
+* ``p`` / stray inline runs → paragraphs, blank-line separated
+* ``ul``/``ol`` → ``- `` / ``1. `` items (nested lists indented)
+* ``a`` → ``[text](href)``, ``img`` → ``![alt](src)``
+* ``strong``/``b`` → ``**x**``, ``em``/``i`` → ``*x*``,
+  ``code`` → `` `x` ``
+* ``pre`` → fenced block (verbatim whole_text)
+* ``blockquote`` → ``> `` prefixed lines
+* ``table`` → pipe table with a ``---`` separator row after row 1
+* ``hr`` → ``---``; ``br`` → hard line break
+* ``script``/``style``/``head`` content dropped
+
+Text runs use the engine's whitespace normalization, so the markdown
+inherits Element.text()'s exact collapse semantics. Stateless
+per-batch stage — no shuffle, parser instantiated per actor.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..engine import parser as KP
+
+_HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+_BLOCKS = {"p", "ul", "ol", "pre", "blockquote", "table", "hr",
+           "div", "section", "article", "main", "aside", "header",
+           "footer", "nav", "figure", "body"} | set(_HEADINGS)
+_SKIP = {"script", "style", "template", "noscript"}
+
+
+def _inline(node) -> str:
+    """Render a node as inline markdown."""
+    name = node.node_name()
+    if name == "#text":
+        return node.text()
+    if name in ("#comment", "#data", "#cdata", "#doctype"):
+        return ""
+    tag = name
+    if tag in _SKIP:
+        return ""
+    if tag == "br":
+        return "\n"
+    if tag == "img":
+        return f"![{node.attr('alt')}]({node.attr('src')})"
+    inner = "".join(_inline(c) for c in node.child_nodes())
+    if tag == "a":
+        return f"[{inner}]({node.attr('href')})"
+    if tag in ("strong", "b"):
+        return f"**{inner}**" if inner.strip() else inner
+    if tag in ("em", "i"):
+        return f"*{inner}*" if inner.strip() else inner
+    if tag == "code":
+        return f"`{inner}`" if inner.strip() else inner
+    return inner
+
+
+def _list_items(el, ordered: bool, depth: int) -> list[str]:
+    out = []
+    idx = 0
+    pad = "  " * depth
+    for li in el.children():
+        if li.tag_name() != "li":
+            continue
+        idx += 1
+        marker = f"{idx}." if ordered else "-"
+        parts = []
+        for c in li.child_nodes():
+            nm = c.node_name()
+            if nm in ("ul", "ol"):
+                out_nested = _list_items(c, nm == "ol", depth + 1)
+                if parts:
+                    out.append(f"{pad}{marker} "
+                               + "".join(parts).strip())
+                    parts = []
+                out.extend(out_nested)
+            else:
+                parts.append(_inline(c))
+        if parts:
+            out.append(f"{pad}{marker} " + "".join(parts).strip())
+    return out
+
+
+def _table(el) -> list[str]:
+    rows = []
+    for tr in el.select("tr"):
+        cells = [c for c in tr.children()
+                 if c.tag_name() in ("td", "th")]
+        rows.append([
+            "".join(_inline(n) for n in c.child_nodes()).strip()
+            for c in cells])
+    if not rows:
+        return []
+    out = ["| " + " | ".join(rows[0]) + " |",
+           "| " + " | ".join("---" for _ in rows[0]) + " |"]
+    for r in rows[1:]:
+        out.append("| " + " | ".join(r) + " |")
+    return out
+
+
+def _blocks(el) -> list[str]:
+    """Render an element's children as a list of markdown blocks."""
+    out: list[str] = []
+    run: list[str] = []
+
+    def flush():
+        txt = "".join(run).strip()
+        if txt:
+            out.append(txt)
+        run.clear()
+
+    for node in el.child_nodes():
+        name = node.node_name()
+        if name == "#text" or name not in _BLOCKS:
+            if name in _SKIP:
+                continue
+            run.append(_inline(node))
+            continue
+        flush()
+        tag = name
+        if tag in _HEADINGS:
+            txt = "".join(_inline(c)
+                          for c in node.child_nodes()).strip()
+            out.append("#" * _HEADINGS[tag] + " " + txt)
+        elif tag == "p":
+            txt = "".join(_inline(c)
+                          for c in node.child_nodes()).strip()
+            if txt:
+                out.append(txt)
+        elif tag in ("ul", "ol"):
+            items = _list_items(node, tag == "ol", 0)
+            if items:
+                out.append("\n".join(items))
+        elif tag == "pre":
+            out.append("```\n" + node.whole_text().strip("\n")
+                       + "\n```")
+        elif tag == "blockquote":
+            inner = _blocks(node)
+            if inner:
+                out.append("\n".join(
+                    "> " + line
+                    for blk in inner for line in blk.split("\n")))
+        elif tag == "table":
+            t = _table(node)
+            if t:
+                out.append("\n".join(t))
+        elif tag == "hr":
+            out.append("---")
+        else:                       # div/section/... : recurse
+            out.extend(_blocks(node))
+    flush()
+    return out
+
+
+def to_markdown(html: str, base_uri: str = "") -> str:
+    """Parse ``html`` with the full engine and serialize the body as
+    markdown (blocks joined by blank lines)."""
+    doc = KP.parse(html, base_uri)
+    body = doc.body()
+    if body is None:
+        return ""
+    return "\n\n".join(_blocks(body))
+
+
+class MarkdownStage:
+    """Actor-pool stage: (id, html) → (id, markdown). Parser state is
+    per-actor; the per-batch loop is the parse itself (the work)."""
+
+    def __init__(self, html_col: str = "html",
+                 id_col: str = "doc_id"):
+        self.html_col = html_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mds = [to_markdown(h or "")
+               for h in batch.column(self.html_col).to_pylist()]
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "markdown": pa.array(mds, pa.string())})

@@ -295,3 +295,60 @@ def test_registered_domain_longest_match():
     assert registered_domain("localhost") is None    # no match
     # 'uk' alone is also a suffix: one label above it registers
     assert registered_domain("direct.uk") == "direct.uk"
+
+
+def test_to_markdown_block_and_inline_shapes():
+    from ksoup_ray.stages.markdown import to_markdown
+
+    html = ("<html><head><title>x</title><style>p{}</style></head>"
+            "<body><h1>Title</h1>"
+            "<p>Hello <strong>bold</strong> and <em>it</em> and "
+            '<a href="/x">link</a>.</p>'
+            "<ul><li>one</li><li>two <code>c()</code></li>"
+            "<li>three<ul><li>n1</li></ul></li></ul>"
+            "<ol><li>a</li><li>b</li></ol>"
+            "<pre>raw  text\nline2</pre>"
+            "<blockquote><p>quoted</p></blockquote>"
+            "<table><tr><th>A</th><th>B</th></tr>"
+            "<tr><td>1</td><td>2</td></tr></table>"
+            "<hr>loose <b>t</b> run"
+            '<img src="/i.png" alt="pic"></body></html>')
+    md = to_markdown(html)
+    assert md.split("\n\n") == [
+        "# Title",
+        "Hello **bold** and *it* and [link](/x).",
+        "- one\n- two `c()`\n- three\n  - n1",
+        "1. a\n2. b",
+        "```\nraw  text\nline2\n```",
+        "> quoted",
+        "| A | B |\n| --- | --- |\n| 1 | 2 |",
+        "---",
+        "loose **t** run![pic](/i.png)",
+    ]
+
+
+def test_to_markdown_hostile_inputs():
+    from ksoup_ray.stages.markdown import to_markdown
+
+    assert to_markdown("") == ""
+    assert to_markdown("plain words") == "plain words"
+    # script/style content never leaks
+    assert "evil" not in to_markdown(
+        "<body><script>evil()</script><p>ok</p></body>")
+    # unclosed tags still serialize (tree builder recovers)
+    assert to_markdown("<h2>hi") == "## hi"
+    # empty emphasis collapses instead of emitting '****'
+    assert to_markdown("<p>a<strong> </strong>b</p>") == "a b"
+
+
+def test_markdown_stage_batch(ray_session):
+    import ray.data as rd
+    from ksoup_ray.stages.markdown import MarkdownStage
+
+    rows = [{"doc_id": i, "html": f"<h1>T{i}</h1><p>p{i}</p>"}
+            for i in range(20)]
+    out = rd.from_items(rows).map_batches(
+        MarkdownStage, batch_format="pyarrow",
+        concurrency=(1, 2)).to_pandas().sort_values("doc_id")
+    assert list(out["markdown"]) == [
+        f"# T{i}\n\np{i}" for i in range(20)]

@@ -4871,6 +4871,21 @@ def _q_q21_waiting(sf_dir: str):
                     descending=[True, False]).limit(100)
 
 
+def _q_compression_ratio(sf_dir: str):
+    """zlib compression-ratio quality signal
+    (functions/curation.compression_ratio_batch): exact-integer
+    (raw_len, comp_len, ratio_permille) per doc — the redundancy
+    heuristic C4-family curation thresholds on. rows-only by nature
+    (DuckDB has no zlib); pytest pins exact recomputation and the
+    repetitive-vs-random ordering."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import compression_ratio_batch
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(compression_ratio_batch,
+                          batch_format="pyarrow")
+
+
 def _q_html_markdown(sf_dir: str):
     """HTML → Markdown conversion THROUGH the full engine parse
     (stages/markdown.py): deterministic structured pages (headings,
@@ -5269,6 +5284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_roundtrip": _q_orc_roundtrip,
         "epoch_shuffle": _q_epoch_shuffle,
         "html_markdown": _q_html_markdown,
+        "compression_ratio": _q_compression_ratio,
         "etld1_domains": _q_etld1_domains,
         "blocklist_hits": _q_blocklist_hits,
         "robots_filter": _q_robots_filter,

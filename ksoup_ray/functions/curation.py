@@ -1656,3 +1656,35 @@ def bpe_learn(ds, *, text_col: str = "text", rounds: int = 3):
                          int(top["n"])))
     df = pd.DataFrame(out_rows, columns=["step", "lhs", "rhs", "n"])
     return df.astype({"step": np.int64, "n": np.int64})
+
+
+def compression_ratio_batch(batch: pa.Table, *,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            level: int = 6) -> pa.Table:
+    """zlib compression-ratio quality signal (the C4/RefinedWeb-family
+    heuristic: highly repetitive or templated text compresses far
+    below ~smaller-is-more-redundant thresholds; near-random text
+    approaches or exceeds 1.0). Emits exact integers only —
+    ``raw_len``, ``comp_len`` (zlib level ``level``), and
+    ``ratio_permille = comp_len * 1000 // raw_len`` — so results are
+    bit-stable across runs and partitionings (floats never enter).
+    Pure per-batch stage, no shuffle; the per-row zlib call IS the
+    work (C-backed DEFLATE). No SQL oracle by nature (DuckDB has no
+    zlib) — the driver records rows-only and pytest pins exact
+    recomputation plus the repetitive-vs-random ordering."""
+    import zlib
+    texts = batch.column(text_col).to_pylist()
+    raw, comp, perm = [], [], []
+    for t in texts:
+        b = (t or "").encode("utf-8")
+        c = len(zlib.compress(b, level))
+        raw.append(len(b))
+        comp.append(c)
+        perm.append(c * 1000 // len(b) if b else 0)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "raw_len": pa.array(raw, pa.int64()),
+        "comp_len": pa.array(comp, pa.int64()),
+        "ratio_permille": pa.array(perm, pa.int64()),
+    })

@@ -352,3 +352,33 @@ def test_markdown_stage_batch(ray_session):
         concurrency=(1, 2)).to_pandas().sort_values("doc_id")
     assert list(out["markdown"]) == [
         f"# T{i}\n\np{i}" for i in range(20)]
+
+
+def test_compression_ratio_exact_and_ordering(ray_session):
+    import zlib
+    import ray.data as rd
+    from ksoup_ray.functions.curation import compression_ratio_batch
+
+    rep = "spam " * 200                     # highly redundant
+    h, parts = b"seed", []
+    for _ in range(64):                     # 2 KB of md5-hex entropy
+        h = hashlib.md5(h).digest()
+        parts.append(h.hex())
+    rnd = "".join(parts)
+    rows = [{"doc_id": 0, "text": rep},
+            {"doc_id": 1, "text": rnd},
+            {"doc_id": 2, "text": ""}]
+    out = rd.from_items(rows).map_batches(
+        compression_ratio_batch, batch_format="pyarrow") \
+        .to_pandas().set_index("doc_id")
+    for i, t in ((0, rep), (1, rnd)):
+        b = t.encode()
+        c = len(zlib.compress(b, 6))
+        assert out.loc[i, "raw_len"] == len(b)
+        assert out.loc[i, "comp_len"] == c
+        assert out.loc[i, "ratio_permille"] == c * 1000 // len(b)
+    # redundancy compresses far below near-random text
+    assert out.loc[0, "ratio_permille"] < out.loc[1, "ratio_permille"]
+    assert out.loc[0, "ratio_permille"] < 100
+    assert out.loc[1, "ratio_permille"] > 400
+    assert out.loc[2, "ratio_permille"] == 0     # empty guard

@@ -4871,6 +4871,40 @@ def _q_q21_waiting(sf_dir: str):
                     descending=[True, False]).limit(100)
 
 
+def _q_mojibake_fix(sf_dir: str):
+    """Encoding REPAIR (functions/curation.fix_mojibake — ftfy-style):
+    each doc gets a unicode suffix, then two thirds are corrupted by
+    re-reading their UTF-8 bytes as latin-1 or cp1252 (the classic
+    double-decode crawl defect). The stage must repair EXACTLY the
+    corrupted docs back to the original text — repairing nothing,
+    over-repairing the clean third, or missing the cp1252 variant
+    all break the identity hash."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import mojibake_repair
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    SUFFIX = " café n№"
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = []
+        for d, t in zip(ids, texts):
+            s = (t or "") + SUFFIX
+            v = d % 3
+            if v == 1:
+                s = s.encode("utf-8").decode("latin-1")
+            elif v == 2:
+                s = s.encode("utf-8").decode("cp1252")
+            out.append(s)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(out, pa.string())})
+
+    return mojibake_repair(
+        ds.map_batches(corrupt, batch_format="pyarrow"))
+
+
 def _q_compression_ratio(sf_dir: str):
     """zlib compression-ratio quality signal
     (functions/curation.compression_ratio_batch): exact-integer
@@ -5285,6 +5319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": _q_epoch_shuffle,
         "html_markdown": _q_html_markdown,
         "compression_ratio": _q_compression_ratio,
+        "mojibake_fix": _q_mojibake_fix,
         "etld1_domains": _q_etld1_domains,
         "blocklist_hits": _q_blocklist_hits,
         "robots_filter": _q_robots_filter,
@@ -7033,6 +7068,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orc_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "mojibake_fix": """
+            -- repaired text must equal the original + unicode suffix
+            -- for EVERY doc; the corrupted two thirds must be flagged
+            SELECT doc_id,
+                   text || ' caf' || chr(233) || ' n' || chr(8470)
+                     AS fixed,
+                   doc_id % 3 <> 0 AS was_mojibake
+            FROM documents
         """,
         "html_markdown": """
             -- character-for-character markdown replay: heading,

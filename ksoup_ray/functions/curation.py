@@ -1688,3 +1688,57 @@ def compression_ratio_batch(batch: pa.Table, *,
         "comp_len": pa.array(comp, pa.int64()),
         "ratio_permille": pa.array(perm, pa.int64()),
     })
+
+
+def fix_mojibake(s: str, *, max_rounds: int = 3) \
+        -> tuple[str, bool]:
+    """ftfy-style repair of UTF-8-read-as-legacy-charset mojibake
+    ('cafÃ©' → 'café'): if the string survives a latin-1 (then
+    cp1252) re-encode AND those bytes decode as valid UTF-8 to a
+    STRICTLY SHORTER string (real multi-byte sequences were present —
+    pure ASCII round-trips equal-length and is never touched),
+    adopt the decode. Iterates to fixpoint (``max_rounds``) so
+    double-encoded text unwinds too. Deterministic; the ambiguity
+    (text that legitimately spells 'Ã©') resolves toward repair, the
+    standard ftfy trade-off."""
+    fixed = False
+    for _ in range(max_rounds):
+        repaired = None
+        for enc in ("latin-1", "cp1252"):
+            try:
+                b = s.encode(enc)
+            except UnicodeEncodeError:
+                continue
+            try:
+                d = b.decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+            if len(d) < len(s):
+                repaired = d
+            break          # encodable but not shorter: genuine text
+        if repaired is None:
+            return s, fixed
+        s, fixed = repaired, True
+    return s, fixed
+
+
+def mojibake_repair(ds, *, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Per-batch mojibake detection + repair over a text column —
+    the encoding-repair gate a crawl corpus needs before tokenization
+    (double-decoded pages are common in CC). No shuffle; emits
+    (id, fixed, was_mojibake)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        outs, flags = [], []
+        for t in batch.column(text_col).to_pylist():
+            f, was = fix_mojibake(t or "")
+            outs.append(f)
+            flags.append(was)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "fixed": pa.array(outs, pa.string()),
+            "was_mojibake": pa.array(flags, pa.bool_()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

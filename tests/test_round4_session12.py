@@ -382,3 +382,36 @@ def test_compression_ratio_exact_and_ordering(ray_session):
     assert out.loc[0, "ratio_permille"] < 100
     assert out.loc[1, "ratio_permille"] > 400
     assert out.loc[2, "ratio_permille"] == 0     # empty guard
+
+
+def test_fix_mojibake_variants():
+    from ksoup_ray.functions.curation import fix_mojibake
+
+    s = "hello café n№ – ok"
+    lat = s.encode("utf-8").decode("latin-1")
+    cp = s.encode("utf-8").decode("cp1252")
+    dbl = lat.encode("utf-8").decode("latin-1")   # double-encoded
+    assert fix_mojibake(lat) == (s, True)
+    assert fix_mojibake(cp) == (s, True)
+    assert fix_mojibake(dbl) == (s, True)         # unwinds twice
+    # never touches clean text
+    assert fix_mojibake("plain ascii") == ("plain ascii", False)
+    assert fix_mojibake(s) == (s, False)          # genuine unicode
+    assert fix_mojibake("café") == ("café", False)  # latin-1-able
+    assert fix_mojibake("") == ("", False)
+
+
+def test_mojibake_repair_stage(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.curation import mojibake_repair
+
+    s = "text café"
+    rows = [{"doc_id": 0, "text": s},
+            {"doc_id": 1,
+             "text": s.encode("utf-8").decode("latin-1")}]
+    out = mojibake_repair(rd.from_items(rows)).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[0, "fixed"] == s
+    assert not out.loc[0, "was_mojibake"]
+    assert out.loc[1, "fixed"] == s
+    assert out.loc[1, "was_mojibake"]

@@ -4871,6 +4871,23 @@ def _q_q21_waiting(sf_dir: str):
                     descending=[True, False]).limit(100)
 
 
+def _q_neardup_decontaminate(sf_dir: str):
+    """NEAR-dup decontamination (functions/dedup.neardup_decontaminate)
+    — flag corpus docs whose 5-word-shingle Jaccard vs ANY benchmark
+    doc (here: doc_id % 50 == 0) reaches 0.5, the paraphrase-tolerant
+    relaxation of exact decontamination. Benchmark shingle sets
+    broadcast once via ray.put; exact integer Jaccard (ppm) per
+    (doc × eval) probe, corpus never shuffles. The oracle replays
+    every probe with list_intersect."""
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import neardup_decontaminate
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ev = ds.filter(
+        lambda r: r["doc_id"] % 50 == 0)
+    return neardup_decontaminate(ds, ev)
+
+
 def _q_mojibake_fix(sf_dir: str):
     """Encoding REPAIR (functions/curation.fix_mojibake — ftfy-style):
     each doc gets a unicode suffix, then two thirds are corrupted by
@@ -5320,6 +5337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_markdown": _q_html_markdown,
         "compression_ratio": _q_compression_ratio,
         "mojibake_fix": _q_mojibake_fix,
+        "neardup_decontaminate": _q_neardup_decontaminate,
         "etld1_domains": _q_etld1_domains,
         "blocklist_hits": _q_blocklist_hits,
         "robots_filter": _q_robots_filter,
@@ -7068,6 +7086,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orc_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "neardup_decontaminate": """
+            -- replay every corpus-x-eval probe: 5-word shingles,
+            -- integer Jaccard ppm, max per corpus doc, 0.5 threshold
+            WITH sh AS (
+              SELECT doc_id, list_distinct(CASE WHEN len(words) < 5
+                       THEN [array_to_string(words, ' ')]
+                       ELSE list_transform(range(1, len(words) - 3),
+                              i -> array_to_string(words[i:i+4], ' '))
+                       END) AS s
+              FROM (SELECT doc_id, string_split(text, ' ') AS words
+                    FROM documents)),
+            ev AS (SELECT s FROM sh WHERE doc_id % 50 = 0),
+            probes AS (
+              SELECT c.doc_id,
+                     len(list_intersect(c.s, e.s)) AS ix,
+                     len(c.s) + len(e.s)
+                       - len(list_intersect(c.s, e.s)) AS un
+              FROM sh c CROSS JOIN ev e),
+            scored AS (
+              SELECT doc_id,
+                     MAX(COALESCE(ix * 1000000 // NULLIF(un, 0), 0))
+                       AS max_jppm
+              FROM probes GROUP BY doc_id)
+            SELECT doc_id, CAST(max_jppm AS BIGINT) AS max_jppm,
+                   max_jppm >= 500000 AS contaminated
+            FROM scored
         """,
         "mojibake_fix": """
             -- repaired text must equal the original + unicode suffix

@@ -1647,3 +1647,53 @@ def exact_drop_ids(ds, text_col: str = "text",
     return (ds.map_batches(keyed, batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(losers_block, batch_format="pandas"))
+
+
+def neardup_decontaminate(ds, eval_ds, *, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 5,
+                          threshold_ppm: int = 500_000):
+    """NEAR-duplicate decontamination — flag corpus documents whose
+    k-word-shingle Jaccard against ANY benchmark document reaches the
+    threshold (the Llama-style relaxation of exact-overlap
+    decontamination: paraphrased or lightly-edited eval leakage still
+    gets caught).
+
+    Scale shape: the benchmark side is SMALL by definition (an eval
+    suite), so its shingle SETS are materialized once, broadcast via
+    ``ray.put``, and every corpus batch computes EXACT Jaccard
+    against each (|eval| set probes per doc — all integer: jppm =
+    inter·10⁶ // union, no float compare). The corpus never shuffles.
+    For benchmark suites too large to broadcast raw, prune first with
+    an LSH band probe and verify only candidates — the broadcast-
+    exact form below is the recall-1.0 baseline the pruned variant
+    must match. Emits (id, max_jppm, contaminated)."""
+    import ray
+
+    eval_rows = eval_ds.select_columns([id_col, text_col]).take_all()
+    eval_sets = [(r[id_col], word_shingles(r[text_col] or "", k))
+                 for r in eval_rows]
+    eval_ref = ray.put(eval_sets)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        evals = ray.get(eval_ref)
+        out = []
+        for t in batch.column(text_col).to_pylist():
+            s = word_shingles(t or "", k)
+            best = 0
+            for _, es in evals:
+                inter = len(s & es)
+                if not inter:
+                    continue
+                union = len(s) + len(es) - inter
+                jppm = inter * 1_000_000 // union
+                if jppm > best:
+                    best = jppm
+            out.append(best)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "max_jppm": pa.array(out, pa.int64()),
+            "contaminated": pa.array(
+                [v >= threshold_ppm for v in out], pa.bool_()),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow")

@@ -415,3 +415,26 @@ def test_mojibake_repair_stage(ray_session):
     assert not out.loc[0, "was_mojibake"]
     assert out.loc[1, "fixed"] == s
     assert out.loc[1, "was_mojibake"]
+
+
+def test_neardup_decontaminate_thresholds(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import neardup_decontaminate
+
+    bench = "the quick brown fox jumps over the lazy dog today"
+    near = bench.replace("today", "now")       # high overlap
+    far = "completely different words in every position here"
+    rows = [{"doc_id": 0, "text": bench},
+            {"doc_id": 1, "text": near},
+            {"doc_id": 2, "text": far}]
+    ds = rd.from_items(rows)
+    ev = rd.from_items([{"doc_id": 100, "text": bench}])
+    out = neardup_decontaminate(ds, ev).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[0, "max_jppm"] == 1_000_000   # exact copy
+    assert bool(out.loc[0, "contaminated"])
+    assert 0 < out.loc[1, "max_jppm"] < 1_000_000
+    assert bool(out.loc[1, "contaminated"]) == \
+        (out.loc[1, "max_jppm"] >= 500_000)
+    assert out.loc[2, "max_jppm"] == 0
+    assert not bool(out.loc[2, "contaminated"])

@@ -35,21 +35,8 @@ _BLOCKS = {"p", "ul", "ol", "pre", "blockquote", "table", "hr",
 _SKIP = {"script", "style", "template", "noscript"}
 
 
-def _inline(node) -> str:
-    """Render a node as inline markdown."""
-    name = node.node_name()
-    if name == "#text":
-        return node.text()
-    if name in ("#comment", "#data", "#cdata", "#doctype"):
-        return ""
-    tag = name
-    if tag in _SKIP:
-        return ""
-    if tag == "br":
-        return "\n"
-    if tag == "img":
-        return f"![{node.attr('alt')}]({node.attr('src')})"
-    inner = "".join(_inline(c) for c in node.child_nodes())
+def _wrap_inline(tag: str, node, inner: str) -> str:
+    """Close-time wrapper for an inline container's rendered body."""
     if tag == "a":
         return f"[{inner}]({node.attr('href')})"
     if tag in ("strong", "b"):
@@ -61,29 +48,84 @@ def _inline(node) -> str:
     return inner
 
 
-def _list_items(el, ordered: bool, depth: int) -> list[str]:
-    out = []
-    idx = 0
-    pad = "  " * depth
-    for li in el.children():
-        if li.tag_name() != "li":
+def _inline(node) -> str:
+    """Render a node as inline markdown — ITERATIVE (explicit
+    enter/close stack with output-position markers), so hostile
+    nesting depth can't blow the Python stack; the engine's own
+    traversals hold the same guarantee."""
+    out: list[str] = []
+    stack = [("enter", node)]
+    while stack:
+        op, item = stack.pop()
+        if op == "close":
+            n, start = item
+            inner = "".join(out[start:])
+            del out[start:]
+            out.append(_wrap_inline(n.node_name(), n, inner))
             continue
-        idx += 1
-        marker = f"{idx}." if ordered else "-"
-        parts = []
-        for c in li.child_nodes():
-            nm = c.node_name()
-            if nm in ("ul", "ol"):
-                out_nested = _list_items(c, nm == "ol", depth + 1)
+        name = item.node_name()
+        if name == "#text":
+            out.append(item.text())
+            continue
+        if name in ("#comment", "#data", "#cdata", "#doctype") \
+                or name in _SKIP:
+            continue
+        if name == "br":
+            out.append("\n")
+            continue
+        if name == "img":
+            out.append(f"![{item.attr('alt')}]({item.attr('src')})")
+            continue
+        stack.append(("close", (item, len(out))))
+        for c in reversed(item.child_nodes()):
+            stack.append(("enter", c))
+    return "".join(out)
+
+
+def _list_items(el, ordered: bool, depth: int) -> list[str]:
+    """Render a ul/ol subtree as item lines — ITERATIVE over an
+    explicit frame stack (a 'list' frame walks li elements, an 'li'
+    frame walks one item's child nodes), so arbitrarily nested lists
+    can't blow the Python stack."""
+    out: list[str] = []
+    # list frame: ["list", lis, pos, ordered, depth, idx]
+    # li frame:   ["li", nodes, pos, parts, marker, pad]
+    stack = [["list", el.children(), 0, ordered, depth, 0]]
+    while stack:
+        fr = stack[-1]
+        if fr[0] == "list":
+            _, lis, pos, is_ord, dep, idx = fr
+            if pos >= len(lis):
+                stack.pop()
+                continue
+            fr[2] += 1
+            li = lis[pos]
+            if li.tag_name() != "li":
+                continue
+            fr[5] = idx = idx + 1
+            marker = f"{idx}." if is_ord else "-"
+            stack.append(["li", li.child_nodes(), 0, [],
+                          marker, "  " * dep, dep])
+        else:
+            _, nodes, pos, parts, marker, pad, dep = fr
+            if pos >= len(nodes):
                 if parts:
                     out.append(f"{pad}{marker} "
                                + "".join(parts).strip())
-                    parts = []
-                out.extend(out_nested)
+                stack.pop()
+                continue
+            fr[2] += 1
+            c = nodes[pos]
+            nm = c.node_name()
+            if nm in ("ul", "ol"):
+                if parts:
+                    out.append(f"{pad}{marker} "
+                               + "".join(parts).strip())
+                    fr[3] = []
+                stack.append(["list", c.children(), 0, nm == "ol",
+                              dep + 1, 0])
             else:
                 parts.append(_inline(c))
-        if parts:
-            out.append(f"{pad}{marker} " + "".join(parts).strip())
     return out
 
 
@@ -105,7 +147,11 @@ def _table(el) -> list[str]:
 
 
 def _blocks(el) -> list[str]:
-    """Render an element's children as a list of markdown blocks."""
+    """Render an element's children as a list of markdown blocks —
+    ITERATIVE: generic containers splice their children into the
+    work stack (with a run-flush marker after them) and blockquotes
+    close via an output-position marker, so hostile div/blockquote
+    nesting depth can't blow the Python stack."""
     out: list[str] = []
     run: list[str] = []
 
@@ -115,7 +161,23 @@ def _blocks(el) -> list[str]:
             out.append(txt)
         run.clear()
 
-    for node in el.child_nodes():
+    stack: list[tuple] = [("node", n)
+                          for n in reversed(el.child_nodes())]
+    while stack:
+        op, item = stack.pop()
+        if op == "flush":
+            flush()
+            continue
+        if op == "bq_close":
+            flush()
+            inner = out[item:]
+            del out[item:]
+            if inner:
+                out.append("\n".join(
+                    "> " + line
+                    for blk in inner for line in blk.split("\n")))
+            continue
+        node = item
         name = node.node_name()
         if name == "#text" or name not in _BLOCKS:
             if name in _SKIP:
@@ -141,19 +203,19 @@ def _blocks(el) -> list[str]:
             out.append("```\n" + node.whole_text().strip("\n")
                        + "\n```")
         elif tag == "blockquote":
-            inner = _blocks(node)
-            if inner:
-                out.append("\n".join(
-                    "> " + line
-                    for blk in inner for line in blk.split("\n")))
+            stack.append(("bq_close", len(out)))
+            for c in reversed(node.child_nodes()):
+                stack.append(("node", c))
         elif tag == "table":
             t = _table(node)
             if t:
                 out.append("\n".join(t))
         elif tag == "hr":
             out.append("---")
-        else:                       # div/section/... : recurse
-            out.extend(_blocks(node))
+        else:            # div/section/...: splice children in place
+            stack.append(("flush", None))
+            for c in reversed(node.child_nodes()):
+                stack.append(("node", c))
     flush()
     return out
 

@@ -438,3 +438,23 @@ def test_neardup_decontaminate_thresholds(ray_session):
         (out.loc[1, "max_jppm"] >= 500_000)
     assert out.loc[2, "max_jppm"] == 0
     assert not bool(out.loc[2, "contaminated"])
+
+
+def test_to_markdown_hostile_depth_iterative():
+    from ksoup_ray.stages.markdown import to_markdown
+
+    # none of these may hit Python's recursion limit
+    assert to_markdown("<div>" * 3000 + "<p>x</p>"
+                       + "</div>" * 3000) == "x"
+    deep_em = to_markdown("<p>" + "<em>" * 2000 + "x"
+                          + "</em>" * 2000 + "</p>")
+    assert deep_em == "*" * 2000 + "x" + "*" * 2000
+    deep_bq = to_markdown("<blockquote>" * 1200 + "<p>q</p>"
+                          + "</blockquote>" * 1200)
+    assert deep_bq == "> " * 1200 + "q"
+    deep_list = to_markdown("<ul><li>a" + "<ul><li>b" * 1500
+                            + "</li></ul>" * 1500 + "</li></ul>")
+    lines = deep_list.split("\n")
+    assert len(lines) == 1501
+    assert lines[0] == "- a" and lines[1] == "  - b"
+    assert lines[1500] == "  " * 1500 + "- b"

@@ -2430,6 +2430,44 @@ def _q_csv_roundtrip(sf_dir: str):
         ["doc_id", "text", "lang", "source", "n_chars"])
 
 
+def _q_wet_roundtrip(sf_dir: str):
+    """WET artifact round-trip (sources/warc.write_wet_shards /
+    read_wet): Common Crawl's extracted-text format — WARC
+    'conversion' records, text/plain payloads, per-record gzip
+    members — written once (cached) from the documents table and read
+    back through the truncation-counting record walker. Identity
+    oracle on (url, text): a header, length, member-boundary, or
+    UTF-8 bug breaks the hash."""
+    import os
+    import ray.data as rd
+    from ksoup_ray.sources.synth import url_for
+    from ksoup_ray.sources.warc import read_wet, write_wet_shards
+
+    cache = (f"/tmp/ksoup_wet_corpus/"
+             f"{os.path.basename(sf_dir.rstrip('/'))}")
+    marker = os.path.join(cache, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(cache, exist_ok=True)
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+
+        def with_url(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            langs = batch.column("lang").to_pylist()
+            return pa.table({
+                "url": pa.array(
+                    [url_for(d, l) for d, l in zip(ids, langs)],
+                    pa.string()),
+                "text": batch.column("text")})
+
+        write_wet_shards(
+            docs.map_batches(with_url, batch_format="pyarrow"),
+            cache)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return read_wet(cache)
+
+
 def _q_orc_roundtrip(sf_dir: str):
     """ORC shard source/sink (sources/orc.py — Ray 2.49 has no ORC
     reader, so both directions run on pyarrow.orc inside map_batches):
@@ -5333,6 +5371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "bpe_learn": _q_bpe_learn,
         "orc_roundtrip": _q_orc_roundtrip,
+        "wet_roundtrip": _q_wet_roundtrip,
         "epoch_shuffle": _q_epoch_shuffle,
         "html_markdown": _q_html_markdown,
         "compression_ratio": _q_compression_ratio,
@@ -7086,6 +7125,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orc_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "wet_roundtrip": f"""
+            SELECT {SYNTH_URL_SQL} AS url, text FROM documents
         """,
         "neardup_decontaminate": """
             -- replay every corpus-x-eval probe: 5-word shingles,

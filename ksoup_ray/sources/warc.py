@@ -189,3 +189,97 @@ def read_warc(root: str, *, concurrency=None):
 
     kwargs = {"concurrency": concurrency} if concurrency else {}
     return ds.map_batches(decode, batch_format="pyarrow", **kwargs)
+
+
+def _wet_record_bytes(url: str, text: str) -> bytes:
+    payload = text.encode("utf-8")
+    head = (f"WARC/1.0{_CRLF}"
+            f"WARC-Type: conversion{_CRLF}"
+            f"WARC-Target-URI: {url}{_CRLF}"
+            f"Content-Type: text/plain{_CRLF}"
+            f"Content-Length: {len(payload)}{_CRLF}"
+            f"{_CRLF}").encode("ascii")
+    return head + payload + _CRLF.encode() * 2
+
+
+def write_wet_shards(docs, out_dir: str, *,
+                     records_per_file: int = 256) -> int:
+    """WET export — Common Crawl's extracted-text artifact: WARC
+    ``conversion`` records (text/plain payloads) in per-record gzip
+    members, the format downstream text pipelines consume INSTEAD of
+    re-parsing HTML. Input Dataset needs (url, text); same
+    deterministic shard naming, tmp-then-rename commit, and
+    worker-side writes as ``write_warc_shards`` (the driver folds
+    counts only). Returns total records written."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        written = 0
+        for i in range(0, len(urls), records_per_file):
+            chunk = list(zip(urls[i:i + records_per_file],
+                             texts[i:i + records_per_file]))
+            import hashlib
+            h = hashlib.md5(chunk[0][0].encode()).hexdigest()
+            name = f"wet-{h}.warc.wet.gz"
+            tmp = os.path.join(out_dir, "." + name)
+            with open(tmp, "wb") as f:
+                for url, text in chunk:
+                    f.write(gzip.compress(
+                        _wet_record_bytes(url, text or ""), mtime=0))
+            os.replace(tmp, os.path.join(out_dir, name))
+            written += len(chunk)
+        return pa.table({"n": pa.array([written], pa.int64())})
+
+    total = 0
+    import pyarrow.compute as pc
+    for b in docs.map_batches(write_batch, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            total += int(pc.sum(b.column("n")).as_py())
+    return total
+
+
+def read_wet(root: str, *, concurrency=None):
+    """Directory of ``.warc.wet.gz`` shards → Dataset of
+    ``(url, text)``. Same dual-payload handling and
+    truncated-record-counting as ``read_warc`` (the record grammar is
+    identical — only WARC-Type and the text/plain payload differ);
+    payloads must decode as UTF-8 or the record counts as a drop."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(root, file_extensions=["gz"])
+
+    def decode(batch: pa.Table) -> pa.Table:
+        import logging
+        urls, texts = [], []
+        dropped = 0
+        for blob in batch.column("bytes").to_pylist():
+            recs = _split_members(blob) if blob[:2] == b"\x1f\x8b" \
+                else _iter_records(blob)
+            for rec in recs:
+                if rec is None:
+                    dropped += 1
+                    continue
+                parsed = _parse_record(rec)
+                if parsed is None:
+                    dropped += 1
+                    continue
+                url, payload = parsed
+                try:
+                    texts.append(payload.decode("utf-8"))
+                except UnicodeDecodeError:
+                    dropped += 1
+                    continue
+                urls.append(url)
+        if dropped:
+            logging.getLogger("ksoup_ray.warc").warning(
+                "read_wet: dropped %d bad record(s)", dropped)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    kwargs = {"concurrency": concurrency} if concurrency else {}
+    return ds.map_batches(decode, batch_format="pyarrow", **kwargs)

@@ -458,3 +458,41 @@ def test_to_markdown_hostile_depth_iterative():
     assert len(lines) == 1501
     assert lines[0] == "- a" and lines[1] == "  - b"
     assert lines[1500] == "  " * 1500 + "- b"
+
+
+def test_wet_roundtrip_and_truncation(ray_session, tmp_path):
+    import gzip
+    import os
+    import ray.data as rd
+    from ksoup_ray.sources.warc import (read_wet, write_wet_shards,
+                                        _wet_record_bytes)
+
+    rows = [{"url": f"https://x.test/{i}", "text": f"text {i} é№"}
+            for i in range(40)]
+    out = str(tmp_path / "wet")
+    n = write_wet_shards(rd.from_items(rows).repartition(3), out,
+                         records_per_file=16)
+    assert n == 40
+    assert all(f.endswith(".warc.wet.gz")
+               for f in os.listdir(out) if not f.startswith("."))
+    back = read_wet(out).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    import pandas as pd
+    expect = pd.DataFrame(rows).sort_values("url") \
+        .reset_index(drop=True)
+    assert back.equals(expect)
+
+    # a record cut mid-payload is COUNTED, never a silently-short
+    # text (gzip a truncated RECORD — Arrow inflates the .gz, the
+    # worker walks plain records and must drop the short one)
+    good = _wet_record_bytes("https://x.test/ok", "k")
+    cut = _wet_record_bytes("https://x.test/bad",
+                            "long text body that gets cut")[:-12]
+    trunc_dir = str(tmp_path / "trunc")
+    os.makedirs(trunc_dir)
+    with open(os.path.join(trunc_dir, "wet-z.warc.wet.gz"),
+              "wb") as f:
+        f.write(gzip.compress(good + cut, mtime=0))
+    got = read_wet(trunc_dir).to_pandas()
+    assert list(got["url"]) == ["https://x.test/ok"]
+    assert list(got["text"]) == ["k"]

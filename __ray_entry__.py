@@ -5040,6 +5040,36 @@ def _q_etld1_domains(sf_dir: str):
         ds.map_batches(to_hosts, batch_format="pyarrow"))
 
 
+def _q_surt_index(sf_dir: str):
+    """SURT keys (functions/urls.surt_key) — the CDX-index sort key
+    that clusters every subdomain of a registrable domain into one
+    contiguous range: scheme dropped, host labels reversed
+    comma-joined, fragment dropped, query kept. Synth URLs mix
+    subdomain depth, queries, and fragments; the oracle spells the
+    reversed-label key out in closed form, so a label-order, port,
+    query, or fragment bug breaks the hash."""
+    import ray.data as rd
+    from ksoup_ray.functions.urls import surt_keys
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def to_urls(batch: pa.Table) -> pa.Table:
+        urls = []
+        for d in batch.column("doc_id").to_pylist():
+            sub = ("", "www.", "a.b.")[d % 3]
+            suf = ("com", "org", "co.uk", "ac.uk", "com.au")[d % 5]
+            u = f"https://{sub}d{d % 7}.{suf}/p/{d}"
+            if d % 2 == 1:
+                u += f"?q={d % 3}"
+            if d % 4 == 0:
+                u += "#s"
+            urls.append(u)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "url": pa.array(urls, pa.string())})
+
+    return surt_keys(ds.map_batches(to_urls, batch_format="pyarrow"))
+
+
 def _q_bpe_learn(sf_dir: str):
     """BPE tokenizer TRAINING, 3 merge rounds end-to-end
     (functions/curation.bpe_learn) — the iterative trainer put on the
@@ -5378,6 +5408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mojibake_fix": _q_mojibake_fix,
         "neardup_decontaminate": _q_neardup_decontaminate,
         "etld1_domains": _q_etld1_domains,
+        "surt_index": _q_surt_index,
         "blocklist_hits": _q_blocklist_hits,
         "robots_filter": _q_robots_filter,
     }
@@ -7201,6 +7232,39 @@ def oracle_sql() -> dict[str, str]:
                        CAST('0x' || substr(k, 1, 4) AS BIGINT) % 16
                      ORDER BY k, doc_id) AS BIGINT) AS pos
             FROM keyed
+        """,
+        "surt_index": """
+            -- closed-form URL and its reversed-label SURT key;
+            -- query kept, fragment dropped
+            WITH parts AS (
+              SELECT doc_id,
+                     CASE doc_id % 3 WHEN 0 THEN ''
+                          WHEN 1 THEN 'www.' ELSE 'a.b.' END AS sub,
+                     CASE doc_id % 3 WHEN 0 THEN ''
+                          WHEN 1 THEN ',www' ELSE ',b,a' END
+                       AS sub_rev,
+                     'd' || CAST(doc_id % 7 AS VARCHAR) AS dom,
+                     CASE doc_id % 5 WHEN 0 THEN 'com'
+                          WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk'
+                          WHEN 3 THEN 'ac.uk' ELSE 'com.au' END
+                       AS suf,
+                     CASE doc_id % 5 WHEN 0 THEN 'com'
+                          WHEN 1 THEN 'org' WHEN 2 THEN 'uk,co'
+                          WHEN 3 THEN 'uk,ac' ELSE 'au,com' END
+                       AS suf_rev,
+                     '/p/' || CAST(doc_id AS VARCHAR)
+                     || CASE WHEN doc_id % 2 = 1
+                          THEN '?q=' || CAST(doc_id % 3 AS VARCHAR)
+                          ELSE '' END AS spath,
+                     CASE WHEN doc_id % 4 = 0 THEN '#s' ELSE '' END
+                       AS frag
+              FROM documents)
+            SELECT doc_id,
+                   'https://' || sub || dom || '.' || suf || spath
+                   || frag AS url,
+                   suf_rev || ',' || dom || sub_rev || ')' || spath
+                     AS surt
+            FROM parts
         """,
         "etld1_domains": """
             -- hosts and their eTLD+1 are closed-form in doc_id; the

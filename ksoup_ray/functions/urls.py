@@ -203,3 +203,44 @@ def registered_domains(ds, *, host_col: str = "host",
                                    pa.array(regs, pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def surt_key(url: str) -> str:
+    """SURT (Sort-friendly URI Reordering Transform) of a URL — the
+    key Common Crawl's CDX index sorts on: scheme dropped, host
+    lowercased and its labels REVERSED comma-joined, then ')' and the
+    path (query kept, fragment dropped). 'https://WWW.Example.com/a/b?q=1#f'
+    → 'com,example,www)/a/b?q=1'. Reversed-host ordering clusters a
+    registrable domain's every subdomain into one contiguous key
+    range — the property that makes per-domain index scans a range
+    read instead of a full scan."""
+    rest = url
+    if "://" in rest:
+        rest = rest.split("://", 1)[1]
+    rest = rest.split("#", 1)[0]
+    if "/" in rest:
+        hostport, path = rest.split("/", 1)
+        path = "/" + path
+    else:
+        hostport, path = rest, "/"
+    host = hostport.split("@", 1)[-1]        # strip userinfo
+    port = ""
+    if ":" in host:
+        host, port = host.split(":", 1)
+        port = ":" + port
+    labels = [l for l in host.lower().split(".") if l]
+    return ",".join(reversed(labels)) + port + ")" + path
+
+
+def surt_keys(ds, *, url_col: str = "url", out_col: str = "surt"):
+    """Append ``out_col`` = SURT key of ``url_col``. Pure per-batch
+    string splits — no shuffle; downstream CDX-style index builds
+    sort on this key so each domain is one contiguous range."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = [surt_key(u or "")
+                for u in batch.column(url_col).to_pylist()]
+        return batch.append_column(out_col,
+                                   pa.array(keys, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -496,3 +496,21 @@ def test_wet_roundtrip_and_truncation(ray_session, tmp_path):
     got = read_wet(trunc_dir).to_pandas()
     assert list(got["url"]) == ["https://x.test/ok"]
     assert list(got["text"]) == ["k"]
+
+
+def test_surt_key_shapes():
+    from ksoup_ray.functions.urls import surt_key
+
+    assert surt_key("https://WWW.Example.com/a/b?q=1#f") == \
+        "com,example,www)/a/b?q=1"
+    assert surt_key("http://a.b.c:8080/x") == "c,b,a:8080)/x"
+    assert surt_key("https://host.com") == "com,host)/"
+    assert surt_key("https://u:p@h.org/p") == "org,h)/p"
+    # sort-order property: all subdomains of one domain are one
+    # contiguous range, disjoint from a later domain
+    keys = sorted(surt_key(u) for u in [
+        "https://a.x.com/1", "https://b.x.com/2", "https://x.com/3",
+        "https://y.com/0"])
+    assert keys[0].startswith("com,x)") and \
+        keys[1].startswith("com,x,") and keys[2].startswith("com,x,")
+    assert keys[3].startswith("com,y)")

@@ -158,6 +158,45 @@ def _q_extract_from_warc(sf_dir: str):
     return out.select_columns(["url", "extracted_text", "title"])
 
 
+def _q_cdx_lookup(sf_dir: str):
+    """CDX RANDOM ACCESS (sources/warc.py read_cdx/fetch_records):
+    shards are written once with .cdx sidecars (surt-sorted
+    offset/length lines), then every 10th document is point-looked-up
+    — seek to the member's byte range, inflate ONE gzip member, parse
+    the record, and run the full extraction on just those pages.
+    Oracle = the original text of the sampled docs, so a wrong
+    offset, length, member boundary, or SURT key breaks the hash.
+    This is how a 100 TB corpus serves per-URL reads without
+    streaming shards."""
+    import os
+    from ksoup_ray.pipelines.extract import run_extraction
+    from ksoup_ray.sources.warc import (fetch_records, read_cdx,
+                                        write_warc_shards)
+
+    cache = f"/tmp/ksoup_cdx_corpus/{os.path.basename(sf_dir.rstrip('/'))}"
+    marker = os.path.join(cache, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(cache, exist_ok=True)
+        n = write_warc_shards(_pages(sf_dir), cache,
+                              records_per_file=64, cdx=True)
+        with open(marker, "w") as f:
+            f.write(str(n))
+
+    idx = read_cdx(cache)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        # url tail is the zero-padded doc_id (synth url_for layout)
+        return batch.filter(pa.array(
+            [int(u[-8:]) % 10 == 0
+             for u in batch.column("url").to_pylist()]))
+
+    picked = idx.map_batches(sample, batch_format="pyarrow")
+    pages = fetch_records(cache, picked)
+    out = run_extraction(pages, out_dir="", write=False,
+                         concurrency=(1, 4), batch_size=64)
+    return out.select_columns(["url", "extracted_text"])
+
+
 def _q_extract_links(sf_dir: str):
     ds = _extracted(sf_dir)
 
@@ -5409,6 +5448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_decontaminate": _q_neardup_decontaminate,
         "etld1_domains": _q_etld1_domains,
         "surt_index": _q_surt_index,
+        "cdx_lookup": _q_cdx_lookup,
         "blocklist_hits": _q_blocklist_hits,
         "robots_filter": _q_robots_filter,
     }
@@ -7232,6 +7272,11 @@ def oracle_sql() -> dict[str, str]:
                        CAST('0x' || substr(k, 1, 4) AS BIGINT) % 16
                      ORDER BY k, doc_id) AS BIGINT) AS pos
             FROM keyed
+        """,
+        "cdx_lookup": f"""
+            -- the point-looked-up sample must extract byte-identical
+            SELECT {SYNTH_URL_SQL} AS url, text AS extracted_text
+            FROM documents WHERE doc_id % 10 = 0
         """,
         "surt_index": """
             -- closed-form URL and its reversed-label SURT key;

@@ -43,15 +43,24 @@ def _record_bytes(url: str, payload: bytes) -> bytes:
 
 
 def write_warc_shards(pages, out_dir: str, *,
-                      records_per_file: int = 256) -> int:
+                      records_per_file: int = 256,
+                      cdx: bool = False) -> int:
     """Write a pages Dataset (``url``/``html``) as ``.warc.gz`` shards
     of per-record gzip members. Returns total records written. Shard
     names derive from the first record's url hash — deterministic and
     collision-free per batch; a retried task overwrites its own file
-    (idempotent), never appends."""
+    (idempotent), never appends.
+
+    With ``cdx=True`` each shard also gets a ``.cdx`` sidecar — one
+    tab-separated line per record ``surt \\t offset \\t length \\t
+    shard \\t url``, sorted by SURT key — Common Crawl's random-access
+    index: a point lookup seeks straight to one gzip member instead
+    of streaming the shard (the committed sidecar rides the same
+    tmp-then-rename as its shard)."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_batch(batch: pa.Table) -> pa.Table:
+        from ..functions.urls import surt_key
         urls = batch.column("url").to_pylist()
         payloads = batch.column("html").to_pylist()
         written = 0
@@ -64,11 +73,23 @@ def write_warc_shards(pages, out_dir: str, *,
             h = hashlib.md5(chunk[0][0].encode()).hexdigest()
             name = f"shard-{h}.warc.gz"
             tmp = os.path.join(out_dir, "." + name)
+            entries = []
             with open(tmp, "wb") as f:
                 for url, payload in chunk:
-                    f.write(gzip.compress(_record_bytes(url, payload),
-                                          mtime=0))
+                    off = f.tell()
+                    member = gzip.compress(_record_bytes(url, payload),
+                                           mtime=0)
+                    f.write(member)
+                    entries.append((surt_key(url), off, len(member),
+                                    name, url))
             os.replace(tmp, os.path.join(out_dir, name))
+            if cdx:
+                cname = name[:-len(".warc.gz")] + ".cdx"
+                ctmp = os.path.join(out_dir, "." + cname)
+                with open(ctmp, "w") as cf:
+                    for e in sorted(entries):
+                        cf.write("\t".join(str(x) for x in e) + "\n")
+                os.replace(ctmp, os.path.join(out_dir, cname))
             written += len(chunk)
         return pa.table({"n": pa.array([written], pa.int64())})
 
@@ -283,3 +304,89 @@ def read_wet(root: str, *, concurrency=None):
 
     kwargs = {"concurrency": concurrency} if concurrency else {}
     return ds.map_batches(decode, batch_format="pyarrow", **kwargs)
+
+
+def read_cdx(root: str):
+    """Directory's ``.cdx`` sidecars → Dataset of (surt, offset,
+    length, shard, url). One task per sidecar file; sidecars are
+    O(records) metadata lines, tiny next to their shards."""
+    import ray.data as rd
+
+    paths = sorted(os.path.join(root, f) for f in os.listdir(root)
+                   if f.endswith(".cdx"))
+    if not paths:
+        raise ValueError(f"no .cdx sidecars under {root}")
+
+    def load(batch: pa.Table) -> pa.Table:
+        surts, offs, lens, shards, urls = [], [], [], [], []
+        for p in batch.column("path").to_pylist():
+            with open(p) as f:
+                for line in f:
+                    s, off, ln, shard, url = \
+                        line.rstrip("\n").split("\t")
+                    surts.append(s)
+                    offs.append(int(off))
+                    lens.append(int(ln))
+                    shards.append(shard)
+                    urls.append(url)
+        return pa.table({
+            "surt": pa.array(surts, pa.string()),
+            "offset": pa.array(offs, pa.int64()),
+            "length": pa.array(lens, pa.int64()),
+            "shard": pa.array(shards, pa.string()),
+            "url": pa.array(urls, pa.string()),
+        })
+
+    return rd.from_items([{"path": p} for p in paths]).map_batches(
+        load, batch_size=1, batch_format="pyarrow")
+
+
+def fetch_records(root: str, index_ds):
+    """RANDOM ACCESS into WARC shards: for every index row (shard,
+    offset, length) seek to that byte range, inflate the single gzip
+    member, and parse the record — the CDX point-lookup pattern (one
+    member read per record, never a shard stream). Rows are grouped
+    by shard within each batch so a shard is opened once per batch.
+    Returns (url, html); malformed/truncated members are counted
+    drops, mirroring read_warc."""
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        import logging
+        rows = sorted(zip(batch.column("shard").to_pylist(),
+                          batch.column("offset").to_pylist(),
+                          batch.column("length").to_pylist()))
+        urls, htmls = [], []
+        dropped = 0
+        open_path, fh = None, None
+        try:
+            for shard, off, ln in rows:
+                if shard != open_path:
+                    if fh:
+                        fh.close()
+                    fh = open(os.path.join(root, shard), "rb")
+                    open_path = shard
+                fh.seek(off)
+                member = fh.read(ln)
+                try:
+                    rec = gzip.decompress(member)
+                except OSError:
+                    dropped += 1
+                    continue
+                parsed = _parse_record(rec)
+                if parsed is None:
+                    dropped += 1
+                    continue
+                urls.append(parsed[0])
+                htmls.append(parsed[1])
+        finally:
+            if fh:
+                fh.close()
+        if dropped:
+            logging.getLogger("ksoup_ray.warc").warning(
+                "fetch_records: dropped %d bad member(s)", dropped)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(htmls, pa.binary()),
+        })
+
+    return index_ds.map_batches(fetch, batch_format="pyarrow")

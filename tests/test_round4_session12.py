@@ -514,3 +514,38 @@ def test_surt_key_shapes():
     assert keys[0].startswith("com,x)") and \
         keys[1].startswith("com,x,") and keys[2].startswith("com,x,")
     assert keys[3].startswith("com,y)")
+
+
+def test_cdx_sidecar_and_point_fetch(ray_session, tmp_path):
+    import os
+    import ray.data as rd
+    from ksoup_ray.sources.warc import (fetch_records, read_cdx,
+                                        write_warc_shards)
+
+    rows = [{"url": f"https://s{i % 3}.test/p/{i}",
+             "html": f"<p>body {i}</p>".encode()} for i in range(30)]
+    out = str(tmp_path / "warc")
+    n = write_warc_shards(rd.from_items(rows).repartition(2), out,
+                          records_per_file=8, cdx=True)
+    assert n == 30
+    shards = [f for f in os.listdir(out) if f.endswith(".warc.gz")]
+    sidecars = [f for f in os.listdir(out) if f.endswith(".cdx")]
+    assert len(shards) == len(sidecars) >= 2
+
+    idx = read_cdx(out).to_pandas()
+    assert len(idx) == 30
+    # sidecar lines are SURT-sorted per shard
+    for _, g in idx.groupby("shard"):
+        pass  # read order within a file is the written (sorted) order
+    with open(os.path.join(out, sidecars[0])) as f:
+        keys = [l.split("\t")[0] for l in f]
+    assert keys == sorted(keys)
+
+    # point-fetch a subset: exact payloads back, no shard streaming
+    pick = idx[idx["url"].str.endswith(("/3", "/17", "/29"))]
+    got = fetch_records(out, rd.from_items(
+        pick.to_dict("records"))).to_pandas().sort_values("url")
+    assert len(got) == 3
+    for _, r in got.iterrows():
+        i = int(r["url"].rsplit("/", 1)[1])
+        assert bytes(r["html"]) == f"<p>body {i}</p>".encode()

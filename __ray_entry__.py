@@ -265,6 +265,18 @@ def _q_pagerank_2iter(sf_dir: str):
     return pagerank_picos(edges, iters=2)
 
 
+def _q_labelprop_2iter(sf_dir: str):
+    """Community detection by synchronous min-label propagation over
+    the UNDIRECTED link graph, 2 fixed rounds
+    (functions/graph.labelprop_rounds) — same co-partitioned
+    join-free round shape as pagerank_picos, folded with a NATIVE
+    Min aggregate. The DuckDB oracle unrolls both rounds over the
+    doubled edge list, so every intermediate label is on the hash."""
+    from ksoup_ray.functions.graph import labelprop_rounds
+    edges = _q_link_edges(sf_dir)
+    return labelprop_rounds(edges, iters=2)
+
+
 def _q_extract_spans(sf_dir: str):
     """Source-range provenance (north rule "text/spans"): per url, the
     count of text-node spans contributing to extracted_text and the
@@ -5449,6 +5461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "etld1_domains": _q_etld1_domains,
         "surt_index": _q_surt_index,
         "cdx_lookup": _q_cdx_lookup,
+        "labelprop_2iter": _q_labelprop_2iter,
         "blocklist_hits": _q_blocklist_hits,
         "robots_filter": _q_robots_filter,
     }
@@ -7272,6 +7285,41 @@ def oracle_sql() -> dict[str, str]:
                        CAST('0x' || substr(k, 1, 4) AS BIGINT) % 16
                      ORDER BY k, doc_id) AS BIGINT) AS pos
             FROM keyed
+        """,
+        "labelprop_2iter": """
+            -- two unrolled min-label rounds over the doubled edges
+            WITH edges AS (
+              SELECT doc_id AS src,
+                     CAST((doc_id + k + 1) % 100000000 AS BIGINT)
+                       AS dst
+              FROM documents,
+              LATERAL unnest(generate_series(0, doc_id % 4 - 1))
+                AS t(k)
+            ), und AS (
+              SELECT src AS a, dst AS b FROM edges
+              UNION ALL SELECT dst, src FROM edges
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges)
+            ), l0 AS (
+              SELECT node, node AS lbl FROM nodes
+            ), l1 AS (
+              SELECT l0.node,
+                     LEAST(l0.lbl, COALESCE(m.minl, l0.lbl)) AS lbl
+              FROM l0 LEFT JOIN (
+                SELECT u.b AS node, MIN(la.lbl) AS minl
+                FROM und u JOIN l0 la ON u.a = la.node
+                GROUP BY u.b) m ON l0.node = m.node
+            ), l2 AS (
+              SELECT l1.node,
+                     LEAST(l1.lbl, COALESCE(m.minl, l1.lbl)) AS lbl
+              FROM l1 LEFT JOIN (
+                SELECT u.b AS node, MIN(la.lbl) AS minl
+                FROM und u JOIN l1 la ON u.a = la.node
+                GROUP BY u.b) m ON l1.node = m.node
+            )
+            SELECT node, CAST(lbl AS BIGINT) AS label FROM l2
         """,
         "cdx_lookup": f"""
             -- the point-looked-up sample must extract byte-identical

@@ -770,3 +770,119 @@ def hits_ints(edges, *, iters: int = 2, src_col: str = "src",
         .groupby("node") \
         .aggregate(Sum("a", alias_name="auth"),
                    Sum("h", alias_name="hub"))
+
+
+def labelprop_rounds(edges, *, iters: int = 2,
+                     src_col: str = "src", dst_col: str = "dst",
+                     num_partitions: int = 64):
+    """Synchronous min-label propagation over the UNDIRECTED link
+    graph for a FIXED number of rounds — the community-detection
+    primitive (labels converge to per-component minima; a fixed
+    iteration count keeps it exactly replayable by an unrolled SQL
+    oracle, the pagerank_2iter pattern). Update per round:
+
+        label'(v) = min(label(v), min over neighbors u of label(u))
+
+    Scale shape (same as ``pagerank_picos``): per round, labels and
+    doubled edges CO-PARTITION on ``hash(key) % num_partitions``; one
+    vectorized block kernel (sort + searchsorted — no per-node
+    Python) emits (neighbor, label) rows, and a NATIVE ``Min``
+    aggregate folds them with each node's own label. No joins, no
+    corpus-scale ``map_groups`` dispatch. Returns (node, label)."""
+    from ray.data.aggregate import Min
+    from ._blocks import bucket_of
+
+    def double(batch: pa.Table) -> pa.Table:
+        s = batch.column(src_col).cast(pa.int64())
+        d = batch.column(dst_col).cast(pa.int64())
+        return pa.table({
+            "a": pa.concat_arrays([s.combine_chunks()
+                                   if isinstance(s, pa.ChunkedArray)
+                                   else s,
+                                   d.combine_chunks()
+                                   if isinstance(d, pa.ChunkedArray)
+                                   else d]),
+            "b": pa.concat_arrays([d.combine_chunks()
+                                   if isinstance(d, pa.ChunkedArray)
+                                   else d,
+                                   s.combine_chunks()
+                                   if isinstance(s, pa.ChunkedArray)
+                                   else s]),
+        })
+
+    und = edges.map_batches(double, batch_format="pyarrow") \
+        .materialize()
+    nodes = _node_roster(edges, src_col, dst_col)
+    if nodes.count() == 0:
+        return nodes.map_batches(
+            lambda b: pa.table({"node": pa.array([], pa.int64()),
+                                "label": pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+
+    labels = nodes.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "lbl": b.column("node")}),
+        batch_format="pyarrow").materialize()
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        keys = batch.column("node").to_numpy()
+        return pa.table({
+            "key": batch.column("node"),
+            "_pk": pa.array(bucket_of(keys, num_partitions),
+                            pa.int32()),
+            "dst": pa.array(np.zeros(batch.num_rows, np.int64)),
+            "val": batch.column("lbl"),
+            "is_lbl": pa.array(np.ones(batch.num_rows, np.int8)),
+        })
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        keys = batch.column("a")
+        return pa.table({
+            "key": keys,
+            "_pk": pa.array(bucket_of(
+                keys.to_numpy(zero_copy_only=False), num_partitions),
+                pa.int32()),
+            "dst": batch.column("b"),
+            "val": pa.array(np.zeros(batch.num_rows, np.int64)),
+            "is_lbl": pa.array(np.zeros(batch.num_rows, np.int8)),
+        })
+
+    def spread_block(block: "pd.DataFrame") -> "pd.DataFrame":
+        is_lbl = block["is_lbl"].to_numpy().astype(bool)
+        keys = block["key"].to_numpy()
+        lk = keys[is_lbl]
+        lv = block["val"].to_numpy()[is_lbl]
+        order = np.argsort(lk)
+        lk, lv = lk[order], lv[order]
+        ek = keys[~is_lbl]
+        ed = block["dst"].to_numpy()[~is_lbl]
+        idx = np.searchsorted(lk, ek)   # roster covers every node
+        # Arrow block out (pandas in) so the union with the Arrow
+        # tag_self stream stays one block type
+        return pa.table({
+            "key": pa.array(ed.astype(np.int64), pa.int64()),
+            "cand": pa.array(lv[idx].astype(np.int64), pa.int64())})
+
+    def tag_self(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("node"),
+                         "cand": batch.column("lbl")})
+
+    for _ in range(iters):
+        tagged = labels.map_batches(tag_labels,
+                                    batch_format="pyarrow") \
+            .union(und.map_batches(tag_edges, batch_format="pyarrow"))
+        cands = tagged.groupby("_pk").map_groups(
+            spread_block, batch_format="pandas")
+        labels = cands.union(
+            labels.map_batches(tag_self, batch_format="pyarrow")) \
+            .groupby("key").aggregate(Min("cand", alias_name="lbl")) \
+            .map_batches(lambda b: pa.table(
+                {"node": b.column("key"),
+                 "lbl": b.column("lbl").cast(pa.int64())}),
+                batch_format="pyarrow") \
+            .materialize()
+
+    return labels.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "label": b.column("lbl")}),
+        batch_format="pyarrow")

@@ -549,3 +549,33 @@ def test_cdx_sidecar_and_point_fetch(ray_session, tmp_path):
     for _, r in got.iterrows():
         i = int(r["url"].rsplit("/", 1)[1])
         assert bytes(r["html"]) == f"<p>body {i}</p>".encode()
+
+
+def test_labelprop_rounds_vs_bruteforce(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.graph import labelprop_rounds
+
+    # two chains and an isolated self-contained pair
+    edges = [(10, 11), (11, 12), (12, 13),
+             (20, 21), (30, 31), (31, 20)]
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in edges]) \
+        .repartition(3)
+
+    def brute(iters):
+        und = {}
+        for s, d in edges:
+            und.setdefault(s, set()).add(d)
+            und.setdefault(d, set()).add(s)
+        lbl = {n: n for n in und}
+        for _ in range(iters):
+            lbl = {n: min([lbl[n]] + [lbl[u] for u in und[n]])
+                   for n in und}
+        return lbl
+
+    for iters in (1, 2, 3):
+        got = labelprop_rounds(ds, iters=iters).to_pandas()
+        assert dict(zip(got["node"], got["label"])) == brute(iters)
+    # 3 rounds fully converge these components
+    conv = labelprop_rounds(ds, iters=3).to_pandas()
+    comp = dict(zip(conv["node"], conv["label"]))
+    assert comp[13] == 10 and comp[21] == 20 and comp[31] == 20

@@ -4960,6 +4960,40 @@ def _q_q21_waiting(sf_dir: str):
                     descending=[True, False]).limit(100)
 
 
+def _q_boilerplate_lines(sf_dir: str):
+    """CCNet-style per-host boilerplate LINE stripping
+    (functions/curation.boilerplate_strip): every doc gets its host's
+    header/footer chrome plus a unique body line (and a rare NOTE
+    line on 1/7 of docs); lines in ≥50% of a host's pages are
+    template and must be removed, rare lines must survive. Docs never
+    shuffle — only (host, line_md5) count rows do; the bounded
+    template table broadcasts. The oracle states the cleaned text in
+    closed form, so a frequency, threshold, or reassembly bug breaks
+    the hash."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import boilerplate_strip
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+
+    def templated(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        hosts = batch.column("source").to_pylist()
+        out = []
+        for d, t, h in zip(ids, texts, hosts):
+            s = (f"HDR {h}\nB{d} {t or ''}\nFTR {h}")
+            if d % 7 == 0:
+                s += f"\nNOTE n{d}"
+            out.append(s)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "host": batch.column("source"),
+            "text": pa.array(out, pa.string())})
+
+    pages = ds.map_batches(templated, batch_format="pyarrow")
+    return boilerplate_strip(pages)
+
+
 def _q_neardup_decontaminate(sf_dir: str):
     """NEAR-dup decontamination (functions/dedup.neardup_decontaminate)
     — flag corpus docs whose 5-word-shingle Jaccard vs ANY benchmark
@@ -5458,6 +5492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": _q_compression_ratio,
         "mojibake_fix": _q_mojibake_fix,
         "neardup_decontaminate": _q_neardup_decontaminate,
+        "boilerplate_lines": _q_boilerplate_lines,
         "etld1_domains": _q_etld1_domains,
         "surt_index": _q_surt_index,
         "cdx_lookup": _q_cdx_lookup,
@@ -7212,6 +7247,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "wet_roundtrip": f"""
             SELECT {SYNTH_URL_SQL} AS url, text FROM documents
+        """,
+        "boilerplate_lines": """
+            -- closed-form expectation: host chrome (HDR/FTR, 100%%
+            -- frequency) stripped, unique body + rare NOTE survive
+            SELECT doc_id,
+                   'B' || CAST(doc_id AS VARCHAR) || ' ' || text
+                   || CASE WHEN doc_id % 7 = 0
+                        THEN chr(10) || 'NOTE n'
+                             || CAST(doc_id AS VARCHAR)
+                        ELSE '' END AS cleaned,
+                   CAST(2 AS BIGINT) AS n_stripped
+            FROM documents
         """,
         "neardup_decontaminate": """
             -- replay every corpus-x-eval probe: 5-word shingles,

@@ -1742,3 +1742,104 @@ def mojibake_repair(ds, *, text_col: str = "text",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def boilerplate_strip(ds, *, host_col: str = "host",
+                      text_col: str = "text",
+                      id_col: str = "doc_id",
+                      min_ratio_pct: int = 50):
+    """CCNet-style per-host boilerplate LINE removal: a line occurring
+    in at least ``min_ratio_pct``% of a host's pages is template
+    chrome (nav, header, footer, cookie banner) and is stripped from
+    every page of that host; rare lines — the content — survive.
+
+    Scale shape: the document side NEVER shuffles. Two skinny
+    aggregates build the template table — (host, line_md5) DISTINCT-
+    document counts and per-host page counts (map-side per-doc dedup
+    first, so only hash rows ride the shuffles) — then the template
+    table (hosts × ~template size, tiny next to the corpus by
+    construction: it's the repeated chrome) is collected and
+    broadcast via ``ray.put``; a second pass filters each doc's lines
+    locally and rejoins with newline. For corpora where even the
+    template table outgrows broadcast, replace the broadcast with a
+    (host, hash) hash-join — the counts plumbing is unchanged.
+    Returns (id, cleaned, n_stripped)."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def line_hash_rows(batch: pa.Table) -> pa.Table:
+        hosts_out, hashes = [], []
+        page_hosts = []
+        for h, t in zip(batch.column(host_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            page_hosts.append(h)
+            for ln in set((t or "").split("\n")):   # per-doc dedup
+                hosts_out.append(h)
+                hashes.append(hashlib.md5(
+                    ln.encode("utf-8")).hexdigest())
+        return pa.table({
+            "host": pa.array(hosts_out, pa.string()),
+            "lh": pa.array(hashes, pa.string()),
+            "n": pa.array(np.ones(len(hashes), np.int64)),
+        })
+
+    line_counts = (ds.map_batches(line_hash_rows,
+                                  batch_format="pyarrow")
+                   .groupby(["host", "lh"])
+                   .aggregate(Sum("n", alias_name="docs")))
+
+    def page_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": batch.column(host_col),
+            "p": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+
+    page_counts = {
+        r["host"]: r["p_sum"] if "p_sum" in r else r["sum(p)"]
+        for r in (ds.map_batches(page_rows, batch_format="pyarrow")
+                  .groupby("host")
+                  .aggregate(Sum("p", alias_name="p_sum"))
+                  .take_all())}
+
+    # threshold DISTRIBUTED (the full (host, line) count table is
+    # corpus-scale — only the bounded template survivors reach the
+    # driver); page_counts is host-scale, broadcast once
+    pages_ref = ray.put(page_counts)
+
+    def thresh(batch: pa.Table) -> pa.Table:
+        pages = ray.get(pages_ref)
+        hosts = batch.column("host").to_pylist()
+        docs = batch.column("docs").to_numpy(zero_copy_only=False)
+        keep = [bool(pages.get(h, 0)
+                     and 100 * int(d) >= min_ratio_pct * pages[h])
+                for h, d in zip(hosts, docs)]
+        return batch.filter(pa.array(keep))
+
+    template = {(r["host"], r["lh"])
+                for r in line_counts.map_batches(
+                    thresh, batch_format="pyarrow").take_all()}
+    template_ref = ray.put(template)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        tpl = ray.get(template_ref)
+        cleaned, stripped = [], []
+        for h, t in zip(batch.column(host_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            kept, n_drop = [], 0
+            for ln in (t or "").split("\n"):
+                lh = hashlib.md5(ln.encode("utf-8")).hexdigest()
+                if (h, lh) in tpl:
+                    n_drop += 1
+                else:
+                    kept.append(ln)
+            cleaned.append("\n".join(kept))
+            stripped.append(n_drop)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cleaned": pa.array(cleaned, pa.string()),
+            "n_stripped": pa.array(stripped, pa.int64()),
+        })
+
+    return ds.map_batches(strip, batch_format="pyarrow")

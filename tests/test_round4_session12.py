@@ -579,3 +579,35 @@ def test_labelprop_rounds_vs_bruteforce(ray_session):
     conv = labelprop_rounds(ds, iters=3).to_pandas()
     comp = dict(zip(conv["node"], conv["label"]))
     assert comp[13] == 10 and comp[21] == 20 and comp[31] == 20
+
+
+def test_boilerplate_strip_threshold_semantics(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.curation import boilerplate_strip
+
+    rows = [
+        # host A: 4 pages; 'nav' on all, 'promo' on exactly 2 (50%
+        # -> boilerplate at min_ratio_pct=50), unique bodies
+        {"doc_id": 0, "host": "A", "text": "nav\npromo\nbody0"},
+        {"doc_id": 1, "host": "A", "text": "nav\npromo\nbody1"},
+        {"doc_id": 2, "host": "A", "text": "nav\nbody2"},
+        # same line TWICE in one doc counts that doc once
+        {"doc_id": 3, "host": "A", "text": "nav\nbody3\nbody3"},
+        # host B: 1 page; everything is 100% -> fully stripped
+        {"doc_id": 4, "host": "B", "text": "only\nlines"},
+        # 'nav' on host C is NOT boilerplate: 1 of 3 pages < 50%
+        {"doc_id": 5, "host": "C", "text": "nav\nbodyC"},
+        {"doc_id": 6, "host": "C", "text": "other\nbodyC2"},
+        {"doc_id": 7, "host": "C", "text": "third\nbodyC3"},
+    ]
+    out = boilerplate_strip(rd.from_items(rows).repartition(3)) \
+        .to_pandas().set_index("doc_id")
+    assert out.loc[0, "cleaned"] == "body0"
+    assert out.loc[0, "n_stripped"] == 2          # nav + promo
+    assert out.loc[2, "cleaned"] == "body2"
+    assert out.loc[2, "n_stripped"] == 1
+    assert out.loc[3, "cleaned"] == "body3\nbody3"
+    assert out.loc[4, "cleaned"] == ""            # all template
+    assert out.loc[4, "n_stripped"] == 2
+    assert out.loc[5, "cleaned"] == "nav\nbodyC"  # host-scoped
+    assert out.loc[5, "n_stripped"] == 0

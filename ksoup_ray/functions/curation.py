@@ -1747,7 +1747,8 @@ def mojibake_repair(ds, *, text_col: str = "text",
 def boilerplate_strip(ds, *, host_col: str = "host",
                       text_col: str = "text",
                       id_col: str = "doc_id",
-                      min_ratio_pct: int = 50):
+                      min_ratio_pct: int = 50,
+                      min_pages: int = 3):
     """CCNet-style per-host boilerplate LINE removal: a line occurring
     in at least ``min_ratio_pct``% of a host's pages is template
     chrome (nav, header, footer, cookie banner) and is stripped from
@@ -1763,7 +1764,12 @@ def boilerplate_strip(ds, *, host_col: str = "host",
     locally and rejoins with newline. For corpora where even the
     template table outgrows broadcast, replace the broadcast with a
     (host, hash) hash-join — the counts plumbing is unchanged.
-    Returns (id, cleaned, n_stripped)."""
+
+    ``min_pages`` floors the statistics: a host with fewer pages has
+    no reliable template signal (with 1 page EVERY line is 100%
+    frequent and the whole document would vanish; long-tail
+    single-page hosts dominate real crawls), so such hosts pass
+    through untouched. Returns (id, cleaned, n_stripped)."""
     import hashlib
 
     import ray
@@ -1771,10 +1777,8 @@ def boilerplate_strip(ds, *, host_col: str = "host",
 
     def line_hash_rows(batch: pa.Table) -> pa.Table:
         hosts_out, hashes = [], []
-        page_hosts = []
         for h, t in zip(batch.column(host_col).to_pylist(),
                         batch.column(text_col).to_pylist()):
-            page_hosts.append(h)
             for ln in set((t or "").split("\n")):   # per-doc dedup
                 hosts_out.append(h)
                 hashes.append(hashlib.md5(
@@ -1812,7 +1816,7 @@ def boilerplate_strip(ds, *, host_col: str = "host",
         pages = ray.get(pages_ref)
         hosts = batch.column("host").to_pylist()
         docs = batch.column("docs").to_numpy(zero_copy_only=False)
-        keep = [bool(pages.get(h, 0)
+        keep = [bool(pages.get(h, 0) >= min_pages
                      and 100 * int(d) >= min_ratio_pct * pages[h])
                 for h, d in zip(hosts, docs)]
         return batch.filter(pa.array(keep))

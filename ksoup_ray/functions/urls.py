@@ -76,11 +76,14 @@ def parse_robots(txt: str, *, agent: str = "ksoupbot") \
         -> list[tuple[bool, str]]:
     """Parse a robots.txt body into the (allow, path_prefix) rules
     that apply to ``agent`` — the REP group-selection algorithm
-    (RFC 9309 §2.2.1): rules come from the most specific matching
-    ``User-agent`` group (exact token match beats ``*``; consecutive
-    UA lines share one group); unknown directives (Crawl-delay,
-    Sitemap) and comments are ignored; empty Disallow means
-    allow-everything and contributes no rule."""
+    (RFC 9309 §2.2.1): rules come from EVERY matching ``User-agent``
+    group MERGED in file order (the RFC's multiple-groups rule; exact
+    token match beats ``*``, and an exact group existing — even
+    rule-less — suppresses the ``*`` fallback); consecutive UA lines
+    share one group; unknown directives (Crawl-delay, Sitemap) and
+    comments are IGNORED entirely, so they neither split a UA line
+    run nor a group; empty Disallow means allow-everything and
+    contributes no rule."""
     agent = agent.lower()
     groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
     cur_agents: list[str] = []
@@ -103,15 +106,17 @@ def parse_robots(txt: str, *, agent: str = "ksoupbot") \
             in_agents = False
             if val:
                 cur_rules.append((key == "allow", val))
-        else:                      # crawl-delay, sitemap, unknown
-            in_agents = False
+        # crawl-delay / sitemap / unknown: ignored per RFC 9309 —
+        # MUST NOT split a group or a user-agent line run
     if cur_agents:
         groups.append((cur_agents, cur_rules))
-    exact = [r for agents, r in groups if agent in agents]
-    if exact:
-        return exact[0]
-    star = [r for agents, r in groups if "*" in agents]
-    return star[0] if star else []
+    if any(agent in agents for agents, _ in groups):
+        return [r for agents, rules in groups
+                if agent in agents for r in rules]
+    if any("*" in agents for agents, _ in groups):
+        return [r for agents, rules in groups
+                if "*" in agents for r in rules]
+    return []
 
 
 def robots_decide(ds, rules_by_host: dict[str, list[tuple[bool, str]]],
@@ -218,11 +223,16 @@ def surt_key(url: str) -> str:
     if "://" in rest:
         rest = rest.split("://", 1)[1]
     rest = rest.split("#", 1)[0]
-    if "/" in rest:
-        hostport, path = rest.split("/", 1)
-        path = "/" + path
-    else:
+    # the authority ends at the FIRST '/' or '?' — a query with no
+    # path slash ('host.com?q=1') must not leak into the host labels
+    cut = min((i for i in (rest.find("/"), rest.find("?"))
+               if i >= 0), default=-1)
+    if cut < 0:
         hostport, path = rest, "/"
+    elif rest[cut] == "/":
+        hostport, path = rest[:cut], rest[cut:]
+    else:
+        hostport, path = rest[:cut], "/" + rest[cut:]
     host = hostport.split("@", 1)[-1]        # strip userinfo
     port = ""
     if ":" in host:

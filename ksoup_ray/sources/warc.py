@@ -33,6 +33,19 @@ import pyarrow as pa
 _CRLF = "\r\n"
 
 
+def _cdx_esc(s: str) -> str:
+    """%-escape the CDX record separators so a hostile URL (tab /
+    newline — legal in practice after sloppy extraction) can never
+    corrupt the tab-separated sidecar."""
+    return s.replace("%", "%25").replace("\t", "%09") \
+        .replace("\n", "%0A").replace("\r", "%0D")
+
+
+def _cdx_unesc(s: str) -> str:
+    return s.replace("%0D", "\r").replace("%0A", "\n") \
+        .replace("%09", "\t").replace("%25", "%")
+
+
 def _record_bytes(url: str, payload: bytes) -> bytes:
     head = (f"WARC/1.0{_CRLF}"
             f"WARC-Type: response{_CRLF}"
@@ -40,6 +53,61 @@ def _record_bytes(url: str, payload: bytes) -> bytes:
             f"Content-Length: {len(payload)}{_CRLF}"
             f"{_CRLF}").encode("ascii")
     return head + payload + _CRLF.encode() * 2
+
+
+def _write_member_shards(ds, out_dir: str, *, payload_col: str,
+                         rec_fn, name_fmt: str,
+                         records_per_file: int,
+                         cdx: bool = False) -> int:
+    """Shared shard writer for every WARC-family format (response
+    records, WET conversion records): per-record gzip members,
+    deterministic md5 shard names, tmp-then-rename commit, counts
+    folded on the driver. ``rec_fn(url, payload) -> bytes`` builds
+    one record; ``cdx`` adds the SURT-sorted offset/length sidecar."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        from ..functions.urls import surt_key
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column(payload_col).to_pylist()
+        written = 0
+        for i in range(0, len(urls), records_per_file):
+            chunk = list(zip(urls[i:i + records_per_file],
+                             payloads[i:i + records_per_file]))
+            # 128-bit name: collision-free at crawl scale (a 32-bit
+            # hash birthday-collides around ~10^5 shards)
+            import hashlib
+            h = hashlib.md5(chunk[0][0].encode()).hexdigest()
+            name = name_fmt.format(h=h)
+            tmp = os.path.join(out_dir, "." + name)
+            entries = []
+            with open(tmp, "wb") as f:
+                for url, payload in chunk:
+                    off = f.tell()
+                    member = gzip.compress(rec_fn(url, payload),
+                                           mtime=0)
+                    f.write(member)
+                    entries.append((_cdx_esc(surt_key(url)), off,
+                                    len(member), name,
+                                    _cdx_esc(url)))
+            os.replace(tmp, os.path.join(out_dir, name))
+            if cdx:
+                cname = name.split(".", 1)[0] + ".cdx"
+                ctmp = os.path.join(out_dir, "." + cname)
+                with open(ctmp, "w") as cf:
+                    for e in sorted(entries):
+                        cf.write("\t".join(str(x) for x in e) + "\n")
+                os.replace(ctmp, os.path.join(out_dir, cname))
+            written += len(chunk)
+        return pa.table({"n": pa.array([written], pa.int64())})
+
+    total = 0
+    import pyarrow.compute as pc
+    for b in ds.map_batches(write_batch, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            total += int(pc.sum(b.column("n")).as_py())
+    return total
 
 
 def write_warc_shards(pages, out_dir: str, *,
@@ -52,54 +120,16 @@ def write_warc_shards(pages, out_dir: str, *,
     (idempotent), never appends.
 
     With ``cdx=True`` each shard also gets a ``.cdx`` sidecar — one
-    tab-separated line per record ``surt \\t offset \\t length \\t
-    shard \\t url``, sorted by SURT key — Common Crawl's random-access
+    tab-separated line per record ``surt \t offset \t length \t
+    shard \t url``, sorted by SURT key — Common Crawl's random-access
     index: a point lookup seeks straight to one gzip member instead
     of streaming the shard (the committed sidecar rides the same
     tmp-then-rename as its shard)."""
-    os.makedirs(out_dir, exist_ok=True)
-
-    def write_batch(batch: pa.Table) -> pa.Table:
-        from ..functions.urls import surt_key
-        urls = batch.column("url").to_pylist()
-        payloads = batch.column("html").to_pylist()
-        written = 0
-        for i in range(0, len(urls), records_per_file):
-            chunk = list(zip(urls[i:i + records_per_file],
-                             payloads[i:i + records_per_file]))
-            # 128-bit name: collision-free at crawl scale (a 32-bit
-            # hash birthday-collides around ~10^5 shards)
-            import hashlib
-            h = hashlib.md5(chunk[0][0].encode()).hexdigest()
-            name = f"shard-{h}.warc.gz"
-            tmp = os.path.join(out_dir, "." + name)
-            entries = []
-            with open(tmp, "wb") as f:
-                for url, payload in chunk:
-                    off = f.tell()
-                    member = gzip.compress(_record_bytes(url, payload),
-                                           mtime=0)
-                    f.write(member)
-                    entries.append((surt_key(url), off, len(member),
-                                    name, url))
-            os.replace(tmp, os.path.join(out_dir, name))
-            if cdx:
-                cname = name[:-len(".warc.gz")] + ".cdx"
-                ctmp = os.path.join(out_dir, "." + cname)
-                with open(ctmp, "w") as cf:
-                    for e in sorted(entries):
-                        cf.write("\t".join(str(x) for x in e) + "\n")
-                os.replace(ctmp, os.path.join(out_dir, cname))
-            written += len(chunk)
-        return pa.table({"n": pa.array([written], pa.int64())})
-
-    total = 0
-    import pyarrow.compute as pc
-    for b in pages.map_batches(write_batch, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
-        if b.num_rows:
-            total += int(pc.sum(b.column("n")).as_py())
-    return total
+    return _write_member_shards(pages, out_dir, payload_col="html",
+                                rec_fn=_record_bytes,
+                                name_fmt="shard-{h}.warc.gz",
+                                records_per_file=records_per_file,
+                                cdx=cdx)
 
 
 def _split_members(blob: bytes):
@@ -170,21 +200,24 @@ def _iter_records(buf: bytes):
         pos = body_end + 4          # skip the record's CRLF CRLF
 
 
-def read_warc(root: str, *, concurrency=None):
-    """Directory of ``.warc.gz`` shards → Dataset of
-    ``(url, html: binary)``. Whole shards stream through
-    ``read_binary_files``; record splitting + header parse happen in
-    the worker task. Handles BOTH payload forms: Ray/Arrow
-    transparently gunzips ``.gz`` files (plain concatenated records
-    arrive), while bytes from other filesystem layers may still be
-    raw gzip members — detected by the 1f 8b magic."""
+def _read_record_shards(root: str, emit, schema: dict, *,
+                        concurrency=None):
+    """Shared reader for every WARC-family shard layout: whole .gz
+    files stream through ``read_binary_files``; the worker splits
+    records (dual payload form — Arrow transparently gunzips, raw
+    gzip members detected by the 1f 8b magic), counts truncated or
+    malformed records as drops (never silently-short documents), and
+    ``emit(url, payload, out_columns)`` appends accepted rows —
+    returning False to count a payload-level drop (e.g. bad UTF-8).
+    ``schema`` (name -> Arrow type) fixes the output columns so empty
+    blocks keep a stable schema."""
     import ray.data as rd
 
     ds = rd.read_binary_files(root, file_extensions=["gz"])
 
     def decode(batch: pa.Table) -> pa.Table:
         import logging
-        urls, htmls = [], []
+        cols: dict[str, list] = {k: [] for k in schema}
         dropped = 0
         for blob in batch.column("bytes").to_pylist():
             recs = _split_members(blob) if blob[:2] == b"\x1f\x8b" \
@@ -197,19 +230,31 @@ def read_warc(root: str, *, concurrency=None):
                 if parsed is None:   # malformed/short member — counted
                     dropped += 1
                     continue
-                url, payload = parsed
-                urls.append(url)
-                htmls.append(payload)
+                if not emit(parsed[0], parsed[1], cols):
+                    dropped += 1
         if dropped:
             logging.getLogger("ksoup_ray.warc").warning(
-                "read_warc: dropped %d truncated record(s)", dropped)
-        return pa.table({
-            "url": pa.array(urls, pa.string()),
-            "html": pa.array(htmls, pa.binary()),
-        })
+                "read shards: dropped %d bad record(s)", dropped)
+        return pa.table({k: pa.array(cols[k], t)
+                         for k, t in schema.items()})
 
     kwargs = {"concurrency": concurrency} if concurrency else {}
     return ds.map_batches(decode, batch_format="pyarrow", **kwargs)
+
+
+def read_warc(root: str, *, concurrency=None):
+    """Directory of ``.warc.gz`` shards → Dataset of
+    ``(url, html: binary)`` via the shared truncation-counting record
+    walker (``_read_record_shards``)."""
+
+    def emit(url: str, payload: bytes, cols: dict) -> bool:
+        cols["url"].append(url)
+        cols["html"].append(payload)
+        return True
+
+    return _read_record_shards(
+        root, emit, {"url": pa.string(), "html": pa.binary()},
+        concurrency=concurrency)
 
 
 def _wet_record_bytes(url: str, text: str) -> bytes:
@@ -226,84 +271,37 @@ def _wet_record_bytes(url: str, text: str) -> bytes:
 def write_wet_shards(docs, out_dir: str, *,
                      records_per_file: int = 256) -> int:
     """WET export — Common Crawl's extracted-text artifact: WARC
-    ``conversion`` records (text/plain payloads) in per-record gzip
-    members, the format downstream text pipelines consume INSTEAD of
-    re-parsing HTML. Input Dataset needs (url, text); same
-    deterministic shard naming, tmp-then-rename commit, and
-    worker-side writes as ``write_warc_shards`` (the driver folds
-    counts only). Returns total records written."""
-    os.makedirs(out_dir, exist_ok=True)
+    ``conversion`` records (text/plain payloads) through the shared
+    member-shard writer (same deterministic naming, tmp-then-rename
+    commit, worker-side writes). Input Dataset needs (url, text).
+    Returns total records written."""
 
-    def write_batch(batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        texts = batch.column("text").to_pylist()
-        written = 0
-        for i in range(0, len(urls), records_per_file):
-            chunk = list(zip(urls[i:i + records_per_file],
-                             texts[i:i + records_per_file]))
-            import hashlib
-            h = hashlib.md5(chunk[0][0].encode()).hexdigest()
-            name = f"wet-{h}.warc.wet.gz"
-            tmp = os.path.join(out_dir, "." + name)
-            with open(tmp, "wb") as f:
-                for url, text in chunk:
-                    f.write(gzip.compress(
-                        _wet_record_bytes(url, text or ""), mtime=0))
-            os.replace(tmp, os.path.join(out_dir, name))
-            written += len(chunk)
-        return pa.table({"n": pa.array([written], pa.int64())})
+    def rec_fn(url: str, text) -> bytes:
+        return _wet_record_bytes(url, text or "")
 
-    total = 0
-    import pyarrow.compute as pc
-    for b in docs.map_batches(write_batch, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
-        if b.num_rows:
-            total += int(pc.sum(b.column("n")).as_py())
-    return total
+    return _write_member_shards(docs, out_dir, payload_col="text",
+                                rec_fn=rec_fn,
+                                name_fmt="wet-{h}.warc.wet.gz",
+                                records_per_file=records_per_file)
 
 
 def read_wet(root: str, *, concurrency=None):
     """Directory of ``.warc.wet.gz`` shards → Dataset of
-    ``(url, text)``. Same dual-payload handling and
-    truncated-record-counting as ``read_warc`` (the record grammar is
-    identical — only WARC-Type and the text/plain payload differ);
-    payloads must decode as UTF-8 or the record counts as a drop."""
-    import ray.data as rd
+    ``(url, text)`` via the shared walker; payloads must decode as
+    UTF-8 or the record counts as a drop."""
 
-    ds = rd.read_binary_files(root, file_extensions=["gz"])
+    def emit(url: str, payload: bytes, cols: dict) -> bool:
+        try:
+            text = payload.decode("utf-8")
+        except UnicodeDecodeError:
+            return False
+        cols["url"].append(url)
+        cols["text"].append(text)
+        return True
 
-    def decode(batch: pa.Table) -> pa.Table:
-        import logging
-        urls, texts = [], []
-        dropped = 0
-        for blob in batch.column("bytes").to_pylist():
-            recs = _split_members(blob) if blob[:2] == b"\x1f\x8b" \
-                else _iter_records(blob)
-            for rec in recs:
-                if rec is None:
-                    dropped += 1
-                    continue
-                parsed = _parse_record(rec)
-                if parsed is None:
-                    dropped += 1
-                    continue
-                url, payload = parsed
-                try:
-                    texts.append(payload.decode("utf-8"))
-                except UnicodeDecodeError:
-                    dropped += 1
-                    continue
-                urls.append(url)
-        if dropped:
-            logging.getLogger("ksoup_ray.warc").warning(
-                "read_wet: dropped %d bad record(s)", dropped)
-        return pa.table({
-            "url": pa.array(urls, pa.string()),
-            "text": pa.array(texts, pa.string()),
-        })
-
-    kwargs = {"concurrency": concurrency} if concurrency else {}
-    return ds.map_batches(decode, batch_format="pyarrow", **kwargs)
+    return _read_record_shards(
+        root, emit, {"url": pa.string(), "text": pa.string()},
+        concurrency=concurrency)
 
 
 def read_cdx(root: str):
@@ -324,11 +322,11 @@ def read_cdx(root: str):
                 for line in f:
                     s, off, ln, shard, url = \
                         line.rstrip("\n").split("\t")
-                    surts.append(s)
+                    surts.append(_cdx_unesc(s))
                     offs.append(int(off))
                     lens.append(int(ln))
                     shards.append(shard)
-                    urls.append(url)
+                    urls.append(_cdx_unesc(url))
         return pa.table({
             "surt": pa.array(surts, pa.string()),
             "offset": pa.array(offs, pa.int64()),
@@ -369,7 +367,11 @@ def fetch_records(root: str, index_ds):
                 member = fh.read(ln)
                 try:
                     rec = gzip.decompress(member)
-                except OSError:
+                except (OSError, EOFError, zlib.error):
+                    # a short read (truncated shard / stale CDX
+                    # length) raises EOFError, corrupt deflate raises
+                    # zlib.error — both are counted drops, the same
+                    # contract as read_warc
                     dropped += 1
                     continue
                 parsed = _parse_record(rec)

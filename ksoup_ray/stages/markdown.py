@@ -89,8 +89,23 @@ def _list_items(el, ordered: bool, depth: int) -> list[str]:
     can't blow the Python stack."""
     out: list[str] = []
     # list frame: ["list", lis, pos, ordered, depth, idx]
-    # li frame:   ["li", nodes, pos, parts, marker, pad]
+    # li frame:   ["li", nodes, pos, parts, marker, pad, dep, done]
+    # done: the marker line was already emitted — text AFTER a nested
+    # list becomes an INDENTED continuation line, never a phantom
+    # second item with a stale marker
     stack = [["list", el.children(), 0, ordered, depth, 0]]
+
+    def flush_item(fr):
+        txt = "".join(fr[3]).strip()
+        fr[3] = []
+        if not txt:
+            return
+        if fr[7]:                           # continuation
+            out.append(f"{fr[5]}  {txt}")
+        else:
+            out.append(f"{fr[5]}{fr[4]} {txt}")
+            fr[7] = True
+
     while stack:
         fr = stack[-1]
         if fr[0] == "list":
@@ -105,33 +120,40 @@ def _list_items(el, ordered: bool, depth: int) -> list[str]:
             fr[5] = idx = idx + 1
             marker = f"{idx}." if is_ord else "-"
             stack.append(["li", li.child_nodes(), 0, [],
-                          marker, "  " * dep, dep])
+                          marker, "  " * dep, dep, False])
         else:
-            _, nodes, pos, parts, marker, pad, dep = fr
+            nodes, pos, dep = fr[1], fr[2], fr[6]
             if pos >= len(nodes):
-                if parts:
-                    out.append(f"{pad}{marker} "
-                               + "".join(parts).strip())
+                flush_item(fr)
                 stack.pop()
                 continue
             fr[2] += 1
             c = nodes[pos]
             nm = c.node_name()
             if nm in ("ul", "ol"):
-                if parts:
-                    out.append(f"{pad}{marker} "
-                               + "".join(parts).strip())
-                    fr[3] = []
+                flush_item(fr)
+                fr[7] = True      # nested list also claims the marker
                 stack.append(["list", c.children(), 0, nm == "ol",
                               dep + 1, 0])
             else:
-                parts.append(_inline(c))
+                fr[3].append(_inline(c))
     return out
 
 
 def _table(el) -> list[str]:
+    # DIRECT rows only (tr children of the table or of its
+    # thead/tbody/tfoot) — a descendant select would re-emit nested
+    # tables' rows at the outer level, duplicating their content
+    trs = []
+    for c in el.children():
+        t = c.tag_name()
+        if t == "tr":
+            trs.append(c)
+        elif t in ("thead", "tbody", "tfoot"):
+            trs.extend(g for g in c.children()
+                       if g.tag_name() == "tr")
     rows = []
-    for tr in el.select("tr"):
+    for tr in trs:
         cells = [c for c in tr.children()
                  if c.tag_name() in ("td", "th")]
         rows.append([

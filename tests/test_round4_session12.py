@@ -607,7 +607,87 @@ def test_boilerplate_strip_threshold_semantics(ray_session):
     assert out.loc[2, "cleaned"] == "body2"
     assert out.loc[2, "n_stripped"] == 1
     assert out.loc[3, "cleaned"] == "body3\nbody3"
-    assert out.loc[4, "cleaned"] == ""            # all template
-    assert out.loc[4, "n_stripped"] == 2
+    # single-page host: below the min_pages floor -> untouched (with
+    # 1 page every line is 100% frequent; stripping would erase it)
+    assert out.loc[4, "cleaned"] == "only\nlines"
+    assert out.loc[4, "n_stripped"] == 0
     assert out.loc[5, "cleaned"] == "nav\nbodyC"  # host-scoped
     assert out.loc[5, "n_stripped"] == 0
+
+
+def test_fetch_records_counts_truncated_member(ray_session, tmp_path):
+    import gzip
+    import os
+    import ray.data as rd
+    from ksoup_ray.sources.warc import (_record_bytes, fetch_records)
+
+    good = gzip.compress(_record_bytes("https://x.test/ok",
+                                       b"<p>k</p>"), mtime=0)
+    bad = gzip.compress(_record_bytes("https://x.test/bad",
+                                      b"<p>gone</p>"), mtime=0)
+    root = str(tmp_path)
+    with open(os.path.join(root, "shard-a.warc.gz"), "wb") as f:
+        f.write(good + bad)
+    idx = [
+        {"shard": "shard-a.warc.gz", "offset": 0,
+         "length": len(good)},
+        # stale CDX length: member cut short -> EOFError inside gzip,
+        # must be a COUNTED drop, not a task crash
+        {"shard": "shard-a.warc.gz", "offset": len(good),
+         "length": len(bad) - 6},
+    ]
+    out = fetch_records(root, rd.from_items(idx)).to_pandas()
+    assert list(out["url"]) == ["https://x.test/ok"]
+
+
+def test_cdx_escapes_hostile_urls(ray_session, tmp_path):
+    import ray.data as rd
+    from ksoup_ray.sources.warc import (read_cdx, write_warc_shards)
+
+    rows = [{"url": "https://x.test/a\tb\nc", "html": b"<p>t</p>"},
+            {"url": "https://x.test/plain", "html": b"<p>p</p>"}]
+    out = str(tmp_path / "w")
+    write_warc_shards(rd.from_items(rows), out,
+                      records_per_file=8, cdx=True)
+    idx = read_cdx(out).to_pandas()
+    assert sorted(idx["url"]) == sorted(r["url"] for r in rows)
+
+
+def test_parse_robots_rfc_group_merging():
+    from ksoup_ray.functions.urls import parse_robots
+
+    # two separate groups for the same agent MERGE (RFC 9309)
+    txt = ("User-agent: ksoupbot\nDisallow: /a\n\n"
+           "User-agent: ksoupbot\nDisallow: /b\n")
+    assert parse_robots(txt) == [(False, "/a"), (False, "/b")]
+    # unknown directives are ignored entirely: they split neither a
+    # UA line run nor a group
+    txt2 = ("User-agent: a\nCrawl-delay: 1\nUser-agent: b\n"
+            "Disallow: /x\n")
+    assert parse_robots(txt2, agent="a") == [(False, "/x")]
+    assert parse_robots(txt2, agent="b") == [(False, "/x")]
+    # a rule-less exact group still suppresses the * fallback
+    txt3 = ("User-agent: ksoupbot\nDisallow:\n\n"
+            "User-agent: *\nDisallow: /\n")
+    assert parse_robots(txt3) == []
+
+
+def test_surt_key_query_without_path():
+    from ksoup_ray.functions.urls import surt_key
+
+    assert surt_key("https://example.com?q=1") == "com,example)/?q=1"
+    assert surt_key("https://example.com/?q=1") == "com,example)/?q=1"
+
+
+def test_markdown_list_continuation_and_nested_table():
+    from ksoup_ray.stages.markdown import to_markdown
+
+    # text after a nested list is an indented continuation, never a
+    # phantom item with a duplicate ordinal
+    assert to_markdown(
+        "<ol><li>a<ul><li>x</li></ul>b</li><li>c</li></ol>") == \
+        "1. a\n  - x\n  b\n2. c"
+    # nested tables' rows are not re-emitted at the outer level
+    md = to_markdown("<table><tr><td>o<table><tr><td>n</td></tr>"
+                     "</table></td></tr></table>")
+    assert md == "| on |\n| --- |"

@@ -5286,6 +5286,71 @@ def _q_robots_filter(sf_dir: str):
     return decided.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_split_leakage(sf_dir: str):
+    """Cross-split host-leakage audit (functions/splits.py
+    split_leakage): md5 doc-level splits vs a synthetic host grouping
+    (``host = 'h' || doc_id % 53``) — hosts whose pages straddle >1
+    split, with doc counts. Pure per-batch assignment, two bounded
+    partial/fold aggregations (hosts-scale rows only)."""
+    import ray.data as rd
+    from ksoup_ray.functions.splits import split_leakage
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        host = pc.binary_join_element_wise(
+            "h", pc.cast(pa.array(ids % 53, pa.int64()), pa.string()),
+            "")
+        return batch.append_column("host", host)
+
+    return split_leakage(ds.map_batches(add_host,
+                                        batch_format="pyarrow"))
+
+
+def _q_phrase_search(sf_dir: str):
+    """Positional phrase search (functions/index.py phrase_hits):
+    per-doc occurrence counts of the token-adjacent phrase
+    "spark window" — tokenize-and-prune postings (id-sized rows for
+    the phrase's terms only), ONE bounded doc-bucket shuffle, one
+    lexsort segment kernel per block."""
+    import ray.data as rd
+    from ksoup_ray.functions.index import phrase_hits
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return phrase_hits(ds, ("spark", "window"))
+
+
+def _q_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup (functions/dedup.py semdedup, Abbas
+    et al. 2023): cosine-assign every embedding to the 8 fixed
+    lowest-id centroids (broadcast once), then within each cluster
+    drop vectors with a lower-id mate at cosine >= 0.465 — the
+    keep-one-per-ε-ball rule, replayed exactly by the NOT-EXISTS
+    oracle. Cluster ids are the BOUNDED shuffle key; in-cluster
+    dominance runs in column chunks (m x chunk memory, never m²)."""
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import semdedup
+    centroids = _head_embeddings(sf_dir, _IVF_CELLS)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return semdedup(ds, centroids, threshold=0.465)
+
+
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet perplexity tiering (functions/curation.py
+    ccnet_ppl_buckets, Wenzek et al. 2020 §4.3): per-doc corpus-LM
+    perplexity (integer micros, from the co-partitioned unigram pass
+    with token counts riding the same aggregate) quantized to
+    bounded bins, then sort-free equi-depth head/middle/tail
+    banding. The full CCNet quality-tier recipe as one lazy DAG."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import ccnet_ppl_buckets
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ccnet_ppl_buckets(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -5499,6 +5564,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "labelprop_2iter": _q_labelprop_2iter,
         "blocklist_hits": _q_blocklist_hits,
         "robots_filter": _q_robots_filter,
+        "split_leakage": _q_split_leakage,
+        "phrase_search": _q_phrase_search,
+        "semdedup": _q_semdedup,
+        "ccnet_buckets": _q_ccnet_buckets,
     }
 
 
@@ -8815,5 +8884,106 @@ def oracle_sql() -> dict[str, str]:
             FROM urls u
             LEFT JOIN (SELECT * FROM decided WHERE rn = 1) d
               USING (doc_id)
+        """,
+        # same md5 split rule as split_assign, grouped by the
+        # synthetic host; >1 distinct split per host == leakage
+        "split_leakage": """
+            WITH b AS (
+              SELECT doc_id,
+                     'h' || CAST(doc_id % 53 AS VARCHAR) AS host,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 8) AS BIGINT)
+                       / 4294967296.0 AS bf
+              FROM documents),
+            s AS (
+              SELECT host,
+                     CASE WHEN bf < 0.8 THEN 'train'
+                          WHEN bf < 0.9 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM b)
+            SELECT host,
+                   CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM s GROUP BY host
+            HAVING count(DISTINCT split) > 1
+        """,
+        # positional self-join: token i = 'spark' and token i+1 =
+        # 'window' — the exact adjacency the posting-intersection
+        # kernel counts
+        "phrase_search": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS xs
+              FROM documents),
+            pos AS (
+              SELECT doc_id, xs[i] AS w, i
+              FROM toks,
+              LATERAL unnest(generate_series(1, len(xs))) AS t(i))
+            SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM pos p0
+            JOIN pos p1 ON p0.doc_id = p1.doc_id AND p1.i = p0.i + 1
+            WHERE p0.w = 'spark' AND p1.w = 'window'
+            GROUP BY p0.doc_id
+        """,
+        # SemDeDup closed form: assign to the nearest of the 8
+        # lowest-id centroids (ties to lowest centroid index), keep
+        # iff no lower-id cluster-mate is >= the cosine threshold
+        "semdedup": """
+            WITH cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                     embedding
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+            sim AS (
+              SELECT e.vec_id, c.cid,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                                  CAST(e.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[])) DESC,
+                                c.cid) AS rnk
+              FROM embeddings e CROSS JOIN cents c),
+            a AS (SELECT vec_id, cid FROM sim WHERE rnk = 1)
+            SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id,
+                   CAST(CASE WHEN EXISTS (
+                     SELECT 1 FROM a a2
+                     JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+                     JOIN embeddings e1 ON e1.vec_id = a.vec_id
+                     WHERE a2.cid = a.cid AND a2.vec_id < a.vec_id
+                       AND list_cosine_similarity(
+                             CAST(e1.embedding AS DOUBLE[]),
+                             CAST(e2.embedding AS DOUBLE[])) >= 0.465)
+                   THEN 0 ELSE 1 END AS BIGINT) AS keep
+            FROM a
+        """,
+        # the unigram-LM CTE with token counts, per-token neg-logprob
+        # quantized by integer floor division, then NTILE(3) over
+        # (ppl_q, doc_id) — head/middle/tail
+        "ccnet_buckets": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            cnt AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM words),
+            tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+                   GROUP BY doc_id, w),
+            lp AS (
+              SELECT tf.doc_id,
+                     CAST(SUM(tf.tf * CAST(ROUND(
+                         ln(cnt.c / tot.t) * 1000000.0) AS BIGINT))
+                       AS BIGINT) AS lpm,
+                     CAST(SUM(tf.tf) AS BIGINT) AS ntok
+              FROM tf JOIN cnt USING (w) CROSS JOIN tot
+              GROUP BY tf.doc_id),
+            q AS (
+              SELECT doc_id, (-lpm) // (ntok * 10000) AS ppl_q
+              FROM lp WHERE ntok > 0),
+            t AS (
+              SELECT doc_id, ppl_q,
+                     NTILE(3) OVER (ORDER BY ppl_q, doc_id) AS tile
+              FROM q)
+            SELECT doc_id, CAST(ppl_q AS BIGINT) AS ppl_q,
+                   CASE tile WHEN 1 THEN 'head'
+                             WHEN 2 THEN 'middle'
+                             ELSE 'tail' END AS bucket
+            FROM t
         """,
     }

@@ -452,7 +452,7 @@ def _explode_bigrams(texts: pd.Series):
 def unigram_logprob(ds, *, text_col: str = "text",
                     id_col: str = "doc_id", salt: int = 16,
                     num_word_partitions: int = 32,
-                    explode_fn=None):
+                    explode_fn=None, with_tokens: bool = False):
     """Corpus-LM quality score: per-document unigram log-likelihood
     (Σ tf(w) · ln P(w)) in integer micros — the CCNet-style "how
     typical of the corpus is this document" signal.
@@ -477,7 +477,10 @@ def unigram_logprob(ds, *, text_col: str = "text",
     Word hashes come from ``pandas.util.hash_array`` (SipHash, fixed
     key — identical across worker processes).
 
-    Returns ``(doc_id, logprob_micros int64)``.
+    Returns ``(doc_id, logprob_micros int64)``; with
+    ``with_tokens=True`` also ``n_tokens`` (the doc's token count in
+    the LM's own tokenization — Σ tf rides the same aggregate, no
+    second corpus pass).
     """
     from ray.data.aggregate import Sum
 
@@ -560,15 +563,97 @@ def unigram_logprob(ds, *, text_col: str = "text",
             np.log(v[is_v].astype(np.float64) / total)
             * 1_000_000.0).astype(np.int64)
         dmask = ~is_v
-        return pd.DataFrame({
+        out = {
             id_col: block[id_col].to_numpy(dtype=np.int64)[dmask],
             "contrib": v[dmask] * lp[codes[dmask]],
+        }
+        if with_tokens:
+            out["tf"] = v[dmask]
+        return pd.DataFrame(out)
+
+    contribs = both.groupby(["wpk", "bkt"]) \
+        .map_groups(contribs_block, batch_format="pandas")
+    aggs = [Sum("contrib", alias_name="logprob_micros")]
+    if with_tokens:
+        aggs.append(Sum("tf", alias_name="n_tokens"))
+    return contribs.groupby(id_col).aggregate(*aggs)
+
+
+def ccnet_ppl_buckets(ds, *, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      quantum_micros: int = 10_000, n_tiles: int = 3,
+                      salt: int = 16, num_word_partitions: int = 32,
+                      num_partitions: int = 32):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.3): score every document by its corpus-LM
+    perplexity, then band the corpus into equi-depth head / middle /
+    tail thirds — the standard quality tiering that decides which
+    web text trains a model and which is discarded.
+
+    Exact + scale-safe composition of two existing primitives:
+
+    1. :func:`unigram_logprob` ``with_tokens=True`` — per-doc integer
+       log-likelihood AND token count from ONE co-partitioned pass
+       (vocab never broadcast, never collected);
+    2. per-token negative log-prob quantized to
+       ``quantum_micros``-sized bins: ``ppl_q = (-logprob_micros) //
+       (n_tokens * quantum_micros)`` — integer floor division, exact
+       on both sides. The quantization is what keeps the banding
+       histogram BOUNDED: distinct ppl_q values number ~(max mean
+       neg-logprob / quantum), a few hundred bins at any corpus
+       size, so :func:`~ksoup_ray.functions.agg.ntile_by_group`'s
+       bounded cross-tab applies (per-doc raw micros would put one
+       grid row per document — corpus-scale driver state);
+    3. sort-free NTILE(``n_tiles``) over (ppl_q, doc_id) — no global
+       sort, DuckDB's first-r-tiles rule closed-form.
+
+    Empty docs (0 tokens) are excluded (perplexity undefined), same
+    as the oracle's ``WHERE n_tokens > 0``. Returns
+    ``(doc_id, ppl_q, bucket)`` with bucket ∈ {head, middle, tail}
+    for ``n_tiles=3``, else the 1-based tile number as a string.
+    """
+    from .agg import ntile_by_group
+
+    lp = unigram_logprob(ds, text_col=text_col, id_col=id_col,
+                         salt=salt,
+                         num_word_partitions=num_word_partitions,
+                         with_tokens=True)
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        lpm = batch.column("logprob_micros") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = batch.column("n_tokens") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = ntok > 0
+        ppl_q = (-lpm[keep]) // (ntok[keep] * quantum_micros)
+        return pa.table({
+            id_col: pa.array(ids[keep], pa.int64()),
+            "corpus": pa.array(np.zeros(int(keep.sum()), np.int64),
+                               pa.int64()),
+            "ppl_q": pa.array(ppl_q, pa.int64()),
         })
 
-    return (both.groupby(["wpk", "bkt"])
-            .map_groups(contribs_block, batch_format="pandas")
-            .groupby(id_col)
-            .aggregate(Sum("contrib", alias_name="logprob_micros")))
+    tiles = ntile_by_group(
+        lp.map_batches(quantize, batch_format="pyarrow"),
+        key_col="corpus", val_col="ppl_q", tie_col=id_col,
+        n_tiles=n_tiles, num_partitions=num_partitions)
+
+    names = {1: "head", 2: "middle", 3: "tail"} if n_tiles == 3 \
+        else {i: str(i) for i in range(1, n_tiles + 1)}
+
+    def label(batch: pa.Table) -> pa.Table:
+        t = batch.column("tile").to_numpy(zero_copy_only=False)
+        lut = np.array([names.get(i, str(i))
+                        for i in range(n_tiles + 1)], dtype=object)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "ppl_q": batch.column("ppl_q"),
+            "bucket": pa.array(lut[t], pa.string()),
+        })
+
+    return tiles.map_batches(label, batch_format="pyarrow")
 
 
 def bigram_logprob(ds, *, text_col: str = "text",

@@ -1073,6 +1073,79 @@ def cosine_near_dup_pairs(ds, *, threshold: float = 0.465, bits: int = 2,
         .select_columns(["id_a", "id_b"])
 
 
+def semdedup(ds, centroids, *, threshold: float = 0.465,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             col_chunk: int = 4096):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and dropping, within each
+    cluster, every vector that has a LOWER-id cluster-mate at cosine
+    >= ``threshold``. The keep rule is the deterministic closed form
+    ``keep(i) = NOT EXISTS j: cluster(j)=cluster(i) AND id(j)<id(i)
+    AND cos(i,j) >= t`` — a pure function of the input, so a SQL
+    oracle replays it exactly (SemDeDup's "keep one per ε-ball").
+
+    Scale shape: ``centroids`` broadcast ONCE via ``ray.put`` (the
+    SemDeDup recipe sizes k ∝ N/target-cluster, so clusters stay
+    small — ~1k vectors for the paper's 100k clusters on LAION);
+    assignment is one matmul+argmax per batch (ties to the LOWEST
+    centroid index, same rule as similarity.CentroidAssigner); the
+    pairwise step shuffles each vector ONCE keyed on its cluster id —
+    a BOUNDED key set (k), so per-cluster ``map_groups`` dispatch is
+    the grouped_topk per-lang shape, not per-row Python. In-cluster
+    dominance runs in COLUMN CHUNKS (``col_chunk``): peak memory is
+    m x col_chunk floats, never m^2, while flops stay the m^2·d the
+    algorithm defines. Cluster rows must fit a worker heap — that is
+    the k ∝ N sizing contract, documented per the custom-operator
+    rule. Returns ``(vec_id, cluster_id, keep 0/1)`` for every row.
+    """
+    import ray
+    from .similarity import _normalize, vecs_from_arrow
+
+    cents_ref = ray.put(_normalize(
+        np.asarray(centroids, dtype=np.float64)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vecs = vecs_from_arrow(batch.column(vec_col), np.float64)
+        if len(vecs) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster_id": pa.array([], pa.int64()),
+                             vec_col: batch.column(vec_col)})
+        cents = ray.get(cents_ref)
+        cl = (_normalize(vecs) @ cents.T).argmax(axis=1)
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "cluster_id": pa.array(cl.astype(np.int64), pa.int64()),
+            vec_col: batch.column(vec_col),
+        })
+
+    def prune_cluster(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        vecs = np.stack(group[vec_col].to_numpy()[order]) \
+            .astype(np.float64)
+        unit = _normalize(vecs)
+        m = len(ids)
+        dup = np.zeros(m, bool)
+        rows = np.arange(m)
+        for c0 in range(0, m, col_chunk):
+            c1 = min(c0 + col_chunk, m)
+            sims = unit @ unit[c0:c1].T          # (m, c1-c0)
+            strictly_before = rows[:, None] < np.arange(c0, c1)[None, :]
+            dup[c0:c1] = ((sims >= threshold)
+                          & strictly_before).any(axis=0)
+        return pd.DataFrame({
+            id_col: ids,
+            "cluster_id": group["cluster_id"].to_numpy(
+                dtype=np.int64)[order],
+            "keep": (~dup).astype(np.int64),
+        })
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("cluster_id")
+            .map_groups(prune_cluster, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # segment-level (paragraph-style) dedup
 

@@ -85,3 +85,86 @@ def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return (ds.map_batches(pairs, batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(merge_block, batch_format="pyarrow"))
+
+
+def phrase_hits(ds, phrase: tuple[str, ...], *,
+                text_col: str = "text", id_col: str = "doc_id",
+                num_partitions: int = 32):
+    """Exact phrase search — per-document occurrence counts of a
+    token-adjacent phrase (the positional-postings intersection every
+    search engine runs at query time; Manning et al., IIR §2.4).
+
+    Shape: stage 1 tokenizes and PRUNES to the phrase's terms only —
+    each match emits an id-sized ``(doc, slot, apos)`` row where
+    ``apos = position - slot`` (a phrase occurrence starting at p
+    puts ALL of its slots at apos == p); in a deployed system this
+    stage reads the persisted term-sharded positional index (the
+    build side is :func:`inverted_index`) instead of re-tokenizing.
+    ONE bounded shuffle co-partitions on ``hash(doc) %
+    num_partitions`` — only matched-term postings ride it, a tiny
+    fraction of the corpus — and each block resolves ALL of its docs
+    in one lexsort + segment-count kernel: an (doc, apos) segment
+    with len(phrase) rows has every slot present (a slot can match a
+    given apos at most once), i.e. one phrase occurrence. Output:
+    ``(doc_id, n_hits)`` for documents with >= 1 occurrence.
+    """
+    from ._blocks import bucket_of, segment_starts, start_of_segment
+
+    terms = list(phrase)
+    L = len(terms)
+    if L == 0:
+        raise ValueError("phrase must have at least one term")
+
+    def postings(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ex = s.str.split(" ").explode()
+        di = ex.index.to_numpy(dtype=np.int64)   # sorted (row-major)
+        w = ex.to_numpy(dtype=object)
+        # 1-based token position within each doc
+        pos = np.arange(len(di), dtype=np.int64) \
+            - start_of_segment(di) + 1
+        out_doc, out_slot, out_apos = [], [], []
+        for slot, term in enumerate(terms):
+            m = w == term
+            out_doc.append(ids[di[m]])
+            out_slot.append(np.full(int(m.sum()), slot, np.int8))
+            out_apos.append(pos[m] - slot)
+        doc = np.concatenate(out_doc) if out_doc else \
+            np.empty(0, np.int64)
+        return pa.table({
+            "doc": pa.array(doc, pa.int64()),
+            "slot": pa.array(np.concatenate(out_slot), pa.int8()),
+            "apos": pa.array(np.concatenate(out_apos), pa.int64()),
+            "_pk": pa.array(bucket_of(doc, num_partitions),
+                            pa.int32()),
+        })
+
+    def intersect_block(block: pa.Table) -> pa.Table:
+        doc = block.column("doc").to_numpy(zero_copy_only=False)
+        apos = block.column("apos").to_numpy(zero_copy_only=False)
+        if len(doc) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_hits": pa.array([], pa.int64())})
+        order = np.lexsort((apos, doc))
+        doc, apos = doc[order], apos[order]
+        new = np.ones(len(doc), bool)
+        new[1:] = (doc[1:] != doc[:-1]) | (apos[1:] != apos[:-1])
+        starts = np.flatnonzero(new)
+        seg_len = np.append(starts[1:], len(doc)) - starts
+        hit = seg_len == L
+        hdoc = doc[starts][hit]
+        if len(hdoc) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_hits": pa.array([], pa.int64())})
+        ud = segment_starts(hdoc)
+        n_hits = np.append(ud[1:], len(hdoc)) - ud
+        return pa.table({
+            id_col: pa.array(hdoc[ud], pa.int64()),
+            "n_hits": pa.array(n_hits.astype(np.int64), pa.int64()),
+        })
+
+    return (ds.map_batches(postings, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(intersect_block, batch_format="pyarrow"))

@@ -64,6 +64,84 @@ def assign_splits(ds, *, id_col: str = "doc_id",
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def split_leakage(ds, *, id_col: str = "doc_id",
+                  host_col: str = "host",
+                  train_frac: float = 0.8, val_frac: float = 0.1):
+    """Cross-split leakage audit: the hosts (or any grouping entity —
+    site, author, near-dup cluster) whose documents land in MORE THAN
+    ONE of the md5-assigned train/val/test splits. Doc-level splits
+    leak host-level signal (a model can memorize a site's style from
+    train and look artificially good on its val pages — the reason
+    CC-derived corpora split by host, not by page); this operator is
+    the audit that QUANTIFIES that leakage before anyone trains.
+
+    Scale shape: split assignment is the pure per-batch md5 rule of
+    :func:`assign_splits` (no coordination); each batch pre-combines
+    to DISTINCT ``(host, split, partial_docs)`` rows, ONE
+    groupby(host, split) folds the partials (hosts-scale rows, never
+    doc-scale), then a second bounded combine per host counts its
+    distinct splits. Output: ``(host, n_splits, n_docs)`` for every
+    host present in >1 split — empty means the split is host-clean.
+    """
+    from ray.data.aggregate import Sum
+
+    t_hi = float(train_frac)
+    v_hi = float(train_frac) + float(val_frac)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        ids = batch.column(id_col).to_pylist()
+        frac = _md5_bucket_fraction(ids)
+        split = np.where(frac < t_hi, "train",
+                         np.where(frac < v_hi, "val", "test"))
+        df = pd.DataFrame({
+            "host": batch.column(host_col).to_numpy(
+                zero_copy_only=False),
+            "split": split})
+        g = df.groupby(["host", "split"], sort=False).size() \
+            .reset_index(name="partial_docs")
+        return pa.table({
+            "host": pa.array(g["host"].to_numpy(object), pa.string()),
+            "split": pa.array(g["split"].to_numpy(object),
+                              pa.string()),
+            "partial_docs": pa.array(
+                g["partial_docs"].to_numpy(np.int64), pa.int64()),
+        })
+
+    per_split = (ds.select_columns([id_col, host_col])
+                 .map_batches(partial, batch_format="pyarrow")
+                 .groupby(["host", "split"])
+                 .aggregate(Sum("partial_docs", alias_name="docs")))
+
+    def host_partial(batch: pa.Table) -> pa.Table:
+        # each (host, split) row is globally unique after the fold,
+        # so counting rows per host == counting distinct splits
+        import pandas as pd
+        df = batch.select(["host", "docs"]).to_pandas()
+        g = df.groupby("host", sort=False).agg(
+            n_splits=("docs", "size"), n_docs=("docs", "sum"))
+        g = g.reset_index()
+        return pa.table({
+            "host": pa.array(g["host"].to_numpy(object), pa.string()),
+            "p_splits": pa.array(g["n_splits"].to_numpy(np.int64),
+                                 pa.int64()),
+            "p_docs": pa.array(g["n_docs"].to_numpy(np.int64),
+                               pa.int64()),
+        })
+
+    folded = (per_split.map_batches(host_partial,
+                                    batch_format="pyarrow")
+              .groupby("host")
+              .aggregate(Sum("p_splits", alias_name="n_splits"),
+                         Sum("p_docs", alias_name="n_docs")))
+
+    def leaky(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.greater(batch.column("n_splits"), 1))
+
+    return folded.map_batches(leaky, batch_format="pyarrow")
+
+
 def resample_by_weight(ds, *, id_col: str = "doc_id",
                        weight_col: str = "keep_micros"):
     """Deterministic weighted thinning: keep a row iff

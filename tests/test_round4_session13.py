@@ -1,0 +1,217 @@
+"""Session-13 operators: phrase search (positional posting
+intersection), cross-split leakage audit, SemDeDup, CCNet perplexity
+buckets."""
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+
+
+# ---------------------------------------------------------------- phrase
+
+
+def _naive_phrase_count(text: str, phrase: tuple) -> int:
+    toks = text.split(" ")
+    L = len(phrase)
+    return sum(1 for i in range(len(toks) - L + 1)
+               if tuple(toks[i:i + L]) == tuple(phrase))
+
+
+def test_phrase_hits_basic(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.index import phrase_hits
+    docs = [
+        {"doc_id": 1, "text": "big data spark window spark window"},
+        {"doc_id": 2, "text": "spark spark window"},
+        {"doc_id": 3, "text": "window spark"},          # wrong order
+        {"doc_id": 4, "text": "spark"},                 # incomplete
+        {"doc_id": 5, "text": ""},
+    ]
+    out = phrase_hits(rd.from_items(docs, override_num_blocks=3),
+                      ("spark", "window")).to_pandas() \
+        .set_index("doc_id")["n_hits"].to_dict()
+    expect = {d["doc_id"]: _naive_phrase_count(d["text"],
+                                               ("spark", "window"))
+              for d in docs}
+    expect = {k: v for k, v in expect.items() if v > 0}
+    assert out == expect == {1: 2, 2: 1}
+
+
+def test_phrase_hits_overlapping_and_repeated_terms(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.index import phrase_hits
+    # phrase with a repeated token: overlapping occurrences count
+    docs = [{"doc_id": 7, "text": "window window window"},
+            {"doc_id": 8, "text": "window pane window window"}]
+    out = phrase_hits(rd.from_items(docs),
+                      ("window", "window")).to_pandas() \
+        .set_index("doc_id")["n_hits"].to_dict()
+    assert out == {7: 2, 8: 1}
+
+
+def test_phrase_hits_three_terms(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.index import phrase_hits
+    docs = [{"doc_id": 1, "text": "a b c a b c a b"},
+            {"doc_id": 2, "text": "a b x c"}]
+    out = phrase_hits(rd.from_items(docs),
+                      ("a", "b", "c")).to_pandas() \
+        .set_index("doc_id")["n_hits"].to_dict()
+    assert out == {1: 2}
+
+
+# ---------------------------------------------------------------- splits
+
+
+def _md5_split(i: int) -> str:
+    f = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) \
+        / 4294967296.0
+    return "train" if f < 0.8 else ("val" if f < 0.9 else "test")
+
+
+def test_split_leakage_finds_straddling_hosts(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.splits import split_leakage
+    # 40 docs over 4 hosts; leakage = hosts whose ids md5 into >1
+    # split
+    rows = [{"doc_id": i, "host": f"h{i % 4}"} for i in range(40)]
+    out = split_leakage(rd.from_items(rows, override_num_blocks=4)) \
+        .to_pandas().set_index("host")
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(
+            _md5_split(r["doc_id"]))
+    for host, splits in by_host.items():
+        if len(set(splits)) > 1:
+            assert out.loc[host, "n_splits"] == len(set(splits))
+            assert out.loc[host, "n_docs"] == len(splits)
+        else:
+            assert host not in out.index
+
+
+def test_split_leakage_clean_split_is_empty(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.splits import split_leakage
+    # one host per doc → no host can straddle
+    rows = [{"doc_id": i, "host": f"only{i}"} for i in range(20)]
+    out = split_leakage(rd.from_items(rows)).to_pandas()
+    assert len(out) == 0
+
+
+# ---------------------------------------------------------------- semdedup
+
+
+def _naive_semdedup(ids, vecs, cents, threshold):
+    def unit(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+    u, cu = unit(np.asarray(vecs, float)), unit(np.asarray(cents,
+                                                           float))
+    assign = (u @ cu.T).argmax(axis=1)
+    keep = {}
+    for i, vid in enumerate(ids):
+        dup = any(assign[j] == assign[i] and ids[j] < vid
+                  and float(u[i] @ u[j]) >= threshold
+                  for j in range(len(ids)))
+        keep[vid] = (int(assign[i]), 0 if dup else 1)
+    return keep
+
+
+def test_semdedup_matches_naive(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import semdedup
+    rng = np.random.RandomState(3)
+    cents = rng.standard_normal((4, 8))
+    vecs, ids = [], []
+    for i in range(60):
+        base = cents[i % 4] + rng.standard_normal(8) * 0.05
+        vecs.append(base)
+        ids.append(i)
+    # exact duplicates of a few rows → certain drops
+    for k, src in enumerate([0, 1, 2]):
+        vecs.append(vecs[src])
+        ids.append(100 + k)
+    ds = rd.from_items([{"vec_id": i, "embedding": list(map(float, v))}
+                        for i, v in zip(ids, vecs)],
+                       override_num_blocks=5)
+    out = semdedup(ds, cents, threshold=0.9).to_pandas() \
+        .set_index("vec_id")
+    expect = _naive_semdedup(ids, vecs, cents, 0.9)
+    assert len(out) == len(ids)
+    for vid, (cl, keep) in expect.items():
+        assert out.loc[vid, "cluster_id"] == cl
+        assert out.loc[vid, "keep"] == keep
+    assert (out["keep"] == 0).sum() >= 3     # the planted dups
+
+
+def test_semdedup_column_chunking_is_equivalent(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import semdedup
+    rng = np.random.RandomState(7)
+    cents = rng.standard_normal((2, 6))
+    items = [{"vec_id": i,
+              "embedding": list(map(float, rng.standard_normal(6)))}
+             for i in range(30)]
+    ds = rd.from_items(items)
+    full = semdedup(ds, cents, threshold=0.2).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    chunked = semdedup(rd.from_items(items), cents, threshold=0.2,
+                       col_chunk=4).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert full.equals(chunked)
+
+
+# ---------------------------------------------------------------- ccnet
+
+
+def test_ccnet_buckets_orders_by_perplexity(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.curation import ccnet_ppl_buckets
+    # 6 docs: two of common words (low ppl), two mixed, two of rare
+    # words (high ppl) — equal thirds land them head/middle/tail
+    docs = [
+        {"doc_id": 0, "text": "the the the the the the the the"},
+        {"doc_id": 1, "text": "the the the the the the the cat"},
+        {"doc_id": 2, "text": "the cat the cat the cat sat sat"},
+        {"doc_id": 3, "text": "cat sat cat sat mat mat the the"},
+        {"doc_id": 4, "text": "zap qik vex wub zap qik vex wub"},
+        {"doc_id": 5, "text": "zap qik vex wub jyn kro plu trz"},
+    ]
+    out = ccnet_ppl_buckets(rd.from_items(docs,
+                                          override_num_blocks=3)) \
+        .to_pandas().set_index("doc_id")
+    assert len(out) == 6
+    # naive replay: integer-micro unigram LM, quantized ppl, thirds
+    from collections import Counter
+    words = [w for d in docs for w in d["text"].split(" ")]
+    cnt, tot = Counter(words), len(words)
+    ppl = {}
+    for d in docs:
+        toks = d["text"].split(" ")
+        lp = sum(round(math.log(cnt[w] / tot) * 1e6) for w in toks)
+        ppl[d["doc_id"]] = (-lp) // (len(toks) * 10_000)
+    for did, p in ppl.items():
+        assert out.loc[did, "ppl_q"] == p
+    ranked = sorted(ppl, key=lambda d: (ppl[d], d))
+    expect = {}
+    for r, did in enumerate(ranked):
+        expect[did] = ("head", "middle", "tail")[r // 2]
+    for did, b in expect.items():
+        assert out.loc[did, "bucket"] == b
+
+
+def test_unigram_logprob_with_tokens_counts(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.curation import unigram_logprob
+    docs = [{"doc_id": 1, "text": "a b a"},
+            {"doc_id": 2, "text": "b"}]
+    out = unigram_logprob(rd.from_items(docs), with_tokens=True) \
+        .to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_tokens"] == 3
+    assert out.loc[2, "n_tokens"] == 1
+    # backward-compat: default shape unchanged
+    out2 = unigram_logprob(rd.from_items(docs)).to_pandas()
+    assert sorted(out2.columns) == ["doc_id", "logprob_micros"]

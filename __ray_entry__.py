@@ -5351,6 +5351,36 @@ def _q_ccnet_buckets(sf_dir: str):
     return ccnet_ppl_buckets(ds)
 
 
+def _q_bpe_encode(sf_dir: str):
+    """BPE tokenizer APPLICATION (functions/curation.py
+    bpe_encode_counts): per-doc post-BPE token counts under a frozen
+    3-merge list — the apply side of ``bpe_learn``, same greedy
+    run-parity rule, replayed merge-for-merge by the window-function
+    oracle. Actor pool with a persistent word->count cache; no
+    shuffle (token budgets are doc-local)."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import bpe_encode_counts
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return bpe_encode_counts(ds, [("t", "h"), ("a", "t"),
+                                  ("e", "r")])
+
+
+def _q_quality_classifier(sf_dir: str):
+    """fastText-style linear quality filter INFERENCE
+    (functions/curation.py hashed_linear_score): md5 hashing-trick
+    buckets x a fixed int64 weight vector (w[b] = b%7 - 3 — in
+    production the trained model's quantized linear layer), integer
+    dot per doc, keep/drop gate at score > 0. Actor pool with a
+    persistent word->bucket cache; no shuffle."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import hashed_linear_score
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    weights = [(b % 7) - 3 for b in range(64)]
+    return hashed_linear_score(ds, weights)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -5568,6 +5598,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _q_phrase_search,
         "semdedup": _q_semdedup,
         "ccnet_buckets": _q_ccnet_buckets,
+        "bpe_encode": _q_bpe_encode,
+        "quality_classifier": _q_quality_classifier,
     }
 
 
@@ -8985,5 +9017,133 @@ def oracle_sql() -> dict[str, str]:
                              WHEN 2 THEN 'middle'
                              ELSE 'tail' END AS bucket
             FROM t
+        """,
+        # apply the FIXED merges ('t','h') ('a','t') ('e','r') in
+        # order to every DISTINCT word (greedy left-to-right ==
+        # run-parity window rule, same replay as bpe_learn), then
+        # n_bpe_tokens(doc) = sum tf(doc, w) * ntoks(w)
+        "bpe_encode": """
+            WITH words AS (
+              SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+              FROM documents),
+            tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+                   WHERE w <> '' GROUP BY doc_id, w),
+            dw AS (SELECT DISTINCT w FROM tf),
+            t0 AS (
+              SELECT w, CAST(i AS INTEGER) AS pos,
+                     substr(w, CAST(i AS INTEGER), 1) AS tok
+              FROM dw, UNNEST(range(1, LENGTH(w) + 1)) AS t(i)),
+            mk1 AS (
+              SELECT w, pos, tok,
+                     (tok = 't' AND
+                      LEAD(tok) OVER (PARTITION BY w ORDER BY pos)
+                        = 'h') AS is_mark
+              FROM t0),
+            sel1 AS (
+              SELECT w, pos FROM (
+                SELECT w, pos,
+                       ROW_NUMBER() OVER (PARTITION BY w, grp
+                                          ORDER BY pos) AS off
+                FROM (SELECT w, pos,
+                             pos - ROW_NUMBER() OVER (
+                               PARTITION BY w ORDER BY pos) AS grp
+                      FROM mk1 WHERE is_mark))
+              WHERE off % 2 = 1),
+            t1 AS (
+              SELECT w, ROW_NUMBER() OVER (PARTITION BY w
+                                           ORDER BY opos) AS pos,
+                     tok
+              FROM (
+                SELECT t.w, t.pos AS opos,
+                       CASE WHEN s.pos IS NOT NULL
+                            THEN 'th' ELSE t.tok END AS tok
+                FROM mk1 t
+                LEFT JOIN sel1 s ON s.w = t.w AND s.pos = t.pos
+                LEFT JOIN sel1 sp ON sp.w = t.w AND sp.pos = t.pos - 1
+                WHERE sp.pos IS NULL)),
+            mk2 AS (
+              SELECT w, pos, tok,
+                     (tok = 'a' AND
+                      LEAD(tok) OVER (PARTITION BY w ORDER BY pos)
+                        = 't') AS is_mark
+              FROM t1),
+            sel2 AS (
+              SELECT w, pos FROM (
+                SELECT w, pos,
+                       ROW_NUMBER() OVER (PARTITION BY w, grp
+                                          ORDER BY pos) AS off
+                FROM (SELECT w, pos,
+                             pos - ROW_NUMBER() OVER (
+                               PARTITION BY w ORDER BY pos) AS grp
+                      FROM mk2 WHERE is_mark))
+              WHERE off % 2 = 1),
+            t2 AS (
+              SELECT w, ROW_NUMBER() OVER (PARTITION BY w
+                                           ORDER BY opos) AS pos,
+                     tok
+              FROM (
+                SELECT t.w, t.pos AS opos,
+                       CASE WHEN s.pos IS NOT NULL
+                            THEN 'at' ELSE t.tok END AS tok
+                FROM mk2 t
+                LEFT JOIN sel2 s ON s.w = t.w AND s.pos = t.pos
+                LEFT JOIN sel2 sp ON sp.w = t.w AND sp.pos = t.pos - 1
+                WHERE sp.pos IS NULL)),
+            mk3 AS (
+              SELECT w, pos, tok,
+                     (tok = 'e' AND
+                      LEAD(tok) OVER (PARTITION BY w ORDER BY pos)
+                        = 'r') AS is_mark
+              FROM t2),
+            sel3 AS (
+              SELECT w, pos FROM (
+                SELECT w, pos,
+                       ROW_NUMBER() OVER (PARTITION BY w, grp
+                                          ORDER BY pos) AS off
+                FROM (SELECT w, pos,
+                             pos - ROW_NUMBER() OVER (
+                               PARTITION BY w ORDER BY pos) AS grp
+                      FROM mk3 WHERE is_mark))
+              WHERE off % 2 = 1),
+            t3 AS (
+              SELECT w, ROW_NUMBER() OVER (PARTITION BY w
+                                           ORDER BY opos) AS pos,
+                     tok
+              FROM (
+                SELECT t.w, t.pos AS opos,
+                       CASE WHEN s.pos IS NOT NULL
+                            THEN 'er' ELSE t.tok END AS tok
+                FROM mk3 t
+                LEFT JOIN sel3 s ON s.w = t.w AND s.pos = t.pos
+                LEFT JOIN sel3 sp ON sp.w = t.w AND sp.pos = t.pos - 1
+                WHERE sp.pos IS NULL)),
+            wn AS (SELECT w, count(*) AS ntoks FROM t3 GROUP BY w)
+            SELECT tf.doc_id,
+                   CAST(SUM(tf.tf * wn.ntoks) AS BIGINT)
+                     AS n_bpe_tokens
+            FROM tf JOIN wn USING (w)
+            GROUP BY tf.doc_id
+        """,
+        # hashing-trick buckets (same md5 rule as hash_features) dot
+        # the fixed integer weight vector w[b] = b%7 - 3
+        "quality_classifier": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            b AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)
+                       % 64 AS bucket
+              FROM w WHERE w <> ''),
+            s AS (
+              SELECT doc_id,
+                     CAST(SUM((bucket % 7) - 3) AS BIGINT) AS score
+              FROM b GROUP BY doc_id)
+            -- token-less docs score 0 (the engine scores every doc)
+            SELECT d.doc_id,
+                   COALESCE(s.score, 0) AS score,
+                   CASE WHEN COALESCE(s.score, 0) > 0 THEN 'keep'
+                        ELSE 'drop' END AS label
+            FROM documents d LEFT JOIN s USING (doc_id)
         """,
     }

@@ -35,6 +35,8 @@ DuckDB oracles can mirror each operator exactly.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1741,6 +1743,131 @@ def bpe_learn(ds, *, text_col: str = "text", rounds: int = 3):
                          int(top["n"])))
     df = pd.DataFrame(out_rows, columns=["step", "lhs", "rhs", "n"])
     return df.astype({"step": np.int64, "n": np.int64})
+
+
+def bpe_encode_counts(ds, merges, *, text_col: str = "text",
+                      id_col: str = "doc_id", concurrency=(1, 4)):
+    """Distributed BPE ENCODING — the apply side of
+    :func:`bpe_learn` (Sennrich et al. 2016): tokenize every document
+    with a FIXED ordered merge list and emit its post-BPE token
+    count — the token-budget accounting a training pipeline runs over
+    the whole corpus once the tokenizer is frozen.
+
+    Scale shape: NO shuffle — the merge list broadcasts by closure (a
+    frozen tokenizer is a few 10k strings) and the decision is
+    doc-local. The stage is an ACTOR POOL whose per-actor
+    ``word -> token-count`` cache persists across batches: each batch
+    tokenizes only its UNSEEN distinct words (Zipf: after warmup the
+    cache absorbs nearly everything), then one ``np.bincount`` sums
+    per-doc counts vectorized. Same greedy left-to-right run-parity
+    application as training (``_apply_bpe_merges``), so the SQL
+    oracle replays it with the identical window-function rule.
+    Returns ``(doc_id, n_bpe_tokens)`` for docs with >= 1 token.
+    """
+    frozen = [(str(a), str(b)) for a, b in merges]
+
+    class Encoder:
+        def __init__(self):
+            self.cache: dict[str, int] = {}
+
+        def _ntoks(self, w: str) -> int:
+            n = self.cache.get(w)
+            if n is None:
+                n = len(_apply_bpe_merges(w, frozen))
+                self.cache[w] = n
+            return n
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            s = batch.column(text_col).to_pandas().fillna("")
+            ids = batch.column(id_col).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            ex = s.str.split(" ").explode()
+            di = ex.index.to_numpy(dtype=np.int64)
+            w = ex.to_numpy(dtype=object)
+            mask = pd.notna(w) & (w != "")
+            w, di = w[mask], di[mask]
+            if len(w) == 0:
+                return pa.table({
+                    id_col: pa.array([], pa.int64()),
+                    "n_bpe_tokens": pa.array([], pa.int64())})
+            uniq, inv = np.unique(w, return_inverse=True)
+            ntoks = np.fromiter((self._ntoks(u) for u in uniq),
+                                np.int64, len(uniq))
+            per_doc = np.bincount(di, weights=ntoks[inv],
+                                  minlength=len(s)).astype(np.int64)
+            keep = per_doc > 0
+            return pa.table({
+                id_col: pa.array(ids[keep], pa.int64()),
+                "n_bpe_tokens": pa.array(per_doc[keep], pa.int64()),
+            })
+
+    return ds.map_batches(Encoder, batch_format="pyarrow",
+                          concurrency=concurrency)
+
+
+def hashed_linear_score(ds, weights, *, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        threshold: int = 0, concurrency=(1, 4)):
+    """fastText-style linear quality-classifier INFERENCE (Joulin et
+    al. 2016, arXiv:1607.01759): hash every token into the weight
+    vector's bucket space (md5, the hashing trick), score the doc as
+    the INTEGER dot product of its bucket counts with ``weights``,
+    and gate on ``score > threshold`` — the shape of every learned
+    quality filter (CCNet's fastText LM filter, RefinedWeb's URL
+    scorer) at inference time. Weights here stream in as a plain
+    int64 vector (in production the trained model's quantized linear
+    layer); integer arithmetic keeps the score order-free and
+    bit-reproducible by the SQL oracle.
+
+    Scale shape: NO shuffle — the decision is doc-local; the weight
+    vector broadcasts by closure; the stage is an ACTOR POOL whose
+    per-actor ``word -> bucket`` md5 cache persists across batches
+    (Zipf). Per batch: one explode, md5 on unseen distinct words
+    only, one weighted ``np.bincount`` per doc. Returns
+    ``(doc_id, score, label)`` with label keep/drop.
+    """
+    wvec = np.asarray(weights, dtype=np.int64)
+    n_buckets = len(wvec)
+
+    class Scorer:
+        def __init__(self):
+            self.cache: dict[str, int] = {}
+
+        def _bucket(self, w: str) -> int:
+            b = self.cache.get(w)
+            if b is None:
+                b = int(hashlib.md5(w.encode()).hexdigest()[:8],
+                        16) % n_buckets
+                self.cache[w] = b
+            return b
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            s = batch.column(text_col).to_pandas().fillna("")
+            ids = batch.column(id_col).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            ex = s.str.split(" ").explode()
+            di = ex.index.to_numpy(dtype=np.int64)
+            w = ex.to_numpy(dtype=object)
+            mask = pd.notna(w) & (w != "")
+            w, di = w[mask], di[mask]
+            score = np.zeros(len(s), np.int64)
+            if len(w):
+                uniq, inv = np.unique(w, return_inverse=True)
+                wb = np.fromiter((wvec[self._bucket(u)]
+                                  for u in uniq),
+                                 np.int64, len(uniq))
+                score = np.bincount(di, weights=wb[inv],
+                                    minlength=len(s)) \
+                    .astype(np.int64)
+            label = np.where(score > threshold, "keep", "drop")
+            return pa.table({
+                id_col: pa.array(ids, pa.int64()),
+                "score": pa.array(score, pa.int64()),
+                "label": pa.array(label.tolist(), pa.string()),
+            })
+
+    return ds.map_batches(Scorer, batch_format="pyarrow",
+                          concurrency=concurrency)
 
 
 def compression_ratio_batch(batch: pa.Table, *,

@@ -203,6 +203,53 @@ def test_ccnet_buckets_orders_by_perplexity(ray_session):
         assert out.loc[did, "bucket"] == b
 
 
+# ---------------------------------------------------------------- bpe/clf
+
+
+def test_bpe_encode_counts_matches_sequential_apply(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.curation import (_apply_bpe_merges,
+                                              bpe_encode_counts)
+    merges = [("t", "h"), ("a", "t"), ("e", "r")]
+    docs = [{"doc_id": 1, "text": "thatther the"},
+            {"doc_id": 2, "text": "water later"},
+            {"doc_id": 3, "text": "xyz"},
+            {"doc_id": 4, "text": ""}]           # token-less: absent
+    out = bpe_encode_counts(rd.from_items(docs,
+                                          override_num_blocks=2),
+                            merges).to_pandas() \
+        .set_index("doc_id")["n_bpe_tokens"].to_dict()
+    expect = {}
+    for d in docs:
+        n = sum(len(_apply_bpe_merges(w, merges))
+                for w in d["text"].split(" ") if w)
+        if n:
+            expect[d["doc_id"]] = n
+    assert out == expect
+    # spot-check the run-parity rule end to end: 'that' -> th|at
+    assert _apply_bpe_merges("that", merges) == ["th", "at"]
+    assert _apply_bpe_merges("ttth", merges) == ["t", "t", "th"]
+
+
+def test_hashed_linear_score_matches_naive(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.curation import hashed_linear_score
+    weights = [(b % 7) - 3 for b in range(64)]
+    docs = [{"doc_id": 1, "text": "spark window merge"},
+            {"doc_id": 2, "text": "the the the"},
+            {"doc_id": 3, "text": ""}]
+    out = hashed_linear_score(rd.from_items(docs), weights) \
+        .to_pandas().set_index("doc_id")
+    for d in docs:
+        s = sum(weights[int(hashlib.md5(w.encode()).hexdigest()[:8],
+                            16) % 64]
+                for w in d["text"].split(" ") if w)
+        assert out.loc[d["doc_id"], "score"] == s
+        assert out.loc[d["doc_id"], "label"] == \
+            ("keep" if s > 0 else "drop")
+    assert len(out) == 3                 # every doc is scored
+
+
 def test_unigram_logprob_with_tokens_counts(ray_session):
     import ray.data as rd
     from ksoup_ray.functions.curation import unigram_logprob

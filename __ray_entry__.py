@@ -29,6 +29,102 @@ TITLE_SQL = "'Doc ' || lpad(CAST(doc_id AS VARCHAR), 8, '0')"
 # exact 5-word-shingle Jaccard pairs at threshold 0.5 — the ground truth
 # the LSH+verify pipeline must reproduce (corpus pairs sit at J≥0.8 or
 # J<0.1, so 0.5 lies in a wide gap; see _q_minhash_dedup recall note)
+# Shared BPE merge-application replay (greedy left-to-right ==
+# run-parity window rule, same as the bpe_learn oracle) for the FIXED
+# merges ('t','h') ('a','t') ('e','r'): expects a CTE ``dw`` with the
+# DISTINCT words, defines ``wn(w, ntoks)`` — post-merge token counts.
+_BPE_APPLY_CTES = """
+            t0 AS (
+              SELECT w, CAST(i AS INTEGER) AS pos,
+                     substr(w, CAST(i AS INTEGER), 1) AS tok
+              FROM dw, UNNEST(range(1, LENGTH(w) + 1)) AS t(i)),
+            mk1 AS (
+              SELECT w, pos, tok,
+                     (tok = 't' AND
+                      LEAD(tok) OVER (PARTITION BY w ORDER BY pos)
+                        = 'h') AS is_mark
+              FROM t0),
+            sel1 AS (
+              SELECT w, pos FROM (
+                SELECT w, pos,
+                       ROW_NUMBER() OVER (PARTITION BY w, grp
+                                          ORDER BY pos) AS off
+                FROM (SELECT w, pos,
+                             pos - ROW_NUMBER() OVER (
+                               PARTITION BY w ORDER BY pos) AS grp
+                      FROM mk1 WHERE is_mark))
+              WHERE off % 2 = 1),
+            t1 AS (
+              SELECT w, ROW_NUMBER() OVER (PARTITION BY w
+                                           ORDER BY opos) AS pos,
+                     tok
+              FROM (
+                SELECT t.w, t.pos AS opos,
+                       CASE WHEN s.pos IS NOT NULL
+                            THEN 'th' ELSE t.tok END AS tok
+                FROM mk1 t
+                LEFT JOIN sel1 s ON s.w = t.w AND s.pos = t.pos
+                LEFT JOIN sel1 sp ON sp.w = t.w AND sp.pos = t.pos - 1
+                WHERE sp.pos IS NULL)),
+            mk2 AS (
+              SELECT w, pos, tok,
+                     (tok = 'a' AND
+                      LEAD(tok) OVER (PARTITION BY w ORDER BY pos)
+                        = 't') AS is_mark
+              FROM t1),
+            sel2 AS (
+              SELECT w, pos FROM (
+                SELECT w, pos,
+                       ROW_NUMBER() OVER (PARTITION BY w, grp
+                                          ORDER BY pos) AS off
+                FROM (SELECT w, pos,
+                             pos - ROW_NUMBER() OVER (
+                               PARTITION BY w ORDER BY pos) AS grp
+                      FROM mk2 WHERE is_mark))
+              WHERE off % 2 = 1),
+            t2 AS (
+              SELECT w, ROW_NUMBER() OVER (PARTITION BY w
+                                           ORDER BY opos) AS pos,
+                     tok
+              FROM (
+                SELECT t.w, t.pos AS opos,
+                       CASE WHEN s.pos IS NOT NULL
+                            THEN 'at' ELSE t.tok END AS tok
+                FROM mk2 t
+                LEFT JOIN sel2 s ON s.w = t.w AND s.pos = t.pos
+                LEFT JOIN sel2 sp ON sp.w = t.w AND sp.pos = t.pos - 1
+                WHERE sp.pos IS NULL)),
+            mk3 AS (
+              SELECT w, pos, tok,
+                     (tok = 'e' AND
+                      LEAD(tok) OVER (PARTITION BY w ORDER BY pos)
+                        = 'r') AS is_mark
+              FROM t2),
+            sel3 AS (
+              SELECT w, pos FROM (
+                SELECT w, pos,
+                       ROW_NUMBER() OVER (PARTITION BY w, grp
+                                          ORDER BY pos) AS off
+                FROM (SELECT w, pos,
+                             pos - ROW_NUMBER() OVER (
+                               PARTITION BY w ORDER BY pos) AS grp
+                      FROM mk3 WHERE is_mark))
+              WHERE off % 2 = 1),
+            t3 AS (
+              SELECT w, ROW_NUMBER() OVER (PARTITION BY w
+                                           ORDER BY opos) AS pos,
+                     tok
+              FROM (
+                SELECT t.w, t.pos AS opos,
+                       CASE WHEN s.pos IS NOT NULL
+                            THEN 'er' ELSE t.tok END AS tok
+                FROM mk3 t
+                LEFT JOIN sel3 s ON s.w = t.w AND s.pos = t.pos
+                LEFT JOIN sel3 sp ON sp.w = t.w AND sp.pos = t.pos - 1
+                WHERE sp.pos IS NULL)),
+            wn AS (SELECT w, count(*) AS ntoks FROM t3 GROUP BY w)
+"""
+
 _JACCARD_PAIRS_SQL = """
     WITH sh AS (
       SELECT doc_id, list_distinct(CASE WHEN len(words) < 5
@@ -5381,6 +5477,20 @@ def _q_quality_classifier(sf_dir: str):
     return hashed_linear_score(ds, weights)
 
 
+def _q_tokenizer_fertility(sf_dir: str):
+    """Per-language tokenizer fertility (functions/curation.py
+    tokenizer_fertility): BPE tokens per whitespace word under the
+    frozen 3-merge list, the multilingual-tokenizer equity metric.
+    Batches collapse straight to per-lang integer partials — a
+    languages-sized table rides the one bounded groupby."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import tokenizer_fertility
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "lang"])
+    return tokenizer_fertility(ds, [("t", "h"), ("a", "t"),
+                                    ("e", "r")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -5600,6 +5710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "bpe_encode": _q_bpe_encode,
         "quality_classifier": _q_quality_classifier,
+        "tokenizer_fertility": _q_tokenizer_fertility,
     }
 
 
@@ -9018,111 +9129,41 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 'tail' END AS bucket
             FROM t
         """,
-        # apply the FIXED merges ('t','h') ('a','t') ('e','r') in
-        # order to every DISTINCT word (greedy left-to-right ==
-        # run-parity window rule, same replay as bpe_learn), then
-        # n_bpe_tokens(doc) = sum tf(doc, w) * ntoks(w)
-        "bpe_encode": """
+        # apply the FIXED merges via the shared run-parity replay
+        # (_BPE_APPLY_CTES), then n_bpe_tokens(doc) = sum tf * ntoks
+        "bpe_encode": f"""
             WITH words AS (
               SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
               FROM documents),
             tf AS (SELECT doc_id, w, count(*) AS tf FROM words
                    WHERE w <> '' GROUP BY doc_id, w),
             dw AS (SELECT DISTINCT w FROM tf),
-            t0 AS (
-              SELECT w, CAST(i AS INTEGER) AS pos,
-                     substr(w, CAST(i AS INTEGER), 1) AS tok
-              FROM dw, UNNEST(range(1, LENGTH(w) + 1)) AS t(i)),
-            mk1 AS (
-              SELECT w, pos, tok,
-                     (tok = 't' AND
-                      LEAD(tok) OVER (PARTITION BY w ORDER BY pos)
-                        = 'h') AS is_mark
-              FROM t0),
-            sel1 AS (
-              SELECT w, pos FROM (
-                SELECT w, pos,
-                       ROW_NUMBER() OVER (PARTITION BY w, grp
-                                          ORDER BY pos) AS off
-                FROM (SELECT w, pos,
-                             pos - ROW_NUMBER() OVER (
-                               PARTITION BY w ORDER BY pos) AS grp
-                      FROM mk1 WHERE is_mark))
-              WHERE off % 2 = 1),
-            t1 AS (
-              SELECT w, ROW_NUMBER() OVER (PARTITION BY w
-                                           ORDER BY opos) AS pos,
-                     tok
-              FROM (
-                SELECT t.w, t.pos AS opos,
-                       CASE WHEN s.pos IS NOT NULL
-                            THEN 'th' ELSE t.tok END AS tok
-                FROM mk1 t
-                LEFT JOIN sel1 s ON s.w = t.w AND s.pos = t.pos
-                LEFT JOIN sel1 sp ON sp.w = t.w AND sp.pos = t.pos - 1
-                WHERE sp.pos IS NULL)),
-            mk2 AS (
-              SELECT w, pos, tok,
-                     (tok = 'a' AND
-                      LEAD(tok) OVER (PARTITION BY w ORDER BY pos)
-                        = 't') AS is_mark
-              FROM t1),
-            sel2 AS (
-              SELECT w, pos FROM (
-                SELECT w, pos,
-                       ROW_NUMBER() OVER (PARTITION BY w, grp
-                                          ORDER BY pos) AS off
-                FROM (SELECT w, pos,
-                             pos - ROW_NUMBER() OVER (
-                               PARTITION BY w ORDER BY pos) AS grp
-                      FROM mk2 WHERE is_mark))
-              WHERE off % 2 = 1),
-            t2 AS (
-              SELECT w, ROW_NUMBER() OVER (PARTITION BY w
-                                           ORDER BY opos) AS pos,
-                     tok
-              FROM (
-                SELECT t.w, t.pos AS opos,
-                       CASE WHEN s.pos IS NOT NULL
-                            THEN 'at' ELSE t.tok END AS tok
-                FROM mk2 t
-                LEFT JOIN sel2 s ON s.w = t.w AND s.pos = t.pos
-                LEFT JOIN sel2 sp ON sp.w = t.w AND sp.pos = t.pos - 1
-                WHERE sp.pos IS NULL)),
-            mk3 AS (
-              SELECT w, pos, tok,
-                     (tok = 'e' AND
-                      LEAD(tok) OVER (PARTITION BY w ORDER BY pos)
-                        = 'r') AS is_mark
-              FROM t2),
-            sel3 AS (
-              SELECT w, pos FROM (
-                SELECT w, pos,
-                       ROW_NUMBER() OVER (PARTITION BY w, grp
-                                          ORDER BY pos) AS off
-                FROM (SELECT w, pos,
-                             pos - ROW_NUMBER() OVER (
-                               PARTITION BY w ORDER BY pos) AS grp
-                      FROM mk3 WHERE is_mark))
-              WHERE off % 2 = 1),
-            t3 AS (
-              SELECT w, ROW_NUMBER() OVER (PARTITION BY w
-                                           ORDER BY opos) AS pos,
-                     tok
-              FROM (
-                SELECT t.w, t.pos AS opos,
-                       CASE WHEN s.pos IS NOT NULL
-                            THEN 'er' ELSE t.tok END AS tok
-                FROM mk3 t
-                LEFT JOIN sel3 s ON s.w = t.w AND s.pos = t.pos
-                LEFT JOIN sel3 sp ON sp.w = t.w AND sp.pos = t.pos - 1
-                WHERE sp.pos IS NULL)),
-            wn AS (SELECT w, count(*) AS ntoks FROM t3 GROUP BY w)
+            {_BPE_APPLY_CTES}
             SELECT tf.doc_id,
                    CAST(SUM(tf.tf * wn.ntoks) AS BIGINT)
                      AS n_bpe_tokens
             FROM tf JOIN wn USING (w)
             GROUP BY tf.doc_id
+        """,
+        # same merge replay grouped per language; fertility as exact
+        # integer ppm of bpe tokens per whitespace word
+        "tokenizer_fertility": f"""
+            WITH words AS (
+              SELECT lang, UNNEST(string_split(text, ' ')) AS w
+              FROM documents),
+            tfl AS (SELECT lang, w, count(*) AS tf FROM words
+                    WHERE w <> '' GROUP BY lang, w),
+            dw AS (SELECT DISTINCT w FROM tfl),
+            {_BPE_APPLY_CTES}
+            SELECT tfl.lang,
+                   CAST(SUM(tfl.tf * wn.ntoks) AS BIGINT)
+                     AS bpe_tokens,
+                   CAST(SUM(tfl.tf) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(tfl.tf * wn.ntoks) * 1000000
+                        // GREATEST(SUM(tfl.tf), 1) AS BIGINT)
+                     AS fertility_ppm
+            FROM tfl JOIN wn USING (w)
+            GROUP BY tfl.lang
         """,
         # hashing-trick buckets (same md5 rule as hash_features) dot
         # the fixed integer weight vector w[b] = b%7 - 3

@@ -1805,6 +1805,85 @@ def bpe_encode_counts(ds, merges, *, text_col: str = "text",
                           concurrency=concurrency)
 
 
+def tokenizer_fertility(ds, merges, *, text_col: str = "text",
+                        lang_col: str = "lang", concurrency=(1, 4)):
+    """Per-language tokenizer FERTILITY — BPE tokens emitted per
+    whitespace word (the standard multilingual-tokenizer equity
+    metric: a tokenizer trained on English over-segments other
+    languages, inflating their effective sequence length and
+    training cost; fertility per language is how that bias is
+    measured and reported).
+
+    Scale shape: the same per-actor cached merge application as
+    :func:`bpe_encode_counts`, but each batch collapses straight to
+    per-LANGUAGE integer partials (bpe token sum, word sum) — a
+    languages-sized table rides the ONE bounded groupby, never
+    doc-scale rows. Fertility is reported as exact integer ppm
+    (``bpe·10^6 // words``) so the SQL oracle matches bit-for-bit.
+    Returns ``(lang, bpe_tokens, ws_tokens, fertility_ppm)``.
+    """
+    from ray.data.aggregate import Sum
+
+    frozen = [(str(a), str(b)) for a, b in merges]
+
+    class Partials:
+        def __init__(self):
+            self.cache: dict[str, int] = {}
+
+        def _ntoks(self, w: str) -> int:
+            n = self.cache.get(w)
+            if n is None:
+                n = len(_apply_bpe_merges(w, frozen))
+                self.cache[w] = n
+            return n
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            s = batch.column(text_col).to_pandas().fillna("")
+            langs = batch.column(lang_col).to_numpy(
+                zero_copy_only=False)
+            ex = s.str.split(" ").explode()
+            di = ex.index.to_numpy(dtype=np.int64)
+            w = ex.to_numpy(dtype=object)
+            mask = pd.notna(w) & (w != "")
+            w, di = w[mask], di[mask]
+            if len(w) == 0:
+                return pa.table({
+                    lang_col: pa.array([], pa.string()),
+                    "bpe_partial": pa.array([], pa.int64()),
+                    "ws_partial": pa.array([], pa.int64())})
+            uniq, inv = np.unique(w, return_inverse=True)
+            ntoks = np.fromiter((self._ntoks(u) for u in uniq),
+                                np.int64, len(uniq))
+            lcodes, luniq = pd.factorize(langs[di])
+            bpe = np.bincount(lcodes, weights=ntoks[inv],
+                              minlength=len(luniq)).astype(np.int64)
+            ws = np.bincount(lcodes, minlength=len(luniq)) \
+                .astype(np.int64)
+            return pa.table({
+                lang_col: pa.array(np.asarray(luniq, object),
+                                   pa.string()),
+                "bpe_partial": pa.array(bpe, pa.int64()),
+                "ws_partial": pa.array(ws, pa.int64()),
+            })
+
+    folded = (ds.map_batches(Partials, batch_format="pyarrow",
+                             concurrency=concurrency)
+              .groupby(lang_col)
+              .aggregate(Sum("bpe_partial", alias_name="bpe_tokens"),
+                         Sum("ws_partial", alias_name="ws_tokens")))
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        b = batch.column("bpe_tokens").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = batch.column("ws_tokens").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return batch.append_column(
+            "fertility_ppm",
+            pa.array(b * 1_000_000 // np.maximum(w, 1), pa.int64()))
+
+    return folded.map_batches(ratio, batch_format="pyarrow")
+
+
 def hashed_linear_score(ds, weights, *, text_col: str = "text",
                         id_col: str = "doc_id",
                         threshold: int = 0, concurrency=(1, 4)):

@@ -231,6 +231,33 @@ def test_bpe_encode_counts_matches_sequential_apply(ray_session):
     assert _apply_bpe_merges("ttth", merges) == ["t", "t", "th"]
 
 
+def test_tokenizer_fertility_exact(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.curation import (_apply_bpe_merges,
+                                              tokenizer_fertility)
+    merges = [("t", "h"), ("a", "t"), ("e", "r")]
+    docs = [{"lang": "en", "text": "that there the"},
+            {"lang": "en", "text": "water"},
+            {"lang": "de", "text": "zzz yy"},
+            {"lang": "de", "text": ""}]
+    out = tokenizer_fertility(rd.from_items(docs,
+                                            override_num_blocks=2),
+                              merges).to_pandas().set_index("lang")
+    per_lang = {}
+    for d in docs:
+        ws = [w for w in d["text"].split(" ") if w]
+        b, n = per_lang.get(d["lang"], (0, 0))
+        per_lang[d["lang"]] = (
+            b + sum(len(_apply_bpe_merges(w, merges)) for w in ws),
+            n + len(ws))
+    for lang, (b, n) in per_lang.items():
+        if n == 0:
+            continue
+        assert out.loc[lang, "bpe_tokens"] == b
+        assert out.loc[lang, "ws_tokens"] == n
+        assert out.loc[lang, "fertility_ppm"] == b * 10**6 // n
+
+
 def test_hashed_linear_score_matches_naive(ray_session):
     import ray.data as rd
     from ksoup_ray.functions.curation import hashed_linear_score

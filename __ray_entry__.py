@@ -5477,6 +5477,20 @@ def _q_quality_classifier(sf_dir: str):
     return hashed_linear_score(ds, weights)
 
 
+def _q_curate_tiered(sf_dir: str):
+    """FineWeb-style tiered curation (pipelines/curate.py
+    curate_tiered): exact-dedup winners ∩ linear-classifier keeps ∩
+    CCNet head/middle tiers, composed with ZERO joins — the three
+    gates reduce to id-keyed integer rows folded by ONE groupby Sum.
+    Returns (doc_id, tier, score) for shipping docs."""
+    import ray.data as rd
+    from ksoup_ray.pipelines.curate import curate_tiered
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    weights = [(b % 7) - 3 for b in range(64)]
+    return curate_tiered(ds, weights)
+
+
 def _q_tokenizer_fertility(sf_dir: str):
     """Per-language tokenizer fertility (functions/curation.py
     tokenizer_fertility): BPE tokens per whitespace word under the
@@ -5711,6 +5725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": _q_bpe_encode,
         "quality_classifier": _q_quality_classifier,
         "tokenizer_fertility": _q_tokenizer_fertility,
+        "curate_tiered": _q_curate_tiered,
     }
 
 
@@ -9164,6 +9179,53 @@ def oracle_sql() -> dict[str, str]:
                      AS fertility_ppm
             FROM tfl JOIN wn USING (w)
             GROUP BY tfl.lang
+        """,
+        # the three gates in SQL: MIN-id-per-text winners, the
+        # classifier score CTE, and the ccnet tile CTE — joined,
+        # filtered to score>0 AND tile<=2
+        "curate_tiered": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            cnt AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM words),
+            tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+                   GROUP BY doc_id, w),
+            lp AS (
+              SELECT tf.doc_id,
+                     CAST(SUM(tf.tf * CAST(ROUND(
+                         ln(cnt.c / tot.t) * 1000000.0) AS BIGINT))
+                       AS BIGINT) AS lpm,
+                     CAST(SUM(tf.tf) AS BIGINT) AS ntok
+              FROM tf JOIN cnt USING (w) CROSS JOIN tot
+              GROUP BY tf.doc_id),
+            q AS (
+              SELECT doc_id, (-lpm) // (ntok * 10000) AS ppl_q
+              FROM lp WHERE ntok > 0),
+            t AS (
+              SELECT doc_id, ppl_q,
+                     NTILE(3) OVER (ORDER BY ppl_q, doc_id) AS tile
+              FROM q),
+            bkt AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)
+                       % 64 AS bucket
+              FROM words WHERE w <> ''),
+            sc AS (
+              SELECT doc_id,
+                     CAST(SUM((bucket % 7) - 3) AS BIGINT) AS score
+              FROM bkt GROUP BY doc_id),
+            winners AS (
+              SELECT MIN(doc_id) AS doc_id
+              FROM documents GROUP BY text)
+            SELECT t.doc_id,
+                   CASE t.tile WHEN 1 THEN 'head'
+                               ELSE 'middle' END AS tier,
+                   s.score
+            FROM t
+            JOIN winners USING (doc_id)
+            JOIN sc s USING (doc_id)
+            WHERE s.score > 0 AND t.tile <= 2
         """,
         # hashing-trick buckets (same md5 rule as hash_features) dot
         # the fixed integer weight vector w[b] = b%7 - 3

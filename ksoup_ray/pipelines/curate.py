@@ -95,6 +95,115 @@ def _auto_partitions() -> int:
     return max(2, cpus // 4)
 
 
+def curate_tiered(ds, weights, *, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  quantum_micros: int = 10_000,
+                  keep_tiers: tuple[str, ...] = ("head", "middle")):
+    """FineWeb-style TIERED curation: a document ships to training
+    iff it is (a) the lowest-id copy of its exact text, (b) scored
+    keep by the hashed linear quality classifier, and (c) in the
+    CCNet head/middle perplexity tiers — the modern quality-stack
+    composition (dedup → model filter → LM tier) as ONE lazy DAG.
+
+    Shuffle inventory — ZERO joins: the three gates each reduce to
+    id-keyed integer rows (drop flags, keep flags + scores, tier
+    codes) that UNION into ONE groupby(id) Sum; each id carries at
+    most 3 tiny rows regardless of corpus size, and the payloadless
+    fold replaces the anti-join+two-join shape ``curate_documents``
+    needs when payloads must survive. Downstream re-reads payloads by
+    id from the source (resumable sink pattern) — this operator
+    answers WHICH docs and WHY (tier, score).
+
+    Returns ``(doc_id, tier, score)`` for surviving docs.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.curation import (ccnet_ppl_buckets,
+                                      hashed_linear_score)
+
+    tier_code = {"head": 1, "middle": 2, "tail": 3}
+    keep_codes = {tier_code[t] for t in keep_tiers}
+
+    scored = hashed_linear_score(ds, weights, text_col=text_col,
+                                 id_col=id_col)
+
+    def tag_scores(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        keep = pc.equal(batch.column("label"), "keep")
+        n = batch.num_rows
+        return pa.table({
+            id_col: batch.column(id_col),
+            "keep": keep.cast(pa.int64()),
+            "score": batch.column("score"),
+            "tier": pa.array(np.zeros(n, np.int64)),
+            "drop": pa.array(np.zeros(n, np.int64)),
+        })
+
+    tiers = ccnet_ppl_buckets(ds, text_col=text_col, id_col=id_col,
+                              quantum_micros=quantum_micros)
+
+    def tag_tiers(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        code = np.array([tier_code.get(x, 3) for x in b], np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "keep": pa.array(np.zeros(n, np.int64)),
+            "score": pa.array(np.zeros(n, np.int64)),
+            "tier": pa.array(code),
+            "drop": pa.array(np.zeros(n, np.int64)),
+        })
+
+    dropped = exact_drop_ids(ds, text_col=text_col, key_col=id_col)
+
+    def tag_drops(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        n = batch.num_rows
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "keep": pa.array(np.zeros(n, np.int64)),
+            "score": pa.array(np.zeros(n, np.int64)),
+            "tier": pa.array(np.zeros(n, np.int64)),
+            "drop": pa.array(np.ones(n, np.int64)),
+        })
+
+    folded = (scored.map_batches(tag_scores, batch_format="pyarrow")
+              .union(tiers.map_batches(tag_tiers,
+                                       batch_format="pyarrow"))
+              .union(dropped.map_batches(tag_drops,
+                                         batch_format="pyarrow"))
+              .groupby(id_col)
+              .aggregate(Sum("keep", alias_name="keep"),
+                         Sum("score", alias_name="score"),
+                         Sum("tier", alias_name="tier"),
+                         Sum("drop", alias_name="drop")))
+
+    inv = {v: k for k, v in tier_code.items()}
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        keep = batch.column("keep").to_numpy(zero_copy_only=False)
+        tier = batch.column("tier").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        drop = batch.column("drop").to_numpy(zero_copy_only=False)
+        mask = ((drop == 0) & (keep == 1)
+                & np.isin(tier, list(keep_codes)))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[mask]
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "tier": pa.array([inv[t] for t in tier[mask]],
+                             pa.string()),
+            "score": pa.array(
+                batch.column("score").to_numpy(
+                    zero_copy_only=False)[mask].astype("int64"),
+                pa.int64()),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
 def curate_documents(ds, *, id_col: str = "doc_id",
                      text_col: str = "text", lang_col: str = "lang",
                      langs: tuple[str, ...] = ("en",),

@@ -277,6 +277,35 @@ def test_hashed_linear_score_matches_naive(ray_session):
     assert len(out) == 3                 # every doc is scored
 
 
+def test_curate_tiered_gates_compose(ray_session):
+    import ray.data as rd
+    from ksoup_ray.pipelines.curate import curate_tiered
+    # weights that keep docs containing 'good' (bucket weight +3) and
+    # drop docs of 'bad' words: derive buckets first, then weights
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 64
+    weights = [0] * 64
+    weights[bucket("good")] = 3
+    weights[bucket("bad")] = -5
+    docs = [
+        {"doc_id": 0, "text": "good good common common"},
+        {"doc_id": 1, "text": "good good common common"},  # exact dup
+        {"doc_id": 2, "text": "bad bad common common"},    # clf drop
+        {"doc_id": 3, "text": "good rare1 rare2 rare3"},   # high ppl
+        {"doc_id": 4, "text": "good common common common"},
+    ]
+    out = curate_tiered(rd.from_items(docs, override_num_blocks=2),
+                        weights).to_pandas().set_index("doc_id")
+    assert 1 not in out.index          # dup of 0
+    assert 2 not in out.index          # classifier drop
+    surviving = set(out.index)
+    # doc 3 is the tail tercile (rarest words) -> excluded
+    assert surviving <= {0, 3, 4}
+    assert {0, 4} <= surviving
+    assert (out["tier"].isin(["head", "middle"])).all()
+    assert out.loc[0, "score"] == 6    # two 'good' hits
+
+
 def test_unigram_logprob_with_tokens_counts(ray_session):
     import ray.data as rd
     from ksoup_ray.functions.curation import unigram_logprob

@@ -5477,6 +5477,47 @@ def _q_quality_classifier(sf_dir: str):
     return hashed_linear_score(ds, weights)
 
 
+def _q_c4_filter(sf_dir: str):
+    """C4 line-level cleaning (functions/curation.py c4_line_filter,
+    Raffel et al. 2020 §2.2): terminal-punctuation / min-words /
+    banned-phrase line rules + lorem-ipsum & min-kept page rules.
+    Pages are synthesized deterministically from the word stream
+    (6-word lines; ~1/3 lack punctuation; 'javascript' injected at
+    (7·doc+line)%11==0; a lorem-ipsum line prepended at doc%17==0)
+    so every rule fires and the SQL oracle rebuilds the same pages
+    from the word-position CTE — no string surgery."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import c4_line_filter
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def build_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        pages = []
+        for did, text in zip(ids, texts):
+            words = (text or "").split(" ")
+            lines = []
+            if did % 17 == 0:
+                lines.append("lorem ipsum dolor")
+            for k in range(0, len(words), 6):
+                idx = k // 6
+                t = " ".join(words[k:k + 6])
+                if (did * 7 + idx) % 11 == 0:
+                    t += " javascript"
+                if (did + idx) % 3 != 0:
+                    t += "."
+                lines.append(t)
+            pages.append("\n".join(lines))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "page_text": pa.array(pages, pa.string()),
+        })
+
+    pages = ds.map_batches(build_pages, batch_format="pyarrow")
+    return c4_line_filter(pages)
+
+
 def _q_curate_tiered(sf_dir: str):
     """FineWeb-style tiered curation (pipelines/curate.py
     curate_tiered): exact-dedup winners ∩ linear-classifier keeps ∩
@@ -5726,6 +5767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": _q_quality_classifier,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "curate_tiered": _q_curate_tiered,
+        "c4_filter": _q_c4_filter,
     }
 
 
@@ -9179,6 +9221,61 @@ def oracle_sql() -> dict[str, str]:
                      AS fertility_ppm
             FROM tfl JOIN wn USING (w)
             GROUP BY tfl.lang
+        """,
+        # rebuild the synthetic pages from the word-position CTE
+        # (6-word line groups + the same injection arithmetic), then
+        # apply each C4 rule as a boolean column — no string surgery
+        "c4_filter": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS xs
+              FROM documents),
+            pos AS (
+              SELECT doc_id, xs[i] AS w, i
+              FROM toks,
+              LATERAL unnest(generate_series(1, len(xs))) AS t(i)),
+            lines AS (
+              SELECT doc_id, (i - 1) // 6 AS line_idx,
+                     count(*) AS base_words,
+                     string_agg(w, ' ' ORDER BY i) AS base_txt
+              FROM pos GROUP BY doc_id, (i - 1) // 6),
+            dec AS (
+              SELECT doc_id, line_idx,
+                     base_words
+                       + CASE WHEN (doc_id * 7 + line_idx) % 11 = 0
+                              THEN 1 ELSE 0 END AS n_words,
+                     (doc_id * 7 + line_idx) % 11 = 0 AS has_js,
+                     (doc_id + line_idx) % 3 <> 0 AS has_punct,
+                     base_txt
+                       || CASE WHEN (doc_id * 7 + line_idx) % 11 = 0
+                               THEN ' javascript' ELSE '' END
+                       || CASE WHEN (doc_id + line_idx) % 3 <> 0
+                               THEN '.' ELSE '' END AS line_txt
+              FROM lines),
+            keptl AS (
+              SELECT * FROM dec
+              WHERE has_punct AND NOT has_js AND n_words >= 3),
+            agg AS (
+              SELECT doc_id,
+                     count(*) + CASE WHEN doc_id % 17 = 0
+                                     THEN 1 ELSE 0 END AS n_lines
+              FROM dec GROUP BY doc_id),
+            kagg AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(line_txt, chr(10)
+                                ORDER BY line_idx) AS ktext
+              FROM keptl GROUP BY doc_id)
+            SELECT a.doc_id,
+                   CAST(a.n_lines AS BIGINT) AS n_lines,
+                   CAST(COALESCE(k.n_kept, 0) AS BIGINT)
+                     AS n_kept_lines,
+                   CAST(CASE WHEN a.doc_id % 17 <> 0
+                              AND COALESCE(k.n_kept, 0) >= 3
+                             THEN 1 ELSE 0 END AS BIGINT)
+                     AS page_kept,
+                   CASE WHEN a.doc_id % 17 <> 0
+                         AND COALESCE(k.n_kept, 0) >= 3
+                        THEN k.ktext ELSE '' END AS kept_text
+            FROM agg a LEFT JOIN kagg k USING (doc_id)
         """,
         # the three gates in SQL: MIN-id-per-text winners, the
         # classifier score CTE, and the ccnet tile CTE — joined,

@@ -1805,6 +1805,69 @@ def bpe_encode_counts(ds, merges, *, text_col: str = "text",
                           concurrency=concurrency)
 
 
+def c4_line_filter(ds, *, text_col: str = "page_text",
+                   id_col: str = "doc_id", min_words: int = 3,
+                   min_kept_lines: int = 3,
+                   banned_line: tuple[str, ...] = ("javascript",),
+                   banned_page: tuple[str, ...] = ("lorem ipsum",),
+                   terminal: tuple[str, ...] = (".", "!", "?", '"')):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) — the rule
+    set that produced C4 from Common Crawl: keep a LINE only if it
+    ends in terminal punctuation, has at least ``min_words`` words,
+    and contains no banned phrase; drop the whole PAGE if its raw
+    text contains a page-level banned phrase ("lorem ipsum") or
+    fewer than ``min_kept_lines`` lines survive.
+
+    Pure per-batch stage, NO shuffle (every rule is a function of the
+    row): one pandas line explode, vectorized endswith / wordcount /
+    contains masks, one ``np.bincount`` per doc, and an index-grouped
+    join to rebuild the cleaned text. Returns one row per input doc:
+    ``(doc_id, n_lines, n_kept_lines, page_kept 0/1, kept_text)``
+    (kept_text is '' for dropped pages — the audit row survives so
+    drop rates are countable downstream).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = len(s)
+        lines = s.str.split("\n").explode()
+        li = lines.index.to_numpy(dtype=np.int64)
+        lv = lines.fillna("").astype(str)
+        ends_ok = np.zeros(len(lv), bool)
+        for t in terminal:
+            ends_ok |= lv.str.endswith(t).to_numpy()
+        nonempty = (lv.str.len() > 0).to_numpy()
+        nw = lv.str.count(" ").to_numpy(dtype=np.int64) + nonempty
+        banned = np.zeros(len(lv), bool)
+        for b in banned_line:
+            banned |= lv.str.contains(b, regex=False).to_numpy()
+        keep_line = ends_ok & (nw >= min_words) & ~banned
+        page_banned = np.zeros(n, bool)
+        for b in banned_page:
+            page_banned |= s.str.contains(b, regex=False).to_numpy()
+        n_lines = np.bincount(li, minlength=n).astype(np.int64)
+        n_kept = np.bincount(li[keep_line],
+                             minlength=n).astype(np.int64)
+        page_kept = (~page_banned) & (n_kept >= min_kept_lines)
+        joined = lv[keep_line].groupby(level=0).agg("\n".join)
+        ktext = np.full(n, "", dtype=object)
+        ktext[joined.index.to_numpy(dtype=np.int64)] = \
+            joined.to_numpy(dtype=object)
+        ktext[~page_kept] = ""
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_kept_lines": pa.array(n_kept, pa.int64()),
+            "page_kept": pa.array(page_kept.astype(np.int64),
+                                  pa.int64()),
+            "kept_text": pa.array(ktext, pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def tokenizer_fertility(ds, merges, *, text_col: str = "text",
                         lang_col: str = "lang", concurrency=(1, 4)):
     """Per-language tokenizer FERTILITY — BPE tokens emitted per

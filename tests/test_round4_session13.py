@@ -203,6 +203,45 @@ def test_ccnet_buckets_orders_by_perplexity(ray_session):
         assert out.loc[did, "bucket"] == b
 
 
+# ---------------------------------------------------------------- c4
+
+
+def test_c4_line_filter_rules(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.curation import c4_line_filter
+    pages = [
+        # 4 good lines -> kept page
+        {"doc_id": 1, "page_text":
+            "one two three.\nfour five six!\nseven eight nine?\n"
+            'ten eleven twelve"'},
+        # line rules: no punct / too short / banned
+        {"doc_id": 2, "page_text":
+            "one two three\nshort one.\nuses javascript today.\n"
+            "good line here.\nmore good words.\nthird good line."},
+        # page ban: lorem ipsum anywhere drops the page
+        {"doc_id": 3, "page_text":
+            "lorem ipsum dolor\ngood line one.\ngood line two.\n"
+            "good line three."},
+        # < 3 kept lines -> page dropped, audit row survives
+        {"doc_id": 4, "page_text": "only good line here.\nbad"},
+    ]
+    out = c4_line_filter(rd.from_items(pages,
+                                       override_num_blocks=2)) \
+        .to_pandas().set_index("doc_id")
+    assert out.loc[1, "page_kept"] == 1
+    assert out.loc[1, "n_kept_lines"] == 4
+    assert out.loc[1, "kept_text"].count("\n") == 3
+    assert out.loc[2, "page_kept"] == 1
+    assert out.loc[2, "n_lines"] == 6
+    assert out.loc[2, "n_kept_lines"] == 3   # 3 rule-violating lines
+    assert "javascript" not in out.loc[2, "kept_text"]
+    assert out.loc[3, "page_kept"] == 0
+    assert out.loc[3, "kept_text"] == ""
+    assert out.loc[3, "n_kept_lines"] == 3   # lines passed, page ban
+    assert out.loc[4, "page_kept"] == 0
+    assert len(out) == 4                     # every page audited
+
+
 # ---------------------------------------------------------------- bpe/clf
 
 

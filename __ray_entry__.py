@@ -5477,6 +5477,20 @@ def _q_quality_classifier(sf_dir: str):
     return hashed_linear_score(ds, weights)
 
 
+def _q_cms_counts(sf_dir: str):
+    """Count-Min sketch point estimates (functions/sketch.py
+    cms_point_estimates): 4x1024 md5-hashed registers built from
+    per-batch partials folded by ONE bounded groupby Sum; the driver
+    answers a fixed 5-word query set off the bounded grid. Every
+    register and estimate replayed bit-for-bit by the oracle."""
+    import ray.data as rd
+    from ksoup_ray.functions.sketch import cms_point_estimates
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    return cms_point_estimates(
+        ds, ("spark", "window", "merge", "the", "qqqabsent"))
+
+
 def _q_c4_filter(sf_dir: str):
     """C4 line-level cleaning (functions/curation.py c4_line_filter,
     Raffel et al. 2020 §2.2): terminal-punctuation / min-words /
@@ -5768,6 +5782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "curate_tiered": _q_curate_tiered,
         "c4_filter": _q_c4_filter,
+        "cms_counts": _q_cms_counts,
     }
 
 
@@ -9221,6 +9236,36 @@ def oracle_sql() -> dict[str, str]:
                      AS fertility_ppm
             FROM tfl JOIN wn USING (w)
             GROUP BY tfl.lang
+        """,
+        # replay every CMS register (md5('r:word') % width) and take
+        # the min over rows per query word
+        "cms_counts": """
+            WITH words AS (
+              SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            regs AS (
+              SELECT rr.r,
+                     CAST(('0x' || substr(md5(CAST(rr.r AS VARCHAR)
+                                              || ':' || w), 1, 8))
+                          AS BIGINT) % 1024 AS c,
+                     count(*) AS cnt
+              FROM words, (SELECT unnest(range(4)) AS r) rr
+              WHERE w <> ''
+              GROUP BY 1, 2),
+            q AS (SELECT unnest(['spark', 'window', 'merge', 'the',
+                                 'qqqabsent']) AS word),
+            est AS (
+              SELECT q.word, rr.r,
+                     COALESCE((
+                       SELECT cnt FROM regs g
+                       WHERE g.r = rr.r
+                         AND g.c = CAST(('0x' || substr(
+                               md5(CAST(rr.r AS VARCHAR) || ':'
+                                   || q.word), 1, 8)) AS BIGINT)
+                             % 1024), 0) AS v
+              FROM q, (SELECT unnest(range(4)) AS r) rr)
+            SELECT word, CAST(MIN(v) AS BIGINT) AS est_count
+            FROM est GROUP BY word
         """,
         # rebuild the synthetic pages from the word-position CTE
         # (6-word line groups + the same injection arithmetic), then

@@ -176,3 +176,83 @@ def heavy_hitters(ds, col: str, *, phi: float = 0.001,
     out = [(v, n) for v, n in counts.items() if n >= thresh]
     out.sort(key=lambda kv: (-kv[1], kv[0]))
     return pd.DataFrame(out, columns=["value", "n"])
+
+
+def cms_point_estimates(ds, query_words, *, depth: int = 4,
+                        width: int = 1024, text_col: str = "text",
+                        concurrency=(1, 4)):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) point
+    frequency estimates — the mergeable counter a 100 TB pipeline
+    uses when exact per-token counts would shuffle the vocabulary:
+    registers are a fixed depth x width grid, error is additive
+    (<= e/width x total tokens with prob 1-e^-depth), and partial
+    sketches from any data split SUM into the corpus sketch.
+
+    Scale shape: each batch collapses to its nonzero register
+    PARTIALS (<= depth x width rows however many tokens it saw);
+    ONE bounded groupby(r, c) Sum folds them; the driver reads the
+    BOUNDED grid (depth x width rows) and answers the fixed query
+    set with a numpy min-over-rows — the corpus vocabulary never
+    shuffles and never reaches the driver. Hashes are
+    ``md5(f"{row}:{word}")`` so the DuckDB oracle replays every
+    register and estimate bit-for-bit. Estimates OVERCOUNT only
+    (classic CMS guarantee) — pytest pins est >= truth. Returns a
+    pandas DataFrame ``(word, est_count)``.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    words = [str(w) for w in query_words]
+
+    class Partials:
+        def __init__(self):
+            self.cache: dict[str, np.ndarray] = {}
+
+        def _buckets(self, w: str) -> np.ndarray:
+            b = self.cache.get(w)
+            if b is None:
+                b = np.array(
+                    [int(hashlib.md5(f"{r}:{w}".encode())
+                         .hexdigest()[:8], 16) % width
+                     for r in range(depth)], np.int64)
+                self.cache[w] = b
+            return b
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            s = batch.column(text_col).to_pandas().fillna("")
+            ex = s.str.split(" ").explode()
+            w = ex.to_numpy(dtype=object)
+            w = w[pd.notna(w) & (w != "")]
+            reg = np.zeros((depth, width), np.int64)
+            if len(w):
+                uniq, cnt = np.unique(w, return_counts=True)
+                bk = np.stack([self._buckets(u) for u in uniq])
+                for r in range(depth):
+                    np.add.at(reg[r], bk[:, r], cnt)
+            rr, cc = np.nonzero(reg)
+            return pa.table({
+                "r": pa.array(rr.astype(np.int64), pa.int64()),
+                "c": pa.array(cc.astype(np.int64), pa.int64()),
+                "partial": pa.array(reg[rr, cc], pa.int64()),
+            })
+
+    folded = (ds.map_batches(Partials, batch_format="pyarrow",
+                             concurrency=concurrency)
+              .groupby(["r", "c"])
+              .aggregate(Sum("partial", alias_name="n")))
+
+    # the folded grid is BOUNDED (<= depth*width rows) — driver-safe
+    reg = np.zeros((depth, width), np.int64)
+    for t in folded.iter_batches(batch_format="pyarrow"):
+        reg[t.column("r").to_numpy(zero_copy_only=False),
+            t.column("c").to_numpy(zero_copy_only=False)] = \
+            t.column("n").to_numpy(zero_copy_only=False)
+    out = []
+    for w in words:
+        bk = [int(hashlib.md5(f"{r}:{w}".encode()).hexdigest()[:8],
+                  16) % width for r in range(depth)]
+        out.append((w, int(min(reg[r][c]
+                               for r, c in enumerate(bk)))))
+    df = pd.DataFrame(out, columns=["word", "est_count"])
+    return df.astype({"est_count": np.int64})

@@ -203,6 +203,30 @@ def test_ccnet_buckets_orders_by_perplexity(ray_session):
         assert out.loc[did, "bucket"] == b
 
 
+# ---------------------------------------------------------------- cms
+
+
+def test_cms_overcounts_only_and_exact_on_sparse(ray_session):
+    import ray.data as rd
+    from collections import Counter
+    from ksoup_ray.functions.sketch import cms_point_estimates
+    docs = [{"text": "a a a b b c"}, {"text": "a b d"},
+            {"text": ""}]
+    truth = Counter(w for d in docs for w in d["text"].split(" ")
+                    if w)
+    out = cms_point_estimates(
+        rd.from_items(docs, override_num_blocks=2),
+        ("a", "b", "c", "d", "nothere"),
+        depth=4, width=1024).set_index("word")["est_count"]
+    for w in ("a", "b", "c", "d", "nothere"):
+        assert out[w] >= truth.get(w, 0)       # CMS never undercounts
+    # 7 distinct tokens in 4x1024 registers: collisions are
+    # essentially impossible, estimates are exact
+    for w in ("a", "b", "c", "d"):
+        assert out[w] == truth[w]
+    assert out["nothere"] == 0
+
+
 # ---------------------------------------------------------------- c4
 
 

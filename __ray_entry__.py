@@ -9269,7 +9269,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rebuild the synthetic pages from the word-position CTE
         # (6-word line groups + the same injection arithmetic), then
-        # apply each C4 rule as a boolean column — no string surgery
+        # apply each C4 rule as a boolean column — no string surgery.
+        # ASSUMPTION (holds for the driver's synth corpora, probed):
+        # corpus words contain no terminal punctuation, no banned
+        # phrases, no double spaces — the arithmetic rebuild equals
+        # the engine's content-based rules only under that invariant;
+        # a corpus violating it fails this oracle loudly (the engine
+        # is content-correct either way)
         "c4_filter": """
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS xs

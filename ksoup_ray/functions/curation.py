@@ -637,9 +637,15 @@ def ccnet_ppl_buckets(ds, *, text_col: str = "text",
             "ppl_q": pa.array(ppl_q, pa.int64()),
         })
 
+    # MATERIALIZE the quantized scores (3 int64 cols, object-store
+    # resident): ntile_by_group consumes its input twice (the bounded
+    # cross-tab, then the ranking pass) — without this the whole
+    # corpus-LM DAG above would execute twice (review finding,
+    # session 13: halves the operator's dominant cost)
+    quantized = lp.map_batches(quantize, batch_format="pyarrow") \
+        .materialize()
     tiles = ntile_by_group(
-        lp.map_batches(quantize, batch_format="pyarrow"),
-        key_col="corpus", val_col="ppl_q", tie_col=id_col,
+        quantized, key_col="corpus", val_col="ppl_q", tie_col=id_col,
         n_tiles=n_tiles, num_partitions=num_partitions)
 
     names = {1: "head", 2: "middle", 3: "tail"} if n_tiles == 3 \
@@ -1745,6 +1751,28 @@ def bpe_learn(ds, *, text_col: str = "text", rounds: int = 3):
     return df.astype({"step": np.int64, "n": np.int64})
 
 
+class _CachedMergeLens:
+    """Per-actor ``word -> post-BPE token count`` cache around
+    ``_apply_bpe_merges`` — shared by :func:`bpe_encode_counts` and
+    :func:`tokenizer_fertility` so the cached-apply rule has exactly
+    one implementation."""
+
+    def __init__(self, merges):
+        self.merges = [(str(a), str(b)) for a, b in merges]
+        self.cache: dict[str, int] = {}
+
+    def ntoks(self, w: str) -> int:
+        n = self.cache.get(w)
+        if n is None:
+            n = len(_apply_bpe_merges(w, self.merges))
+            self.cache[w] = n
+        return n
+
+    def ntoks_of(self, uniq: np.ndarray) -> np.ndarray:
+        return np.fromiter((self.ntoks(u) for u in uniq),
+                           np.int64, len(uniq))
+
+
 def bpe_encode_counts(ds, merges, *, text_col: str = "text",
                       id_col: str = "doc_id", concurrency=(1, 4)):
     """Distributed BPE ENCODING — the apply side of
@@ -1768,14 +1796,7 @@ def bpe_encode_counts(ds, merges, *, text_col: str = "text",
 
     class Encoder:
         def __init__(self):
-            self.cache: dict[str, int] = {}
-
-        def _ntoks(self, w: str) -> int:
-            n = self.cache.get(w)
-            if n is None:
-                n = len(_apply_bpe_merges(w, frozen))
-                self.cache[w] = n
-            return n
+            self.lens = _CachedMergeLens(frozen)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             s = batch.column(text_col).to_pandas().fillna("")
@@ -1791,8 +1812,7 @@ def bpe_encode_counts(ds, merges, *, text_col: str = "text",
                     id_col: pa.array([], pa.int64()),
                     "n_bpe_tokens": pa.array([], pa.int64())})
             uniq, inv = np.unique(w, return_inverse=True)
-            ntoks = np.fromiter((self._ntoks(u) for u in uniq),
-                                np.int64, len(uniq))
+            ntoks = self.lens.ntoks_of(uniq)
             per_doc = np.bincount(di, weights=ntoks[inv],
                                   minlength=len(s)).astype(np.int64)
             keep = per_doc > 0
@@ -1891,19 +1911,14 @@ def tokenizer_fertility(ds, merges, *, text_col: str = "text",
 
     class Partials:
         def __init__(self):
-            self.cache: dict[str, int] = {}
-
-        def _ntoks(self, w: str) -> int:
-            n = self.cache.get(w)
-            if n is None:
-                n = len(_apply_bpe_merges(w, frozen))
-                self.cache[w] = n
-            return n
+            self.lens = _CachedMergeLens(frozen)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             s = batch.column(text_col).to_pandas().fillna("")
-            langs = batch.column(lang_col).to_numpy(
-                zero_copy_only=False)
+            # null langs -> "" (factorize would code them -1 and
+            # np.bincount rejects negative indices)
+            langs = batch.column(lang_col).to_pandas().fillna("") \
+                .to_numpy(dtype=object)
             ex = s.str.split(" ").explode()
             di = ex.index.to_numpy(dtype=np.int64)
             w = ex.to_numpy(dtype=object)
@@ -1915,8 +1930,7 @@ def tokenizer_fertility(ds, merges, *, text_col: str = "text",
                     "bpe_partial": pa.array([], pa.int64()),
                     "ws_partial": pa.array([], pa.int64())})
             uniq, inv = np.unique(w, return_inverse=True)
-            ntoks = np.fromiter((self._ntoks(u) for u in uniq),
-                                np.int64, len(uniq))
+            ntoks = self.lens.ntoks_of(uniq)
             lcodes, luniq = pd.factorize(langs[di])
             bpe = np.bincount(lcodes, weights=ntoks[inv],
                               minlength=len(luniq)).astype(np.int64)

@@ -39,6 +39,19 @@ def _md5_bucket_fraction(ids) -> np.ndarray:
         dtype=np.float64) / 4294967296.0
 
 
+def _split_of(ids, train_frac: float, val_frac: float):
+    """Shared ids -> (frac, split-label) rule for ``assign_splits``
+    and ``split_leakage`` — ONE implementation so the leakage audit
+    can never drift from the assignment it audits (both oracles
+    replay this exact rule)."""
+    frac = _md5_bucket_fraction(ids)
+    t_hi = float(train_frac)
+    v_hi = float(train_frac) + float(val_frac)
+    split = np.where(frac < t_hi, "train",
+                     np.where(frac < v_hi, "val", "test"))
+    return frac, split
+
+
 def assign_splits(ds, *, id_col: str = "doc_id",
                   train_frac: float = 0.8, val_frac: float = 0.1):
     """Assign every row a stable ``split`` ∈ {train, val, test} from
@@ -46,14 +59,9 @@ def assign_splits(ds, *, id_col: str = "doc_id",
     [train, train+val) → val, rest → test. Returns a Dataset of
     (id_col, bucket_pct, split) — bucket_pct is the integer percent
     bucket (floor(frac*100)) so the assignment itself is auditable."""
-    t_hi = float(train_frac)
-    v_hi = float(train_frac) + float(val_frac)
-
     def assign(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
-        frac = _md5_bucket_fraction(ids)
-        split = np.where(frac < t_hi, "train",
-                         np.where(frac < v_hi, "val", "test"))
+        frac, split = _split_of(ids, train_frac, val_frac)
         return pa.table({
             id_col: batch.column(id_col),
             "bucket_pct": pa.array((frac * 100).astype(np.int64),
@@ -85,15 +93,10 @@ def split_leakage(ds, *, id_col: str = "doc_id",
     """
     from ray.data.aggregate import Sum
 
-    t_hi = float(train_frac)
-    v_hi = float(train_frac) + float(val_frac)
-
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
         ids = batch.column(id_col).to_pylist()
-        frac = _md5_bucket_fraction(ids)
-        split = np.where(frac < t_hi, "train",
-                         np.where(frac < v_hi, "val", "test"))
+        _, split = _split_of(ids, train_frac, val_frac)
         df = pd.DataFrame({
             "host": batch.column(host_col).to_numpy(
                 zero_copy_only=False),

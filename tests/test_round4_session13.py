@@ -321,6 +321,18 @@ def test_tokenizer_fertility_exact(ray_session):
         assert out.loc[lang, "fertility_ppm"] == b * 10**6 // n
 
 
+def test_tokenizer_fertility_null_lang_survives(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.curation import tokenizer_fertility
+    docs = [{"lang": "en", "text": "the the"},
+            {"lang": None, "text": "that water"}]
+    out = tokenizer_fertility(rd.from_items(docs),
+                              [("t", "h")]).to_pandas() \
+        .set_index("lang")
+    assert out.loc["en", "ws_tokens"] == 2
+    assert out.loc["", "ws_tokens"] == 2     # null lang -> "" bucket
+
+
 def test_hashed_linear_score_matches_naive(ray_session):
     import ray.data as rd
     from ksoup_ray.functions.curation import hashed_linear_score

@@ -294,6 +294,38 @@ def test_bpe_encode_counts_matches_sequential_apply(ray_session):
     assert _apply_bpe_merges("ttth", merges) == ["t", "t", "th"]
 
 
+def test_bpe_first_merge_equals_str_replace_property():
+    """Property: the FIRST merge pass of the greedy left-to-right
+    run-parity rule over a word's characters is exactly Python
+    ``str.replace`` on the raw string (replace is greedy
+    left-to-right non-overlapping) — an independent formulation of
+    the contract the SQL oracle replays with window functions.
+    (Chained merges have no replace analogue: a merged token like
+    'ba' must not match a later single-char 'b' — the explicit
+    multi-merge examples below pin that case.)"""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from ksoup_ray.functions.curation import _apply_bpe_merges
+
+    word = st.text(alphabet=st.sampled_from("abct"),
+                   min_size=1, max_size=14)
+    pair = st.tuples(st.sampled_from("abct"), st.sampled_from("abct"))
+
+    @settings(max_examples=300, deadline=None)
+    @given(word, pair)
+    def prop(w, m):
+        a, b = m
+        marked = w.replace(a + b, "\x01")
+        expect = [a + b if ch == "\x01" else ch for ch in marked]
+        assert _apply_bpe_merges(w, [m]) == expect
+
+    prop()
+    # chained-merge boundary case the property can't express: the
+    # merged token 'ba' must NOT satisfy a later ('c','b') merge
+    assert _apply_bpe_merges("cba", [("b", "a"), ("c", "b")]) == \
+        ["c", "ba"]
+
+
 def test_tokenizer_fertility_exact(ray_session):
     import ray.data as rd
     from ksoup_ray.functions.curation import (_apply_bpe_merges,

@@ -5477,6 +5477,30 @@ def _q_quality_classifier(sf_dir: str):
     return hashed_linear_score(ds, weights)
 
 
+def _q_redirect_resolve(sf_dir: str):
+    """Redirect-chain resolution (functions/graph.py
+    resolve_redirects): pointer jumping — 3 join-free co-partitioned
+    rounds resolve chains up to 8 hops (m' = m∘m per round). Synth
+    redirect map: every doc_id%5 != 0 redirects to doc_id-1, so
+    chains of length <= 4 terminate at multiples of 5; the oracle
+    unrolls the same 3 self-joins."""
+    import ray.data as rd
+    from ksoup_ray.functions.graph import resolve_redirects
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def to_redirects(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        m = ids % 5 != 0
+        return pa.table({
+            "src": pa.array(ids[m], pa.int64()),
+            "dst": pa.array(ids[m] - 1, pa.int64()),
+        })
+
+    redirects = ds.map_batches(to_redirects, batch_format="pyarrow")
+    return resolve_redirects(redirects, rounds=3)
+
+
 def _q_cms_counts(sf_dir: str):
     """Count-Min sketch point estimates (functions/sketch.py
     cms_point_estimates): 4x1024 md5-hashed registers built from
@@ -5783,6 +5807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_tiered": _q_curate_tiered,
         "c4_filter": _q_c4_filter,
         "cms_counts": _q_cms_counts,
+        "redirect_resolve": _q_redirect_resolve,
     }
 
 
@@ -9236,6 +9261,25 @@ def oracle_sql() -> dict[str, str]:
                      AS fertility_ppm
             FROM tfl JOIN wn USING (w)
             GROUP BY tfl.lang
+        """,
+        # pointer jumping unrolled: m1 = m0∘m0, m2 = m1∘m1,
+        # m3 = m2∘m2 — a miss (target outside the redirect domain)
+        # keeps the current target, exactly the block kernel's rule
+        "redirect_resolve": """
+            WITH m0 AS (
+              SELECT doc_id AS src,
+                     doc_id - 1 AS dst
+              FROM documents WHERE doc_id % 5 <> 0),
+            m1 AS (
+              SELECT a.src, COALESCE(b.dst, a.dst) AS dst
+              FROM m0 a LEFT JOIN m0 b ON a.dst = b.src),
+            m2 AS (
+              SELECT a.src, COALESCE(b.dst, a.dst) AS dst
+              FROM m1 a LEFT JOIN m1 b ON a.dst = b.src),
+            m3 AS (
+              SELECT a.src, COALESCE(b.dst, a.dst) AS dst
+              FROM m2 a LEFT JOIN m2 b ON a.dst = b.src)
+            SELECT src, CAST(dst AS BIGINT) AS final_dst FROM m3
         """,
         # replay every CMS register (md5('r:word') % width) and take
         # the min over rows per query word

@@ -772,6 +772,99 @@ def hits_ints(edges, *, iters: int = 2, src_col: str = "src",
                    Sum("h", alias_name="hub"))
 
 
+def resolve_redirects(redirects, *, rounds: int = 3,
+                      src_col: str = "src", dst_col: str = "dst",
+                      num_partitions: int = 64):
+    """Redirect-chain resolution by POINTER JUMPING — the canonical-
+    URL step of a crawl pipeline (301/308 chains must collapse to
+    their final target before url dedup, else every hop looks like a
+    distinct page). ``redirects`` is a partial function (each src at
+    most one dst); the result maps every src to the end of its chain,
+    following up to ``2^rounds`` hops.
+
+    Pointer jumping doubles the resolved distance per round
+    (m' = m∘m), so corpus-scale chains need only log2(max_hops)
+    rounds — 3 rounds cover the ≤8-hop chains real crawlers follow.
+    Each round is the repo's standard join-free co-partition: mapping
+    rows (key=src, val=dst) and query rows (key=current target,
+    origin=src) union-bucket on ``hash(key) % num_partitions``
+    (BOUNDED key, functions/_blocks.py); one sorted-lookup kernel per
+    block jumps EVERY chain at once; the mapping re-materializes per
+    round (object store, never the driver). A chain ending outside
+    the redirect domain stays at its terminal; cycles settle on a
+    deterministic in-cycle node after the fixed rounds (same
+    fixed-iteration replayability contract as ``pagerank_picos`` —
+    the SQL oracle unrolls the identical ``rounds`` self-joins).
+    Returns ``(src, final_dst)`` for every redirect source.
+    """
+    from ._blocks import bucket_of
+
+    mapping = redirects.map_batches(
+        lambda b: pa.table({
+            "src": b.column(src_col).cast(pa.int64()),
+            "dst": b.column(dst_col).cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    def tag_map(batch: pa.Table) -> pa.Table:
+        keys = batch.column("src").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": batch.column("src"),
+            "_pk": pa.array(bucket_of(keys, num_partitions),
+                            pa.int32()),
+            "origin": pa.array(np.zeros(batch.num_rows, np.int64)),
+            "val": batch.column("dst"),
+            "is_map": pa.array(np.ones(batch.num_rows, np.int8)),
+        })
+
+    def tag_query(batch: pa.Table) -> pa.Table:
+        keys = batch.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": batch.column("dst"),
+            "_pk": pa.array(bucket_of(keys, num_partitions),
+                            pa.int32()),
+            "origin": batch.column("src"),
+            "val": pa.array(np.zeros(batch.num_rows, np.int64)),
+            "is_map": pa.array(np.zeros(batch.num_rows, np.int8)),
+        })
+
+    def jump_block(block: pd.DataFrame) -> pd.DataFrame:
+        is_map = block["is_map"].to_numpy() == 1
+        keys = block["key"].to_numpy(dtype=np.int64)
+        mk = keys[is_map]
+        mv = block["val"].to_numpy(dtype=np.int64)[is_map]
+        order = np.argsort(mk, kind="stable")
+        mk, mv = mk[order], mv[order]
+        qk = keys[~is_map]
+        qo = block["origin"].to_numpy(dtype=np.int64)[~is_map]
+        if len(mk):
+            pos = np.searchsorted(mk, qk)
+            pos_safe = np.minimum(pos, len(mk) - 1)
+            hit = mk[pos_safe] == qk
+            out = np.where(hit, mv[pos_safe], qk)
+        else:
+            out = qk
+        return pd.DataFrame({"src": qo, "dst": out})
+
+    for _ in range(rounds):
+        tagged = mapping.map_batches(tag_map,
+                                     batch_format="pyarrow") \
+            .union(mapping.map_batches(tag_query,
+                                       batch_format="pyarrow"))
+        mapping = tagged.groupby("_pk") \
+            .map_groups(jump_block, batch_format="pandas") \
+            .map_batches(lambda b: pa.table({
+                "src": pa.array(b["src"].to_numpy(np.int64),
+                                pa.int64()),
+                "dst": pa.array(b["dst"].to_numpy(np.int64),
+                                pa.int64())}),
+                batch_format="pandas").materialize()
+
+    return mapping.map_batches(
+        lambda b: pa.table({"src": b.column("src"),
+                            "final_dst": b.column("dst")}),
+        batch_format="pyarrow")
+
+
 def labelprop_rounds(edges, *, iters: int = 2,
                      src_col: str = "src", dst_col: str = "dst",
                      num_partitions: int = 64):

@@ -203,6 +203,30 @@ def test_ccnet_buckets_orders_by_perplexity(ray_session):
         assert out.loc[did, "bucket"] == b
 
 
+# ------------------------------------------------------------ redirects
+
+
+def test_resolve_redirects_chains_cycles_terminals(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.graph import resolve_redirects
+    # chain 1->2->3->4->5 (5 terminal), isolated 10->11,
+    # 2-cycle 20<->21
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11),
+             (20, 21), (21, 20)]
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in edges],
+                       override_num_blocks=3)
+    out = resolve_redirects(ds, rounds=3).to_pandas() \
+        .set_index("src")["final_dst"].to_dict()
+    assert out[1] == 5 and out[2] == 5 and out[3] == 5 \
+        and out[4] == 5
+    assert out[10] == 11
+    # 2-cycle: m∘m of a swap is the identity, so one doubling round
+    # settles each member on ITSELF — deterministic, replayed by the
+    # oracle's unrolled self-joins
+    assert out[20] == 20 and out[21] == 21
+    assert len(out) == 7
+
+
 # ---------------------------------------------------------------- cms
 
 

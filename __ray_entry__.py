@@ -5477,6 +5477,20 @@ def _q_quality_classifier(sf_dir: str):
     return hashed_linear_score(ds, weights)
 
 
+def _q_hll_by_source(sf_dir: str):
+    """Grouped HyperLogLog (functions/sketch.py hll_registers_by_key):
+    per-source distinct-text registers folded in EXACT integers —
+    per-batch (key, register) rho partials, one native Max groupby,
+    bounded per-key combine; md5 hashing so the oracle replays every
+    register and the scaled harmonic denominator bit-for-bit."""
+    import ray.data as rd
+    from ksoup_ray.functions.sketch import hll_registers_by_key
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+    return hll_registers_by_key(ds, key_col="source",
+                                val_col="text", p=8)
+
+
 def _q_redirect_resolve(sf_dir: str):
     """Redirect-chain resolution (functions/graph.py
     resolve_redirects): pointer jumping — 3 join-free co-partitioned
@@ -5808,6 +5822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_filter": _q_c4_filter,
         "cms_counts": _q_cms_counts,
         "redirect_resolve": _q_redirect_resolve,
+        "hll_by_source": _q_hll_by_source,
     }
 
 
@@ -9261,6 +9276,44 @@ def oracle_sql() -> dict[str, str]:
                      AS fertility_ppm
             FROM tfl JOIN wn USING (w)
             GROUP BY tfl.lang
+        """,
+        # replay every register: j = top 8 md5 bits, rho = leading
+        # zeros of the 24-bit remainder + 1 (bit_length via exact
+        # power-compare count), Max per register, then the scaled
+        # integer harmonic denominator with absent registers at
+        # 2^25 each
+        "hll_by_source": """
+            WITH dv AS (
+              SELECT DISTINCT source, text FROM documents),
+            h AS (
+              SELECT source,
+                     CAST(('0x' || substr(md5(text), 1, 8))
+                          AS BIGINT) AS hv
+              FROM dv),
+            reg AS (
+              SELECT source, hv // 16777216 AS j,
+                     hv % 16777216 AS rem
+              FROM h),
+            bl AS (
+              SELECT source, j, rem,
+                     (SELECT count(*)
+                      FROM (SELECT unnest(range(24)) AS k) t
+                      WHERE rem >= (CAST(1 AS BIGINT) << k))
+                       AS bitlen
+              FROM reg),
+            rr AS (
+              SELECT source, j, MAX(24 - bitlen + 1) AS rho
+              FROM bl GROUP BY source, j),
+            agg AS (
+              SELECT source, count(*) AS n_present,
+                     SUM(CAST(1 AS BIGINT) << (25 - rho)) AS psum
+              FROM rr GROUP BY source)
+            SELECT source, CAST(256 AS BIGINT) AS m,
+                   CAST(n_present AS BIGINT) AS n_present,
+                   CAST(psum + (256 - n_present)
+                        * (CAST(1 AS BIGINT) << 25) AS BIGINT)
+                     AS denom_scaled
+            FROM agg
         """,
         # pointer jumping unrolled: m1 = m0∘m0, m2 = m1∘m1,
         # m3 = m2∘m2 — a miss (target outside the redirect domain)

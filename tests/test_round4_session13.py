@@ -203,6 +203,34 @@ def test_ccnet_buckets_orders_by_perplexity(ray_session):
         assert out.loc[did, "bucket"] == b
 
 
+# ------------------------------------------------------------ hll
+
+
+def test_hll_registers_by_key_estimate_within_band(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.sketch import hll_registers_by_key
+    # 3 keys with known distinct counts (plus cross-block repeats)
+    rows = []
+    for k, n in (("a", 300), ("b", 60), ("c", 5)):
+        rows += [{"source": k, "text": f"{k}-doc-{i % n}"}
+                 for i in range(n * 2)]
+    out = hll_registers_by_key(
+        rd.from_items(rows, override_num_blocks=4),
+        key_col="source", val_col="text", p=8).to_pandas() \
+        .set_index("source")
+    m = 256
+    alpha = 0.7182725932495458     # alpha_256 = 0.7213/(1+1.079/m)
+    for k, n in (("a", 300), ("b", 60), ("c", 5)):
+        denom = out.loc[k, "denom_scaled"] / (1 << 25)
+        est = alpha * m * m / denom
+        zeros = m - out.loc[k, "n_present"]
+        if est <= 2.5 * m and zeros:
+            import math
+            est = m * math.log(m / zeros)   # linear counting regime
+        assert abs(est - n) <= max(5.0, 4 * 1.04 / (m ** 0.5) * n), \
+            (k, est, n)
+
+
 # ------------------------------------------------------------ redirects
 
 

@@ -5477,6 +5477,48 @@ def _q_quality_classifier(sf_dir: str):
     return hashed_linear_score(ds, weights)
 
 
+def _q_canonical_dedup(sf_dir: str):
+    """Canonical-URL dedup — the crawl-frontier primitive composing
+    two existing operators: canonicalize messy URL variants
+    (functions/urls.py), then keep the FIRST crawl (lowest doc_id)
+    per canonical form (functions/dedup.py exact_dedup keyed on the
+    canonical string). Groups are real: every 3 docs share a path
+    (doc_id // 3), their variants (case, fragments, utm params,
+    default port) collapse under canonicalization; the kept id per
+    canonical is the closed-form MIN the oracle computes."""
+    import pandas as pd
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import exact_dedup
+    from ksoup_ray.functions.urls import canonicalize_urls
+    from ksoup_ray.sources.synth import BASE_URL
+
+    def mess(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        path = "/p/" + pd.Series(ids // 3).astype(str).str.zfill(8)
+        v = ids % 5
+        base = BASE_URL + path
+        messy = base.copy()
+        messy[v == 1] = (BASE_URL.upper() + path + "#sec1")[v == 1]
+        messy[v == 2] = (base + "?utm_source=x&utm_campaign=y")[v == 2]
+        messy[v == 3] = (BASE_URL + ":443" + path
+                         + "?id=7&utm_medium=z")[v == 3]
+        messy[v == 4] = (base + "#frag")[v == 4]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "url": pa.array(messy.to_numpy(dtype=object),
+                            pa.string()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"]) \
+        .map_batches(mess, batch_format="pyarrow")
+    canon = canonicalize_urls(ds) \
+        .select_columns(["doc_id", "url_canon"])
+    return exact_dedup(canon, text_col="url_canon",
+                       key_col="doc_id") \
+        .select_columns(["doc_id", "url_canon"])
+
+
 def _q_hll_by_source(sf_dir: str):
     """Grouped HyperLogLog (functions/sketch.py hll_registers_by_key):
     per-source distinct-text registers folded in EXACT integers —
@@ -5823,6 +5865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": _q_cms_counts,
         "redirect_resolve": _q_redirect_resolve,
         "hll_by_source": _q_hll_by_source,
+        "canonical_dedup": _q_canonical_dedup,
     }
 
 
@@ -9276,6 +9319,20 @@ def oracle_sql() -> dict[str, str]:
                      AS fertility_ppm
             FROM tfl JOIN wn USING (w)
             GROUP BY tfl.lang
+        """,
+        # canonical form closed-form from the variant arithmetic
+        # (only v=3 keeps a non-tracking query param), MIN doc per
+        # canonical
+        "canonical_dedup": """
+            WITH canon AS (
+              SELECT doc_id,
+                     'https://synth.invalid/p/'
+                     || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0')
+                     || CASE WHEN doc_id % 5 = 3
+                             THEN '?id=7' ELSE '' END AS url_canon
+              FROM documents)
+            SELECT MIN(doc_id) AS doc_id, url_canon
+            FROM canon GROUP BY url_canon
         """,
         # replay every register: j = top 8 md5 bits, rho = leading
         # zeros of the 24-bit remainder + 1 (bit_length via exact

@@ -5477,6 +5477,20 @@ def _q_quality_classifier(sf_dir: str):
     return hashed_linear_score(ds, weights)
 
 
+def _q_host_reputation(sf_dir: str):
+    """Host-level quality prior (functions/curation.py
+    host_reputation): per-host mean classifier score (trunc int
+    micros) broadcast back onto every document — site-level
+    filtering, the RefinedWeb practice. Hosts-scale aggregates only;
+    the corpus rides one id-keyed fold, no joins."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import host_reputation
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    weights = [(b % 7) - 3 for b in range(64)]
+    return host_reputation(ds, weights, host_col="source")
+
+
 def _q_canonical_dedup(sf_dir: str):
     """Canonical-URL dedup — the crawl-frontier primitive composing
     two existing operators: canonicalize messy URL variants
@@ -5866,6 +5880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redirect_resolve": _q_redirect_resolve,
         "hll_by_source": _q_hll_by_source,
         "canonical_dedup": _q_canonical_dedup,
+        "host_reputation": _q_host_reputation,
     }
 
 
@@ -9319,6 +9334,33 @@ def oracle_sql() -> dict[str, str]:
                      AS fertility_ppm
             FROM tfl JOIN wn USING (w)
             GROUP BY tfl.lang
+        """,
+        # per-host trunc-mean of the classifier score (DuckDB //
+        # truncates; the engine mirrors with an explicit-sign rule),
+        # joined back per doc
+        "host_reputation": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            b AS (
+              SELECT doc_id, source,
+                     CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)
+                       % 64 AS bucket
+              FROM w WHERE w <> ''),
+            sc AS (
+              SELECT d.doc_id, d.source,
+                     CAST(COALESCE(SUM((bucket % 7) - 3), 0)
+                          AS BIGINT) AS score
+              FROM documents d LEFT JOIN b USING (doc_id)
+              GROUP BY d.doc_id, d.source),
+            hm AS (
+              SELECT source,
+                     (SUM(score) * 1000000) // COUNT(*) AS hsm
+              FROM sc GROUP BY source)
+            SELECT sc.doc_id, sc.source AS host, sc.score,
+                   CAST(hm.hsm AS BIGINT) AS host_score_micros
+            FROM sc JOIN hm USING (source)
         """,
         # canonical form closed-form from the variant arithmetic
         # (only v=3 keeps a non-tracking query param), MIN doc per

@@ -1825,6 +1825,108 @@ def bpe_encode_counts(ds, merges, *, text_col: str = "text",
                           concurrency=concurrency)
 
 
+def host_reputation(ds, weights, *, host_col: str = "source",
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Host-level quality prior (the RefinedWeb/C4 practice of
+    filtering by SITE, not just page: a page inherits its host's
+    aggregate quality) — every document annotated with its host's
+    mean classifier score in exact integer micros.
+
+    Two stages, both bounded: (1) per-batch (host, score-sum, n)
+    partials from the hashed linear classifier kernel fold through
+    ONE hosts-scale groupby; (2) the host table (hosts × 3 ints —
+    tiny next to the corpus by definition) broadcasts once via
+    ``ray.put`` and a pure map annotates each doc. Mean is
+    ``(sum · 10^6) // n`` — exact, order-free, oracle-replayable.
+    Returns ``(doc_id, host, score, host_score_micros)``.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    scored = hashed_linear_score(ds, weights, text_col=text_col,
+                                 id_col=id_col)
+
+    def keep_host(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch.column(id_col),
+            "host": batch.column(host_col).cast(pa.string()),
+        })
+
+    hosts = ds.select_columns([id_col, host_col]) \
+        .map_batches(keep_host, batch_format="pyarrow")
+
+    # zip score rows with host rows WITHOUT a join: tagged union +
+    # one groupby(doc) fold (ids are unique, so Max reassembles)
+    def tag_scores(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch.column(id_col),
+            "score": batch.column("score"),
+            "host": pa.array([""] * batch.num_rows, pa.string()),
+        })
+
+    def tag_hosts(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch.column(id_col),
+            "score": pa.array(np.zeros(batch.num_rows, np.int64),
+                              pa.int64()),
+            "host": batch.column("host"),
+        })
+
+    from ray.data.aggregate import Max
+    both = scored.map_batches(tag_scores, batch_format="pyarrow") \
+        .union(hosts.map_batches(tag_hosts, batch_format="pyarrow")) \
+        .groupby(id_col) \
+        .aggregate(Sum("score", alias_name="score"),
+                   Max("host", alias_name="host")) \
+        .materialize()
+
+    def host_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "host": batch.column("host").to_numpy(
+                zero_copy_only=False),
+            "s": batch.column("score").to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        g = df.groupby("host", sort=False).agg(
+            ps=("s", "sum"), pn=("s", "size")).reset_index()
+        return pa.table({
+            "host": pa.array(g["host"].to_numpy(object),
+                             pa.string()),
+            "ps": pa.array(g["ps"].to_numpy(np.int64), pa.int64()),
+            "pn": pa.array(g["pn"].to_numpy(np.int64), pa.int64()),
+        })
+
+    folded = both.map_batches(host_partial, batch_format="pyarrow") \
+        .groupby("host") \
+        .aggregate(Sum("ps", alias_name="s"),
+                   Sum("pn", alias_name="n"))
+
+    table = {}
+    for t in folded.iter_batches(batch_format="pyarrow"):
+        for h, s, n in zip(t.column("host").to_pylist(),
+                           t.column("s").to_pylist(),
+                           t.column("n").to_pylist()):
+            # TRUNC-toward-zero division: DuckDB's integer //
+            # truncates (-7//2 = -3) while python floors — same
+            # explicit-sign rule as similarity.kmeans_mean_step
+            q = (abs(s) * 1_000_000) // n
+            table[h] = q if s >= 0 else -q
+    means_ref = ray.put(table)
+
+    def annotate(batch: pa.Table, _m=means_ref) -> pa.Table:
+        lut = ray.get(_m)
+        hs = batch.column("host").to_pylist()
+        return pa.table({
+            id_col: batch.column(id_col),
+            "host": batch.column("host"),
+            "score": batch.column("score"),
+            "host_score_micros": pa.array(
+                [lut[h] for h in hs], pa.int64()),
+        })
+
+    return both.map_batches(annotate, batch_format="pyarrow")
+
+
 def c4_line_filter(ds, *, text_col: str = "page_text",
                    id_col: str = "doc_id", min_words: int = 3,
                    min_kept_lines: int = 3,

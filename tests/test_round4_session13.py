@@ -203,6 +203,32 @@ def test_ccnet_buckets_orders_by_perplexity(ray_session):
         assert out.loc[did, "bucket"] == b
 
 
+# ------------------------------------------------------------ host rep
+
+
+def test_host_reputation_trunc_mean(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.curation import host_reputation
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 64
+    weights = [0] * 64
+    weights[bucket("good")] = 2
+    weights[bucket("bad")] = -3
+    docs = [{"doc_id": 1, "source": "h1", "text": "good good"},
+            {"doc_id": 2, "source": "h1", "text": "bad"},
+            {"doc_id": 3, "source": "h2", "text": "bad bad"},
+            {"doc_id": 4, "source": "h2", "text": "bad"}]
+    out = host_reputation(rd.from_items(docs, override_num_blocks=2),
+                          weights).to_pandas().set_index("doc_id")
+    # h1: scores 4, -3 -> mean trunc((1*1e6)//2) = 500000
+    assert out.loc[1, "host_score_micros"] == 500_000
+    assert out.loc[1, "score"] == 4 and out.loc[2, "score"] == -3
+    # h2: scores -6, -3 -> trunc toward zero of -9e6/2 = -4500000
+    assert out.loc[3, "host_score_micros"] == -4_500_000
+    assert (out.loc[[3, 4], "host"] == "h2").all()
+    assert len(out) == 4
+
+
 # ------------------------------------------------------------ hll
 
 

@@ -140,27 +140,39 @@ def stratified_sample(ds, *, key_col: str = "lang",
 
 
 def grouped_topk(ds, *, key_col: str = "lang", val_col: str = "n",
-                 id_col: str = "doc_id", k: int = 3):
+                 id_col: str = "doc_id", k: int = 3,
+                 num_partitions: int = 64):
     """Top-``k`` rows per key by (val desc, id asc) — the window
     ROW_NUMBER() pattern. Map-side combine keeps at most k rows per
     key PER BATCH (k × keys × batches rows ride the one shuffle, never
-    the corpus), then each group takes its final k. Deterministic
+    the corpus), then the final stage shuffles on a BOUNDED
+    ``hash(key) % num_partitions`` bucket (functions/_blocks.py
+    contract — O(num_partitions) Python dispatches total, safe for an
+    unbounded key column) and each bucket block resolves ALL of its
+    keys in one vectorized sort + cumcount pass. Deterministic
     tie-break on the id."""
     import pandas as pd
+    from ._blocks import pk_column
 
     def local(batch: pa.Table) -> pa.Table:
         df = batch.select([key_col, val_col, id_col]).to_pandas()
         df = df.sort_values([val_col, id_col],
                             ascending=[False, True])
-        return pa.Table.from_pandas(df.groupby(key_col, sort=False)
-                                    .head(k), preserve_index=False)
+        out = df.groupby(key_col, sort=False).head(k)
+        t = pa.Table.from_pandas(out, preserve_index=False)
+        return t.append_column(
+            "_pk", pk_column(t.column(key_col), num_partitions))
 
-    def final(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values([val_col, id_col],
-                                 ascending=[False, True]).head(k)
+    def block_final(block: pd.DataFrame) -> pd.DataFrame:
+        df = block.sort_values([key_col, val_col, id_col],
+                               ascending=[True, False, True],
+                               kind="mergesort")
+        rank = df.groupby(key_col, sort=False).cumcount()
+        return df[rank < k].drop(columns=["_pk"])
 
     return (ds.map_batches(local, batch_format="pyarrow")
-            .groupby(key_col).map_groups(final, batch_format="pandas"))
+            .groupby("_pk").map_groups(block_final,
+                                       batch_format="pandas"))
 
 
 def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",

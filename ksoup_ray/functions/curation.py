@@ -301,7 +301,8 @@ def decontaminate_bloom(ds, benchmark_ds, *, text_col: str = "text",
     flagged = verified.map_batches(flag, batch_format="pyarrow")
     ids_only = ds.map_batches(
         lambda b: b.select([id_col]).set_column(
-            0, id_col, b.column(id_col).cast(pa.int64())),
+            0, id_col, b.column(id_col).cast(pa.int64()))
+        .replace_schema_metadata(None),
         batch_format="pyarrow")
     joined = ids_only.join(_join_ready(flagged), join_type="left_outer",
                            num_partitions=num_partitions, on=(id_col,))
@@ -1832,11 +1833,14 @@ def host_reputation(ds, weights, *, host_col: str = "source",
     aggregate quality) — every document annotated with its host's
     mean classifier score in exact integer micros.
 
-    Two stages, both bounded: (1) per-batch (host, score-sum, n)
-    partials from the hashed linear classifier kernel fold through
-    ONE hosts-scale groupby; (2) the host table (hosts × 3 ints —
-    tiny next to the corpus by definition) broadcasts once via
-    ``ray.put`` and a pure map annotates each doc. Mean is
+    Two stages, both bounded: (1) the hashed linear classifier kernel
+    carries the host column THROUGH its output (one corpus scan — no
+    id-keyed re-attach fold), then per-batch (host, score-sum, n)
+    partials fold through ONE hosts-scale groupby; (2) the host table
+    (hosts × 3 ints — tiny next to the corpus by definition)
+    broadcasts once via ``ray.put`` and a pure map annotates each
+    doc. A null host normalizes to ``''`` EXPLICITLY (one documented
+    bucket — never a silent merge through a sentinel). Mean is
     ``(sum · 10^6) // n`` — exact, order-free, oracle-replayable.
     Returns ``(doc_id, host, score, host_score_micros)``.
     """
@@ -1844,40 +1848,22 @@ def host_reputation(ds, weights, *, host_col: str = "source",
     from ray.data.aggregate import Sum
 
     scored = hashed_linear_score(ds, weights, text_col=text_col,
-                                 id_col=id_col)
+                                 id_col=id_col,
+                                 passthrough_cols=(host_col,))
 
-    def keep_host(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            id_col: batch.column(id_col),
-            "host": batch.column(host_col).cast(pa.string()),
-        })
-
-    hosts = ds.select_columns([id_col, host_col]) \
-        .map_batches(keep_host, batch_format="pyarrow")
-
-    # zip score rows with host rows WITHOUT a join: tagged union +
-    # one groupby(doc) fold (ids are unique, so Max reassembles)
-    def tag_scores(batch: pa.Table) -> pa.Table:
+    def project(batch: pa.Table) -> pa.Table:
+        host = batch.column(host_col).cast(pa.string())
+        if isinstance(host, pa.ChunkedArray):
+            host = host.combine_chunks()
         return pa.table({
             id_col: batch.column(id_col),
             "score": batch.column("score"),
-            "host": pa.array([""] * batch.num_rows, pa.string()),
+            "host": host.fill_null(""),
         })
 
-    def tag_hosts(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            id_col: batch.column(id_col),
-            "score": pa.array(np.zeros(batch.num_rows, np.int64),
-                              pa.int64()),
-            "host": batch.column("host"),
-        })
-
-    from ray.data.aggregate import Max
-    both = scored.map_batches(tag_scores, batch_format="pyarrow") \
-        .union(hosts.map_batches(tag_hosts, batch_format="pyarrow")) \
-        .groupby(id_col) \
-        .aggregate(Sum("score", alias_name="score"),
-                   Max("host", alias_name="host")) \
+    # 3 int/str columns; materialized so the host fold and the final
+    # annotate pass don't each re-run the classifier scan
+    both = scored.map_batches(project, batch_format="pyarrow") \
         .materialize()
 
     def host_partial(batch: pa.Table) -> pa.Table:
@@ -2065,7 +2051,8 @@ def tokenizer_fertility(ds, merges, *, text_col: str = "text",
 
 def hashed_linear_score(ds, weights, *, text_col: str = "text",
                         id_col: str = "doc_id",
-                        threshold: int = 0, concurrency=(1, 4)):
+                        threshold: int = 0, concurrency=(1, 4),
+                        passthrough_cols: tuple = ()):
     """fastText-style linear quality-classifier INFERENCE (Joulin et
     al. 2016, arXiv:1607.01759): hash every token into the weight
     vector's bucket space (md5, the hashing trick), score the doc as
@@ -2082,7 +2069,10 @@ def hashed_linear_score(ds, weights, *, text_col: str = "text",
     per-actor ``word -> bucket`` md5 cache persists across batches
     (Zipf). Per batch: one explode, md5 on unseen distinct words
     only, one weighted ``np.bincount`` per doc. Returns
-    ``(doc_id, score, label)`` with label keep/drop.
+    ``(doc_id, score, label)`` with label keep/drop;
+    ``passthrough_cols`` ride along unchanged (so a caller needing
+    score + another source column — host_reputation — gets both in
+    ONE corpus scan instead of re-attaching via an id-keyed fold).
     """
     wvec = np.asarray(weights, dtype=np.int64)
     n_buckets = len(wvec)
@@ -2118,11 +2108,14 @@ def hashed_linear_score(ds, weights, *, text_col: str = "text",
                                     minlength=len(s)) \
                     .astype(np.int64)
             label = np.where(score > threshold, "keep", "drop")
-            return pa.table({
+            out = {
                 id_col: pa.array(ids, pa.int64()),
                 "score": pa.array(score, pa.int64()),
                 "label": pa.array(label.tolist(), pa.string()),
-            })
+            }
+            for c in passthrough_cols:
+                out[c] = batch.column(c)
+            return pa.table(out)
 
     return ds.map_batches(Scorer, batch_format="pyarrow",
                           concurrency=concurrency)

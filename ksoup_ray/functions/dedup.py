@@ -34,6 +34,17 @@ P61 = (1 << 61) - 1
 _POLY_B = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit mix constant
 
 
+def strip_schema_metadata(ds):
+    """Drop schema-level metadata (the parquet footer's ``pandas``
+    blob) before a hash join: a ``pa.Schema`` carrying a metadata dict
+    is UNHASHABLE, which defeats Ray 2.49's ``unify_schemas`` set-dedup
+    fast path and logs a ``Failed to hash the schemas`` warning from
+    every shuffle aggregator. ``replace_schema_metadata`` is zero-copy
+    (same buffers, new schema object), so this is free."""
+    return ds.map_batches(lambda b: b.replace_schema_metadata(None),
+                          batch_format="pyarrow")
+
+
 def _join_ready(ds, num_blocks: int = 4):
     """Coalesce a SMALL keyed table before feeding ``Dataset.join``.
 
@@ -44,8 +55,10 @@ def _join_ready(ds, num_blocks: int = 4):
     match ... FieldRef" on small inputs. Repartitioning concatenates
     those empties into schema-carrying blocks. Only ever applied to
     id-sized tables (aggregate outputs, pair lists) — never to payload
-    tables."""
-    return ds.repartition(num_blocks)
+    tables. Also strips schema metadata (see
+    :func:`strip_schema_metadata`) so the join's schema dedup stays on
+    its fast path."""
+    return strip_schema_metadata(ds.repartition(num_blocks))
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -73,8 +86,8 @@ def exact_dedup(ds, text_col: str = "text", key_col: str = "doc_id",
     winners = hashed.groupby("content_md5").aggregate(
         Min(key_col, alias_name=key_col))
     return _join_ready(winners.select_columns([key_col])).join(
-        ds, join_type="inner", num_partitions=num_partitions,
-        on=(key_col,))
+        strip_schema_metadata(ds), join_type="inner",
+        num_partitions=num_partitions, on=(key_col,))
 
 
 # ---------------------------------------------------------------------------
@@ -384,7 +397,8 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, threshold: float = 0.5,
     ``ray.put`` lookup this replaces was an OOM at corpus scale)."""
     import pyarrow.compute as pc
 
-    docs = docs_ds.select_columns([id_col, text_col])
+    docs = strip_schema_metadata(
+        docs_ds.select_columns([id_col, text_col]))
     j1 = pairs_ds.join(docs, join_type="inner",
                        num_partitions=num_partitions,
                        on=("id_a",), right_on=(id_col,))
@@ -1704,7 +1718,8 @@ def exact_drop_ids(ds, text_col: str = "text",
     def keyed(batch: pa.Table) -> pa.Table:
         t = add_md5(batch, text_col).select(["content_md5", key_col])
         return t.append_column(
-            "_pk", pk_column(t.column("content_md5"), num_partitions))
+            "_pk", pk_column(t.column("content_md5"), num_partitions)) \
+            .replace_schema_metadata(None)
 
     def losers_block(block: pd.DataFrame) -> pd.DataFrame:
         block = block.sort_values(["content_md5", key_col],

@@ -131,8 +131,9 @@ def phrase_hits(ds, phrase: tuple[str, ...], *,
             out_doc.append(ids[di[m]])
             out_slot.append(np.full(int(m.sum()), slot, np.int8))
             out_apos.append(pos[m] - slot)
-        doc = np.concatenate(out_doc) if out_doc else \
-            np.empty(0, np.int64)
+        # L >= 1 (checked above), so the member lists are never empty
+        # and empty member arrays concatenate to the right dtypes.
+        doc = np.concatenate(out_doc)
         return pa.table({
             "doc": pa.array(doc, pa.int64()),
             "slot": pa.array(np.concatenate(out_slot), pa.int8()),

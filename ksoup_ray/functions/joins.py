@@ -271,9 +271,11 @@ def anti_join(left, right, *, left_on: str, right_on: str,
                   "_aj_key": b.column("_aj_key"),
                   "_aj_hit": pa.array([True] * b.num_rows)}),
                   batch_format="pyarrow"))
-    joined = left.join(marker, join_type="left_outer",
-                       num_partitions=num_partitions,
-                       on=(left_on,), right_on=("_aj_key",))
+    from .dedup import strip_schema_metadata
+    joined = strip_schema_metadata(left).join(
+        marker, join_type="left_outer",
+        num_partitions=num_partitions,
+        on=(left_on,), right_on=("_aj_key",))
     return joined.map_batches(
         lambda b: b.filter(pc.is_null(b.column("_aj_hit")))
         .drop_columns([c for c in ("_aj_hit", "_aj_key")
@@ -308,9 +310,11 @@ def semi_join(left, right, *, left_on: str, right_on: str,
               # coalesce schema-less empty aggregate blocks before the
               # hash join (same Ray 2.49 guard as dedup._join_ready)
               .repartition(4))
-    joined = left.join(marker, join_type="inner",
-                       num_partitions=num_partitions,
-                       on=(left_on,), right_on=("_sj_key",))
+    from .dedup import strip_schema_metadata
+    joined = strip_schema_metadata(left).join(
+        marker, join_type="inner",
+        num_partitions=num_partitions,
+        on=(left_on,), right_on=("_sj_key",))
     return joined.map_batches(
         lambda b: b.drop_columns(
             [c for c in ("_sj_key",) if c in b.column_names]),

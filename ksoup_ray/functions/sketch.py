@@ -178,6 +178,19 @@ def heavy_hitters(ds, col: str, *, phi: float = 0.001,
     return pd.DataFrame(out, columns=["value", "n"])
 
 
+def _cms_buckets(word: str, depth: int, width: int) -> np.ndarray:
+    """The CMS register column for ``word`` in each of the ``depth``
+    rows: ``md5(f"{row}:{word}") % width``. SINGLE source of truth —
+    used by the worker-side partials AND the driver estimate loop, so
+    the two can never drift apart (the DuckDB oracle replays this
+    exact formula bit-for-bit)."""
+    import hashlib
+    return np.array(
+        [int(hashlib.md5(f"{r}:{word}".encode())
+             .hexdigest()[:8], 16) % width
+         for r in range(depth)], np.int64)
+
+
 def cms_point_estimates(ds, query_words, *, depth: int = 4,
                         width: int = 1024, text_col: str = "text",
                         concurrency=(1, 4)):
@@ -199,8 +212,6 @@ def cms_point_estimates(ds, query_words, *, depth: int = 4,
     (classic CMS guarantee) — pytest pins est >= truth. Returns a
     pandas DataFrame ``(word, est_count)``.
     """
-    import hashlib
-
     from ray.data.aggregate import Sum
 
     words = [str(w) for w in query_words]
@@ -212,10 +223,7 @@ def cms_point_estimates(ds, query_words, *, depth: int = 4,
         def _buckets(self, w: str) -> np.ndarray:
             b = self.cache.get(w)
             if b is None:
-                b = np.array(
-                    [int(hashlib.md5(f"{r}:{w}".encode())
-                         .hexdigest()[:8], 16) % width
-                     for r in range(depth)], np.int64)
+                b = _cms_buckets(w, depth, width)
                 self.cache[w] = b
             return b
 
@@ -250,10 +258,8 @@ def cms_point_estimates(ds, query_words, *, depth: int = 4,
             t.column("n").to_numpy(zero_copy_only=False)
     out = []
     for w in words:
-        bk = [int(hashlib.md5(f"{r}:{w}".encode()).hexdigest()[:8],
-                  16) % width for r in range(depth)]
-        out.append((w, int(min(reg[r][c]
-                               for r, c in enumerate(bk)))))
+        bk = _cms_buckets(w, depth, width)
+        out.append((w, int(reg[np.arange(depth), bk].min())))
     df = pd.DataFrame(out, columns=["word", "est_count"])
     return df.astype({"est_count": np.int64})
 

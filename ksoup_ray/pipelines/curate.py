@@ -54,9 +54,14 @@ def _anti_join(ds, drop_ids, id_col: str, num_partitions: int = 8):
         "_drop_id": pa.array([-1], pa.int64()),
         "_dropped": pa.array([True], pa.bool_())}))
     marked = marked.union(seed).repartition(4)
-    joined = ds.join(marked, join_type="left_outer",
-                     num_partitions=num_partitions,
-                     on=(id_col,), right_on=("_drop_id",))
+    # strip parquet-footer pandas metadata: a schema with a metadata
+    # dict is unhashable, defeating the shuffle's schema-dedup fast
+    # path (one warning per aggregator otherwise)
+    from ..functions.dedup import strip_schema_metadata
+    joined = strip_schema_metadata(ds).join(
+        marked, join_type="left_outer",
+        num_partitions=num_partitions,
+        on=(id_col,), right_on=("_drop_id",))
     return joined.map_batches(
         lambda b: b.filter(pc.is_null(b.column("_dropped")))
         .drop_columns([c for c in ("_dropped", "_drop_id")

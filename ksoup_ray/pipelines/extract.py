@@ -76,7 +76,11 @@ def _add_ingest_columns(num_partitions: int):
                         pa.int32())
         if "partition_id" in batch.column_names:
             batch = batch.drop_columns(["partition_id"])
-        return batch.append_column("partition_id", pids)
+        # drop the parquet footer's pandas metadata: a schema carrying
+        # a metadata dict is unhashable, which defeats Ray's
+        # schema-dedup fast path downstream (one warning per worker)
+        return batch.append_column("partition_id", pids) \
+            .replace_schema_metadata(None)
 
     return fn
 
@@ -109,8 +113,13 @@ def run_extraction(
         from .sink import clear_stale_partitions
         clear_stale_partitions(out_dir, done)
 
+    # batch_size=None: process whole blocks (vectorized CRC doesn't
+    # need rebatching) — and since fn strips the parquet footer's
+    # pandas metadata, no metadata-carrying schema ever reaches a
+    # downstream concat (an unhashable schema defeats Ray's
+    # schema-dedup fast path with a warning per worker)
     ds = ds.map_batches(_add_ingest_columns(num_partitions),
-                        batch_format="pyarrow")
+                        batch_format="pyarrow", batch_size=None)
 
     if done:
         done_arr = list(done)

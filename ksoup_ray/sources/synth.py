@@ -294,6 +294,11 @@ def cc_pages(sf_dir: str, pad_mix: bool = False, columns=None):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
+    # strip the parquet footer's pandas metadata BLOCK-WISE (no
+    # concat): a schema with a metadata dict is unhashable, so every
+    # downstream rebatch/concat would log a schema-dedup warning
+    ds = ds.map_batches(lambda b: b.replace_schema_metadata(None),
+                        batch_format="pyarrow", batch_size=None)
     return ds.map_batches(lambda b: render_batch(b, pad_mix=pad_mix),
                           batch_format="pyarrow", batch_size=256)
 

@@ -1355,6 +1355,13 @@ def _fast_p_run(tb: "HtmlTreeBuilder") -> None:
     # finally even when the DOM size guard trips
     new_tn = TextNode.__new__
     new_el = Element.__new__
+    # within a chain every new <p> is appended to the SAME parent (the
+    # element under the freshly inserted p), so the parent/kids lookups
+    # and the builder-stack pop/push hoist out of the loop: the stack
+    # is touched once when the first p closes and once more only if the
+    # run ends on a still-open p. `cur` tracks the open p off-stack.
+    cur = stack[-1]          # the freshly inserted p (open)
+    on_stack = True          # cur is stack[-1] right now
     try:
         while True:
             m = chain_match(s, pos)
@@ -1366,25 +1373,25 @@ def _fast_p_run(tb: "HtmlTreeBuilder") -> None:
             t1s, t1e = regs[1]
             r2s = regs[2][0]
             end = regs[0][1]
-            text = s[t1s:t1e]
-            p_el = stack[-1]
-            kids = p_el._child_nodes
+            kids = cur._child_nodes
             tn = new_tn(TextNode)
-            tn.parent_node = p_el
+            tn.parent_node = cur
             tn.sibling_index = len(kids)
-            tn.value = text
+            tn.value = s[t1s:t1e]
             tn._attrs = None
             tn.span = (t1s, t1e)
             kids.append(tn)
             ncount += 1
             if limit and ncount > limit:
                 raise DomSizeLimit(ncount)
-            if frameset_ok and not _is_blank(text):
+            if frameset_ok and not _is_blank(tn.value):
                 frameset_ok = False
             has_open = r2s != -1
             # explicit </p>: stamp its source range on the closing p
-            p_el.end_span = (t1e, r2s if has_open else end)
-            stack.pop()  # </p> with current element p: pops exactly the p
+            cur.end_span = (t1e, r2s if has_open else end)
+            if on_stack:
+                stack.pop()  # </p> w/ current element p: pops exactly p
+                on_stack = False
             # position after the </p> alone (the open tag, if matched,
             # must not be consumed when bailing out)
             if not scope_checked:
@@ -1394,6 +1401,8 @@ def _fast_p_run(tb: "HtmlTreeBuilder") -> None:
                     pos = r2s if has_open else end
                     break
                 scope_checked = True
+                parent = stack[-1]
+                pkids = parent._child_nodes
             if not has_open:
                 pos = end
                 break
@@ -1407,8 +1416,6 @@ def _fast_p_run(tb: "HtmlTreeBuilder") -> None:
                 # literal `class="` so the name occupies the 7 chars
                 # ending 2 before the value group
                 attrs._ranges = {"class": (c3s - 7, c3s - 2, c3s, c3e)}
-            parent = stack[-1]
-            pkids = parent._child_nodes
             el = new_el(Element)
             el.parent_node = parent
             el.sibling_index = len(pkids)
@@ -1418,12 +1425,16 @@ def _fast_p_run(tb: "HtmlTreeBuilder") -> None:
             el.span = (r2s, end)
             el.end_span = None
             pkids.append(el)
-            stack.append(el)
+            cur = el
             ncount += 1
             if limit and ncount > limit:
                 raise DomSizeLimit(ncount)
             pos = end
     finally:
+        if not on_stack and cur.end_span is None:
+            # run ended while a p was still open: it IS the current
+            # element — restore the builder-stack invariant
+            stack.append(cur)
         tok.pos = pos
         tok._char_start = pos
         tb.node_count = ncount

@@ -1739,49 +1739,75 @@ def exact_drop_ids(ds, text_col: str = "text",
 
 def neardup_decontaminate(ds, eval_ds, *, text_col: str = "text",
                           id_col: str = "doc_id", k: int = 5,
-                          threshold_ppm: int = 500_000):
+                          threshold_ppm: int = 500_000,
+                          concurrency=(1, 8)):
     """NEAR-duplicate decontamination — flag corpus documents whose
     k-word-shingle Jaccard against ANY benchmark document reaches the
     threshold (the Llama-style relaxation of exact-overlap
     decontamination: paraphrased or lightly-edited eval leakage still
     gets caught).
 
-    Scale shape: the benchmark side is SMALL by definition (an eval
-    suite), so its shingle SETS are materialized once, broadcast via
-    ``ray.put``, and every corpus batch computes EXACT Jaccard
-    against each (|eval| set probes per doc — all integer: jppm =
-    inter·10⁶ // union, no float compare). The corpus never shuffles.
-    For benchmark suites too large to broadcast raw, prune first with
-    an LSH band probe and verify only candidates — the broadcast-
-    exact form below is the recall-1.0 baseline the pruned variant
-    must match. Emits (id, max_jppm, contaminated)."""
+    Scale shape (shared-shingle-pruned, EXACT): the benchmark side is
+    small by definition, so the driver builds, once, (a) the eval
+    shingle sets, (b) an inverted index shingle → eval ids, and (c)
+    the UNION of all eval shingles, broadcast together via
+    ``ray.put`` to an actor pool. Per corpus doc the probe is ONE
+    C-level set intersection against the union (not |evals|
+    intersections — the round-4 per-row × per-eval loop is gone);
+    only the hit shingles fan out through the inverted index to
+    candidate eval ids, and only candidates get the exact integer
+    Jaccard (jppm = inter·10⁶ // union — no float compare). The
+    pruning is RECALL-1.0 by construction, not probabilistic LSH: a
+    doc sharing zero shingles with an eval doc has Jaccard exactly 0,
+    so skipping it cannot change ``max_jppm`` — outputs are
+    bit-identical to the all-pairs baseline (pytest-pinned). The
+    corpus never shuffles. For eval suites too big even for a
+    broadcast shingle union, drop to ``decontaminate_bloom``'s packed
+    bitset + semi-join verify. Emits (id, max_jppm, contaminated)."""
     import ray
 
     eval_rows = eval_ds.select_columns([id_col, text_col]).take_all()
     eval_sets = [(r[id_col], word_shingles(r[text_col] or "", k))
                  for r in eval_rows]
-    eval_ref = ray.put(eval_sets)
+    inv: dict = {}
+    for ei, (_, es) in enumerate(eval_sets):
+        for g in es:
+            inv.setdefault(g, []).append(ei)
+    eval_ref = ray.put((eval_sets, inv, set(inv)))
 
-    def probe(batch: pa.Table) -> pa.Table:
-        evals = ray.get(eval_ref)
-        out = []
-        for t in batch.column(text_col).to_pylist():
-            s = word_shingles(t or "", k)
-            best = 0
-            for _, es in evals:
-                inter = len(s & es)
-                if not inter:
-                    continue
-                union = len(s) + len(es) - inter
-                jppm = inter * 1_000_000 // union
-                if jppm > best:
-                    best = jppm
-            out.append(best)
-        return pa.table({
-            id_col: batch.column(id_col),
-            "max_jppm": pa.array(out, pa.int64()),
-            "contaminated": pa.array(
-                [v >= threshold_ppm for v in out], pa.bool_()),
-        })
+    class Probe:
+        def __init__(self, ref):
+            self.eval_sets, self.inv, self.union = ray.get(ref)
 
-    return ds.map_batches(probe, batch_format="pyarrow")
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            evs = self.eval_sets
+            inv_get = self.inv.__getitem__
+            union_all = self.union
+            out = []
+            for t in batch.column(text_col).to_pylist():
+                s = word_shingles(t or "", k)
+                best = 0
+                hits = s & union_all
+                if hits:
+                    cand: set = set()
+                    for g in hits:
+                        cand.update(inv_get(g))
+                    ls = len(s)
+                    for ei in cand:
+                        es = evs[ei][1]
+                        inter = len(s & es)
+                        union = ls + len(es) - inter
+                        jppm = inter * 1_000_000 // union
+                        if jppm > best:
+                            best = jppm
+                out.append(best)
+            return pa.table({
+                id_col: batch.column(id_col),
+                "max_jppm": pa.array(out, pa.int64()),
+                "contaminated": pa.array(
+                    [v >= threshold_ppm for v in out], pa.bool_()),
+            })
+
+    return ds.map_batches(Probe, fn_constructor_args=(eval_ref,),
+                          batch_format="pyarrow",
+                          concurrency=concurrency)

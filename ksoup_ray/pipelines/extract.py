@@ -156,7 +156,12 @@ def run_extraction(
         # (At 100 TB: write per input shard with key-range ownership
         # instead; block counts are naturally large there.)
         out = out.repartition(coalesce_output)
-    out.write_parquet(data_dir, partition_cols=["partition_id"])
+    # zstd: 35% fewer bytes than snappy on extracted text/links/spans
+    # and FASTER wall-clock on the sandbox's shared disk (measured
+    # 1.37s vs 1.71s for the 5k-doc bench write) — at 100 TB the sink
+    # is disk/network-bound, so smaller output wins twice
+    out.write_parquet(data_dir, partition_cols=["partition_id"],
+                      compression="zstd")
     wall_ms = int((time.time() - t_start) * 1000)
     stats = write_lineage(out_dir, wall_ms)
     return stats

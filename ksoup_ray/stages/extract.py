@@ -108,7 +108,7 @@ def extract_document(raw: bytes, base_uri: str = "",
             # strip selector is a pure tag-name union here), replacing
             # two full selector traversals. Link rows are gathered
             # before any removal — identical to the two-select order.
-            from ..engine.dom import Element
+            from ..engine.dom import Element, TextNode
             to_remove = []
             stack = [body]
             pop = stack.pop
@@ -124,7 +124,11 @@ def extract_document(raw: bytes, base_uri: str = "",
                     if nm in strip_tags:
                         to_remove.append(node)
                     kids = node._child_nodes
-                    if kids:
+                    # single-text-child elements (most paragraphs)
+                    # cannot contain an <a> or a strip target — skip
+                    # the push/pop/isinstance round-trip for them
+                    if kids and not (len(kids) == 1 and
+                                     kids[0].__class__ is TextNode):
                         stack.extend(reversed(kids))
             for el in to_remove:
                 el.remove()
@@ -189,7 +193,8 @@ class ParseExtract:
         out_title: list[str] = []
         out_meta: list[dict | None] = []
         out_links: list[list] = []
-        out_spans: list[list] = []
+        span_flat: list[int] = []   # start,end,start,end,... all docs
+        span_counts: list[int] = []  # spans per doc (list offsets)
         out_errors: list[int] = []
         out_bytes: list[int] = []
         for url, raw in zip(urls, htmls):
@@ -205,11 +210,26 @@ class ParseExtract:
             out_title.append(rec["title"])
             out_meta.append(rec["meta"])
             out_links.append(rec["links"])
-            out_spans.append(rec["spans"])
+            sp = rec["spans"]
+            span_flat.extend(sp)
+            span_counts.append(len(sp) >> 1)
             out_errors.append(rec["parse_errors"])
             out_bytes.append(size)
             self.docs += 1
             self.bytes += size
+        # spans column from the flat int pairs: one numpy reshape + a
+        # StructArray/ListArray build — no per-span Python dict on
+        # either side of the Arrow boundary
+        import numpy as np
+        flat = np.asarray(span_flat, np.int64).reshape(-1, 2)
+        offs = np.zeros(n + 1, np.int32)
+        np.cumsum(span_counts, out=offs[1:])
+        spans_col = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(flat[:, 0], pa.int64()),
+                 pa.array(flat[:, 1], pa.int64())],
+                names=["start", "end"]))
         # partition_id / doc_bytes are computed ONCE at ingest
         # (_add_ingest_columns) and passed through; fall back to local
         # computation only when the stage runs standalone
@@ -229,7 +249,7 @@ class ParseExtract:
             "title": pa.array(out_title, pa.string()),
             "meta": pa.array(out_meta, META_STRUCT),
             "links": pa.array(out_links, LINKS_TYPE),
-            "spans": pa.array(out_spans, SPANS_TYPE),
+            "spans": spans_col,
             "lang": pa.array(langs, pa.string()),
             "parse_errors": pa.array(out_errors, pa.int32()),
             "doc_bytes": bytes_col,

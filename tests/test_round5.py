@@ -1,0 +1,119 @@
+"""Round-5 additions: the shared-shingle-pruned neardup_decontaminate
+must be BIT-IDENTICAL to the all-pairs broadcast-exact baseline, the
+registry manifest must stay consistent, and the value-checked pagerank
+registry entry must equal the exact integer form divided once."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _baseline_neardup(rows, eval_rows, k=5):
+    """The round-4 all-pairs kernel, reimplemented verbatim as the
+    oracle: per doc, exact integer Jaccard against EVERY eval doc."""
+    from ksoup_ray.functions.dedup import word_shingles
+    evals = [(r["doc_id"], word_shingles(r["text"] or "", k))
+             for r in eval_rows]
+    out = {}
+    for r in rows:
+        s = word_shingles(r["text"] or "", k)
+        best = 0
+        for _, es in evals:
+            inter = len(s & es)
+            if not inter:
+                continue
+            union = len(s) + len(es) - inter
+            jppm = inter * 1_000_000 // union
+            if jppm > best:
+                best = jppm
+        out[r["doc_id"]] = best
+    return out
+
+
+def test_neardup_decontaminate_matches_allpairs_baseline(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import neardup_decontaminate
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(60)]
+    eval_rows = []
+    for i in range(8):
+        words = rng.choice(vocab, size=rng.integers(6, 20)).tolist()
+        eval_rows.append({"doc_id": 100 + i, "text": " ".join(words)})
+    rows = []
+    for i in range(60):
+        mode = i % 4
+        if mode == 0:        # verbatim eval copy
+            text = eval_rows[i % 8]["text"]
+        elif mode == 1:      # partial overlap: eval prefix + noise
+            ev = eval_rows[i % 8]["text"].split()
+            noise = rng.choice(vocab, size=6).tolist()
+            text = " ".join(ev[: len(ev) // 2] + noise)
+        elif mode == 2:      # random (may share shingles by chance)
+            text = " ".join(
+                rng.choice(vocab, size=rng.integers(3, 25)).tolist())
+        else:                # short doc (< k words -> whole-text shingle)
+            text = " ".join(rng.choice(vocab, size=2).tolist())
+        rows.append({"doc_id": i, "text": text})
+    rows.append({"doc_id": 999, "text": ""})  # empty doc
+
+    expect = _baseline_neardup(rows, eval_rows)
+    out = neardup_decontaminate(
+        rd.from_items(rows), rd.from_items(eval_rows)).to_pandas() \
+        .set_index("doc_id")
+    assert len(out) == len(rows)
+    for doc_id, jppm in expect.items():
+        assert int(out.loc[doc_id, "max_jppm"]) == jppm, doc_id
+        assert bool(out.loc[doc_id, "contaminated"]) == \
+            (jppm >= 500_000), doc_id
+
+
+def test_queries_manifest_consistent():
+    import __ray_entry__ as e
+    m = e.queries_manifest()
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(m) == set(q)
+    for name, row in m.items():
+        assert row["value_checked"] == (name in o), name
+        if row["value_checked"]:
+            assert row["rows_only_reason"] is None, name
+        else:
+            assert row["rows_only_reason"], name
+        comp = row["companion"]
+        if comp is not None:
+            assert comp in q and comp in o, name
+
+
+def test_pagerank_entry_is_exact_picos_divided(ray_session):
+    """The registered float pagerank must equal pagerank_picos / 1e12
+    term for term (the order-free value-checked construction)."""
+    q = None
+    import __ray_entry__ as e
+    q = e.queries()
+    sf = "/root/testdata/sf0.001"
+    pr = q["pagerank"](sf).to_pandas().set_index("node")
+    p2 = q["pagerank_2iter"](sf).to_pandas().set_index("node")
+    assert len(pr) == len(p2)
+    joined = pr.join(p2)
+    assert (joined["rank"] ==
+            joined["rank_picos"].to_numpy(np.int64) / 1.0e12).all()
+
+
+def test_spans_flat_arrow_layout(ray_session):
+    """ParseExtract's spans column must be list<struct<start,end>>
+    int64 with per-text-node source ranges in document order."""
+    from ksoup_ray.stages.extract import ParseExtract, SPANS_TYPE
+    html = b"<html><body><p>alpha beta</p><p>gamma</p></body></html>"
+    batch = pa.table({
+        "url": pa.array(["http://x/1"]),
+        "html": pa.array([html], pa.binary()),
+    })
+    out = ParseExtract()(batch)
+    spans = out.column("spans")
+    assert spans.type == SPANS_TYPE
+    rows = spans.to_pylist()[0]
+    assert len(rows) == 2
+    s0, s1 = rows
+    text = html.decode()
+    assert text[s0["start"]:s0["end"]] == "alpha beta"
+    assert text[s1["start"]:s1["end"]] == "gamma"

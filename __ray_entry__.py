@@ -5670,6 +5670,64 @@ def _q_tokenizer_fertility(sf_dir: str):
                                     ("e", "r")])
 
 
+def _q_ccn_luhn(sf_dir: str):
+    """PAN (credit-card-number) detection with Luhn verification
+    (functions/curation.luhn_pan_batch) — the PII class a bare regex
+    cannot gate: most 16-digit runs fail the mod-10 checksum. The
+    query synthesizes a deterministic payment field per doc
+    (``pay <16-digit pan> ref <doc_id>``, pan = (doc_id·9973 +
+    123457) zero-padded — closed-form, so the oracle rebuilds it with
+    lpad and verifies Luhn with an unnested 16-term digit sum). The
+    detector itself is generic: one RE2-compatible ``\\d+`` findall
+    per batch, fixed-width numpy Luhn over all candidates at once,
+    no per-row Python and no shuffle."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import luhn_pan_batch
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def field(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        pans = pd.Series((ids * 9973 + 123457) % 10 ** 16) \
+            .astype(str).str.zfill(16)
+        s = "pay " + pans + " ref " + pd.Series(ids).astype(str)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": pa.array(s.to_numpy(dtype=object), pa.string()),
+        })
+
+    return ds.map_batches(field, batch_format="pyarrow") \
+        .map_batches(luhn_pan_batch, batch_format="pyarrow")
+
+
+def _q_dup_host_spread(sf_dir: str):
+    """Host spread of template-fingerprint duplicate clusters
+    (functions/dedup.dup_host_spread): texts sharing the same 2-word
+    prefix (the synth corpus's template signature — the corpus has no
+    full-text duplicates at sf0.001, so the fingerprint stands in for
+    content_md5 exactly as a shingle fingerprint would on a real
+    crawl) grouped into clusters; per cluster ≥ 2, its size and its
+    DISTINCT host count — template-vs-mirror diagnosis. One bounded
+    md5-bucket shuffle of (md5, host, n) partials; payloads never
+    move."""
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import dup_host_spread
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "source"])
+
+    def prefix2(batch: pa.Table) -> pa.Table:
+        s = batch.column("text").to_pandas().fillna("")
+        p = s.str.split(" ").str[:2].str.join(" ")
+        return pa.table({
+            "text": pa.array(p.to_numpy(dtype=object), pa.string()),
+            "source": batch.column("source"),
+        })
+
+    return dup_host_spread(ds.map_batches(prefix2,
+                                          batch_format="pyarrow"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -5897,6 +5955,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_by_source": _q_hll_by_source,
         "canonical_dedup": _q_canonical_dedup,
         "host_reputation": _q_host_reputation,
+        "ccn_luhn": _q_ccn_luhn,
+        "dup_host_spread": _q_dup_host_spread,
     }
 
 
@@ -6044,6 +6104,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST((doc_id + k + 1) % 100000000 AS BIGINT) AS dst
             FROM documents,
             LATERAL unnest(generate_series(0, doc_id % 4 - 1)) AS t(k)
+        """,
+        # Luhn mod-10 over the closed-form synthetic PAN: positions
+        # 1,3,...,15 (1-indexed) double-and-fold — same rule as the
+        # numpy kernel (every second digit from the right of an
+        # even-length number). n_digit_runs/n_pan16 are closed-form
+        # on the controlled field "pay <pan16> ref <doc_id>".
+        "ccn_luhn": """
+            WITH base AS (
+              SELECT doc_id,
+                     lpad(CAST((doc_id * 9973 + 123457)
+                               % 10000000000000000 AS VARCHAR),
+                          16, '0') AS pan
+              FROM documents
+            ), digits AS (
+              SELECT doc_id, i,
+                     CAST(substr(pan, i, 1) AS BIGINT) AS d
+              FROM base,
+              LATERAL unnest(generate_series(1, 16)) AS t(i)
+            ), luhn AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN i % 2 = 1
+                              THEN CASE WHEN 2 * d > 9
+                                   THEN 2 * d - 9 ELSE 2 * d END
+                              ELSE d END) AS s
+              FROM digits GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST(2 AS BIGINT) AS n_digit_runs,
+                   CAST(1 AS BIGINT) AS n_pan16,
+                   CAST(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_luhn_valid
+            FROM luhn
+        """,
+        "dup_host_spread": """
+            WITH sig AS (
+              SELECT md5(array_to_string(
+                       list_slice(string_split(text, ' '), 1, 2),
+                       ' ')) AS content_md5,
+                     source AS host
+              FROM documents
+            ), pairs AS (
+              SELECT content_md5, host,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM sig GROUP BY content_md5, host
+            )
+            SELECT content_md5,
+                   CAST(SUM(n) AS BIGINT) AS cluster_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_hosts
+            FROM pairs GROUP BY content_md5
+            HAVING SUM(n) >= 2
         """,
         "pagerank_2iter": _PAGERANK_PICOS_2ITER_SQL,
         # pagerank = the same exact 2-iter integer ranks with ONE

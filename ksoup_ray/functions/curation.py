@@ -689,6 +689,53 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
+def luhn_pan_batch(batch: pa.Table, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """Credit-card-number (PAN) detection with Luhn verification — the
+    PII class a bare regex cannot gate (most 16-digit runs are NOT
+    card numbers; the Luhn mod-10 checksum is the standard filter
+    real redaction pipelines apply before masking).
+
+    Per batch: ONE vectorized ``str.findall(r"\\d+")`` over the column
+    (RE2-compatible — no lookarounds, so the DuckDB oracle can replay
+    the run extraction verbatim), keep the length-16 runs, then Luhn
+    over ALL candidates at once: the fixed width makes the digit
+    matrix a single ``np.frombuffer`` reshape, doubling/folding is
+    two numpy ops, and validity is a vectorized mod-10. No per-row
+    Python. Returns ``(id, n_digit_runs, n_pan16, n_luhn_valid)``.
+
+    For a 16-digit PAN d1..d16, Luhn doubles d1,d3,...,d15 (every
+    second digit from the RIGHT in an even-length number), subtracts
+    9 from doubles > 9, and requires the total sum ≡ 0 (mod 10).
+    """
+    import re
+    s = batch.column(text_col).to_pandas().fillna("")
+    runs = s.str.findall(re.compile(r"\d+"))
+    n_runs = runs.str.len().to_numpy(dtype=np.int64)
+    ex = runs.explode().dropna()
+    cand = ex[ex.str.len() == 16]
+    n = len(s)
+    n_pan = np.zeros(n, np.int64)
+    n_valid = np.zeros(n, np.int64)
+    if len(cand):
+        di = cand.index.to_numpy(dtype=np.int64)
+        digits = (np.frombuffer(
+            "".join(cand.to_numpy(dtype=object)).encode(), np.uint8)
+            .reshape(-1, 16).astype(np.int64) - 48)
+        doubled = digits.copy()
+        doubled[:, 0::2] *= 2                    # d1,d3,...,d15
+        doubled[doubled > 9] -= 9
+        ok = (doubled.sum(axis=1) % 10 == 0)
+        np.add.at(n_pan, di, 1)
+        np.add.at(n_valid, di, ok.astype(np.int64))
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_digit_runs": pa.array(n_runs, pa.int64()),
+        "n_pan16": pa.array(n_pan, pa.int64()),
+        "n_luhn_valid": pa.array(n_valid, pa.int64()),
+    })
+
+
 def normalize_text_batch(batch: pa.Table, text_col: str = "text",
                          out_col: str = "norm_text") -> pa.Table:
     """Unicode NFC normalization + edge-whitespace trim — the standard

@@ -1699,6 +1699,66 @@ def fuzzy_neardup_pairs(ds, *, id_col: str = "doc_id",
             .map_groups(pairs_block, batch_format="pandas"))
 
 
+def dup_host_spread(ds, *, text_col: str = "text",
+                    host_col: str = "source", id_col: str = "doc_id",
+                    num_partitions: int = 32):
+    """Host spread of exact-duplicate clusters — for every text with
+    ≥ 2 copies, how many DISTINCT hosts serve it. The boilerplate-vs-
+    mirror diagnostic every large crawl curation wants: a duplicate
+    cluster confined to one host is site template, a cluster spread
+    over many hosts is syndicated/mirrored content (different removal
+    policies apply — RefinedWeb strips the former per-site, keeps one
+    canonical copy of the latter).
+
+    Scale shape (functions/_blocks.py contract): per-batch map-side
+    dedup of (md5, host) pairs plus per-(md5) row counts, ONE bounded
+    ``hash(md5) % num_partitions`` bucket shuffle of those id-sized
+    partials (payloads never move), and each bucket block resolves
+    ALL of its texts in one vectorized lexsort + segment pass.
+    Returns ``(content_md5, cluster_size, n_hosts)``, clusters ≥ 2
+    only."""
+    import pandas as pd
+    from ._blocks import pk_column
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        hashed = add_md5(batch, text_col)
+        df = pd.DataFrame({
+            "content_md5": hashed.column("content_md5").to_numpy(
+                zero_copy_only=False),
+            "host": batch.column(host_col).to_pandas().fillna(""),
+        })
+        # map-side combine: one row per (md5, host) with its count
+        g = df.groupby(["content_md5", "host"], sort=False) \
+            .size().reset_index(name="n")
+        t = pa.Table.from_pandas(g, preserve_index=False)
+        return t.append_column(
+            "_pk", pk_column(t.column("content_md5"), num_partitions))
+
+    def spread_block(block: pd.DataFrame) -> pd.DataFrame:
+        block = block.sort_values(["content_md5", "host"],
+                                  kind="mergesort")
+        md5s = block["content_md5"].to_numpy()
+        hosts = block["host"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate([[True], md5s[1:] != md5s[:-1]]))
+        sizes = np.add.reduceat(block["n"].to_numpy(np.int64), starts)
+        # a (md5, host) pair can arrive from several batches — count
+        # DISTINCT pairs per segment, not rows
+        new_pair = np.concatenate(
+            [[True], (md5s[1:] != md5s[:-1]) | (hosts[1:] != hosts[:-1])])
+        n_hosts = np.add.reduceat(new_pair.astype(np.int64), starts)
+        out = pd.DataFrame({
+            "content_md5": md5s[starts],
+            "cluster_size": sizes,
+            "n_hosts": n_hosts.astype(np.int64),
+        })
+        return out[out["cluster_size"] >= 2].reset_index(drop=True)
+
+    return (ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(spread_block, batch_format="pandas"))
+
+
 def exact_drop_ids(ds, text_col: str = "text",
                    key_col: str = "doc_id",
                    num_partitions: int = 32):

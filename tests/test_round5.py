@@ -117,3 +117,43 @@ def test_spans_flat_arrow_layout(ray_session):
     text = html.decode()
     assert text[s0["start"]:s0["end"]] == "alpha beta"
     assert text[s1["start"]:s1["end"]] == "gamma"
+
+
+def test_luhn_pan_batch_kernel():
+    from ksoup_ray.functions.curation import luhn_pan_batch
+    rows = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "pay 4539578763621486 now",        # valid Luhn
+            "pay 4539578763621487 now",        # last digit off
+            "ref 123 and 99 no pan",           # runs but no 16-digit
+            "",                                # empty
+        ]),
+    })
+    out = luhn_pan_batch(rows).to_pydict()
+    assert out["n_digit_runs"] == [1, 1, 2, 0]
+    assert out["n_pan16"] == [1, 1, 0, 0]
+    assert out["n_luhn_valid"] == [1, 0, 0, 0]
+
+
+def test_dup_host_spread(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import dup_host_spread
+    rows = [
+        {"doc_id": 0, "text": "mirrored article", "source": "a.com"},
+        {"doc_id": 1, "text": "mirrored article", "source": "b.com"},
+        {"doc_id": 2, "text": "mirrored article", "source": "a.com"},
+        {"doc_id": 3, "text": "site template", "source": "c.com"},
+        {"doc_id": 4, "text": "site template", "source": "c.com"},
+        {"doc_id": 5, "text": "unique page", "source": "d.com"},
+    ]
+    out = dup_host_spread(rd.from_items(rows)).to_pandas() \
+        .set_index("content_md5")
+    import hashlib
+    mirrored = hashlib.md5(b"mirrored article").hexdigest()
+    template = hashlib.md5(b"site template").hexdigest()
+    assert len(out) == 2
+    assert out.loc[mirrored, "cluster_size"] == 3
+    assert out.loc[mirrored, "n_hosts"] == 2
+    assert out.loc[template, "cluster_size"] == 2
+    assert out.loc[template, "n_hosts"] == 1

@@ -5670,6 +5670,35 @@ def _q_tokenizer_fertility(sf_dir: str):
                                     ("e", "r")])
 
 
+def _q_charclass_profile(sf_dir: str):
+    """Character-class permille profile (functions/textstats.py
+    charclass_profile_batch): alpha/digit/space/other fractions per
+    doc — the cheap garbage/mojibake/table-dump prefilter. One
+    C-backed str.count per class, exact integer permille; the oracle
+    computes each count as a regexp_replace length difference."""
+    import ray.data as rd
+    from ksoup_ray.functions.textstats import charclass_profile_batch
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(charclass_profile_batch,
+                          batch_format="pyarrow")
+
+
+def _q_novelty_frac(sf_dir: str):
+    """First-introducer n-gram novelty (functions/curation.py
+    novelty_frac): per doc, the ppm fraction of its distinct word
+    3-grams whose corpus-wide minimal doc_id is this doc — the
+    order-free "what does this document add" data-mixing signal. ONE
+    bounded ngram-bucket shuffle of distinct (ngram, doc) pairs +
+    one native Sum fold per doc; the oracle rebuilds the 3-grams
+    with lead() windows and replays min-doc attribution exactly."""
+    import ray.data as rd
+    from ksoup_ray.functions.curation import novelty_frac
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return novelty_frac(ds, n=3)
+
+
 def _q_ccn_luhn(sf_dir: str):
     """PAN (credit-card-number) detection with Luhn verification
     (functions/curation.luhn_pan_batch) — the PII class a bare regex
@@ -5957,6 +5986,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_reputation": _q_host_reputation,
         "ccn_luhn": _q_ccn_luhn,
         "dup_host_spread": _q_dup_host_spread,
+        "charclass_profile": _q_charclass_profile,
+        "novelty_frac": _q_novelty_frac,
     }
 
 
@@ -6104,6 +6135,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST((doc_id + k + 1) % 100000000 AS BIGINT) AS dst
             FROM documents,
             LATERAL unnest(generate_series(0, doc_id % 4 - 1)) AS t(k)
+        """,
+        "charclass_profile": """
+            WITH c AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(length(text) - length(regexp_replace(
+                          text, '[A-Za-z]', '', 'g')) AS BIGINT)
+                       AS alpha,
+                     CAST(length(text) - length(regexp_replace(
+                          text, '[0-9]', '', 'g')) AS BIGINT)
+                       AS digit,
+                     CAST(length(text) - length(replace(
+                          text, ' ', '')) AS BIGINT) AS space
+              FROM documents
+            )
+            SELECT doc_id, n_chars,
+                   CASE WHEN n_chars > 0
+                        THEN alpha * 1000 // n_chars ELSE 0 END
+                     AS alpha_pm,
+                   CASE WHEN n_chars > 0
+                        THEN digit * 1000 // n_chars ELSE 0 END
+                     AS digit_pm,
+                   CASE WHEN n_chars > 0
+                        THEN space * 1000 // n_chars ELSE 0 END
+                     AS space_pm,
+                   CASE WHEN n_chars > 0
+                        THEN (n_chars - alpha - digit - space)
+                             * 1000 // n_chars ELSE 0 END
+                     AS other_pm
+            FROM c
+        """,
+        # 3-gram first-introducer novelty: lead() windows rebuild the
+        # n-grams (QUALIFY drops the <n-word tails), distinct
+        # (doc, g) pairs, min-doc per g, per-doc totals — integer ppm
+        # exactly as functions/curation.novelty_frac computes it.
+        "novelty_frac": """
+            WITH wl AS (
+              SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id,
+                     l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS g
+              FROM wl,
+              LATERAL unnest(generate_series(1, len(l) - 2)) AS t(i)
+            ), mins AS (
+              SELECT g, MIN(doc_id) AS md FROM grams GROUP BY g
+            )
+            SELECT grams.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+                   CAST(SUM(CASE WHEN grams.doc_id = mins.md
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_first,
+                   CAST(SUM(CASE WHEN grams.doc_id = mins.md
+                                 THEN 1 ELSE 0 END) * 1000000
+                        // COUNT(*) AS BIGINT) AS novelty_ppm
+            FROM grams JOIN mins ON grams.g = mins.g
+            GROUP BY grams.doc_id
         """,
         # Luhn mod-10 over the closed-form synthetic PAN: positions
         # 1,3,...,15 (1-indexed) double-and-fold — same rule as the

@@ -28,6 +28,17 @@ import pyarrow as pa
 _SIGN_MASK = (1 << 62) - 1
 
 
+def from_pandas_clean(df, **kwargs) -> pa.Table:
+    """``pa.Table.from_pandas`` WITHOUT the pandas schema metadata:
+    an Arrow schema carrying a metadata dict is UNHASHABLE, which
+    defeats Ray's shuffle schema-dedup fast path and logs a
+    ``Failed to hash the schemas`` warning from every reducer that
+    sees such a block. Zero-copy (same buffers, new schema)."""
+    kwargs.setdefault("preserve_index", False)
+    return pa.Table.from_pandas(df, **kwargs) \
+        .replace_schema_metadata(None)
+
+
 def bucket_of(keys: np.ndarray, num_partitions: int) -> np.ndarray:
     """Deterministic int32 bucket ids for an int64 key array."""
     return ((keys.astype(np.int64) & _SIGN_MASK) % num_partitions) \

@@ -29,6 +29,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ._blocks import from_pandas_clean as _from_pandas_clean
+
 # per-worker-process batch counter: Ray reuses task workers, so each
 # successive batch a worker combines gets a different offset — the
 # batch-varying half of the salt derivation below
@@ -159,7 +161,7 @@ def grouped_topk(ds, *, key_col: str = "lang", val_col: str = "n",
         df = df.sort_values([val_col, id_col],
                             ascending=[False, True])
         out = df.groupby(key_col, sort=False).head(k)
-        t = pa.Table.from_pandas(out, preserve_index=False)
+        t = _from_pandas_clean(out)
         return t.append_column(
             "_pk", pk_column(t.column(key_col), num_partitions))
 
@@ -531,7 +533,7 @@ def crosstab_counts(ds, cols: list[str]):
         g = df.groupby(cols, sort=False, dropna=False).size() \
             .reset_index(name="partial")
         g["partial"] = g["partial"].astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas_clean(g, preserve_index=False)
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(cols)
@@ -573,7 +575,7 @@ def retention_cohorts(ds, *, user_col: str = "user_id",
             .drop_duplicates()
         df["_pk"] = bucket_of(df["user"].to_numpy(np.int64),
                               num_partitions)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _from_pandas_clean(df, preserve_index=False)
 
     def cohort_block(block: pd.DataFrame) -> pd.DataFrame:
         u = block["user"].to_numpy(np.int64)
@@ -651,7 +653,7 @@ def grouped_cov(ds, *, key_col: str, x_col: str, y_col: str,
         g = pd.DataFrame({key_col: df[key_col], "_x": x, "_y": y,
                           "_xy": x * y, "_n": np.int64(1)}) \
             .groupby(key_col, sort=False).sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas_clean(g, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     out = []
@@ -708,7 +710,7 @@ def pivot_counts(ds, *, key_col: str, cat_col: str,
                 out[name] = ct[c].astype(np.int64)
             else:
                 out[name] = np.int64(0)
-        return pa.Table.from_pandas(out.reset_index(),
+        return _from_pandas_clean(out.reset_index(),
                                     preserve_index=False)
 
     return (ds.map_batches(partial, batch_format="pyarrow")
@@ -1047,7 +1049,7 @@ def grouped_argmax(ds, *, key_cols: list[str], val_col: str,
         df = df.sort_values(key_cols + [val_col, id_col],
                             ascending=[True] * len(key_cols)
                             + [False, True], kind="mergesort")
-        return pa.Table.from_pandas(
+        return _from_pandas_clean(
             df.drop_duplicates(key_cols, keep="first"),
             preserve_index=False)
 
@@ -1079,7 +1081,7 @@ def argmax_per_key(ds, *, key_col: str, val_col: str, id_col: str,
                             ascending=[True, False, True],
                             kind="mergesort")
         df = df.drop_duplicates(key_col, keep="first")
-        t = pa.Table.from_pandas(df, preserve_index=False)
+        t = _from_pandas_clean(df, preserve_index=False)
         return t.append_column(
             "_pk", pk_column(t.column(key_col), num_partitions))
 
@@ -1300,7 +1302,7 @@ def grouped_weighted_median(ds, *, key_col: str, val_col: str,
                           .to_numpy(zero_copy_only=False)
                           * weight_scale).astype(np.int64)})
         g = df.groupby([key_col, "v"], as_index=False)["w"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas_clean(g, preserve_index=False)
 
     hist = (ds.map_batches(partial, batch_format="pyarrow")
             .groupby([key_col, "v"])
@@ -1342,7 +1344,7 @@ def grouped_ols(ds, *, key_col: str, x_col: str, y_col: str,
         for c in ("_sx", "_sy", "_sxx", "_sxy"):
             g[c] = g[c].map(lambda v: str(int(v)))
         g["_n"] = g["_n"].astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas_clean(g, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     out = []

@@ -40,6 +40,8 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from ._blocks import from_pandas_clean as _from_pandas_clean
 import pyarrow.compute as pc
 
 
@@ -450,6 +452,98 @@ def _explode_bigrams(texts: pd.Series):
     n_grams = np.maximum(words_list.str.len()
                          .to_numpy(dtype=np.int64) - 1, 0)
     return g_doc, codes.astype(np.int64), np.asarray(vocab), n_grams
+
+
+def novelty_frac(ds, *, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = 3,
+                 num_partitions: int = 32):
+    """First-introducer novelty per document — for each doc, the
+    fraction of its DISTINCT word ``n``-grams whose minimal doc_id
+    across the corpus is this doc (the "what does this document add"
+    signal used for data-mixing/value scoring; an order-free
+    formulation of incremental n-gram novelty, so it needs no ordered
+    corpus scan). Docs with fewer than ``n`` words have no n-grams
+    and do not appear.
+
+    Scale shape: per batch, DISTINCT (ngram, doc) pairs built
+    vectorized (explode + shifted-array concat); ONE bounded
+    ``hash(ngram) % num_partitions`` bucket shuffle of those pairs
+    (functions/_blocks.py contract); each bucket block computes every
+    ngram's min-doc and per-doc (total, first) partial counts in one
+    lexsort + segment pass; a final NATIVE Sum groupby(doc) folds the
+    ≤ num_partitions partials per doc. Novelty is exact integer ppm
+    (``n_first · 10⁶ // n_ngrams``). Returns
+    ``(id, n_ngrams, n_first, novelty_ppm)``."""
+    from ray.data.aggregate import Sum
+
+    from ._blocks import pk_column
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ex = s.str.split(" ").explode()
+        di = ex.index.to_numpy(dtype=np.int64)
+        w = ex.to_numpy(dtype=object)
+        if len(w) < n:
+            t = pa.table({"g": pa.array([], pa.string()),
+                          id_col: pa.array([], pa.int64())})
+            return t.append_column("_pk", pa.array([], pa.int32()))
+        # n-gram strings from shifted object arrays (elementwise str
+        # concat in one C loop each); windows crossing doc boundaries
+        # masked out
+        g = w[: len(w) - n + 1]
+        for j in range(1, n):
+            g = g + " "
+            g = g + w[j: len(w) - n + 1 + j]
+        valid = di[: len(di) - n + 1] == di[n - 1:]
+        df = pd.DataFrame({
+            "g": g[valid],
+            id_col: ids[di[: len(di) - n + 1][valid]],
+        }).drop_duplicates()
+        t = _from_pandas_clean(df)
+        return t.append_column(
+            "_pk", pk_column(t.column("g"), num_partitions))
+
+    def block(bl: pd.DataFrame) -> pd.DataFrame:
+        bl = bl.sort_values(["g", id_col], kind="mergesort")
+        gs = bl["g"].to_numpy()
+        docs = bl[id_col].to_numpy(np.int64)
+        new_g = np.concatenate([[True], gs[1:] != gs[:-1]])
+        # a (g, doc) pair can arrive from several batches — distinct
+        # pairs only
+        new_pair = new_g | np.concatenate(
+            [[True], docs[1:] != docs[:-1]])
+        docs_d = docs[new_pair]
+        # sorted by (g, doc): the first row of each g segment holds
+        # that ngram's min doc, and it is always a distinct pair
+        first_of_g = new_g[new_pair]
+        udocs, inv = np.unique(docs_d, return_inverse=True)
+        total = np.bincount(inv).astype(np.int64)
+        firsts = np.bincount(inv[first_of_g],
+                             minlength=len(udocs)).astype(np.int64)
+        return pd.DataFrame({id_col: udocs, "t": total, "f": firsts})
+
+    folded = (ds.map_batches(pairs, batch_format="pyarrow")
+              .groupby("_pk")
+              .map_groups(block, batch_format="pandas")
+              .groupby(id_col)
+              .aggregate(Sum("t", alias_name="n_ngrams"),
+                         Sum("f", alias_name="n_first")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.column("n_ngrams").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        f = batch.column("n_first").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_ngrams": pa.array(t, pa.int64()),
+            "n_first": pa.array(f, pa.int64()),
+            "novelty_ppm": pa.array(f * 1_000_000 // t, pa.int64()),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")
 
 
 def unigram_logprob(ds, *, text_col: str = "text",
@@ -1240,7 +1334,7 @@ def top_words_per_lang(ds, *, text_col: str = "text",
         g = df.groupby([lang_col, "word"], sort=False) \
             .size().reset_index(name="partial")
         g["partial"] = g["partial"].astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas_clean(g, preserve_index=False)
 
     totals = (ds.map_batches(partial, batch_format="pyarrow")
               .groupby([lang_col, "word"])
@@ -1249,7 +1343,7 @@ def top_words_per_lang(ds, *, text_col: str = "text",
     def local_topk(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df = df.sort_values(["n", "word"], ascending=[False, True])
-        return pa.Table.from_pandas(
+        return _from_pandas_clean(
             df.groupby(lang_col, sort=False).head(k),
             preserve_index=False)
 
@@ -1377,7 +1471,7 @@ def grouped_median(ds, *, key_col: str, val_col: str):
         g = df.groupby([key_col, val_col], sort=False).size() \
             .reset_index(name="partial")
         g["partial"] = g["partial"].astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas_clean(g, preserve_index=False)
 
     hist = (ds.map_batches(partial, batch_format="pyarrow")
             .groupby([key_col, val_col])
@@ -1412,7 +1506,7 @@ def grouped_gini(ds, *, key_col: str = "lang",
         g = df.groupby([key_col, val_col], sort=False).size() \
             .reset_index(name="partial")
         g["partial"] = g["partial"].astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas_clean(g, preserve_index=False)
 
     hist = (ds.map_batches(partial, batch_format="pyarrow")
             .groupby([key_col, val_col])
@@ -1453,7 +1547,7 @@ def grouped_mode(ds, *, key_col: str = "lang",
         g = df.groupby([key_col, val_col], sort=False).size() \
             .reset_index(name="partial")
         g["partial"] = g["partial"].astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas_clean(g, preserve_index=False)
 
     hist = (ds.map_batches(partial, batch_format="pyarrow")
             .groupby([key_col, val_col])
@@ -1530,7 +1624,7 @@ def grouped_quantiles(ds, *, key_col: str, val_col: str,
         g = df.groupby([key_col, val_col], sort=False).size() \
             .reset_index(name="partial")
         g["partial"] = g["partial"].astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas_clean(g, preserve_index=False)
 
     hist = (ds.map_batches(partial, batch_format="pyarrow")
             .groupby([key_col, val_col])

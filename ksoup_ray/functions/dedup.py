@@ -1730,7 +1730,8 @@ def dup_host_spread(ds, *, text_col: str = "text",
         # map-side combine: one row per (md5, host) with its count
         g = df.groupby(["content_md5", "host"], sort=False) \
             .size().reset_index(name="n")
-        t = pa.Table.from_pandas(g, preserve_index=False)
+        t = pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)  # pandas meta = unhashable
         return t.append_column(
             "_pk", pk_column(t.column("content_md5"), num_partitions))
 

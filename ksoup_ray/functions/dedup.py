@@ -40,9 +40,12 @@ def strip_schema_metadata(ds):
     is UNHASHABLE, which defeats Ray 2.49's ``unify_schemas`` set-dedup
     fast path and logs a ``Failed to hash the schemas`` warning from
     every shuffle aggregator. ``replace_schema_metadata`` is zero-copy
-    (same buffers, new schema object), so this is free."""
+    (same buffers, new schema object) and ``batch_size=None`` keeps
+    the map BLOCK-WISE — the default 1024-row rebatching would concat/
+    copy every payload block just to touch its schema (measured ~0.7 s
+    on the sf0.1 curate path)."""
     return ds.map_batches(lambda b: b.replace_schema_metadata(None),
-                          batch_format="pyarrow")
+                          batch_format="pyarrow", batch_size=None)
 
 
 def _join_ready(ds, num_blocks: int = 4):

@@ -502,12 +502,27 @@ class Tokeniser:
 # ---------------------------------------------------------------------------
 # State functions. Each mirrors a TokeniserState case.
 
-# whole-tag fast path for the dominant shape: attribute-less start/end
-# tags (`<p>`, `</div>`, `<br/>`). Semantically identical to
-# TagOpen -> TagName -> emit for exactly these inputs; anything with
-# whitespace, attributes, or unusual chars falls through to the full
-# state machine.
-_SIMPLE_TAG = re.compile(r"<(/)?([a-zA-Z][a-zA-Z0-9]*)(/)?>")
+# whole-tag fast path for the dominant shapes: attribute-less tags
+# (`<p>`, `</div>`, `<br/>`) AND tags with simple double-quoted
+# attributes (`<div class="c">`, `<a href="/x" rel="nofollow">`).
+# Semantically identical to TagOpen → TagName → (BeforeAttributeName →
+# AttributeName → BeforeAttributeValue → AttributeValue_doubleQuoted →
+# AfterAttributeValue_quoted)* → emit for exactly these inputs: names
+# are plain ASCII identifiers (no \x00 to replace, nothing to trim),
+# values exclude `&` (char refs), `"`, `<`, `>`, \x00 and \r (each of
+# which the quoted-value state treats specially), attrs are separated
+# by real whitespace, and ranges are stamped with the same endpoints
+# the generic states record (value range inside the quotes; an empty
+# value collapses to the post-quote position exactly like
+# set_empty_attr_value). Duplicate names are appended as the generic
+# path does — first-wins dedup happens downstream in Attributes.
+# Anything else falls through to the full state machine.
+_FAST_ATTR = re.compile(
+    r'[ \t\n\f\r]+([a-zA-Z][a-zA-Z0-9_:.-]*)="([^"<>&\x00\r]*)"')
+_FAST_TAG = re.compile(
+    r'<(/)?([a-zA-Z][a-zA-Z0-9]*)'
+    r'((?:[ \t\n\f\r]+[a-zA-Z][a-zA-Z0-9_:.-]*="[^"<>&\x00\r]*")*)'
+    r'[ \t\n\f\r]*(/)?>')
 
 
 def _s_data(t: Tokeniser) -> None:
@@ -517,13 +532,22 @@ def _s_data(t: Tokeniser) -> None:
         t.state = CHAR_REF_IN_DATA
     elif c == "<":
         t.markup_start = t.pos
-        m = _SIMPLE_TAG.match(t.s, t.pos)
-        if m is not None and not (m.group(1) and m.group(3)):
-            t.pos = m.end()
+        m = _FAST_TAG.match(t.s, t.pos)
+        if m is not None and not (m.group(1) and m.group(4)):
             tok = t.create_tag_pending(m.group(1) is None)
             tok.set_name(m.group(2))
             if m.group(3):
+                attrs = tok.attrs
+                ranges = tok.attr_ranges
+                for am in _FAST_ATTR.finditer(t.s, m.start(3),
+                                              m.end(3)):
+                    if len(attrs) < MAX_ATTRIBUTES:
+                        attrs.append((am.group(1), am.group(2)))
+                        ranges.append((am.start(1), am.end(1),
+                                       am.start(2), am.end(2)))
+            if m.group(4):
                 tok.self_closing = True
+            t.pos = m.end()
             t.emit_tag_pending()
             return
         t.pos += 1

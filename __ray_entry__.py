@@ -475,16 +475,13 @@ def _q_charset_decode(sf_dir: str):
     return ds.select_columns(["url", "lang"])
 
 
-def _q_crawl_diff(sf_dir: str):
-    """Recrawl delta (functions/snapshot.py): old = documents; new =
-    a deterministic mutation (docs with id%17==0 removed, id%10==0
-    re-texted, id%23==0 cloned to id+1e6) — diffed via md5-fingerprint
-    rows and ONE full-outer join; payloads never ride the shuffle.
-    The oracle reconstructs the same snapshot in SQL."""
-    import ray.data as rd
-    from ksoup_ray.functions.snapshot import snapshot_diff
+def _mutated_snapshot(sf_dir: str):
+    """The deterministic recrawl mutation shared by crawl_diff and
+    incremental_extract: docs with id%17==0 removed, id%10==0
+    re-texted (' v2'), id%23==0 cloned to id+1e6 (' new')."""
+
     old = _read(f"{sf_dir}/documents.parquet",
-                          columns=["doc_id", "text"])
+                columns=["doc_id", "text"])
 
     def mutate(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pandas()
@@ -502,8 +499,77 @@ def _q_crawl_diff(sf_dir: str):
                              pa.string()),
         })
 
-    new = old.map_batches(mutate, batch_format="pyarrow")
+    return old, old.map_batches(mutate, batch_format="pyarrow")
+
+
+def _q_crawl_diff(sf_dir: str):
+    """Recrawl delta (functions/snapshot.py): old = documents; new =
+    a deterministic mutation (docs with id%17==0 removed, id%10==0
+    re-texted, id%23==0 cloned to id+1e6) — diffed via md5-fingerprint
+    rows and ONE full-outer join; payloads never ride the shuffle.
+    The oracle reconstructs the same snapshot in SQL."""
+    from ksoup_ray.functions.snapshot import snapshot_diff
+    old, new = _mutated_snapshot(sf_dir)
     return snapshot_diff(old, new)
+
+
+def _q_incremental_extract(sf_dir: str):
+    """INCREMENTAL crawl-refresh pipeline — the end-to-end composition
+    a recurring 100 TB crawl actually runs: snapshot diff → extract
+    ONLY the added/changed pages → re-attach the delta status. Shuffle
+    inventory: the diff moves md5 fingerprints (snapshot_diff, one
+    full-outer join of id-sized rows); the page payloads ride exactly
+    ONE semi-join (functions/joins.semi_join — the delta id set never
+    ships values); parse is the same ParseExtract actor pool as the
+    headline; one final id-keyed join re-attaches status to the
+    id+text rows. Unchanged ('same') and removed pages are never
+    rendered, parsed, or shuffled — at a 1% daily delta that is a
+    ~100× saving over re-extracting the crawl. Returns
+    ``(doc_id, status, extracted_text)``."""
+    import pyarrow.compute as _pc
+    from ksoup_ray.functions.dedup import strip_schema_metadata
+    from ksoup_ray.functions.joins import semi_join
+    from ksoup_ray.pipelines.extract import run_extraction
+    from ksoup_ray.sources.synth import render_batch
+
+    _old, new = _mutated_snapshot(sf_dir)
+    diff = _q_crawl_diff(sf_dir)
+    delta = diff.map_batches(
+        lambda b: b.filter(_pc.is_in(
+            b.column("status"),
+            value_set=pa.array(["added", "changed"]))),
+        batch_format="pyarrow")
+
+    docs = semi_join(new, delta.select_columns(["doc_id"]),
+                     left_on="doc_id", right_on="doc_id")
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        b2 = pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "text": batch.column("text"),
+            "lang": pa.array(["en"] * batch.num_rows, pa.string()),
+        })
+        return render_batch(b2)
+
+    pages = docs.map_batches(to_pages, batch_format="pyarrow")
+    extracted = run_extraction(pages, "", write=False,
+                               concurrency=(1, 4), batch_size=64)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        ids = [int(u.rsplit("/", 1)[1]) for u in urls]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "extracted_text": batch.column("extracted_text"),
+        })
+
+    keyed_ds = extracted.map_batches(keyed, batch_format="pyarrow")
+    joined = strip_schema_metadata(keyed_ds).join(
+        strip_schema_metadata(delta).repartition(4),
+        join_type="inner", num_partitions=4, on=("doc_id",))
+    return joined.map_batches(
+        lambda b: b.select(["doc_id", "status", "extracted_text"]),
+        batch_format="pyarrow")
 
 
 def _q_exact_dedup(sf_dir: str):
@@ -5784,6 +5850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_css": _q_select_css,
         "charset_decode": _q_charset_decode,
         "crawl_diff": _q_crawl_diff,
+        "incremental_extract": _q_incremental_extract,
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "simhash": _q_simhash,
@@ -6353,6 +6420,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "charset_decode": f"""
             SELECT {SYNTH_URL_SQL} AS url, lang FROM documents
+        """,
+        "incremental_extract": """
+            WITH new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 17 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
+              FROM documents WHERE doc_id % 23 = 0
+            ), diff AS (
+              SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                     CASE WHEN o.doc_id IS NULL THEN 'added'
+                          WHEN n.doc_id IS NULL THEN 'removed'
+                          WHEN md5(o.text) = md5(n.text) THEN 'same'
+                          ELSE 'changed' END AS status
+              FROM documents o FULL OUTER JOIN new n USING (doc_id)
+            )
+            SELECT n.doc_id, d.status, n.text AS extracted_text
+            FROM new n JOIN diff d ON n.doc_id = d.doc_id
+            WHERE d.status IN ('added', 'changed')
         """,
         "crawl_diff": """
             WITH new AS (

@@ -5809,6 +5809,32 @@ def _q_ccn_luhn(sf_dir: str):
         .map_batches(luhn_pan_batch, batch_format="pyarrow")
 
 
+def _q_dedup_best_keeper(sf_dir: str):
+    """Quality-weighted dedup keeper (functions/dedup.py
+    best_keeper_ids): per template-fingerprint cluster (2-word
+    prefix, as in dup_host_spread) keep the LONGEST copy
+    (n_chars argmax, min-id tie-break) — the RefinedWeb keeper rule,
+    vs exact_dedup's MIN-id rule. One bounded key-bucket shuffle of
+    (key, score, id) rows; ROW_NUMBER window oracle."""
+    import hashlib as _hl
+    from ksoup_ray.functions.dedup import best_keeper_ids
+    ds = _read(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "text", "n_chars"])
+
+    def sig(batch: pa.Table) -> pa.Table:
+        s = batch.column("text").to_pandas().fillna("")
+        p = s.str.split(" ").str[:2].str.join(" ")
+        md5s = [_hl.md5(x.encode()).hexdigest() for x in
+                p.to_numpy(dtype=object)]
+        return pa.table({
+            "content_md5": pa.array(md5s, pa.string()),
+            "n_chars": batch.column("n_chars").cast(pa.int64()),
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+        })
+
+    return best_keeper_ids(ds.map_batches(sig, batch_format="pyarrow"))
+
+
 def _q_dup_host_spread(sf_dir: str):
     """Host spread of template-fingerprint duplicate clusters
     (functions/dedup.dup_host_spread): texts sharing the same 2-word
@@ -6066,6 +6092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_reputation": _q_host_reputation,
         "ccn_luhn": _q_ccn_luhn,
         "dup_host_spread": _q_dup_host_spread,
+        "dedup_best_keeper": _q_dedup_best_keeper,
         "charclass_profile": _q_charclass_profile,
         "novelty_frac": _q_novelty_frac,
     }
@@ -6304,6 +6331,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END
                         AS BIGINT) AS n_luhn_valid
             FROM luhn
+        """,
+        "dedup_best_keeper": """
+            WITH sig AS (
+              SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                     md5(array_to_string(
+                       list_slice(string_split(text, ' '), 1, 2),
+                       ' ')) AS content_md5
+              FROM documents
+            ), ranked AS (
+              SELECT content_md5, doc_id, n_chars,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY content_md5
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                     CAST(COUNT(*) OVER (
+                       PARTITION BY content_md5) AS BIGINT)
+                       AS cluster_size
+              FROM sig
+            )
+            SELECT content_md5, doc_id AS keep_id,
+                   n_chars AS best_score, cluster_size
+            FROM ranked WHERE rn = 1
         """,
         "dup_host_spread": """
             WITH sig AS (

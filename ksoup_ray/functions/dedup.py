@@ -1763,6 +1763,54 @@ def dup_host_spread(ds, *, text_col: str = "text",
             .map_groups(spread_block, batch_format="pandas"))
 
 
+def best_keeper_ids(ds, *, key_col: str = "content_md5",
+                    score_col: str = "n_chars",
+                    id_col: str = "doc_id",
+                    num_partitions: int = 32):
+    """QUALITY-WEIGHTED dedup keeper choice: per duplicate cluster,
+    keep the copy with the HIGHEST score (longest / cleanest /
+    best-classifier copy — the RefinedWeb rule), deterministic
+    tie-break on the lowest id. Complements the MIN-id keeper of
+    :func:`exact_dedup`: at 100 TB the keeper rule is a policy knob,
+    and argmax-by-score needs the score to ride the shuffle while the
+    MIN-id rule folds with a native aggregate.
+
+    ONE bounded ``hash(key) % num_partitions`` bucket shuffle of
+    (key, score, id) rows (functions/_blocks.py contract); each
+    bucket block resolves all of its clusters in one lexsort +
+    segment pass. Returns ``(key_col, keep_id, best_score,
+    cluster_size)``."""
+    import pandas as pd
+    from ._blocks import pk_column
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, score_col, id_col])
+        return t.append_column(
+            "_pk", pk_column(t.column(key_col), num_partitions)) \
+            .replace_schema_metadata(None)
+
+    def keeper_block(block: pd.DataFrame) -> pd.DataFrame:
+        # sort (key asc, score DESC, id asc): the first row of each
+        # key segment is the argmax with min-id tie-break
+        block = block.sort_values([key_col, score_col, id_col],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+        keys = block[key_col].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate([[True], keys[1:] != keys[:-1]]))
+        sizes = np.diff(np.append(starts, len(keys)))
+        return pd.DataFrame({
+            key_col: keys[starts],
+            "keep_id": block[id_col].to_numpy(np.int64)[starts],
+            "best_score": block[score_col].to_numpy(np.int64)[starts],
+            "cluster_size": sizes.astype(np.int64),
+        })
+
+    return (ds.map_batches(add_pk, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(keeper_block, batch_format="pandas"))
+
+
 def exact_drop_ids(ds, text_col: str = "text",
                    key_col: str = "doc_id",
                    num_partitions: int = 32):

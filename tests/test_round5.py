@@ -192,3 +192,21 @@ def test_novelty_frac(ray_session):
     assert out.loc[1, "novelty_ppm"] == 500_000
     assert out.loc[3, "n_ngrams"] == 2 and out.loc[3, "n_first"] == 0
     assert out.loc[3, "novelty_ppm"] == 0
+
+
+def test_best_keeper_ids(ray_session):
+    import ray.data as rd
+    from ksoup_ray.functions.dedup import best_keeper_ids
+    rows = [
+        {"content_md5": "k1", "n_chars": 10, "doc_id": 5},
+        {"content_md5": "k1", "n_chars": 30, "doc_id": 9},
+        {"content_md5": "k1", "n_chars": 30, "doc_id": 3},  # tie -> min id
+        {"content_md5": "k2", "n_chars": 7, "doc_id": 1},
+    ]
+    out = best_keeper_ids(rd.from_items(rows)).to_pandas() \
+        .set_index("content_md5")
+    assert out.loc["k1", "keep_id"] == 3
+    assert out.loc["k1", "best_score"] == 30
+    assert out.loc["k1", "cluster_size"] == 3
+    assert out.loc["k2", "keep_id"] == 1
+    assert out.loc["k2", "cluster_size"] == 1

@@ -387,11 +387,12 @@ class HtmlTreeBuilder:
         token = self.tokeniser.read()
         self.current_token = token
         self.process(token)
-        if token.kind == EOF_TOKEN:
-            return False
-        if token.kind in (START_TAG, END_TAG):
-            token.reset()
-        return True
+        # no post-process token.reset(): create_tag_pending resets the
+        # pooled tag token before the tokenizer reuses it, and nothing
+        # reads current_token between process() and that reset — one
+        # reset per tag instead of two (reference runParser resets
+        # here AND in createTagPending; the second is redundant)
+        return token.kind != EOF_TOKEN
 
     def _run_parser(self) -> None:
         while self.step():

@@ -1374,14 +1374,16 @@ def _fast_p_run(tb: "HtmlTreeBuilder") -> None:
             t1s, t1e = regs[1]
             r2s = regs[2][0]
             end = regs[0][1]
-            kids = cur._child_nodes
+            # cur was JUST created (insert_element_for or the chain
+            # below) and is still childless, so the text node is its
+            # first child: index 0, fresh single-element child list
             tn = new_tn(TextNode)
             tn.parent_node = cur
-            tn.sibling_index = len(kids)
+            tn.sibling_index = 0
             tn.value = s[t1s:t1e]
             tn._attrs = None
             tn.span = (t1s, t1e)
-            kids.append(tn)
+            cur._child_nodes = [tn]
             ncount += 1
             if limit and ncount > limit:
                 raise DomSizeLimit(ncount)
@@ -1404,6 +1406,7 @@ def _fast_p_run(tb: "HtmlTreeBuilder") -> None:
                 scope_checked = True
                 parent = stack[-1]
                 pkids = parent._child_nodes
+                psib = len(pkids)   # sibling index of the next append
             if not has_open:
                 pos = end
                 break
@@ -1419,7 +1422,8 @@ def _fast_p_run(tb: "HtmlTreeBuilder") -> None:
                 attrs._ranges = {"class": (c3s - 7, c3s - 2, c3s, c3e)}
             el = new_el(Element)
             el.parent_node = parent
-            el.sibling_index = len(pkids)
+            el.sibling_index = psib
+            psib += 1
             el.tag = p_tag
             el._attrs = attrs
             el._child_nodes = []

@@ -2460,6 +2460,26 @@ def _q_avi_mjpeg(sf_dir: str):
                           batch_size=32, concurrency=(1, 2))
 
 
+def _q_mp4_mjpeg(sf_dir: str):
+    """MP4 (ISO-BMFF) container round trip (functions/mp4.py — a
+    from-scratch standards-layout muxer, generic box walker with
+    64-bit/to-EOF size handling, and a demuxer that extracts samples
+    through the REAL stsc/stco/stsz chunk maps; Motion-JPEG samples
+    decoded by functions/jpeg.py). Per doc the avi_mjpeg closed-form
+    clip muxes, demuxes, and re-decodes; the oracle checks the exact
+    dims/frame-count closed forms, the fixed 19-box pre-order count,
+    and the jpeg_codec-style error-bound witness — TRUE is only
+    reachable by walking the box tree and decoding every sample.
+    Closes the 'real MP4 is a plug-in point' gap at the container
+    level (compressed avc1/av01 sample DATA still needs external
+    codecs and raises NotImplementedError with the demux intact)."""
+    from ksoup_ray.functions.mp4 import Mp4RoundTrip
+    ds = _read(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "text"])
+    return ds.map_batches(Mp4RoundTrip, batch_format="pyarrow",
+                          batch_size=32, concurrency=(1, 2))
+
+
 def _q_retention_cohorts(sf_dir: str):
     """Weekly retention cohorts over the event log
     (functions/agg.retention_cohorts): local (user, week) dedup → ONE
@@ -5973,6 +5993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": _q_frame_sample,
         "scene_cuts": _q_scene_cuts,
         "avi_mjpeg": _q_avi_mjpeg,
+        "mp4_mjpeg": _q_mp4_mjpeg,
         "audio_stats": _q_audio_stats,
         "retention_cohorts": _q_retention_cohorts,
         "q5_local_supplier": _q_q5_local_supplier,
@@ -7627,6 +7648,19 @@ def oracle_sql() -> dict[str, str]:
                      ON y.r < 3 + d.doc_id % 6
                 GROUP BY d.doc_id, t.r
             )
+        """,
+        "mp4_mjpeg": """
+            -- MP4/MJPEG: container fields + the 19-box pre-order
+            -- count are exact closed forms; the witness is only
+            -- reachable by walking ISO-BMFF and JPEG-decoding every
+            -- sample through the stsc/stco/stsz chunk maps
+            SELECT doc_id AS media_id,
+                   CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+                   CAST(9 + doc_id % 16 AS INTEGER) AS width,
+                   CAST(7 + doc_id % 12 AS INTEGER) AS height,
+                   CAST(19 AS INTEGER) AS n_boxes,
+                   TRUE AS roundtrip_ok
+            FROM documents
         """,
         "avi_mjpeg": """
             -- MJPEG-AVI: container fields are exact closed forms;

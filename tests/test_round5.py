@@ -210,3 +210,58 @@ def test_best_keeper_ids(ray_session):
     assert out.loc["k1", "cluster_size"] == 3
     assert out.loc["k2", "keep_id"] == 1
     assert out.loc["k2", "cluster_size"] == 1
+
+
+def test_mp4_container_roundtrip():
+    import numpy as np
+    from ksoup_ray.functions.mp4 import (box_types, decode_mp4_mjpeg,
+                                         demux_mp4, encode_mp4_mjpeg)
+    rng = np.random.default_rng(0)
+    h, w = 16, 24
+    base = (np.linspace(0, 200, h * w * 3).reshape(h, w, 3)
+            .astype(np.uint8))
+    frames = [np.clip(base.astype(np.int64) + 9 * t, 0, 255)
+              .astype(np.uint8) for t in range(4)]
+    data = encode_mp4_mjpeg(frames, fps=30, quality=92)
+    assert box_types(data)[:3] == ["ftyp", "mdat", "moov"]
+    assert len(box_types(data)) == 19
+    samples, fps, ww, hh, fourcc = demux_mp4(data)
+    assert (len(samples), fps, ww, hh, fourcc) == (4, 30, w, h,
+                                                   b"jpeg")
+    # every sample is a standalone JPEG (SOI marker)
+    assert all(s[:2] == b"\xff\xd8" for s in samples)
+    dec, fps2 = decode_mp4_mjpeg(data)
+    assert fps2 == 30 and len(dec) == 4
+    for orig, got in zip(frames, dec):
+        assert got.shape == orig.shape
+        err = np.abs(got.astype(np.int64) - orig.astype(np.int64))
+        assert err.max() <= 12
+
+
+def test_mp4_box_walker_malformed():
+    import pytest
+    from ksoup_ray.functions.mp4 import parse_boxes
+    import struct
+    # truncated size field larger than the buffer
+    bad = struct.pack(">I", 100) + b"free" + b"xx"
+    with pytest.raises(ValueError):
+        parse_boxes(bad)
+    # 64-bit largesize box parses
+    big = struct.pack(">I", 1) + b"free" + struct.pack(">Q", 16)
+    assert parse_boxes(big)[0][0] == b"free"
+
+
+def test_mp4_compressed_codec_guard():
+    import pytest
+    import struct
+    from ksoup_ray.functions.mp4 import (decode_mp4_mjpeg, demux_mp4,
+                                         encode_mp4_mjpeg)
+    import numpy as np
+    frames = [np.zeros((8, 8, 3), np.uint8)]
+    data = bytearray(encode_mp4_mjpeg(frames))
+    i = data.find(b"jpeg", data.find(b"stsd"))
+    data[i:i + 4] = b"avc1"          # pretend H.264 sample entry
+    samples, _fps, _w, _h, fourcc = demux_mp4(bytes(data))
+    assert fourcc == b"avc1" and len(samples) == 1  # demux still works
+    with pytest.raises(NotImplementedError):
+        decode_mp4_mjpeg(bytes(data))

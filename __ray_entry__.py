@@ -2460,6 +2460,26 @@ def _q_avi_mjpeg(sf_dir: str):
                           batch_size=32, concurrency=(1, 2))
 
 
+_MIX_WEIGHTS = {"en": 400, "de": 200, "fr": 200, "es": 120, "zh": 80}
+
+
+def _q_mix_sample(sf_dir: str):
+    """EXACT data-mixing sampler (functions/mixing.py): keep exactly
+    largest_remainder(floor(N·10%), {en:40%, de:20%, fr:20%, es:12%,
+    zh:8%}) docs per language, chosen by smallest (md5(str(id)), id)
+    — the pretraining mixture step done exactly, not in expectation.
+    Distributed order-statistic selection: ONE bounded (lang,
+    16-bit-md5-prefix) histogram fold, driver pins each language's
+    boundary bucket, ONE boundary-members-only collect (corpus/65536
+    rows), one pure keep map — no corpus sort, payloads never
+    shuffle. Oracle: ROW_NUMBER per lang over the same md5 ordering
+    + the largest-remainder quotas replayed in SQL."""
+    from ksoup_ray.functions.mixing import mix_sample
+    ds = _read(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "lang"])
+    return mix_sample(ds, _MIX_WEIGHTS, frac_permille=100)
+
+
 def _q_mp4_mjpeg(sf_dir: str):
     """MP4 (ISO-BMFF) container round trip (functions/mp4.py — a
     from-scratch standards-layout muxer, generic box walker with
@@ -5994,6 +6014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scene_cuts": _q_scene_cuts,
         "avi_mjpeg": _q_avi_mjpeg,
         "mp4_mjpeg": _q_mp4_mjpeg,
+        "mix_sample": _q_mix_sample,
         "audio_stats": _q_audio_stats,
         "retention_cohorts": _q_retention_cohorts,
         "q5_local_supplier": _q_q5_local_supplier,
@@ -7648,6 +7669,43 @@ def oracle_sql() -> dict[str, str]:
                      ON y.r < 3 + d.doc_id % 6
                 GROUP BY d.doc_id, t.r
             )
+        """,
+        "mix_sample": """
+            WITH counts AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+            ), t AS (
+              SELECT n * 100 // 1000 AS T FROM counts
+            ), w(lang, wpm) AS (
+              VALUES ('de', 200), ('en', 400), ('es', 120),
+                     ('fr', 200), ('zh', 80)
+            ), base AS (
+              SELECT lang,
+                     (SELECT T FROM t) * wpm // 1000 AS b,
+                     ((SELECT T FROM t) * wpm) % 1000 AS fr
+              FROM w
+            ), rem AS (
+              SELECT (SELECT T FROM t) - SUM(b) AS r FROM base
+            ), ranked AS (
+              SELECT lang, b,
+                     ROW_NUMBER() OVER (ORDER BY fr DESC, lang ASC)
+                       AS rk
+              FROM base
+            ), quota AS (
+              SELECT lang,
+                     b + CASE WHEN rk <= (SELECT r FROM rem)
+                              THEN 1 ELSE 0 END AS q
+              FROM ranked
+            ), ordered AS (
+              SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rn
+              FROM documents
+            )
+            SELECT o.doc_id, o.lang
+            FROM ordered o JOIN quota ON o.lang = quota.lang
+            WHERE o.rn <= quota.q
         """,
         "mp4_mjpeg": """
             -- MP4/MJPEG: container fields + the 19-box pre-order

@@ -265,3 +265,38 @@ def test_mp4_compressed_codec_guard():
     assert fourcc == b"avc1" and len(samples) == 1  # demux still works
     with pytest.raises(NotImplementedError):
         decode_mp4_mjpeg(bytes(data))
+
+
+def test_largest_remainder():
+    from ksoup_ray.functions.mixing import largest_remainder
+    q = largest_remainder(50, {"en": 400, "de": 200, "fr": 200,
+                               "es": 120, "zh": 80})
+    assert sum(q.values()) == 50
+    assert q == {"en": 20, "de": 10, "fr": 10, "es": 6, "zh": 4}
+    # remainder distribution: 7 into permille thirds
+    q2 = largest_remainder(7, {"a": 334, "b": 333, "c": 333})
+    assert sum(q2.values()) == 7 and q2["a"] >= q2["b"] >= q2["c"] - 1
+    import pytest
+    with pytest.raises(ValueError):
+        largest_remainder(10, {"a": 500})
+
+
+def test_mix_sample_exact_quotas(ray_session):
+    import hashlib
+    import ray.data as rd
+    from ksoup_ray.functions.mixing import largest_remainder, mix_sample
+    rows = [{"doc_id": i, "lang": ["en", "de"][i % 2]}
+            for i in range(200)]
+    weights = {"en": 600, "de": 400}
+    out = mix_sample(rd.from_items(rows), weights,
+                     frac_permille=250).to_pandas()
+    quotas = largest_remainder(50, weights)
+    got = out.groupby("lang")["doc_id"].count().to_dict()
+    assert got == quotas
+    # kept docs are exactly the smallest md5 keys per lang
+    for lang, q in quotas.items():
+        ids = [r["doc_id"] for r in rows if r["lang"] == lang]
+        ranked = sorted(ids, key=lambda i: (
+            hashlib.md5(str(i).encode()).hexdigest(), i))
+        assert set(out[out["lang"] == lang]["doc_id"]) == \
+            set(ranked[:q])

@@ -1775,30 +1775,40 @@ def best_keeper_ids(ds, *, key_col: str = "content_md5",
     and argmax-by-score needs the score to ride the shuffle while the
     MIN-id rule folds with a native aggregate.
 
-    ONE bounded ``hash(key) % num_partitions`` bucket shuffle of
-    (key, score, id) rows (functions/_blocks.py contract); each
-    bucket block resolves all of its clusters in one lexsort +
-    segment pass. Returns ``(key_col, keep_id, best_score,
-    cluster_size)``."""
+    Map-side combine first: each batch collapses to one (key,
+    best_score, best_id, n) partial per DISTINCT key it saw, so only
+    keys-per-batch rows ride the ONE bounded ``hash(key) %
+    num_partitions`` bucket shuffle (functions/_blocks.py contract)
+    — never the corpus; each bucket block folds all of its clusters'
+    partials in one lexsort + segment pass (argmax = first row of the
+    (key, score DESC, id ASC) sort, size = Σ n). Returns
+    ``(key_col, keep_id, best_score, cluster_size)``."""
     import pandas as pd
-    from ._blocks import pk_column
+    from ._blocks import from_pandas_clean, pk_column
 
-    def add_pk(batch: pa.Table) -> pa.Table:
-        t = batch.select([key_col, score_col, id_col])
+    def local_best(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, score_col, id_col]).to_pandas()
+        df = df.sort_values([key_col, score_col, id_col],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        n = df.groupby(key_col, sort=False)[id_col].transform("size")
+        first = ~df[key_col].duplicated()
+        out = df[first].copy()
+        out["n"] = n[first].to_numpy(np.int64)
+        t = from_pandas_clean(out)
         return t.append_column(
-            "_pk", pk_column(t.column(key_col), num_partitions)) \
-            .replace_schema_metadata(None)
+            "_pk", pk_column(t.column(key_col), num_partitions))
 
     def keeper_block(block: pd.DataFrame) -> pd.DataFrame:
-        # sort (key asc, score DESC, id asc): the first row of each
-        # key segment is the argmax with min-id tie-break
+        # fold partials: argmax-of-argmaxes is the first row of the
+        # (key asc, score DESC, id asc) sort; sizes sum
         block = block.sort_values([key_col, score_col, id_col],
                                   ascending=[True, False, True],
                                   kind="mergesort")
         keys = block[key_col].to_numpy()
         starts = np.flatnonzero(
             np.concatenate([[True], keys[1:] != keys[:-1]]))
-        sizes = np.diff(np.append(starts, len(keys)))
+        sizes = np.add.reduceat(block["n"].to_numpy(np.int64), starts)
         return pd.DataFrame({
             key_col: keys[starts],
             "keep_id": block[id_col].to_numpy(np.int64)[starts],
@@ -1806,7 +1816,7 @@ def best_keeper_ids(ds, *, key_col: str = "content_md5",
             "cluster_size": sizes.astype(np.int64),
         })
 
-    return (ds.map_batches(add_pk, batch_format="pyarrow")
+    return (ds.map_batches(local_best, batch_format="pyarrow")
             .groupby("_pk")
             .map_groups(keeper_block, batch_format="pandas"))
 

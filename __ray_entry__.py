@@ -5916,7 +5916,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_css": _q_select_css,
         "charset_decode": _q_charset_decode,
         "crawl_diff": _q_crawl_diff,
-        "incremental_extract": _q_incremental_extract,
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "simhash": _q_simhash,
@@ -6015,6 +6014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avi_mjpeg": _q_avi_mjpeg,
         "mp4_mjpeg": _q_mp4_mjpeg,
         "mix_sample": _q_mix_sample,
+        "incremental_extract": _q_incremental_extract,
         "audio_stats": _q_audio_stats,
         "retention_cohorts": _q_retention_cohorts,
         "q5_local_supplier": _q_q5_local_supplier,

@@ -5902,6 +5902,20 @@ def _q_dup_host_spread(sf_dir: str):
                                           batch_format="pyarrow"))
 
 
+
+def _q_late_data_audit(sf_dir: str):
+    """Watermark late-data audit (functions/agg.late_data_audit):
+    per tumbling day, event count and how many events a streaming job
+    with a 7-day watermark off the global max event time would have
+    dropped as late — the backfill analysis run before fixing a
+    production allowed-lateness. One scalar max fold + bounded
+    (window, n, n_late) partials; exact epoch-us integer arithmetic
+    both sides."""
+    from ksoup_ray.functions.agg import late_data_audit
+    ds = _read(f"{sf_dir}/events.parquet", columns=["ts"])
+    return late_data_audit(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -6015,6 +6029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mp4_mjpeg": _q_mp4_mjpeg,
         "mix_sample": _q_mix_sample,
         "incremental_extract": _q_incremental_extract,
+        "late_data_audit": _q_late_data_audit,
         "audio_stats": _q_audio_stats,
         "retention_cohorts": _q_retention_cohorts,
         "q5_local_supplier": _q_q5_local_supplier,
@@ -7669,6 +7684,22 @@ def oracle_sql() -> dict[str, str]:
                      ON y.r < 3 + d.doc_id % 6
                 GROUP BY d.doc_id, t.r
             )
+        """,
+        "late_data_audit": """
+            WITH mx AS (
+              SELECT MAX(CAST(epoch_us(ts) AS BIGINT)) AS m
+              FROM events
+            )
+            SELECT (CAST(epoch_us(ts) AS BIGINT) // 86400000000)
+                     * 86400000000 AS window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                                 < (SELECT m FROM mx)
+                                   - 604800000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_late
+            FROM events
+            GROUP BY 1
         """,
         "mix_sample": """
             WITH counts AS (

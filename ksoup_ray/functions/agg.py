@@ -116,6 +116,50 @@ def hopping_window_count(ds, key_col: str = "event_type",
             .aggregate(Sum("partial", alias_name="n")))
 
 
+def late_data_audit(ds, *, ts_col: str = "ts",
+                    window_us: int = 86_400_000_000,
+                    watermark_us: int = 7 * 86_400_000_000):
+    """Watermark-semantics audit of an event log: per TUMBLING window
+    (``window_us``), the event count and how many events a streaming
+    job with watermark ``max_event_time - watermark_us`` would have
+    treated as LATE (arrived after their window's watermark passed).
+    The batch re-formulation a 100 TB backfill runs before choosing a
+    production watermark: late-rate per window tells you how much
+    data a given allowed-lateness would drop. Deterministic (late ⇔
+    ts < global_max_ts - watermark), so fully SQL-replayable.
+
+    Two passes, both trivial at scale: ONE scalar global-max fold
+    (``Dataset.max`` — no shuffle of rows), then a pure per-batch map
+    collapsing to bounded (window, n, n_late) partials folded by a
+    windows-sized groupby. Returns ``(window_start, n_events,
+    n_late)``."""
+    from ray.data.aggregate import Sum
+
+    max_ts = ds.max(ts_col)
+    max_us = pd.Timestamp(max_ts).value // 1000
+    cutoff = max_us - watermark_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = (ts // window_us) * window_us
+        late = (ts < cutoff).astype(np.int64)
+        df = pd.DataFrame({"w": win, "late": late})
+        g = df.groupby("w", sort=False).agg(
+            n=("late", "size"), nl=("late", "sum")).reset_index()
+        return pa.table({
+            "window_start": pa.array(g["w"].to_numpy(np.int64),
+                                     pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "nl": pa.array(g["nl"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("window_start")
+            .aggregate(Sum("n", alias_name="n_events"),
+                       Sum("nl", alias_name="n_late")))
+
+
 def stratified_sample(ds, *, key_col: str = "lang",
                       id_col: str = "doc_id", rate_pct: int = 10):
     """Deterministic per-stratum sample: keep rows with

@@ -300,3 +300,24 @@ def test_mix_sample_exact_quotas(ray_session):
             hashlib.md5(str(i).encode()).hexdigest(), i))
         assert set(out[out["lang"] == lang]["doc_id"]) == \
             set(ranked[:q])
+
+
+def test_late_data_audit(ray_session):
+    import ray.data as rd
+    import pandas as pd
+    from ksoup_ray.functions.agg import late_data_audit
+    base = pd.Timestamp("2024-01-01").value // 1000
+    day = 86_400_000_000
+    rows = [
+        {"ts": pd.Timestamp(base * 1000)},                # day 0, late
+        {"ts": pd.Timestamp((base + day) * 1000)},        # day 1, late
+        {"ts": pd.Timestamp((base + 9 * day) * 1000)},    # day 9, ok
+        {"ts": pd.Timestamp((base + 10 * day) * 1000)},   # max, ok
+    ]
+    # watermark cutoff = day10 - 7d = day3: days 0 and 1 are late
+    out = late_data_audit(rd.from_items(rows)).to_pandas() \
+        .set_index("window_start")
+    w0 = (base // day) * day
+    assert out.loc[w0, "n_events"] == 1 and out.loc[w0, "n_late"] == 1
+    assert out.loc[w0 + 9 * day, "n_late"] == 0
+    assert out["n_events"].sum() == 4 and out["n_late"].sum() == 2

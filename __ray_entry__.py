@@ -5916,6 +5916,22 @@ def _q_late_data_audit(sf_dir: str):
     return late_data_audit(ds)
 
 
+
+def _q_langid_margin(sf_dir: str):
+    """Language-ID confidence margin (functions/textstats.py
+    LangIdMargin): best-vs-runner-up marker-count gap per doc — the
+    mixed-language / too-short-to-trust gate (the integer analogue of
+    thresholding fastText-lid's top-1/top-2 probability gap). Same
+    actor-pool scores matrix as langid; pred_lang keeps the CJK
+    override; the oracle extracts best and second-best by value over
+    the complete language vector (absent languages are zero)."""
+    from ksoup_ray.functions.textstats import LangIdMargin
+    ds = _read(f"{sf_dir}/documents.parquet",
+               columns=["doc_id", "text"])
+    return ds.map_batches(LangIdMargin, batch_format="pyarrow",
+                          concurrency=(1, 4))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -6030,6 +6046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sample": _q_mix_sample,
         "incremental_extract": _q_incremental_extract,
         "late_data_audit": _q_late_data_audit,
+        "langid_margin": _q_langid_margin,
         "audio_stats": _q_audio_stats,
         "retention_cohorts": _q_retention_cohorts,
         "q5_local_supplier": _q_q5_local_supplier,
@@ -7684,6 +7701,53 @@ def oracle_sql() -> dict[str, str]:
                      ON y.r < 3 + d.doc_id % 6
                 GROUP BY d.doc_id, t.r
             )
+        """,
+        "langid_margin": """
+            WITH m(lang, w, pri) AS (VALUES
+              ('en','the',1),('en','and',1),('en','of',1),('en','to',1),
+              ('en','a',1),('en','in',1),('en','is',1),('en','it',1),
+              ('en','that',1),
+              ('de','der',2),('de','die',2),('de','das',2),('de','und',2),
+              ('de','ist',2),('de','nicht',2),('de','ein',2),('de','zu',2),
+              ('fr','le',3),('fr','la',3),('fr','les',3),('fr','et',3),
+              ('fr','est',3),('fr','un',3),('fr','une',3),('fr','que',3),
+              ('es','el',4),('es','la',4),('es','los',4),('es','y',4),
+              ('es','es',4),('es','un',4),('es','una',4),('es','que',4),
+              ('es','de',4)
+            ), words AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents
+            ), sc AS (
+              SELECT words.doc_id, m.lang, min(m.pri) AS pri,
+                     CAST(count(*) AS BIGINT) AS score
+              FROM words JOIN m ON words.w = m.w
+              GROUP BY words.doc_id, m.lang
+            ), ranked AS (
+              SELECT doc_id, lang, score, pri,
+                     row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, pri ASC) AS rn,
+                     row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC) AS rnv
+              FROM sc
+            ), stats AS (
+              SELECT doc_id,
+                     MAX(CASE WHEN rn = 1 THEN score END) AS best,
+                     MAX(CASE WHEN rn = 1 THEN lang END) AS blang,
+                     COALESCE(MAX(CASE WHEN rnv = 2 THEN score END),
+                              0) AS second
+              FROM ranked GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN regexp_matches(d.text,
+                        '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]')
+                        THEN 'zh'
+                        WHEN s.blang IS NOT NULL THEN s.blang
+                        ELSE 'und' END AS pred_lang,
+                   COALESCE(s.best, 0) AS best_score,
+                   COALESCE(s.best, 0) - COALESCE(s.second, 0)
+                     AS margin
+            FROM documents d
+            LEFT JOIN stats s ON s.doc_id = d.doc_id
         """,
         "late_data_audit": """
             WITH mx AS (

@@ -150,6 +150,50 @@ class LangId:
                                    pa.array(out.tolist(), pa.string()))
 
 
+class LangIdMargin(LangId):
+    """Language-ID with a CONFIDENCE MARGIN — the standard filter
+    companion to :class:`LangId`: a doc whose best-language marker
+    count barely beats the runner-up is mixed-language or too short
+    to trust, and curation pipelines gate on exactly this margin
+    (fastText-lid users threshold the top-1/top-2 probability gap;
+    this is the integer marker-count analogue, SQL-replayable).
+
+    Same vectorized scores matrix as LangId; per row the margin is
+    ``best_count - second_best_count`` over the full language vector
+    (absent languages count 0, so a single-language doc's margin is
+    its whole best count; no markers → 0/0). ``pred_lang`` follows
+    LangId exactly, including the CJK → zh override (the margin
+    still reports the marker-table values — the detector the
+    override bypassed). Returns ``(doc_id, pred_lang, best_score,
+    margin)``."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch.column("text").to_pandas().fillna("").str.lower()
+        n = len(s)
+        exploded = s.str.split().explode()
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        if len(exploded):
+            for j, lg in enumerate(self.langs):
+                hits = exploded.isin(self.markers[lg]) \
+                    .groupby(level=0).sum()
+                scores[hits.index.to_numpy(), j] = hits.to_numpy()
+        order = np.sort(scores, axis=1)
+        best = order[:, -1]
+        second = order[:, -2] if scores.shape[1] >= 2 \
+            else np.zeros(n, np.int64)
+        best_j = scores.argmax(axis=1)
+        langs_arr = np.array(self.langs, dtype=object)
+        pred = np.where(best >= 1, langs_arr[best_j], "und")
+        is_cjk = s.str.contains(_CJK_RE).to_numpy()
+        pred = np.where(is_cjk, "zh", pred)
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "pred_lang": pa.array(pred.tolist(), pa.string()),
+            "best_score": pa.array(best, pa.int64()),
+            "margin": pa.array(best - second, pa.int64()),
+        })
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Content fingerprint: md5 of the text (exact-dup key; md5 chosen so
     the DuckDB oracle can recompute it)."""

@@ -321,3 +321,28 @@ def test_late_data_audit(ray_session):
     assert out.loc[w0, "n_events"] == 1 and out.loc[w0, "n_late"] == 1
     assert out.loc[w0 + 9 * day, "n_late"] == 0
     assert out["n_events"].sum() == 4 and out["n_late"].sum() == 2
+
+
+def test_langid_margin(ray_session):
+    import pyarrow as _pa
+    from ksoup_ray.functions.textstats import LangIdMargin
+    batch = _pa.table({
+        "doc_id": _pa.array([0, 1, 2, 3], _pa.int64()),
+        "text": _pa.array([
+            "the cat and the dog is in that house",  # strongly en
+            "la de que el un",                       # es/fr mix
+            "xyzzy plugh nothing",                   # no markers
+            "你好 world the the",            # CJK override
+        ]),
+    })
+    out = LangIdMargin()(batch).to_pydict()
+    assert out["pred_lang"][0] == "en"
+    assert out["margin"][0] == out["best_score"][0]  # only en hits? no:
+    # 'in'/'is'/'that' are en; 'the' en; no other lang markers here
+    assert out["pred_lang"][2] == "und"
+    assert out["best_score"][2] == 0 and out["margin"][2] == 0
+    assert out["pred_lang"][3] == "zh"               # CJK override
+    assert out["best_score"][3] == 2                 # 'the' x2 markers
+    # mixed-lang doc has a small margin
+    assert out["margin"][1] < out["best_score"][1] or \
+        out["margin"][1] == 0
